@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference engine hand-rolled its execution plumbing (std::async task
+pools, stage barriers, text-file shuffles — SURVEY.md §2.1 O6/O8/O12/O13).
+Here all of that is Spark's job: we only pin the configs that matter for
+determinism (UTC session time zone), for Python interop (Arrow), and for
+scale (AQE, partition sizing).
+
+On a real cluster the same builder is used via ``spark-submit``; local[N]
+is only the test harness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for the 100 TB north star, not just local tests:
+#: AQE re-plans shuffles at runtime (coalesces small partitions, splits
+#: skewed ones, converts sort-merge joins to broadcast when a side turns
+#: out small); Arrow keeps any unavoidable Python stage vectorized;
+#: UTC keeps timestamp semantics identical to the DuckDB oracle.
+_BASE_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MB splits: the sweet spot for the vectorized parquet reader; at
+    # 100 TB this yields ~800k input tasks, well within scheduler limits.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Nanosecond timestamps in the events table (FIXTURES.md) — read them
+    # instead of erroring.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.parquet.timestampNTZ.enabled": "false",
+    # Keep planner free to broadcast dimension tables (region/nation/...).
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "mapreduce_4_spark", master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so the same code
+    runs unchanged under a cluster manager (where ``master`` comes from
+    spark-submit and this arg stays None with an existing session).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not SparkSession.getActiveSession():
+        master = f"local[{default_parallelism()}]"
+    if master:
+        builder = builder.master(master)
+    confs = dict(_BASE_CONFS)
+    # shuffle partitions sized to the harness; on a real cluster AQE
+    # coalesces from a larger initial number instead.
+    confs["spark.sql.shuffle.partitions"] = str(default_parallelism())
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

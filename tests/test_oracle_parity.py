@@ -1,0 +1,27 @@
+"""The correctness gate, replayed locally: every registered query with an
+oracle must hash-match DuckDB at the driver's scale factor (sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_4_spark.plans import REGISTRY
+
+from .oracle import compare
+
+_WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+_ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_parity(spark, sf_oracle, name):
+    spec = REGISTRY[name]
+    compare(spec.builder(spark, sf_oracle), spec.oracle, sf_oracle)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_oracle, name):
+    spec = REGISTRY[name]
+    df = spec.builder(spark, sf_oracle)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
