@@ -2,6 +2,13 @@
 
 from mapreduce_4_spark.registry import REGISTRY, oracle_sql, queries
 
-from . import wordcount  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+    setops,
+    sort_topk,
+    wordcount,
+)
 
 __all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,144 @@
+"""Aggregation queries — the generalization of the reference's only
+aggregate (COUNT(*) per (file, word), SURVEY.md §2.1 O7/O9) to the full
+groupBy().agg() surface: count, sum, avg, min, max, count distinct.
+
+Catalyst plans every one of these as partial HashAggregate -> shuffle on
+the group keys -> final HashAggregate — the two-phase combine the
+reference hand-rolled with its Shuffler/Reducer stages. Group keys here
+(returnflag x linestatus, orderstatus, event_type) are low-cardinality, so
+at 100 TB the exchange carries only (keys x partitions) rows after partial
+aggregation — these queries are scan-bound, as they should be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.money import davg, dec, dsum, sql_davg, sql_dec, sql_dsum
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               CAST(SUM({sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM({sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')}) * (1 + {sql_dec('l_tax')})) AS DOUBLE) AS sum_charge,
+               {sql_davg('l_quantity')} AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "flagship-relational"),
+    description="TPC-H Q1 pricing summary: the full agg function set over lineitem",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_orders_stats",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               {sql_dsum('o_totalprice')} AS sum_price,
+               {sql_davg('o_totalprice')} AS avg_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("aggregate",),
+    description="count / countDistinct / min / max / sum / avg per order status",
+)
+def agg_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min/max of doubles pick existing values — exact without the decimal
+    # detour; sum/avg use it.
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum("o_totalprice").alias("sum_price"),
+            davg("o_totalprice").alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "agg_events_by_type",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               {sql_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("aggregate", "events"),
+    description="event stream rollup by type (batch view of the streaming agg)",
+)
+def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "agg_global_lineitem",
+    oracle=f"""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               {sql_dsum('l_quantity')} AS total_qty,
+               MIN(l_shipdate) AS first_ship,
+               MAX(l_shipdate) AS last_ship
+        FROM lineitem
+    """,
+    tags=("aggregate",),
+    description="global (no group key) aggregate — single-row reduction",
+)
+def agg_global_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity").alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )

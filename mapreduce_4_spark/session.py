@@ -30,10 +30,9 @@ _BASE_CONFS: dict[str, str] = {
     # 128 MB splits: the sweet spot for the vectorized parquet reader; at
     # 100 TB this yields ~800k input tasks, well within scheduler limits.
     "spark.sql.files.maxPartitionBytes": "134217728",
-    # Nanosecond timestamps in the events table (FIXTURES.md) — read them
-    # instead of erroring.
-    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-    "spark.sql.parquet.timestampNTZ.enabled": "false",
+    # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which the Spark
+    # reader rejects; read it as raw long and convert in sources.tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Keep planner free to broadcast dimension tables (region/nation/...).
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.shuffle.partitions": "32",

@@ -23,7 +23,28 @@ TABLES: tuple[str, ...] = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS,false), which Spark's reader
+    rejects outright. Read it as a raw nanosecond long (legacy conf, set at
+    runtime so it works in any caller's session too) and convert via exact
+    integer division — ``ts div 1000`` on longs; a double division would
+    lose precision above 2^53 ns (~1970+104 days).
+
+    The resulting ``ts`` is a microsecond timestamp, matching what the
+    DuckDB oracle yields for ``CAST(ts AS TIMESTAMP)``.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
