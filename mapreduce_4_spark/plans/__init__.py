@@ -4,10 +4,15 @@ from mapreduce_4_spark.registry import REGISTRY, oracle_sql, queries
 
 from . import (  # noqa: F401
     aggregates,
+    events_time,
+    grouping,
     joins,
     relational,
+    scalars,
+    semistructured,
     setops,
     sort_topk,
+    windows,
     wordcount,
 )
 

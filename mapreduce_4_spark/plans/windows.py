@@ -1,0 +1,106 @@
+"""Window-function queries — ranking, analytic (lag/lead), running and
+sliding frames. Absent from the reference (SURVEY.md §2.2 "Window
+functions: None").
+
+Scale notes: a window spec shuffles once on partitionBy and sorts within
+partitions. Every ORDER BY here carries a unique tie-break column — not
+just for oracle determinism: non-deterministic frames also break retry
+idempotency on a real cluster (a re-run task could produce different
+running sums). Running sums aggregate DECIMAL (exact at any order) and
+surface double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.money import dec, sql_dec
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+
+@register(
+    "window_rank_orders",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+    description="ranking family per customer: row_number / rank / dense_rank / ntile",
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("quartile", F.ntile(4).over(w))
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle=f"""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM({sql_dec('o_totalprice')}) OVER w AS DOUBLE) AS running_revenue,
+               LAG(o_totalprice) OVER w AS prev_price,
+               LEAD(o_totalprice) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+    description="running revenue + lag/lead per customer in order-date order",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("running_revenue", F.sum(dec("o_totalprice")).over(w).cast("double"))
+        .withColumn("prev_price", F.lag("o_totalprice").over(wo))
+        .withColumn("next_price", F.lead("o_totalprice").over(wo))
+        .drop("o_totalprice")
+    )
+
+
+@register(
+    "window_moving_avg_events",
+    oracle=f"""
+        SELECT event_id, user_id,
+               CAST(SUM({sql_dec('value')}) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "events"),
+    description="3-row moving average of event value per user",
+)
+def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn(
+            "moving_avg",
+            F.sum(dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w),
+        )
+        .drop("ts", "value")
+    )
