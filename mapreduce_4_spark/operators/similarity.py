@@ -1,0 +1,102 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two tiers (task north star — similarity search over array<float>):
+
+- brute-force cosine top-k: the exact baseline. Query set x corpus via
+  broadcast of the (small) query side; per-query top-k with a window,
+  which TakeOrdered-style keeps k rows per query per partition before the
+  final shuffle. Exact-oracle-checkable (bit-identical to DuckDB, see
+  functions/vectors.py).
+- random-hyperplane LSH buckets: the 100 TB path. p signed projections
+  give a p-bit bucket id; candidates are bucket collisions only, so the
+  join is linear-ish in collisions instead of |queries| x |corpus|.
+  Hyperplanes are generated once from a fixed seed on the driver and
+  broadcast — tiny (p x dim doubles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.vectors import as_double, cosine
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast.
+
+    Returns (query_id, vec_id, cosine_sim, rank), rank 1..k, ties broken
+    by corpus id for determinism. Self-matches are excluded by the
+    query_id != vec_id guard only when ids share a domain.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    sim = cosine(as_double(F.col("_qvec")), as_double(F.col("_cvec")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_bucket_ids(df: DataFrame, planes: np.ndarray,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Add a ``bucket`` column: p-bit signature of hyperplane signs.
+
+    The projection is a pure column expression per plane (dot with a
+    literal array) — broadcast-free, codegen'd, no Python.
+    """
+    from mapreduce_4_spark.functions.vectors import dot
+
+    bucket = F.lit(0).cast("long")
+    v = as_double(F.col(vec_col))
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(v, lit_plane) > 0, F.lit(1 << j)).otherwise(0)
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_planes: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: exact ranking within LSH bucket collisions.
+
+    Recall < 1.0 by construction; the property test measures it against
+    brute force. More planes -> smaller buckets -> faster and less
+    recall; multi-probe (flipping low-confidence bits) is the standard
+    extension, left as bucket-join composition.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    c = lsh_bucket_ids(
+        corpus.select(id_col, F.col(vec_col).alias("_cvec")), planes, "_cvec"
+    )
+    q = lsh_bucket_ids(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")), planes, "_qvec"
+    )
+    sim = cosine(as_double(F.col("_qvec")), as_double(F.col("_cvec")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

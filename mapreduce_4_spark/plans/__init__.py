@@ -4,7 +4,9 @@ from mapreduce_4_spark.registry import REGISTRY, oracle_sql, queries
 
 from . import (  # noqa: F401
     aggregates,
+    dedup,
     events_time,
+    similarity,
     grouping,
     joins,
     relational,

@@ -1,0 +1,161 @@
+"""Dedup queries over the documents/embeddings tables.
+
+Exact and n-gram-Jaccard dedup are SQL-expressible -> full DuckDB
+oracles. MinHash-LSH and SimHash are not practically expressible in
+ANSI SQL -> rows-only driver check here, with invariant/recall property
+tests in tests/test_dedup.py (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.text import CLEAN_CLASS
+from mapreduce_4_spark.operators.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_near_duplicates,
+    shingle_sets,
+    simhash_near_pairs,
+)
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+_WORDS_SQL = (
+    "list_filter(string_split(lower(regexp_replace(text, '"
+    + CLEAN_CLASS
+    + "', '', 'g')), ' '), x -> len(x) > 0)"
+)
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+        SELECT md5(text) AS text_md5,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+    description="exact dedup: one hash aggregate, keep min doc_id per distinct text",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_WORDS_SQL} AS w FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS sh
+            FROM t WHERE len(w) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_sim
+            FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard_sim FROM pairs WHERE jaccard_sim >= 0.8
+    """,
+    tags=("dedup",),
+    description="exact 3-gram Jaccard near-dup pairs, blocked by lang "
+                "(the exact baseline the LSH path approximates)",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sh = shingle_sets(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= 0.8)
+    )
+
+
+@register(
+    "minhash_lsh_neardup",
+    oracle=None,  # LSH banding is not ANSI-SQL-expressible; see tests/test_dedup.py
+    tags=("dedup", "lsh"),
+    description="MinHash-LSH near-dup pairs (64-slot signature, 16x4 bands), "
+                "exact-verified at Jaccard >= 0.8 — the 100 TB dedup path",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_near_duplicates(docs, threshold=0.8)
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=None,  # pandas-UDF fingerprint; invariants tested in test_dedup.py
+    tags=("dedup", "udf"),
+    description="SimHash-64 near-dup pairs at hamming <= 3 via 16-bit chunk banding",
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    tags=("dedup", "similarity"),
+    description="embedding-cosine near-dup pairs (exact pairwise baseline; "
+                "the LSH-bucketed variant is similarity_lsh_topk)",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.functions.vectors import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = cosine(as_double(F.col("ea")), as_double(F.col("eb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.4)
+    )
+
+
+@register(
+    "dedup_exact_events",
+    oracle="""
+        SELECT user_id, event_type, value, MIN(event_id) AS event_id
+        FROM events
+        GROUP BY user_id, event_type, value
+    """,
+    tags=("dedup",),
+    description="generic exact dedup on a multi-column content key",
+)
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return exact_dedup(ev, ["user_id", "event_type", "value"], "event_id")

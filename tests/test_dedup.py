@@ -1,0 +1,90 @@
+"""Property tests for the non-SQL-expressible dedup operators
+(SURVEY.md §5.2: invariants + small brute-force oracles)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.operators.dedup import (
+    minhash_near_duplicates,
+    shingle_sets,
+    simhash_near_pairs,
+    simhash_table,
+)
+from mapreduce_4_spark.plans.dedup import ngram_jaccard_pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    from mapreduce_4_spark.sources import load_table
+
+    return load_table(spark, sf_smoke, "documents").select("doc_id", "lang", "text")
+
+
+def test_minhash_recall_vs_exact(spark, sf_smoke, docs):
+    """LSH candidates must recover (virtually) all true >=0.8 pairs.
+
+    With 16 bands x 4 rows, P(miss) at j=0.8 is (1-0.8^4)^16 ~= 2e-4 per
+    pair — we assert >= 95% recall and exactness of reported Jaccards.
+    """
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in ngram_jaccard_pairs(spark, sf_smoke).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_near_duplicates(docs, threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain near-duplicate documents"
+    recall = len(set(lsh) & set(exact)) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} too low ({len(lsh)} vs {len(exact)})"
+    # verified Jaccard values are exact, so any common pair must agree
+    for pair in set(lsh) & set(exact):
+        assert abs(lsh[pair] - exact[pair]) < 1e-12
+    # no false positives: every reported pair really has j >= 0.8
+    assert all(j >= 0.8 for j in lsh.values())
+
+
+def test_minhash_identical_docs_always_collide(spark, docs):
+    """A document duplicated verbatim must be caught (jaccard == 1.0)."""
+    base = docs.limit(5).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    both = base.unionByName(dup)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_near_duplicates(both, threshold=0.99).collect()
+    }
+    for r in base.collect():
+        key = (r["doc_id"], r["doc_id"] + 100000)
+        assert key in pairs and pairs[key] == 1.0
+
+
+def test_simhash_deterministic_and_identity(spark, docs):
+    t1 = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    t2 = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    assert t1 == t2, "simhash must be deterministic across runs"
+    # identical text => identical fingerprint => hamming 0 pair found
+    base = docs.limit(3).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    pairs = simhash_near_pairs(base.unionByName(dup), max_hamming=0).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for r in base.collect():
+        assert (r["doc_id"], r["doc_id"] + 100000) in found
+
+
+def test_shingles_match_reference_tokenization(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick  brown fox! jumps")], ["doc_id", "text"]
+    )
+    got = shingle_sets(df).collect()[0]["shingles"]
+    # clean: "the quick  brown fox jumps" -> tokens drop the empty from the
+    # double space -> 3-grams over [the, quick, brown, fox, jumps]
+    assert sorted(got) == sorted(
+        ["the quick brown", "quick brown fox", "brown fox jumps"]
+    )
+
+
+def test_short_docs_dropped_from_shingling(spark):
+    df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+    assert shingle_sets(df).count() == 0

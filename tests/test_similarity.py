@@ -1,0 +1,87 @@
+"""Property tests for similarity search (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    from mapreduce_4_spark.sources import load_table
+
+    return load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_self_similarity_is_one(spark, emb):
+    """Querying the corpus with itself: every vector's nearest neighbor
+    under cosine(v, v) is itself with similarity 1.0."""
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    # allow self-matches by renaming ids into disjoint domains
+    corpus = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    top1 = brute_force_topk(corpus, q, k=1).collect()
+    for r in top1:
+        assert r["vec_id"] == r["query_id"] + 1_000_000
+        assert r["cosine_sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_topk_monotone_in_k(spark, emb):
+    q = _queries(emb)
+    t5 = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    t10 = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=10).collect()}
+    assert t5 <= t10
+    ranks = brute_force_topk(emb, q, k=5).groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in ranks)
+
+
+def test_lsh_results_subset_and_recall(spark, emb):
+    """LSH top-k is a subset of the bucket-collision candidates; its
+    hits must appear in brute-force ranking with identical sims, and
+    top-1 recall should be reasonable at 8 planes."""
+    q = _queries(emb)
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in brute_force_topk(emb, q, k=50).collect()
+    }
+    lsh = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in lsh_topk(emb, q, k=10, n_planes=8).collect()
+    }
+    assert lsh, "LSH should return some candidates"
+    for pair, sim in lsh.items():
+        if pair in brute:
+            assert sim == brute[pair], "sims must be computed identically"
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    """Small numpy oracle: exact top-3 for one query."""
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qid = rows[0]["vec_id"]
+    qv = vecs[qid]
+    sims = {
+        vid: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        for vid, v in vecs.items()
+        if vid != qid
+    }
+    expected = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    q = emb.filter(F.col("vec_id") == qid).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    ]
+    for (evid, esim), (gvid, gsim) in zip(expected, got):
+        assert evid == gvid
+        assert gsim == pytest.approx(esim, abs=1e-12)
