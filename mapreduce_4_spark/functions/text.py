@@ -49,3 +49,12 @@ def tokens(col: Column | str) -> Column:
 def words(col: Column | str) -> Column:
     """Token array with empties removed — convenience for array-level use."""
     return F.filter(tokens(col), lambda w: F.length(w) > 0)
+
+
+def sql_words(text_expr: str = "text") -> str:
+    """DuckDB twin of ``words`` for oracle SQL — identical regex class,
+    identical split/filter semantics."""
+    return (
+        f"list_filter(string_split(lower(regexp_replace({text_expr}, "
+        f"'{CLEAN_CLASS}', '', 'g')), ' '), x -> len(x) > 0)"
+    )

@@ -1,0 +1,140 @@
+"""Multimodal-column operators: typed binary payloads + metadata, with
+decode / feature-extraction / frame-sampling as Arrow-batched
+``mapInPandas`` stages.
+
+Container constraint: no image/audio codecs are installed here, so the
+actual pixel/sample decode is STUBBED — ``decode_mode="real"`` raises
+NotImplementedError after the import-try, and ``decode_mode="fake"``
+substitutes a deterministic byte-level transform. Everything around the
+stub is real and tested: the binary column handling, the metadata
+struct, the mapInPandas batch iteration, the output schema, and the
+partition-parallel execution — on a cluster with codecs, only the body
+of ``_decode_one`` changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of the decoded-feature output — fixed contract for downstream
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def attach_fake_image(docs: DataFrame) -> DataFrame:
+    """Give each document an opaque binary payload + typed metadata —
+    the canonical multimodal row layout: (id, media: binary,
+    meta: struct<width,height,format>). Payload bytes are the UTF-8 text
+    (a deterministic stand-in for real image bytes)."""
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("media"),
+        F.struct(
+            (F.lit(64) + F.col("doc_id") % 512).cast("int").alias("width"),
+            (F.lit(64) + (F.col("doc_id") * 7) % 512).cast("int").alias("height"),
+            F.lit("fake/raw").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in for a real feature extractor: unit-scaled
+    bytes of a blake2b digest. Stable across processes and runs."""
+    digest = hashlib.blake2b(payload, digest_size=dim * 4).digest()
+    return np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / np.float32(2**32)
+
+
+def decode_features(media_df: DataFrame, decode_mode: str = "fake",
+                    dim: int = 8) -> DataFrame:
+    """media rows -> per-item feature vectors via mapInPandas.
+
+    Arrow-batched: each Python call sees a pandas batch, not a row.
+    ``decode_mode="real"`` requires an image codec (PIL) — unavailable in
+    this container, so it raises NotImplementedError at plan-build time
+    rather than inside executors.
+    """
+    if decode_mode == "real":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:  # codec not in the container
+            raise NotImplementedError(
+                "real image decode requires PIL; install codecs on the "
+                "cluster image and re-run with decode_mode='real'"
+            ) from exc
+    elif decode_mode != "fake":
+        raise ValueError(f"decode_mode must be 'real' or 'fake', got {decode_mode!r}")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_features(payload if payload is not None else b"", dim)
+                for payload in pdf["media"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
+                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                    "n_bytes": pdf["media"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ).astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return media_df.mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+def sample_frames(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling stub for video-shaped payloads: one output row per
+    sampled 'frame' (a byte-window stand-in), md5-stamped. Real frame
+    extraction would swap the windowing for a codec call; the explode
+    shape (1 row in -> k rows out via yielded batches) is the real part.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_md5 = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = payload or b""
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    window = payload[off:off + every_n_bytes]
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_md5.append(hashlib.md5(window).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return media_df.mapInPandas(frames, FRAME_SCHEMA)

@@ -1,0 +1,88 @@
+"""Text-analysis operators — the generalization of the reference's seed
+capability (word counting, SURVEY.md §2.2 "LLM-pipeline: text analysis")
+into the metrics a training-data pipeline needs: token statistics,
+quality scoring, heuristic language ID, document fingerprints.
+
+Everything is pure column expressions over the reference-fidelity
+tokenizer (functions/text.py) — integer sums and single IEEE divisions,
+so the SQL-expressible subset has exact DuckDB oracles. No Python in any
+hot path; at 100 TB these are scan-bound single-pass projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.text import ASCII_PUNCT_CLASS, words
+
+#: tiny per-language stopword inventories for the n-gram/stopword
+#: language-ID heuristic. Deliberately small and ASCII — the point is the
+#: operator shape (portable to any lexicon), not lexical coverage.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "la", "de", "y", "es", "que"),
+    "fr": ("le", "la", "et", "est", "les", "des"),
+    "zh": (),  # non-Latin script: handled by the ascii-ratio feature
+}
+
+
+def n_words(ws: Column) -> Column:
+    return F.size(ws)
+
+
+def n_distinct_words(ws: Column) -> Column:
+    return F.size(F.array_distinct(ws))
+
+
+def sum_word_len(ws: Column) -> Column:
+    """Total characters across tokens — integer aggregate, exact."""
+    return F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, ASCII_PUNCT_CLASS, ""))
+
+
+def stopword_hits(ws: Column, stopwords: tuple[str, ...]) -> Column:
+    if not stopwords:
+        return F.lit(0)
+    return F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+
+
+def quality_features(text_col: str = "text") -> dict[str, Column]:
+    """The standard quality-signal bundle for one document."""
+    ws = words(text_col)
+    nw = n_words(ws)
+    return {
+        "n_words": nw,
+        "n_chars": F.length(text_col),
+        "avg_word_len": sum_word_len(ws).cast("double") / nw,
+        "punct_ratio": punct_count(text_col).cast("double") / F.length(text_col),
+        "uniq_ratio": n_distinct_words(ws).cast("double") / nw,
+        "stopword_ratio": stopword_hits(ws, LANG_STOPWORDS["en"]).cast("double") / nw,
+    }
+
+
+def lang_scores(ws: Column) -> dict[str, Column]:
+    return {
+        lang: stopword_hits(ws, sw) for lang, sw in LANG_STOPWORDS.items() if sw
+    }
+
+
+def fingerprint_md5(text_col: str = "text") -> Column:
+    """Normalization-robust fingerprint: md5 over the cleaned token
+    stream — invariant to case, punctuation, and run-of-space layout."""
+    return F.md5(F.concat_ws(" ", words(text_col)).cast("binary"))
+
+
+def fingerprint_rolling(text_col: str = "text") -> Column:
+    """Order-sensitive 64-bit rolling fingerprint: fold xxhash64 over the
+    token stream (hash chaining). Not ANSI-SQL-expressible — rows-only."""
+    return F.aggregate(
+        words(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, w: F.xxhash64(acc, w),
+    )

@@ -9,11 +9,13 @@ from . import (  # noqa: F401
     similarity,
     grouping,
     joins,
+    multimodal,
     relational,
     scalars,
     semistructured,
     setops,
     sort_topk,
+    text_analysis,
     windows,
     wordcount,
 )

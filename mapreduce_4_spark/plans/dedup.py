@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.text import CLEAN_CLASS
+from mapreduce_4_spark.functions.text import sql_words
 from mapreduce_4_spark.operators.dedup import (
     exact_dedup,
     jaccard,
@@ -22,11 +22,7 @@ from mapreduce_4_spark.operators.dedup import (
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
-_WORDS_SQL = (
-    "list_filter(string_split(lower(regexp_replace(text, '"
-    + CLEAN_CLASS
-    + "', '', 'g')), ' '), x -> len(x) > 0)"
-)
+_WORDS_SQL = sql_words("text")
 
 
 @register(

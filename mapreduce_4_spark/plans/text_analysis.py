@@ -1,0 +1,173 @@
+"""Text-analysis queries over the documents table (north-star extension;
+the reference's word count is the seed — SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.text import ASCII_PUNCT_CLASS, sql_words, words
+from mapreduce_4_spark.operators.text_analysis import (
+    LANG_STOPWORDS,
+    fingerprint_md5,
+    fingerprint_rolling,
+    lang_scores,
+    quality_features,
+)
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+_W = sql_words("text")
+_EN = "', '".join(LANG_STOPWORDS["en"])
+
+
+@register(
+    "text_stats_docs",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_W} AS w FROM documents)
+        SELECT doc_id,
+               len(w) AS n_words,
+               length(text) AS n_chars,
+               CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w) AS avg_word_len,
+               CAST(length(text) - length(regexp_replace(text, '{ASCII_PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio,
+               CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+               CAST(len(list_filter(w, x -> list_contains(['{_EN}'], x))) AS DOUBLE)
+                 / len(w) AS stopword_ratio
+        FROM t WHERE len(w) > 0
+    """,
+    tags=("text",),
+    description="per-document quality features: counts, lengths, punct / "
+                "uniqueness / stopword ratios",
+)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = quality_features("text")
+    out = docs.select("doc_id", *(c.alias(n) for n, c in feats.items()))
+    return out.filter(F.col("n_words") > 0)
+
+
+@register(
+    "lang_id_docs",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {_W} AS w FROM documents),
+        s AS (
+            SELECT doc_id, lang,
+                   len(list_filter(w, x -> list_contains(['{"', '".join(LANG_STOPWORDS["de"])}'], x))) AS hits_de,
+                   len(list_filter(w, x -> list_contains(['{"', '".join(LANG_STOPWORDS["en"])}'], x))) AS hits_en,
+                   len(list_filter(w, x -> list_contains(['{"', '".join(LANG_STOPWORDS["es"])}'], x))) AS hits_es,
+                   len(list_filter(w, x -> list_contains(['{"', '".join(LANG_STOPWORDS["fr"])}'], x))) AS hits_fr
+            FROM t
+        )
+        SELECT doc_id, lang, hits_de, hits_en, hits_es, hits_fr,
+               CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+                    WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+                    WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+                    WHEN hits_fr > 0 THEN 'fr'
+                    ELSE 'unknown' END AS lang_pred
+        FROM s
+    """,
+    tags=("text",),
+    description="heuristic language ID by per-language stopword hits "
+                "(deterministic tie-break, 'unknown' when no evidence)",
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ws = words("text")
+    scores = lang_scores(ws)
+    df = docs.select(
+        "doc_id", "lang",
+        *(scores[lang].alias(f"hits_{lang}") for lang in ("de", "en", "es", "fr")),
+    )
+    de, en, es, fr = (F.col(f"hits_{x}") for x in ("de", "en", "es", "fr"))
+    pred = (
+        F.when((de >= en) & (de >= es) & (de >= fr) & (de > 0), "de")
+        .when((en >= es) & (en >= fr) & (en > 0), "en")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+@register(
+    "token_counts_docs",
+    oracle=f"""
+        SELECT doc_id,
+               len({_W}) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens_len4
+        FROM documents
+    """,
+    tags=("text",),
+    description="token counting three ways: whitespace, BPE-ish regex, chars/4",
+)
+def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(words("text")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("est_tokens_len4"),
+    )
+
+
+@register(
+    "doc_fingerprint_md5",
+    oracle=f"""
+        SELECT doc_id,
+               md5(array_to_string({_W}, ' ')) AS fp_md5
+        FROM documents
+    """,
+    tags=("text", "fingerprint"),
+    description="normalization-robust md5 fingerprint over the cleaned token stream",
+)
+def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fp_md5"))
+
+
+@register(
+    "doc_fingerprint_rolling",
+    oracle=None,  # xxhash64 chaining has no DuckDB equivalent; see tests
+    tags=("text", "fingerprint"),
+    description="order-sensitive 64-bit rolling fingerprint (xxhash64 fold)",
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", fingerprint_rolling("text").alias("fp64"))
+
+
+@register(
+    "top_bigrams",
+    oracle=f"""
+        WITH t AS (SELECT {_W} AS w FROM documents),
+        b AS (
+            SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+            FROM t WHERE len(w) >= 2
+        )
+        SELECT bigram, COUNT(*) AS cnt
+        FROM b GROUP BY bigram
+        ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+    tags=("text", "aggregate", "topk"),
+    description="corpus-wide top-20 bigrams (n-gram counting at scale: "
+                "explode + two-phase hash aggregate + TakeOrdered)",
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    ws = words("text")
+    df = docs.select(ws.alias("w")).filter(F.size("w") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(" ", F.slice("w", i, 2)),
+    )
+    return (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference is strictly batch (SURVEY.md §2.2 "Streaming: None" — its
+stages poll static directories over TCP). Here the events table becomes a
+stream: ``readStream`` over the parquet directory, event-time windows
+with watermarks for late data, stateful dedup, session windows.
+
+The batch twins in ``plans/events_time.py`` carry the DuckDB oracles;
+these pipelines run the same logic under the streaming engine, verified
+in tests by replaying the static data with ``trigger(availableNow)`` and
+comparing against the batch results. On a real cluster the source would
+be Kafka/object-store arrivals; everything below the source line is
+unchanged — that's the point of the unified DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.money import dec
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming view of the events table.
+
+    Schema comes from a batch peek (streaming sources need it up front);
+    ts arrives as raw nanos (see sources.tables) and is converted with
+    the same exact integer division.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource wants a directory: stream the sf dir with a glob
+    # filter so only the events file(s) feed the source.
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def stream_tumbling_counts(stream: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h windows by event type — streaming twin of
+    ``events_tumbling_1h``. Watermark bounds state: windows older than
+    max(event_time) - watermark are finalized and evicted."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_windows(stream: DataFrame, gap: str = "30 minutes",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap —
+    streaming twin of ``events_user_sessions`` (which derives sessions
+    with lag + running sum; the streaming engine keeps session state
+    natively via ``session_window``)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_events(stream: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon —
+    the streaming form of exact dedup: state is bounded by the watermark,
+    so this runs forever at constant memory per key horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         output_mode: str = "append") -> None:
+    """Drain the stream into an in-memory table with availableNow (test
+    harness; a real deployment writes a sink, e.g. parquet/Kafka)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
