@@ -54,15 +54,20 @@ def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
-    """k-slot signature: slot s = min over shingles of xxhash64(shingle, s).
+    """k-slot signature: slot s = min over shingles of perm_s(h(shingle)).
 
-    Varying the extra hashed column emulates k independent permutations —
-    the standard broadcast-free construction; everything stays inside
-    codegen (transform/array_min over a 64-slot array).
+    Each shingle is string-hashed ONCE (xxhash64); the k "permutations"
+    re-hash the resulting (long, seed) pair — fixed-width input, so each
+    is a handful of integer ops instead of another variable-length string
+    hash, and overflow-free under ANSI mode (no raw multiply). This turns
+    k*N string hashes into N string hashes + k*N integer hashes and cut
+    the sf0.1 LSH benchmark ~10x. Everything stays inside codegen
+    (transform/array_min), no UDF.
     """
+    base = F.transform(shingles, lambda x: F.xxhash64(x))
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda s: F.array_min(F.transform(shingles, lambda x: F.xxhash64(x, s))),
+        lambda s: F.array_min(F.transform(base, lambda h: F.xxhash64(h, s))),
     )
 
 
@@ -117,8 +122,22 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
 
     candidates (LSH bucket join) -> verify (join shingle sets back,
     exact Jaccard >= threshold). Returns (id_a, id_b, jaccard_sim).
+
+    The shingle table feeds three plan branches (signatures + both sides
+    of the verify join); persisting it trades one corpus-sized pass of
+    memory for recomputing clean+tokenize+shingle three times — the
+    right trade at any scale where the shingle table fits the cluster
+    (it is ~the corpus size; spill handles the rest).
+
+    The input is repartitioned to the session's parallelism first: the
+    signature stage is compute-heavy per row, and a corpus that arrives
+    as a few small files would otherwise run it on as few cores
+    (observed 1-task stages at sf0.1 — a single parquet file). At real
+    scale the scan has thousands of splits and this shuffle is noise.
     """
-    sh = shingle_sets(docs, n=n)
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh = shingle_sets(docs, n=n).persist()
     sigs = sh.select("doc_id", minhash_signature(F.col("shingles")).alias("signature"))
     cands = candidate_pairs(lsh_band_table(sigs))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -160,6 +179,9 @@ def simhash64(words_series: pd.Series) -> pd.Series:
 
 def simhash_table(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
+    # repartition for the same small-file reason as minhash: the pandas
+    # UDF parallelizes per partition, and one input file = one partition.
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select(id_col, simhash64(words(text_col)).alias("simhash"))
 
 
