@@ -1,0 +1,98 @@
+"""The user-defined-function surface — the engine's replacement for the
+reference's runtime plugin mechanism (SURVEY.md §2.1 O11: dlopen +
+createInputObj factories, asio_deep/main.cpp:98-149). One of each kind,
+each replicating a reference operator so fidelity is oracle-checkable:
+
+- row Python UDF        -> O3 lowerRemovePunc, as the literal char loop
+- scalar pandas UDF     -> O4 token counting, Arrow-vectorized
+- grouped applyInPandas -> O9 reduce: per-group word-frequency merge
+- grouped-agg pandas UDF-> custom aggregate over integer state (exact)
+- Python UDTF           -> O4 tokenize as a generator (1 row -> n rows)
+
+Performance note (the reason these are NOT used by the hot-path plans):
+the same semantics exist as built-ins in functions/text.py — JVM-side,
+codegen'd. UDFs cross the Python boundary; pandas/Arrow variants
+amortize it per batch, the row UDF pays it per row. They exist to prove
+the extension surface, mirroring how a reference user would load a
+custom .so.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
+from pyspark.sql.functions import pandas_udf, udf
+from pyspark.sql.types import IntegerType, LongType, StringType
+
+_PUNCT = set(r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""")
+
+
+@udf(StringType())
+def clean_text_py(line: str | None) -> str | None:
+    """O3 ``lowerRemovePunc`` as the reference implements it: walk chars,
+    drop '\\n' and ispunct, lowercase the rest [binary:
+    map/MapperImpl.so]. Row-at-a-time on purpose — the fidelity probe."""
+    if line is None:
+        return None
+    return "".join(c.lower() for c in line if c != "\n" and c not in _PUNCT)
+
+
+def _tokens_of(line: str) -> list[str]:
+    # O4 tokenize: split on single space only, drop empties
+    return [t for t in clean_text_py.func(line).split(" ") if t]
+
+
+@pandas_udf(IntegerType())
+def token_count_pandas(texts: pd.Series) -> pd.Series:
+    """O4 as a vectorized count: tokens per document, one Arrow batch at
+    a time (the 10-100x-over-row-UDF path)."""
+    return texts.map(lambda t: 0 if t is None else len(_tokens_of(t))).astype("int32")
+
+
+def wordcount_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """O9 reducer body for applyInPandas: merge word counts within one
+    group (the reference merges per input-file directory; here the group
+    key is whatever groupBy supplies)."""
+    counts: dict[str, int] = {}
+    for text in pdf["text"]:
+        for tok in _tokens_of(text or ""):
+            counts[tok] = counts.get(tok, 0) + 1
+    lang = pdf["lang"].iloc[0]
+    return pd.DataFrame(
+        {"lang": lang, "word": list(counts.keys()), "cnt": list(counts.values())}
+    )
+
+
+WORDCOUNT_GROUP_SCHEMA = "lang string, word string, cnt long"
+
+
+@pandas_udf(LongType())
+def k_sum_agg(k: pd.Series) -> int:
+    """Grouped-agg pandas UDF over integer state — exact regardless of
+    row order within the group (why no float accumulates here)."""
+    return int(k.sum())
+
+
+@pandas_udf(LongType())
+def n_rows_agg(k: pd.Series) -> int:
+    """Companion grouped-agg count (Spark disallows mixing pandas and
+    JVM aggregates in one agg(), so the count is a pandas UDAF too)."""
+    return int(len(k))
+
+
+def register_tokenize_udtf(spark) -> None:
+    """O4 as a Python UDTF: one input row -> one output row per token.
+    Registered for the SQL lateral-join path, the closest analogue to
+    the reference's pluggable mapper."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class Tokenize:
+        def eval(self, text: str | None):  # noqa: D102
+            for tok in _tokens_of(text or ""):
+                yield (tok,)
+
+    spark.udtf.register("tokenize_ref", Tokenize)

@@ -15,7 +15,9 @@ from . import (  # noqa: F401
     semistructured,
     setops,
     sort_topk,
+    temporal_joins,
     text_analysis,
+    udf_surface,
     windows,
     wordcount,
 )

@@ -1,0 +1,78 @@
+"""Sinks — the write side of the engine (reference O6/O8/O10: hand-rolled
+``(word,count)`` text trees under temp_mapper/ temp_shuffler/
+final_output/, SURVEY.md §2.1).
+
+Spark needs none of that for its own shuffles (managed binary exchange),
+so sinks here are USER outputs: columnar parquet with partition layout
+(the 100 TB default), csv/json interop, and a reference-layout text sink
+that reproduces the final_output/ format byte-for-byte for migration
+parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str,
+                  partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read.option("header", True)
+    return r.schema(schema).csv(path) if schema is not None else \
+        r.option("inferSchema", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read
+    return r.schema(schema).json(path) if schema is not None else r.json(path)
+
+
+def write_wordcount_reference_layout(counts: DataFrame, path: str) -> None:
+    """Reference final-output emulation (O10): one directory per doc,
+    lines formatted ``(word,count)`` sorted by word — the std::map order
+    the reference emits [FileProcessorRedOutput.so; SURVEY.md §2.2 sort
+    row]. counts must have (doc_id, word, cnt)."""
+    (
+        counts.select(
+            "doc_id",
+            F.concat(F.lit("("), "word", F.lit(","), F.col("cnt").cast("string"),
+                     F.lit(")")).alias("value"),
+            "word",
+        )
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id", "word")
+        .select("doc_id", "value")
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .text(path)
+    )
+
+
+def read_wordcount_reference_layout(spark: SparkSession, path: str) -> DataFrame:
+    """Parse the reference-layout text tree back to (doc_id, word, cnt)."""
+    raw = spark.read.text(path)
+    with_doc = raw.withColumn(
+        "doc_id",
+        F.regexp_extract(F.input_file_name(), r"doc_id=(\d+)", 1).cast("long"),
+    )
+    m = F.regexp_extract("value", r"^\((.*),(\d+)\)$", 1)
+    c = F.regexp_extract("value", r"^\((.*),(\d+)\)$", 2)
+    return with_doc.select(
+        "doc_id", m.alias("word"), c.cast("long").alias("cnt")
+    )

@@ -1,0 +1,99 @@
+"""Round-trip tests for every sink format + the reference-layout text
+sink (O6/O8/O10 analogues, SURVEY.md §2.2 sinks row)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.sources import load_table
+from mapreduce_4_spark.sources.sinks import (
+    read_csv,
+    read_json,
+    read_wordcount_reference_layout,
+    write_csv,
+    write_json,
+    write_parquet,
+    write_wordcount_reference_layout,
+)
+
+
+def _rows(df):
+    return sorted(tuple(map(str, r)) for r in df.collect())
+
+
+def test_parquet_partitioned_roundtrip(spark, sf_smoke, tmp_path):
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "li_parquet")
+    write_parquet(li, out, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    # partition pruning: a filter on the partition column must reach the
+    # file index, not the row scan
+    pruned = back.filter(F.col("l_returnflag") == "A")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    assert pruned.count() == li.filter("l_returnflag = 'A'").count()
+
+
+def test_csv_roundtrip(spark, sf_smoke, tmp_path):
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_csv")
+    write_csv(orders, out)
+    back = read_csv(spark, out, schema=orders.schema)
+    assert _rows(back) == _rows(orders)
+
+
+def test_json_roundtrip(spark, sf_smoke, tmp_path):
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    out = str(tmp_path / "events_json")
+    write_json(ev, out)
+    back = read_json(spark, out, schema=ev.schema)
+    assert _rows(back) == _rows(ev)
+
+
+def test_reference_layout_wordcount_sink(spark, sf_smoke, tmp_path):
+    """Full reference output parity: write the flagship result in the
+    final_output/ text format, read it back, get the identical table."""
+    from mapreduce_4_spark.plans.wordcount import wordcount_per_doc
+
+    counts = wordcount_per_doc(spark, sf_smoke)
+    out = str(tmp_path / "final_output")
+    write_wordcount_reference_layout(counts, out)
+    back = read_wordcount_reference_layout(spark, out)
+    assert _rows(back) == _rows(counts)
+
+    # the per-doc files are sorted by word — the std::map order the
+    # reference's sinks exhibit (SURVEY.md §2.2 sort row)
+    import glob
+
+    some_doc_dir = sorted(glob.glob(f"{out}/doc_id=*/"))[0]
+    lines = []
+    for f in sorted(glob.glob(f"{some_doc_dir}/part-*")):
+        with open(f) as fh:
+            lines += [ln.strip() for ln in fh if ln.strip()]
+    words = [ln[1:].rsplit(",", 1)[0] for ln in lines]
+    assert words == sorted(words)
+    assert all(ln.startswith("(") and ln.endswith(")") for ln in lines)
+
+
+def test_text_source_with_input_file_name(spark, tmp_path):
+    """O1/O2: directory text scan with per-file attribution."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("Hello, World!\nsecond line\n")
+    (d / "b.txt").write_text("tab\there\n")
+    df = (
+        spark.read.text(str(d))
+        .withColumn("file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    )
+    got = {(r["file"], r["value"]) for r in df.collect()}
+    assert ("a.txt", "Hello, World!") in got
+    assert ("b.txt", "tab\there") in got
+    assert df.count() == 3
