@@ -3,6 +3,7 @@
 from mapreduce_4_spark.registry import REGISTRY, oracle_sql, queries
 
 from . import (  # noqa: F401
+    advanced_rel,
     aggregates,
     dedup,
     events_time,

@@ -1,0 +1,35 @@
+"""applyInPandasWithState: custom running totals verified against the
+batch aggregation over the full replay."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.streaming import events_stream, run_stream_to_memory
+from mapreduce_4_spark.streaming.stateful import stream_user_totals
+
+
+def test_stateful_user_totals_match_batch(spark, sf_smoke):
+    stream = events_stream(spark, sf_smoke)
+    run_stream_to_memory(
+        stream_user_totals(stream), "t_user_totals", output_mode="update"
+    )
+    # update mode re-emits a key per batch; the LAST emission per user is
+    # the final state — single-batch replay means one emission each
+    got = {
+        r["user_id"]: (r["total_events"], r["total_value_cents"])
+        for r in spark.table("t_user_totals").collect()
+    }
+    from mapreduce_4_spark.sources import load_table
+
+    batch = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == batch
