@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     multimodal,
     relational,
     scalars,
+    scalars2,
     semistructured,
     setops,
     sort_topk,

@@ -140,6 +140,30 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from mapreduce_4_spark.registry import REGISTRY as _REG
+
+_PAIRS_SQL = _REG["ngram_jaccard_pairs"].oracle
+
+
+@register(
+    "neardup_survivors",
+    oracle=f"""
+        WITH all_pairs AS ({_PAIRS_SQL})
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM all_pairs)
+    """,
+    tags=("dedup",),
+    description="the dedup keep-list: documents surviving near-dup removal "
+                "(every id_b of a >=0.8 pair is dominated by its id_a)",
+)
+def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dominated = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("id_b").alias("doc_id")
+    )
+    return docs.select("doc_id").join(dominated, "doc_id", "left_anti")
+
+
 @register(
     "dedup_exact_events",
     oracle="""
