@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     setops,
     sort_topk,
     temporal_joins,
+    tpch_like,
     text_analysis,
     udf_surface,
     windows,

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests — the scale posture, pinned.
+
+Correctness tests prove WHAT the queries compute; these prove HOW:
+filters reach the parquet scan, dimensions broadcast, aggregates combine
+map-side before the exchange, top-k avoids global sorts. A regression
+here is invisible at sf0.01 and catastrophic at 100 TB, which is exactly
+why it's asserted.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mapreduce_4_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_oracle, name: str) -> str:
+    df = REGISTRY[name].builder(spark, sf_oracle)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "filter_project_lineitem")
+    # the toString render truncates long filter lists, so assert on the
+    # first filters only
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan
+
+
+def test_column_pruning_reads_only_needed_columns(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "wordcount_per_doc")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_star_join_broadcasts_all_dimensions(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "q5_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # at sf0.01 everything fits broadcast
+    # lineitem feeds the probe side of a broadcast join directly: no
+    # exchange between the fact scan and the first join
+    assert plan.count("Exchange hashpartitioning") <= 1  # only the final agg
+
+
+def test_partial_aggregate_before_shuffle(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "wordcount_per_doc")
+    partial = plan.index("partial_count")
+    exchange = plan.index("Exchange")
+    final = plan.index("count(1)")
+    # plan prints top-down: final agg, then exchange, then partial agg
+    assert final < exchange < partial, plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_oracle):
+    for name in ("orders_sorted_limit", "top10_customers_by_revenue",
+                 "wordcount_topk", "q3_shipping_priority"):
+        plan = _plan(spark, sf_oracle, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "Exchange rangepartitioning" not in plan, (name, plan)
+
+
+def test_semi_anti_joins_use_dedicated_types(spark, sf_oracle):
+    semi = _plan(spark, sf_oracle, "join_semi_customers_with_f_orders")
+    anti = _plan(spark, sf_oracle, "join_anti_customers_without_big_orders")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_no_cartesian_in_lsh_dedup(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "minhash_lsh_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_window_agg_single_shuffle(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "events_tumbling_1h")
+    assert plan.count("Exchange hashpartitioning") == 1
