@@ -73,13 +73,16 @@ def lsh_bucket_ids(df: DataFrame, planes: np.ndarray,
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             multiprobe: bool = False) -> DataFrame:
     """Approximate top-k: exact ranking within LSH bucket collisions.
 
     Recall < 1.0 by construction; the property test measures it against
     brute force. More planes -> smaller buckets -> faster and less
-    recall; multi-probe (flipping low-confidence bits) is the standard
-    extension, left as bucket-join composition.
+    recall. ``multiprobe=True`` additionally probes every bucket at
+    hamming distance 1 from the query's bucket (each sign bit flipped
+    once) — the standard recall-vs-cost knob: probe cost grows by
+    n_planes x, recall approaches brute force, corpus side is untouched.
     """
     dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
@@ -89,6 +92,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q = lsh_bucket_ids(
         queries.select(query_id_col, F.col(vec_col).alias("_qvec")), planes, "_qvec"
     )
+    if multiprobe:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probe_buckets))
     sim = cosine(as_double(F.col("_qvec")), as_double(F.col("_cvec")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)

@@ -165,6 +165,22 @@ def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=None,  # iterative algorithm (connected components); verified
+    # against a pure-Python union-find in tests/test_dedup.py
+    tags=("dedup", "iterative"),
+    description="near-dup cluster assignment: connected components over "
+                "MinHash-LSH pairs via distributed label propagation",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.clustering import dedup_cluster_assignments
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_near_duplicates(docs, threshold=0.8)
+    return dedup_cluster_assignments(docs, pairs)
+
+
+@register(
     "dedup_exact_events",
     oracle="""
         SELECT user_id, event_type, value, MIN(event_id) AS event_id

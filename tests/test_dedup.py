@@ -73,6 +73,46 @@ def test_simhash_deterministic_and_identity(spark, docs):
         assert (r["doc_id"], r["doc_id"] + 100000) in found
 
 
+def test_dedup_clusters_match_union_find(spark, sf_smoke, docs):
+    """Distributed connected components == pure-Python union-find over
+    the same pair list (transitive closure, min-id representative)."""
+    from mapreduce_4_spark.operators.clustering import dedup_cluster_assignments
+
+    pairs_df = minhash_near_duplicates(
+        docs.select("doc_id", "text"), threshold=0.8
+    )
+    pairs = [(r["id_a"], r["id_b"]) for r in pairs_df.collect()]
+    assert pairs, "fixture should contain near-dup pairs"
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {
+        r["doc_id"]: find(r["doc_id"]) if r["doc_id"] in parent else r["doc_id"]
+        for r in docs.select("doc_id").collect()
+    }
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_cluster_assignments(
+            docs.select("doc_id", "text"), pairs_df
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_shingles_match_reference_tokenization(spark):
     df = spark.createDataFrame(
         [(1, "The quick  brown fox! jumps")], ["doc_id", "text"]

@@ -61,6 +61,23 @@ def test_lsh_results_subset_and_recall(spark, emb):
             assert sim == brute[pair], "sims must be computed identically"
 
 
+def test_multiprobe_improves_recall(spark, emb):
+    """Multi-probe must strictly contain the single-probe result set and
+    close the gap toward brute force."""
+    q = _queries(emb)
+    brute = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    single = {(r["query_id"], r["vec_id"])
+              for r in lsh_topk(emb, q, k=10, n_planes=8).collect()}
+    multi = {(r["query_id"], r["vec_id"])
+             for r in lsh_topk(emb, q, k=10, n_planes=8, multiprobe=True).collect()}
+    # every single-probe candidate bucket is also probed under multiprobe
+    r_single = len(single & brute) / len(brute)
+    r_multi = len(multi & brute) / len(brute)
+    assert r_multi >= r_single
+    assert len(multi) >= len(single)
+
+
 def test_brute_force_matches_numpy(spark, emb):
     """Small numpy oracle: exact top-3 for one query."""
     import numpy as np
