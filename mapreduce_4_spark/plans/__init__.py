@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     semistructured,
     setops,
     sort_topk,
+    statistics,
     temporal_joins,
     tpch_like,
     text_analysis,

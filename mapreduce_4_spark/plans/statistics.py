@@ -1,0 +1,93 @@
+"""Statistical aggregates with exact arithmetic.
+
+Built-in variance/stddev use streaming (Welford-style) accumulation in
+both engines — order-dependent in the last bits, so NOT oracle-safe.
+Instead the moments are assembled from exact decimal sums:
+var = (n*sum_sq - sum^2) / (n*(n-1)), evaluated in double from
+bit-identical inputs on both sides. Same scale behavior as the built-in
+(two exact partial aggregates + merge), deterministic everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.money import dec
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+
+@register(
+    "variance_order_prices",
+    oracle="""
+        WITH s AS (
+            SELECT o_orderstatus,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                            * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, n,
+               (n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1)) AS var_samp,
+               sqrt((n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_samp,
+               s1 / n AS mean_price
+        FROM s
+    """,
+    tags=("aggregate", "statistics"),
+    description="sample variance/stddev/mean from exact decimal moments "
+                "(deterministic, unlike Welford-accumulated built-ins)",
+)
+def variance_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = dec("o_totalprice")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p).cast("double").alias("s1"),
+        F.sum(p * p).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    var = (n * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        n.cast("double") * (n - F.lit(1))
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        var.alias("var_samp"),
+        F.sqrt(var).alias("stddev_samp"),
+        (F.col("s1") / n).alias("mean_price"),
+    )
+
+
+@register(
+    "array_higher_order_fns",
+    oracle="""
+        SELECT vec_id,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive,
+               len(list_filter(embedding, x -> abs(x) > 0.2)) AS n_large,
+               (len(list_filter(embedding, x -> x > -1)) = len(embedding)) AS all_above_neg1,
+               (len(list_filter(embedding, x -> x > 0.5)) > 0) AS any_above_half,
+               list_sort([round(CAST(x AS DECIMAL(9,4)), 2) for x in embedding[1:3]]) AS head_rounded
+        FROM embeddings
+    """,
+    tags=("array", "higher-order"),
+    description="higher-order array functions: filter/forall/exists/"
+                "transform/slice/sort over embeddings",
+)
+def array_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(e, lambda x: F.abs(x) > 0.2)).alias("n_large"),
+        F.forall(e, lambda x: x > -1).alias("all_above_neg1"),
+        F.exists(e, lambda x: x > 0.5).alias("any_above_half"),
+        F.sort_array(
+            F.transform(
+                F.slice(e, 1, 3),
+                lambda x: F.round(x.cast("decimal(9,4)"), 2),
+            )
+        ).alias("head_rounded"),
+    )

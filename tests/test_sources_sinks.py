@@ -83,6 +83,44 @@ def test_reference_layout_wordcount_sink(spark, sf_smoke, tmp_path):
     assert all(ln.startswith("(") and ln.endswith(")") for ln in lines)
 
 
+def test_parquet_compression_codecs(spark, sf_smoke, tmp_path):
+    """zstd and snappy writes both round-trip (codec choice is a storage
+    cost lever at 100 TB, not a semantics one)."""
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    outs = {}
+    for codec in ("snappy", "zstd"):
+        out = str(tmp_path / f"li_{codec}")
+        li.write.mode("overwrite").option("compression", codec).parquet(out)
+        back = spark.read.parquet(out)
+        assert _rows(back) == _rows(li)
+        outs[codec] = out
+    import glob as g
+    import os
+
+    for codec, out in outs.items():
+        files = g.glob(f"{out}/*.parquet")
+        assert files and all(f".{codec}." in os.path.basename(f) for f in files)
+
+
+def test_parquet_schema_evolution_merge(spark, sf_smoke, tmp_path):
+    """mergeSchema reads across writer generations with added columns —
+    how a long-lived 100 TB table actually evolves."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    v1 = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    v1.write.parquet(f"{out}/gen=1")
+    v2 = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_totalprice", F.lit("v2").alias("writer_version")
+    )
+    v2.write.parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "writer_version", "gen"}
+    assert merged.count() == 2 * v1.count()
+    # old-generation rows surface the new column as null
+    assert merged.filter("gen = 1 AND writer_version IS NULL").count() == v1.count()
+
+
 def test_text_source_with_input_file_name(spark, tmp_path):
     """O1/O2: directory text scan with per-file attribution."""
     d = tmp_path / "corpus"
