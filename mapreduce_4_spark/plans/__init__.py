@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     grouping,
     joins,
     multimodal,
+    pipeline_ops,
     relational,
     scalars,
     scalars2,

@@ -1,0 +1,60 @@
+"""Sampling properties: determinism, subset-ness, size bounds, split
+disjointness/exhaustiveness, stratified rate targeting."""
+
+from __future__ import annotations
+
+import math
+
+from mapreduce_4_spark.operators.sampling import (
+    sample_stratified,
+    sample_uniform,
+    train_test_split,
+)
+from mapreduce_4_spark.sources import load_table
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_sample_deterministic_and_subset(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    s1, s2 = sample_uniform(docs, 0.2), sample_uniform(docs, 0.2)
+    assert _ids(s1) == _ids(s2), "same seed must give the same sample"
+    assert _ids(s1) <= _ids(docs)
+    assert _ids(sample_uniform(docs, 0.2, seed=7)) != _ids(s1), \
+        "different seed should give a different sample"
+
+
+def test_sample_size_within_binomial_bounds(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    n = docs.count()
+    k = sample_uniform(docs, 0.2).count()
+    mean, sd = 0.2 * n, math.sqrt(n * 0.2 * 0.8)
+    assert abs(k - mean) <= 5 * sd, (k, mean, sd)
+
+
+def test_train_test_split_partitions(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    train, test = train_test_split(docs, test_fraction=0.1)
+    tr, te = _ids(train), _ids(test)
+    assert tr.isdisjoint(te)
+    assert tr | te == _ids(docs)
+    assert 0 < len(te) < len(tr)
+
+
+def test_stratified_rates(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang")
+    fractions = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 1.0, "zh": 1.0}
+    out = sample_stratified(docs, "lang", fractions)
+    totals = dict(docs.groupBy("lang").count().collect())
+    kept = dict(out.groupBy("lang").count().collect())
+    for lang, frac in fractions.items():
+        n, k = totals.get(lang, 0), kept.get(lang, 0)
+        if n == 0:
+            continue
+        if frac == 1.0:
+            assert k == n, (lang, k, n)
+        else:
+            sd = math.sqrt(n * frac * (1 - frac))
+            assert abs(k - frac * n) <= 5 * sd, (lang, k, frac * n, sd)
