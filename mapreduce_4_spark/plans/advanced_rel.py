@@ -128,6 +128,32 @@ def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "correlated_subquery_max_order",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("filter", "subquery"),
+    description="correlated scalar subquery: each customer's maximal order "
+                "(decorrelated by Catalyst into an aggregate+join)",
+)
+def correlated_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders_corr o
+        WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
+                                FROM orders_corr o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
     "approx_distinct_users",
     oracle=None,  # HLL sketches differ across engines; bounded-error
     # property vs exact countDistinct tested in tests/test_advanced_rel.py
