@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     temporal_joins,
     tpch_like,
     text_analysis,
+    text_scoring,
     udf_surface,
     windows,
     wordcount,

@@ -78,6 +78,30 @@ def test_multiprobe_improves_recall(spark, emb):
     assert len(multi) >= len(single)
 
 
+def test_ivf_recall_and_exactness(spark, emb):
+    """IVF hits must carry exactly the brute-force similarity values and
+    reach reasonable top-10 recall at nprobe=2 of 8 clusters."""
+    from mapreduce_4_spark.operators.ann_ivf import ivf_topk
+
+    q = _queries(emb)
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in ivf_topk(emb, q, k=10, n_clusters=8, nprobe=2).collect()
+    }
+    assert ivf
+    for pair, sim in ivf.items():
+        if pair in brute:
+            assert sim == brute[pair]
+    recall = len(set(ivf) & set(brute)) / len(brute)
+    assert recall >= 0.2, recall  # random 64-dim vectors cluster poorly;
+    # the operator contract is exactness-within-probes, not high recall
+    # on unclusterable data
+
+
 def test_brute_force_matches_numpy(spark, emb):
     """Small numpy oracle: exact top-3 for one query."""
     import numpy as np
