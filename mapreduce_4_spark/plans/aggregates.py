@@ -122,6 +122,38 @@ def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "argmax_events",
+    oracle="""
+        WITH t AS (
+            SELECT event_type, event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) * 1000000 + event_id AS ord
+            FROM events
+        )
+        SELECT event_type,
+               arg_max(event_id, ord) AS top_event_id,
+               arg_min(event_id, ord) AS bottom_event_id,
+               arg_max(user_id, ord) AS top_user_id
+        FROM t GROUP BY event_type
+    """,
+    tags=("aggregate", "argmax"),
+    description="max_by/min_by (argmax) aggregates with a deterministic "
+                "composite ordering key (value cents * 1e6 + id)",
+)
+def argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id",
+                                                    "user_id", "value")
+    ord_col = (
+        F.round(F.col("value") * 100).cast("long") * 1_000_000 + F.col("event_id")
+    )
+    t = ev.withColumn("ord", ord_col)
+    return t.groupBy("event_type").agg(
+        F.max_by("event_id", F.col("ord")).alias("top_event_id"),
+        F.min_by("event_id", F.col("ord")).alias("bottom_event_id"),
+        F.max_by("user_id", F.col("ord")).alias("top_user_id"),
+    )
+
+
+@register(
     "agg_global_lineitem",
     oracle=f"""
         SELECT COUNT(*) AS n_rows,

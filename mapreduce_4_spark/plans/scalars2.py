@@ -127,6 +127,35 @@ def date_functions2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regex_ops_part",
+    oracle="""
+        SELECT p_partkey,
+               regexp_matches(p_name, '^[a-m]') AS starts_early,
+               regexp_extract(p_type, '([a-z]+)$', 1) AS type_tail,
+               len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+               regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked
+        FROM part
+        WHERE regexp_matches(p_name, '[aeiou]')
+    """,
+    tags=("scalar", "regex", "filter"),
+    description="regex battery: rlike predicate, anchored extract, match "
+                "counting, global replace",
+)
+def regex_ops_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").rlike("[aeiou]"))
+        .select(
+            "p_partkey",
+            F.col("p_name").rlike("^[a-m]").alias("starts_early"),
+            F.regexp_extract("p_type", "([a-z]+)$", 1).alias("type_tail"),
+            F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0)).alias("n_vowels"),
+            F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+        )
+    )
+
+
+@register(
     "events_customer_enrichment",
     oracle=f"""
         SELECT c_mktsegment, event_type,

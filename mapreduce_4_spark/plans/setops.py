@@ -50,6 +50,35 @@ def union_high_balance_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "union_by_name_missing_cols",
+    oracle="""
+        SELECT c_custkey AS party_key, c_name AS party_name,
+               c_acctbal AS acctbal, 'customer' AS kind
+        FROM customer
+        UNION ALL BY NAME
+        SELECT s_suppkey AS party_key, s_name AS party_name, 'supplier' AS kind
+        FROM supplier
+    """,
+    tags=("setop", "schema-evolution"),
+    description="unionByName with allowMissingColumns: schema-mismatched "
+                "union fills absent columns with nulls",
+)
+def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("party_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_name").alias("party_name"),
+        F.lit("supplier").alias("kind"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+@register(
     "intersect_active_nations",
     oracle="""
         SELECT c_nationkey AS nationkey FROM customer

@@ -78,6 +78,40 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_first_last_events",
+    oracle="""
+        SELECT event_id, user_id,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               LAST_VALUE(event_type) OVER w AS last_type,
+               NTH_VALUE(event_type, 2) OVER w AS second_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "events"),
+    description="first_value / last_value / nth_value over a full-partition frame",
+)
+def window_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .select(
+            "event_id",
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+        )
+    )
+
+
+@register(
     "window_moving_avg_events",
     oracle=f"""
         SELECT event_id, user_id,
