@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     similarity,
     grouping,
     joins,
+    maintenance,
     multimodal,
     pipeline_ops,
     relational,

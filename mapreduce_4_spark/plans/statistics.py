@@ -61,6 +61,32 @@ def variance_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_sketch_prices",
+    oracle=None,  # sketch internals differ across engines; bounds and
+    # monotonicity are property-tested in tests/test_advanced_rel.py
+    tags=("aggregate", "statistics", "approx"),
+    description="approx percentiles (p25/p50/p75/p99) of order prices per "
+                "status — the quantile-sketch path for 100 TB distributions",
+)
+def percentile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        "o_totalprice", [0.25, 0.5, 0.75, 0.99], 10_000
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(pct.alias("p"))
+        .select(
+            "o_orderstatus",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p75"),
+            F.col("p")[3].alias("p99"),
+        )
+    )
+
+
+@register(
     "array_higher_order_fns",
     oracle="""
         SELECT vec_id,

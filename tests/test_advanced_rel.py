@@ -12,6 +12,30 @@ def test_approx_count_distinct_bounded_error(spark, sf_oracle):
         assert abs(approx - exact) / exact <= 0.10, (r["event_type"], approx, exact)
 
 
+def test_percentile_sketch_properties(spark, sf_oracle):
+    """Sketch quantiles: ordered in p, bounded by min/max, and close to
+    exact numpy quantiles at this accuracy."""
+    import numpy as np
+
+    from mapreduce_4_spark.plans.statistics import percentile_sketch_prices
+    from mapreduce_4_spark.sources import load_table
+
+    got = {r["o_orderstatus"]: r for r in
+           percentile_sketch_prices(spark, sf_oracle).collect()}
+    orders = load_table(spark, sf_oracle, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect()
+    by_status: dict = {}
+    for r in orders:
+        by_status.setdefault(r["o_orderstatus"], []).append(r["o_totalprice"])
+    for status, vals in by_status.items():
+        r = got[status]
+        assert min(vals) <= r["p25"] <= r["p50"] <= r["p75"] <= r["p99"] <= max(vals)
+        exact = np.quantile(vals, [0.25, 0.5, 0.75])
+        for k, e in zip(("p25", "p50", "p75"), exact):
+            assert abs(r[k] - e) / e < 0.05, (status, k, r[k], e)
+
+
 def test_rdd_wordcount_equals_dataframe_flagship(spark, sf_smoke):
     from mapreduce_4_spark.plans.advanced_rel import rdd_wordcount
     from mapreduce_4_spark.plans.wordcount import wordcount_per_doc
