@@ -23,6 +23,11 @@ TABLES: tuple[str, ...] = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # every registered query funnels through here, so pin the confs that
+    # correctness depends on even when the caller's session (e.g. the
+    # verify driver's) was built without mapreduce_4_spark.session:
+    # timestamp semantics must match the UTC-naive DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
