@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_4_spark.functions.text import sql_words
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -77,6 +78,33 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 64).alias("last_val"),
         F.array_max("embedding").alias("max_val"),
         F.array_min("embedding").alias("min_val"),
+    )
+
+
+@register(
+    "explode_outer_long_words",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter({sql_words('text')}, x -> len(x) > 9) AS long_words
+            FROM documents
+        )
+        SELECT doc_id,
+               unnest(CASE WHEN len(long_words) = 0 THEN [NULL]
+                           ELSE long_words END) AS long_word
+        FROM t
+    """,
+    tags=("flatmap", "null"),
+    description="explode_outer: docs without any long word survive with a "
+                "NULL row (null-preserving generate)",
+)
+def explode_outer_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    long_words = F.filter(words("text"), lambda w: F.length(w) > 9)
+    return docs.select(
+        "doc_id", F.explode_outer(long_words).alias("long_word")
     )
 
 

@@ -61,6 +61,74 @@ def variance_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "correlation_qty_price",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        FROM s
+    """,
+    tags=("aggregate", "statistics"),
+    description="Pearson correlation from exact decimal moments "
+                "(deterministic, unlike the streaming corr() built-in)",
+)
+def correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+        SELECT event_type,
+               CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type, bucket
+    """,
+    tags=("aggregate", "statistics"),
+    description="fixed-width value histogram per event type (the "
+                "distribution-profile one-pass at any scale)",
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50.0).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "percentile_sketch_prices",
     oracle=None,  # sketch internals differ across engines; bounds and
     # monotonicity are property-tested in tests/test_advanced_rel.py
