@@ -82,6 +82,47 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_roundtrip_events",
+    oracle="""
+        SELECT event_id, user_id AS uid, value AS val
+        FROM events
+    """,
+    tags=("json",),
+    description="to_json/from_json identity round-trip of a struct column "
+                "(serialization surface; oracle is the identity)",
+)
+def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    packed = F.to_json(F.struct("user_id", "value"))
+    unpacked = F.from_json(packed, "user_id bigint, value double")
+    return ev.select(
+        "event_id",
+        unpacked["user_id"].alias("uid"),
+        unpacked["value"].alias("val"),
+    )
+
+
+@register(
+    "interval_shift_events",
+    oracle="""
+        SELECT event_id,
+               CAST(ts AS TIMESTAMP) + to_minutes(90) AS ts_plus_90m,
+               CAST(ts AS TIMESTAMP) - to_hours(2) AS ts_minus_2h
+        FROM events
+    """,
+    tags=("scalar", "date", "events"),
+    description="interval arithmetic on event timestamps",
+)
+def interval_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("ts_minus_2h"),
+    )
+
+
+@register(
     "explode_outer_long_words",
     oracle=f"""
         WITH t AS (

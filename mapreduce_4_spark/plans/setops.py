@@ -119,6 +119,49 @@ def except_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "intersect_all_quantities",
+    oracle="""
+        SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT ALL
+        SELECT CAST(l_quantity AS BIGINT) FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("setop",),
+    description="INTERSECT ALL: multiset intersection preserving duplicate "
+                "multiplicity (min of the two sides' counts)",
+)
+def intersect_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_quantity").cast("long").alias("qty")
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").cast("long").alias("qty")
+    )
+    return a.intersectAll(r)
+
+
+@register(
+    "except_all_quantities",
+    oracle="""
+        SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'
+        EXCEPT ALL
+        SELECT CAST(l_quantity AS BIGINT) FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("setop",),
+    description="EXCEPT ALL: multiset difference (count subtraction, floor 0)",
+)
+def except_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_quantity").cast("long").alias("qty")
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").cast("long").alias("qty")
+    )
+    return a.exceptAll(r)
+
+
+@register(
     "distinct_order_profiles",
     oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
     tags=("setop", "distinct"),

@@ -43,3 +43,24 @@ def test_rdd_wordcount_equals_dataframe_flagship(spark, sf_smoke):
     a = sorted(map(tuple, rdd_wordcount(spark, sf_smoke).collect()))
     b = sorted(map(tuple, wordcount_per_doc(spark, sf_smoke).collect()))
     assert a == b
+
+
+def test_registry_rejects_duplicate_names():
+    import pytest as _pytest
+
+    from mapreduce_4_spark.registry import REGISTRY, register
+
+    name = next(iter(REGISTRY))
+    with _pytest.raises(ValueError, match="duplicate"):
+        register(name)(lambda spark, sf: None)
+
+
+def test_row_id_operator_unique(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    with_ids = docs.withColumn("row_id", F.monotonically_increasing_id())
+    n = with_ids.count()
+    assert with_ids.select("row_id").distinct().count() == n
