@@ -191,6 +191,30 @@ def join_lineitem_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_orders_customer",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 9000
+    """,
+    tags=("join",),
+    description="right outer join: high-balance customers kept even with "
+                "no matching orders",
+)
+def join_right_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .select("c_custkey", "c_name", "o_orderkey")
+    )
+
+
+@register(
     "join_full_outer_nation_activity",
     oracle="""
         SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
