@@ -103,6 +103,6 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         lists.join(F.broadcast(probes), "cluster")
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(query_id_col, id_col, sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

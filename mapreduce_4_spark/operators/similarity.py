@@ -44,7 +44,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (
         c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
         .select(query_id_col, id_col, sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -106,6 +106,6 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         c.join(F.broadcast(q), "bucket")
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(query_id_col, id_col, sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

@@ -57,8 +57,8 @@ def quality_features(text_col: str = "text") -> dict[str, Column]:
     ws = words(text_col)
     nw = n_words(ws)
     return {
-        "n_words": nw,
-        "n_chars": F.length(text_col),
+        "n_words": nw.cast("long"),
+        "n_chars": F.length(text_col).cast("long"),
         "avg_word_len": sum_word_len(ws).cast("double") / nw,
         "punct_ratio": punct_count(text_col).cast("double") / F.length(text_col),
         "uniq_ratio": n_distinct_words(ws).cast("double") / nw,

@@ -83,7 +83,7 @@ def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.select(
         "doc_id", F.posexplode(words("text")).alias("pos", "word")
-    )
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
 
 
 @register(

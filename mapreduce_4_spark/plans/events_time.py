@@ -100,9 +100,9 @@ def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sessions AS (
             SELECT user_id, ts,
-                   SUM(new_session) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id
-                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM ordered
         )
         SELECT user_id, session_id,
@@ -133,7 +133,11 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         (
             prev.isNull()
-            | (F.unix_micros("ts") - F.unix_micros(prev) > 30 * 60 * 1_000_000)
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+                > 30 * 60 * 1_000_000
+            )
         ).cast("int"),
     )
     return (

@@ -35,7 +35,7 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_image(docs)
     return media.select(
         "doc_id",
-        F.length("media").alias("byte_len"),
+        F.length("media").cast("long").alias("byte_len"),
         F.md5("media").alias("media_md5"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),

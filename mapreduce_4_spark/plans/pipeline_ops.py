@@ -77,7 +77,7 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.sort_array(F.map_keys(m)).alias("prop_keys"),
-        F.size(m).alias("n_props"),
+        F.size(m).cast("long").alias("n_props"),
         F.element_at(m, "k").alias("k_val"),
     )
 

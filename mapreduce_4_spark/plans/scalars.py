@@ -42,12 +42,12 @@ def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
         F.concat("p_brand", F.lit("/"), "p_type").alias("brand_type"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
-        F.instr("p_name", "a").alias("first_a"),
-        F.levenshtein("p_brand", F.lit("Brand#00")).alias("brand_dist"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).cast("long").alias("brand_dist"),
         F.trim(F.concat(F.lit("  "), "p_brand", F.lit("  "))).alias("brand_trim"),
     )
 
@@ -107,15 +107,15 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("o_year"),
-        F.month("o_orderdate").alias("o_month"),
-        F.dayofmonth("o_orderdate").alias("o_day"),
-        F.quarter("o_orderdate").alias("o_quarter"),
-        F.dayofweek("o_orderdate").alias("o_dow"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.dayofweek("o_orderdate").cast("long").alias("o_dow"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
-        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
-            "days_to_2002"
-        ),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
     )
 
 

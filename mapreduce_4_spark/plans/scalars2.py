@@ -149,7 +149,7 @@ def regex_ops_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.col("p_name").rlike("^[a-m]").alias("starts_early"),
             F.regexp_extract("p_type", "([a-z]+)$", 1).alias("type_tail"),
-            F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0)).alias("n_vowels"),
+            F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0)).cast("long").alias("n_vowels"),
             F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
         )
     )
@@ -198,7 +198,7 @@ def window_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(

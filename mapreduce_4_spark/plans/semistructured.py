@@ -73,7 +73,7 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).alias("first_val"),
         F.element_at("embedding", 64).alias("last_val"),
         F.array_max("embedding").alias("max_val"),
@@ -154,7 +154,7 @@ def explode_outer_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_orderkey, l_linenumber,
                len(range(1, l_linenumber + 1)) AS seq_len,
-               list_sum(range(1, l_linenumber + 1)) AS seq_sum,
+               CAST(list_sum(range(1, l_linenumber + 1)) AS BIGINT) AS seq_sum,
                list_contains(range(1, l_linenumber + 1), 3) AS has_three
         FROM lineitem
         WHERE l_linenumber <= 5
@@ -168,7 +168,7 @@ def array_construct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.size(seq).alias("seq_len"),
-        F.aggregate(seq, F.lit(0), lambda a, x: a + x).alias("seq_sum"),
+        F.size(seq).cast("long").alias("seq_len"),
+        F.aggregate(seq, F.lit(0), lambda a, x: a + x).cast("long").alias("seq_sum"),
         F.array_contains(seq, 3).alias("has_three"),
     )

@@ -85,6 +85,6 @@ def topk_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
     )

@@ -174,14 +174,14 @@ def array_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("embedding")
     return emb.select(
         "vec_id",
-        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
-        F.size(F.filter(e, lambda x: F.abs(x) > 0.2)).alias("n_large"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.size(F.filter(e, lambda x: F.abs(x) > 0.2)).cast("long").alias("n_large"),
         F.forall(e, lambda x: x > -1).alias("all_above_neg1"),
         F.exists(e, lambda x: x > 0.5).alias("any_above_half"),
         F.sort_array(
             F.transform(
                 F.slice(e, 1, 3),
-                lambda x: F.round(x.cast("decimal(9,4)"), 2),
+                lambda x: F.round(x.cast("decimal(9,4)"), 2).cast("decimal(9,2)"),
             )
         ).alias("head_rounded"),
     )

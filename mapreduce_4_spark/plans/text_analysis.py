@@ -77,7 +77,7 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = lang_scores(ws)
     df = docs.select(
         "doc_id", "lang",
-        *(scores[lang].alias(f"hits_{lang}") for lang in ("de", "en", "es", "fr")),
+        *(scores[lang].cast("long").alias(f"hits_{lang}") for lang in ("de", "en", "es", "fr")),
     )
     de, en, es, fr = (F.col(f"hits_{x}") for x in ("de", "en", "es", "fr"))
     pred = (
@@ -106,10 +106,10 @@ def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.select(
         "doc_id",
-        F.size(words("text")).alias("ws_tokens"),
+        F.size(words("text")).cast("long").alias("ws_tokens"),
         F.size(
             F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
-        ).alias("bpe_ish_tokens"),
+        ).cast("long").alias("bpe_ish_tokens"),
         F.ceil(F.length("text") / 4.0).alias("est_tokens_len4"),
     )
 

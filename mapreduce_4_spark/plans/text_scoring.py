@@ -95,7 +95,7 @@ def user_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(
                 ">", F.transform(F.slice("seq", 1, 3), lambda s: s["event_type"])
             ).alias("funnel"),
-            F.size("seq").alias("n_events"),
+            F.size("seq").cast("long").alias("n_events"),
         )
     )
 

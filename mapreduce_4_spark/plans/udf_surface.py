@@ -71,7 +71,7 @@ def apply_in_pandas_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         FROM events
         GROUP BY event_type
     """,

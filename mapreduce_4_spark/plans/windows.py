@@ -39,10 +39,10 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("rnk", F.rank().over(w))
-        .withColumn("drnk", F.dense_rank().over(w))
-        .withColumn("quartile", F.ntile(4).over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
     )
 
 

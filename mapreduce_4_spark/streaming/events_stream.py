@@ -41,6 +41,9 @@ def events_stream(spark: SparkSession, sf_dir: str,
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
     if dict(df.dtypes).get("ts") == "bigint":
+        # NOTE: plain TIMESTAMP (not NTZ) — watermarks reject NTZ event
+        # time; the batch loader uses NTZ for oracle type parity, and
+        # under the pinned UTC session both render identical wall times.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

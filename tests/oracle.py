@@ -54,22 +54,52 @@ def _rows_canonical(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+#: DuckDB -> Spark type canon (duck TIMESTAMP is naive == Spark NTZ; the
+#: fixtures' parquet columns read as NTZ, so computed columns align to it)
+_DUCK2SPARK = {
+    "INTEGER": "int", "BIGINT": "bigint", "HUGEINT": "int128",
+    "SMALLINT": "smallint", "DOUBLE": "double", "FLOAT": "float",
+    "VARCHAR": "string", "BOOLEAN": "boolean", "TIMESTAMP": "timestamp_ntz",
+    "DATE": "date", "BLOB": "binary",
+}
+
+
+def _duck_canon(t: str) -> str:
+    t = t.upper().strip()
+    if t.endswith("[]"):
+        return "array<" + _duck_canon(t[:-2]) + ">"
+    if t.startswith("DECIMAL"):
+        return t.lower()
+    return _DUCK2SPARK.get(t, t.lower())
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> None:
-    """Assert the Spark result and the DuckDB oracle agree."""
+    """Assert the Spark result and the DuckDB oracle agree — columns,
+    TYPES (int widths included), and order-insensitive values."""
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = list(spark_df.columns)
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
 
     con = duckdb_connection(sf_dir)
     try:
         cur = con.execute(sql)
         oracle_cols = [d[0] for d in cur.description]
         oracle_rows = cur.fetchall()
+        oracle_types = {
+            r[0]: _duck_canon(r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()
+        }
     finally:
         con.close()
 
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"column mismatch: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
     )
+    type_diffs = {
+        c: (spark_types.get(c), oracle_types.get(c))
+        for c in spark_cols
+        if spark_types.get(c) != oracle_types.get(c)
+    }
+    assert not type_diffs, f"type mismatch (spark, oracle): {type_diffs}"
     assert len(spark_rows) == len(oracle_rows), (
         f"row count mismatch: spark={len(spark_rows)} oracle={len(oracle_rows)}"
     )
