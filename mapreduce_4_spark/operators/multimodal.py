@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -114,6 +115,44 @@ def decode_features(media_df: DataFrame, decode_mode: str = "fake",
             )
 
     return media_df.mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("scale", IntegerType()),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, scale: int = 4) -> DataFrame:
+    """Resize stub: byte-stride downsampling stands in for pixel
+    resampling (a real codec swaps the slice for an interpolator). The
+    metadata contract is the real part: output dimensions shrink by
+    ``scale`` and the payload shrinks proportionally, batch-wise."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media": [
+                        (b or b"")[::scale] for b in pdf["media"]
+                    ],
+                    "width": pdf["meta"].map(
+                        lambda m: max(1, m["width"] // scale)
+                    ).astype("int32"),
+                    "height": pdf["meta"].map(
+                        lambda m: max(1, m["height"] // scale)
+                    ).astype("int32"),
+                    "scale": scale,
+                }
+            )
+
+    return media_df.mapInPandas(batches, RESIZED_SCHEMA)
 
 
 def sample_frames(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:

@@ -66,6 +66,32 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) + 3 AS BIGINT) // 4 AS byte_len,
+               CAST(greatest(1, (64 + doc_id % 512) // 4) AS INTEGER) AS width,
+               CAST(greatest(1, (64 + (doc_id * 7) % 512) // 4) AS INTEGER) AS height
+        FROM documents
+    """,
+    tags=("multimodal", "udf"),
+    description="resize stage (stride-4 stub): payload and dimensions shrink "
+                "by the scale factor; metadata contract oracle-checked",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    resized = resize_media(attach_fake_image(docs), scale=4)
+    return resized.select(
+        "doc_id",
+        F.length("media").cast("long").alias("byte_len"),
+        "width",
+        "height",
+    )
+
+
+@register(
     "binary_files_meta",
     oracle=None,  # filesystem metadata has no DuckDB view
     tags=("multimodal", "scan"),

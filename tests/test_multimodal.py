@@ -74,6 +74,22 @@ def test_frame_sample_explodes(spark, media):
     assert sorted(r["frame_idx"] for r in idx) == list(range(len(idx)))
 
 
+def test_resize_media_contract(spark, media):
+    from mapreduce_4_spark.operators.multimodal import resize_media
+
+    out = resize_media(media, scale=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    orig = {r["doc_id"]: r for r in media.collect()}
+    assert rows.keys() == orig.keys()
+    for doc_id, r in list(rows.items())[:20]:
+        o = orig[doc_id]
+        assert r["width"] == max(1, o["meta"]["width"] // 4)
+        assert r["height"] == max(1, o["meta"]["height"] // 4)
+        expected_len = (len(o["media"]) + 3) // 4  # stride-4 slice length
+        assert len(r["media"]) == expected_len
+        assert bytes(r["media"]) == bytes(o["media"])[::4]
+
+
 def test_binary_file_source(spark, sf_smoke):
     from mapreduce_4_spark.sources.binary import read_binary_dir
 
