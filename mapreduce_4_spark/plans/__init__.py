@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     statistics,
     temporal_joins,
     tpch_like,
+    tpch_like2,
     text_analysis,
     text_scoring,
     udf_surface,

@@ -1,0 +1,281 @@
+"""Second batch of TPC-H-shaped queries, adapted to the driver's leaner
+star schema (no partsupp / commitdate / phone columns — see TESTDATA.md).
+
+Shapes covered: EXISTS via semi join (Q4), pure scan-side aggregate with a
+selective conjunctive filter (Q6), outer-join count distribution (Q13),
+scalar-subquery max over a derived view (Q15), correlated per-group average
+threshold (Q17), disjunctive multi-column predicates (Q19), and
+anti-join + above-average-balance scalar subquery (Q22).
+
+Scale notes (SCALE.md discipline): every scalar subquery materializes to a
+one-row DataFrame broadcast-cross-joined into the fact scan — no driver
+collect; per-part thresholds (Q17) shuffle once on l_partkey, the same key
+as the main join, so AQE can reuse the exchange. Q6 is the canonical
+pushdown probe: all three predicates reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.money import dec, dsum, sql_dec, sql_dsum
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+
+@register(
+    "q4_priority_check",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    tags=("join", "aggregate", "subquery"),
+    description="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, "
+                "priority histogram of orders holding returned lines",
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+        SELECT CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('l_discount')}) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("aggregate", "pushdown"),
+    description="TPC-H Q6 shape: single-table forecast-revenue aggregate; "
+                "all three predicates push into the parquet scan",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    tags=("join", "aggregate", "outer"),
+    description="TPC-H Q13 shape: orders-per-customer distribution via a "
+                "filtered left outer join (zero-order customers kept)",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM({sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})) AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+    """,
+    tags=("join", "aggregate", "subquery"),
+    description="TPC-H Q15 shape: top supplier by quarterly revenue; the "
+                "scalar MAX compares in exact decimal (ties kept), never double",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("rev_dec")
+    )
+    top = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), revenue.rev_dec == top.max_rev)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle=f"""
+        SELECT CAST(SUM({sql_dec('l1.l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_brand = 'Brand#12'
+          AND l1.l_quantity < 0.2 * (
+              SELECT CAST(SUM({sql_dec('l2.l_quantity')}) AS DOUBLE) / COUNT(*)
+              FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    tags=("join", "aggregate", "subquery"),
+    description="TPC-H Q17 shape: correlated per-part average-quantity "
+                "threshold, decorrelated to a grouped threshold join on the "
+                "same key as the main join",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_brand",
+    oracle=f"""
+        SELECT CAST(SUM({sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#5'  AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("join", "aggregate"),
+    description="TPC-H Q19 shape: three-way disjunctive brand/size/quantity "
+                "predicate evaluated post-join (classic OR-pushdown test)",
+)
+def q19_disjunctive_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#23") & s.between(10, 30) & q.between(10, 30))
+        | ((b == "Brand#5") & s.between(20, 50) & q.between(20, 40))
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle=f"""
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               {sql_dsum('c_acctbal')} AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+                SELECT CAST(SUM({sql_dec('c_acctbal')}) AS DOUBLE) / COUNT(*)
+                FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """,
+    tags=("join", "aggregate", "subquery", "anti"),
+    description="TPC-H Q22 shape (no phone column -> nationkey as country "
+                "code): rich customers with zero orders, NOT EXISTS as a "
+                "left-anti join against a scalar average-balance subquery",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
