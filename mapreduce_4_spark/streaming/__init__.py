@@ -5,9 +5,17 @@ from .events_stream import (
     stream_session_windows,
     stream_tumbling_counts,
 )
+from .foreach_batch import (
+    fanout_writer,
+    idempotent_parquet_writer,
+    run_foreach_batch,
+)
 
 __all__ = [
     "events_stream",
+    "fanout_writer",
+    "idempotent_parquet_writer",
+    "run_foreach_batch",
     "run_stream_to_memory",
     "stream_dedup_events",
     "stream_session_windows",
