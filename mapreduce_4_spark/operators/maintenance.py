@@ -24,6 +24,73 @@ def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     return surviving.unionByName(updates)
 
 
+def scd2_merge(dim: DataFrame, changes: DataFrame, key: str,
+               tracked: list[str], ts_col: str = "change_ts",
+               valid_from: str = "valid_from", valid_to: str = "valid_to",
+               current: str = "is_current") -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: close the current row and
+    open a new one when any tracked attribute changes; insert new keys;
+    leave unchanged keys and all history untouched.
+
+    ``dim`` holds (key, *tracked, valid_from, valid_to, current);
+    ``changes`` holds (key, *tracked, ts_col) with AT MOST ONE row per key
+    per merge (pre-aggregate upstream if arrivals can collide).
+
+    Scale shape: history rows never move (filter + union, no shuffle);
+    the current slice full-outer-joins the change set on the key — ONE
+    shuffle — and each joined row emits its 0/1/2 output rows through an
+    inline array-explode, so there is no second pass and no driver logic.
+    Delta/Iceberg MERGE wraps this same plan in a commit protocol.
+    """
+    ts_type = dim.schema[valid_from].dataType
+    hist = dim.filter(~F.col(current))
+    cur = dim.filter(F.col(current))
+
+    chg = changes.select(
+        F.col(key).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        *[F.col(t).alias(f"__new_{t}") for t in tracked],
+    )
+    joined = cur.join(chg, F.col(key) == F.col("__k"), "full_outer")
+
+    cur_exists = F.col(key).isNotNull()
+    chg_exists = F.col("__k").isNotNull()
+    differs = F.lit(False)
+    for t in tracked:
+        differs = differs | ~F.col(t).eqNullSafe(F.col(f"__new_{t}"))
+    closing = chg_exists & differs
+
+    old_row = F.when(
+        cur_exists,
+        F.struct(
+            F.col(key).alias(key),
+            *[F.col(t).alias(t) for t in tracked],
+            F.col(valid_from).alias(valid_from),
+            F.when(closing, F.col("__ts")).otherwise(F.col(valid_to)).alias(valid_to),
+            (~closing).alias(current),
+        ),
+    )
+    new_row = F.when(
+        chg_exists & (differs | ~cur_exists),
+        F.struct(
+            F.col("__k").alias(key),
+            *[F.col(f"__new_{t}").alias(t) for t in tracked],
+            F.col("__ts").alias(valid_from),
+            F.lit(None).cast(ts_type).alias(valid_to),
+            F.lit(True).alias(current),
+        ),
+    )
+    merged_cur = (
+        joined.select(
+            F.explode(
+                F.filter(F.array(old_row, new_row), lambda x: x.isNotNull())
+            ).alias("__r")
+        )
+        .select("__r.*")
+    )
+    return hist.unionByName(merged_cur)
+
+
 def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """rules: name -> boolean Column that is True when VIOLATED.
     Returns one row per rule with its violation count — a single pass

@@ -77,3 +77,62 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "suspicious_high": F.col("o_totalprice") > 400000,
         },
     )
+
+
+@register(
+    "scd2_customer_segments",
+    oracle="""
+        SELECT * FROM (
+            -- currents whose segment did not change
+            SELECT c_custkey, c_mktsegment,
+                   TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to,
+                   TRUE AS is_current
+            FROM customer WHERE c_custkey % 3 <> 0
+            UNION ALL
+            -- closed-out history for changed keys
+            SELECT c_custkey, c_mktsegment,
+                   TIMESTAMP '1995-01-01 00:00:00',
+                   TIMESTAMP '2000-06-15 00:00:00', FALSE
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            -- the replacement current rows
+            SELECT c_custkey, 'SEG-UPDATED',
+                   TIMESTAMP '2000-06-15 00:00:00', NULL, TRUE
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            -- brand-new keys inserted by the merge
+            SELECT c_custkey + 1000000, 'SEG-NEW',
+                   TIMESTAMP '2000-06-15 00:00:00', NULL, TRUE
+            FROM customer WHERE c_custkey % 7 = 0
+        )
+    """,
+    tags=("maintenance", "join", "scd2"),
+    description="SCD type-2 merge on the customer dimension: every 3rd key "
+                "changes segment (close + reopen), every 7th spawns a new "
+                "key; single full-outer join + inline explode",
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.maintenance import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t0 = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    t1 = F.lit("2000-06-15 00:00:00").cast("timestamp_ntz")
+    dim = cust.select(
+        "c_custkey", "c_mktsegment",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", F.lit("SEG-UPDATED").alias("c_mktsegment"),
+                t1.alias("change_ts"))
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("SEG-NEW").alias("c_mktsegment"), t1.alias("change_ts"))
+    )
+    return scd2_merge(dim, updates.unionByName(inserts),
+                      key="c_custkey", tracked=["c_mktsegment"])
