@@ -86,3 +86,40 @@ def fingerprint_rolling(text_col: str = "text") -> Column:
         F.lit(0).cast("long"),
         lambda acc, w: F.xxhash64(acc, w),
     )
+
+
+def chunk_text(df, chunk_chars: int = 120, overlap: int = 24,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Split each document into fixed-size character windows with overlap
+    — the training-data chunking primitive (context-window packing).
+
+    Chunk i covers [i*stride, i*stride + chunk_chars) with
+    stride = chunk_chars - overlap; every doc yields >= 1 chunk. Pure
+    built-ins (sequence + explode + substring), so the fan-out runs
+    JVM-side inside codegen and scales linearly with no shuffle at all —
+    chunks stay on their document's partition.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.length(text_col) - F.lit(overlap)) / F.lit(float(stride))),
+    )
+    return (
+        df.select(
+            id_col,
+            text_col,
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.expr(
+                f"substring({text_col}, CAST(chunk_idx * {stride} + 1 AS INT), {chunk_chars})"
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )

@@ -171,3 +171,31 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+        WITH n AS (
+            SELECT doc_id, text,
+                   greatest(1, CAST(ceil((length(text) - 24) / 96.0) AS BIGINT))
+                       AS n_chunks
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_idx FROM n
+        )
+        SELECT doc_id, chunk_idx,
+               substr(text, CAST(chunk_idx * 96 + 1 AS BIGINT), 120) AS chunk,
+               length(substr(text, CAST(chunk_idx * 96 + 1 AS BIGINT), 120))
+                   AS chunk_len
+        FROM idx
+    """,
+    tags=("text", "llm-pipeline"),
+    description="context-window chunking: 120-char windows, 24-char overlap, "
+                "sequence+explode+substring (no shuffle, no Python)",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.text_analysis import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(docs, chunk_chars=120, overlap=24)
