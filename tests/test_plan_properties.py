@@ -79,3 +79,40 @@ def test_no_cartesian_in_lsh_dedup(spark, sf_oracle):
 def test_events_window_agg_single_shuffle(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "events_tumbling_1h")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q6_all_predicates_push_into_scan(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    # a single scan, no join, and the partial agg combines before the
+    # one exchange that carries a single summary row
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_q4_exists_becomes_left_semi(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "q4_priority_check")
+    assert "LeftSemi" in plan
+
+
+def test_q22_not_exists_becomes_left_anti(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    # the scalar average arrives by broadcast, never a driver collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q17_threshold_join_reuses_partkey_partitioning(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "q17_small_qty_revenue")
+    # brand filter broadcasts; the per-part threshold aggregate and the
+    # main join both hash on l_partkey, so at most those two exchanges
+    # (plus none for the final single-row agg's partials)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_scd2_single_join_no_extra_shuffle(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "scd2_customer_segments")
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        + plan.count("ShuffledHashJoin")
+    assert joins == 1, plan
+    assert "CartesianProduct" not in plan
