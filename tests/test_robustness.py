@@ -61,3 +61,37 @@ def test_join_same_result_without_broadcast(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
     assert degraded == baseline
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_results_invariant_to_shuffle_partition_count(spark, sf_smoke):
+    """Partial aggregates reduce in whatever order the partitioning
+    dictates; the decimal discipline (functions/money.py) makes that
+    order invisible. 5 vs 32 shuffle partitions must be bit-identical."""
+    for name in ("q1_pricing_summary", "q17_small_qty_revenue",
+                 "window_running_revenue"):
+        build = REGISTRY[name].builder
+        baseline = _rows(build(spark, sf_smoke))
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        try:
+            skewed = _rows(build(spark, sf_smoke))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert skewed == baseline, name
+
+
+def test_results_invariant_to_aqe(spark, sf_smoke):
+    """AQE rewrites exchanges and join strategies at runtime; answers may
+    not move. Probes the heaviest multi-join and the SCD2 merge."""
+    for name in ("q7_nation_trade", "scd2_customer_segments"):
+        build = REGISTRY[name].builder
+        baseline = _rows(build(spark, sf_smoke))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            no_aqe = _rows(build(spark, sf_smoke))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert no_aqe == baseline, name
