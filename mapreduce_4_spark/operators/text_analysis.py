@@ -123,3 +123,27 @@ def chunk_text(df, chunk_chars: int = 120, overlap: int = 24,
         )
         .withColumn("chunk_len", F.length("chunk").cast("long"))
     )
+
+
+#: PII patterns valid in both Java regex (Spark) and RE2 (DuckDB oracle):
+#: no backreferences, no lookaround — engine-portable by construction.
+PII_PATTERNS = (
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_phones", r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+    ("n_ids", r"\d{9,}", "<ID>"),
+)
+
+
+def redact_pii(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Scrub emails, phone numbers, and long id runs from a text column,
+    reporting per-pattern hit counts. Pattern order matters (emails
+    first, so their digit fragments never half-match as phones); counts
+    are taken on the raw text, replacements applied sequentially. All
+    JVM-side regexp built-ins — the scrub runs inside codegen, no Python.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(name))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(id_col, redacted.alias("redacted"), *counts)

@@ -199,3 +199,93 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_text(docs, chunk_chars=120, overlap=24)
+
+
+#: deterministic synthetic PII (the corpus has none): every doc gains an
+#: email, even docs a phone, every 3rd an id run — same expression on
+#: both engines, so the scrub itself is what the oracle checks.
+_PII_TEXT_SQL = """
+    text || ' contact-' || doc_id || '@example.com'
+         || CASE WHEN doc_id % 2 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' ref 900100200300' ELSE '' END
+"""
+
+
+@register(
+    "pii_redact_docs",
+    oracle=f"""
+        WITH seeded AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}', '<PHONE>', 'g'),
+                   '\\d{{9,}}', '<ID>', 'g') AS redacted,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+               len(regexp_extract_all(text, '\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}')) AS n_phones,
+               len(regexp_extract_all(text, '\\d{{9,}}')) AS n_ids
+        FROM seeded
+    """,
+    tags=("text", "llm-pipeline", "pushdown"),
+    description="PII scrub: email/phone/long-id redaction with per-pattern "
+                "hit counts, engine-portable regexes, all inside codegen",
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.text_analysis import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_TEXT_SQL).alias("text")
+    )
+    return redact_pii(docs)
+
+
+@register(
+    "repetition_ratio_docs",
+    oracle=f"""
+        WITH tokens AS (
+            SELECT doc_id, unnest({sql_words('text')}) AS word FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, word, COUNT(*) AS c FROM tokens GROUP BY doc_id, word
+        ),
+        ranked AS (
+            SELECT doc_id, word, c,
+                   SUM(c) OVER (PARTITION BY doc_id) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, word) AS rn
+            FROM counts
+        )
+        SELECT doc_id, word AS top_word, c AS top_count,
+               CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS repetition_ratio
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("text", "llm-pipeline", "window"),
+    description="repetition quality signal: most-frequent token share per "
+                "document (high ratio = boilerplate/spam), one shuffle on "
+                "doc_id reused by both window functions",
+)
+def repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mapreduce_4_spark.plans.wordcount import exploded_words
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = (
+        exploded_words(docs)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = Window.partitionBy("doc_id")
+    ranked = counts.select(
+        "doc_id", "word", "c",
+        F.sum("c").over(per_doc).alias("n"),
+        F.row_number().over(
+            per_doc.orderBy(F.desc("c"), F.asc("word"))
+        ).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("word").alias("top_word"),
+        F.col("c").alias("top_count"),
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("repetition_ratio"),
+    )
