@@ -1,5 +1,6 @@
 from .events_stream import (
     events_stream,
+    stream_enrich_customers,
     run_stream_to_memory,
     stream_dedup_events,
     stream_session_windows,
@@ -17,6 +18,7 @@ __all__ = [
     "idempotent_parquet_writer",
     "run_foreach_batch",
     "run_stream_to_memory",
+    "stream_enrich_customers",
     "stream_dedup_events",
     "stream_session_windows",
     "stream_tumbling_counts",

@@ -109,3 +109,15 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_enrich_customers(stream: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich arriving events with the customer
+    dimension. The static side is broadcast to every task and re-resolved
+    per micro-batch, so a dimension refresh is picked up without
+    restarting the query — the streaming twin of
+    ``events_customer_enrichment``'s join stage. Stateless: no watermark
+    needed, each event joins exactly once."""
+    return stream.join(
+        F.broadcast(customers), stream.user_id == customers.c_custkey
+    )

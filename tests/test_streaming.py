@@ -73,3 +73,30 @@ def test_stream_incremental_trigger(spark, sf_smoke):
     got = spark.table("t_tumbling_inc")
     expected = events_tumbling_1h(spark, sf_smoke)
     assert _rows(got) == _rows(expected)
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_smoke):
+    """Stream-static broadcast join: draining the enriched stream and
+    aggregating must reproduce the oracle-checked batch enrichment."""
+    from mapreduce_4_spark.plans import REGISTRY
+    from mapreduce_4_spark.sources import load_table
+    from mapreduce_4_spark.streaming import (
+        events_stream,
+        run_stream_to_memory,
+        stream_enrich_customers,
+    )
+    from pyspark.sql import functions as F
+    from mapreduce_4_spark.functions.money import dsum
+
+    stream = events_stream(spark, sf_smoke).select("user_id", "event_type", "value")
+    cust = load_table(spark, sf_smoke, "customer").select("c_custkey", "c_mktsegment")
+    run_stream_to_memory(
+        stream_enrich_customers(stream, cust), "t_enriched", output_mode="append"
+    )
+    got = (
+        spark.table("t_enriched")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+    expected = REGISTRY["events_customer_enrichment"].builder(spark, sf_smoke)
+    assert _rows(got) == _rows(expected)
