@@ -136,3 +136,46 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scd2_merge(dim, updates.unionByName(inserts),
                       key="c_custkey", tracked=["c_mktsegment"])
+
+
+@register(
+    "incremental_revenue_rollup",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+    """,
+    tags=("maintenance", "aggregate", "incremental"),
+    description="incremental materialized-rollup refresh: merge the frozen "
+                "pre-cutoff partial aggregate with the increment's partial "
+                "instead of rescanning history — exact because decimal "
+                "partials re-aggregate associatively",
+)
+def incremental_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.functions.money import dec
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month.alias("month")).agg(
+            F.sum(dec("o_totalprice")).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    # at 100 TB the base partial is a stored table refreshed in place;
+    # here both partials derive from the same scan, split on the cutoff
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    increment = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(increment)
+        .groupBy("month")
+        .agg(
+            F.sum("rev_dec").cast("double").alias("revenue"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
