@@ -86,3 +86,45 @@ def range_join_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "click_purchase_attribution",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("join", "events", "interval"),
+    description="interval join: purchases within one hour after a click by "
+                "the same user — the batch twin of the stream-stream join "
+                "(equi on user, time-range residual; no cartesian)",
+)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user_id)
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") < F.col("click_ts") + F.expr("interval 1 hour")),
+        )
+        .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    )

@@ -1,5 +1,6 @@
 from .events_stream import (
     events_stream,
+    stream_click_purchase_join,
     stream_enrich_customers,
     run_stream_to_memory,
     stream_dedup_events,
@@ -18,6 +19,7 @@ __all__ = [
     "idempotent_parquet_writer",
     "run_foreach_batch",
     "run_stream_to_memory",
+    "stream_click_purchase_join",
     "stream_enrich_customers",
     "stream_dedup_events",
     "stream_session_windows",

@@ -121,3 +121,28 @@ def stream_enrich_customers(stream: DataFrame, customers: DataFrame) -> DataFram
     return stream.join(
         F.broadcast(customers), stream.user_id == customers.c_custkey
     )
+
+
+def stream_click_purchase_join(clicks: DataFrame, purchases: DataFrame,
+                               watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: purchases within one hour after a
+    click by the same user. Both sides carry watermarks and the join
+    condition bounds purchase time relative to click time, so the engine
+    can evict click state once no in-horizon purchase can still arrive —
+    state stays O(events in the horizon), the requirement for running
+    unbounded. Streaming twin of ``click_purchase_attribution``."""
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            "c.user_id = p.user_id AND p.ts >= c.ts "
+            "AND p.ts < c.ts + interval 1 hour"
+        ),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+    )

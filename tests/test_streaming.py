@@ -100,3 +100,28 @@ def test_stream_static_enrichment_matches_batch(spark, sf_smoke):
     )
     expected = REGISTRY["events_customer_enrichment"].builder(spark, sf_smoke)
     assert _rows(got) == _rows(expected)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke):
+    """Two watermarked streams joined on user + time range must produce
+    exactly the batch interval-join's pairs once fully drained."""
+    from mapreduce_4_spark.plans import REGISTRY
+    from mapreduce_4_spark.streaming import (
+        events_stream,
+        run_stream_to_memory,
+        stream_click_purchase_join,
+    )
+    from pyspark.sql import functions as F
+
+    def side(event_type):
+        return (
+            events_stream(spark, sf_smoke)
+            .filter(F.col("event_type") == event_type)
+            .select("event_id", "user_id", "ts")
+        )
+
+    joined = stream_click_purchase_join(side("click"), side("purchase"))
+    run_stream_to_memory(joined, "t_attrib", output_mode="append")
+    got = spark.table("t_attrib")
+    expected = REGISTRY["click_purchase_attribution"].builder(spark, sf_smoke)
+    assert _rows(got) == _rows(expected)
