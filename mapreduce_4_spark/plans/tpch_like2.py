@@ -279,3 +279,61 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q21_sole_returner",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1
+        WHERE s_suppkey = l1.l_suppkey
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    tags=("join", "aggregate", "subquery", "topk"),
+    description="TPC-H Q21 shape (returnflag for commit-date semantics): "
+                "suppliers solely responsible for returns in multi-supplier "
+                "orders. Both correlated subqueries decorrelate into ONE "
+                "order-level aggregate (distinct-supplier and "
+                "distinct-returner counts) — the fact table is scanned "
+                "twice, never per-subquery",
+)
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    order_stats = li.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supps"),
+    )
+    # EXISTS other-supplier  <=> n_supps > 1
+    # NOT EXISTS other returning supplier (given this line returns)
+    #                        <=> n_ret_supps = 1
+    qualified = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            order_stats.filter(
+                (F.col("n_supps") > 1) & (F.col("n_ret_supps") == 1)
+            ),
+            F.col("l_orderkey") == F.col("o_key"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qualified.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )

@@ -116,3 +116,19 @@ def test_scd2_single_join_no_extra_shuffle(spark, sf_oracle):
         + plan.count("ShuffledHashJoin")
     assert joins == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_hash_join_not_cartesian(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "click_purchase_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_decorrelates_to_one_order_aggregate(spark, sf_oracle):
+    # both EXISTS subqueries collapse into a single grouped aggregate over
+    # the order key; the two countDistincts expand to the standard
+    # two-exchange multi-distinct plan, plus one for the supplier rollup —
+    # never one exchange per correlated subquery evaluation
+    plan = _plan(spark, sf_oracle, "q21_sole_returner")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
