@@ -44,21 +44,24 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_user_event_types",
     oracle="""
         SELECT user_id,
-               list_sort(list_distinct(list(event_type))) AS event_types,
+               array_to_string(list_sort(list_distinct(list(event_type))), '|')
+                   AS event_types,
                COUNT(DISTINCT event_type) AS n_types
         FROM events
         GROUP BY user_id
     """,
     tags=("aggregate", "array"),
-    description="collect_set made deterministic via sort_array (arrays as "
-                "aggregate outputs)",
+    description="collect_set made deterministic via sort_array, serialized "
+                "to a pipe-joined string at the registry boundary (external "
+                "canonicalizers can't hash list cells)",
 )
 def collect_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.concat_ws("|", F.sort_array(F.collect_set("event_type")))
+            .alias("event_types"),
             F.countDistinct("event_type").alias("n_types"),
         )
     )

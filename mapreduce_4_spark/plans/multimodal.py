@@ -44,14 +44,26 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # decode stub is not SQL; batch plumbing tested separately
+    oracle=None,  # decode stub (blake2b) is not SQL; batch plumbing tested separately
     tags=("multimodal", "udf"),
     description="mapInPandas feature extraction over binary media "
-                "(deterministic stub decode; real codec slots into the same batch fn)",
+                "(deterministic stub decode; real codec slots into the same "
+                "batch fn). Feature vector serialized to CSV at the registry "
+                "boundary; the array API lives in operators/multimodal.py.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return decode_features(attach_fake_image(docs), decode_mode="fake")
+    feats = decode_features(attach_fake_image(docs), decode_mode="fake")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.size("features").cast("long").alias("dim"),
+        F.concat_ws(
+            "|", F.transform("features", lambda x: x.cast("string"))
+        ).alias("features_csv"),
+    )
 
 
 @register(

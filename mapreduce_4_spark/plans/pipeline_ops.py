@@ -63,20 +63,21 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions_events",
     oracle="""
         SELECT event_id,
-               list_sort(json_keys(props)) AS prop_keys,
+               array_to_string(list_sort(json_keys(props)), '|') AS prop_keys,
                len(json_keys(props)) AS n_props,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         FROM events
     """,
     tags=("json", "map"),
-    description="map functions over parsed JSON: map_keys / size / element_at",
+    description="map functions over parsed JSON: map_keys / size / "
+                "element_at (keys pipe-joined at the registry boundary)",
 )
 def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.concat_ws("|", F.sort_array(F.map_keys(m))).alias("prop_keys"),
         F.size(m).cast("long").alias("n_props"),
         F.element_at(m, "k").alias("k_val"),
     )

@@ -162,7 +162,7 @@ def percentile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter(embedding, x -> abs(x) > 0.2)) AS n_large,
                (len(list_filter(embedding, x -> x > -1)) = len(embedding)) AS all_above_neg1,
                (len(list_filter(embedding, x -> x > 0.5)) > 0) AS any_above_half,
-               list_sort([round(CAST(x AS DECIMAL(9,4)), 2) for x in embedding[1:3]]) AS head_rounded
+               array_to_string(list_sort([round(CAST(x AS DECIMAL(9,4)), 2) for x in embedding[1:3]]), '|') AS head_rounded
         FROM embeddings
     """,
     tags=("array", "higher-order"),
@@ -178,10 +178,17 @@ def array_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(e, lambda x: F.abs(x) > 0.2)).cast("long").alias("n_large"),
         F.forall(e, lambda x: x > -1).alias("all_above_neg1"),
         F.exists(e, lambda x: x > 0.5).alias("any_above_half"),
-        F.sort_array(
+        F.concat_ws(
+            "|",
             F.transform(
-                F.slice(e, 1, 3),
-                lambda x: F.round(x.cast("decimal(9,4)"), 2).cast("decimal(9,2)"),
-            )
+                F.sort_array(
+                    F.transform(
+                        F.slice(e, 1, 3),
+                        lambda x: F.round(x.cast("decimal(9,4)"), 2)
+                        .cast("decimal(9,2)"),
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
         ).alias("head_rounded"),
     )

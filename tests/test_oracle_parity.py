@@ -25,3 +25,24 @@ def test_rows_only_queries_run(spark, sf_oracle, name):
     df = spec.builder(spark, sf_oracle)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_collection_columns_in_final_projection(spark, sf_oracle, name):
+    """Registry convention: the external driver canonicalizes results with
+    pandas sort_values, which cannot hash list/dict cells — so every
+    registered query must serialize array/map/struct outputs at the
+    boundary (concat_ws / to_json). Array-returning APIs stay in
+    operators/ for library use."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = REGISTRY[name].builder(spark, sf_oracle)
+    offenders = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not offenders, (
+        f"{name} emits collection-typed final columns {offenders}; "
+        "serialize at the registry boundary"
+    )
