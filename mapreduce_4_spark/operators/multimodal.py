@@ -157,9 +157,13 @@ def resize_media(media_df: DataFrame, scale: int = 4) -> DataFrame:
 
 def sample_frames(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling stub for video-shaped payloads: one output row per
-    sampled 'frame' (a byte-window stand-in), md5-stamped. Real frame
-    extraction would swap the windowing for a codec call; the explode
+    sampled 'frame' (a byte-window stand-in), content-fingerprinted. Real
+    frame extraction would swap the windowing for a codec call; the explode
     shape (1 row in -> k rows out via yielded batches) is the real part.
+
+    The fingerprint is md5 over the window's lowercase-hex encoding (not
+    the raw bytes): hex-first is engine-portable, so the whole stage is
+    oracle-checkable in ANSI SQL (md5(lower(substring(hex(payload), ...)))).
     """
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,7 +175,7 @@ def sample_frames(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
                     window = payload[off:off + every_n_bytes]
                     out_id.append(doc_id)
                     out_idx.append(i)
-                    out_md5.append(hashlib.md5(window).hexdigest())
+                    out_md5.append(hashlib.md5(window.hex().encode()).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": out_id, "frame_idx": out_idx, "frame_md5": out_md5}
             )

@@ -1,15 +1,66 @@
 """Sampling operators — the selection stage of a training-data pipeline
 (uniform corpus sampling, per-class stratification, train/test splits).
 
-All seeded and partition-deterministic: same data + same seed => same
-sample, which is what makes experiment lineage reproducible. Sampling is
-embarrassingly parallel — a per-row Bernoulli/partition split, no
+Two tiers:
+
+- ``sample_uniform`` / ``sample_stratified`` / ``train_test_split``:
+  Spark's seeded Bernoulli samplers. Deterministic for a fixed partition
+  layout, but the sample CHANGES if the data is repartitioned — fine for
+  rate control, wrong for lineage.
+- ``sample_by_hash`` / ``sample_stratified_by_hash``: content-keyed
+  (md5-threshold on a key column). The same row is in or out regardless
+  of partitioning, engine, or cluster size — the reproducible-lineage
+  sampler a 100 TB training pipeline needs, and expressible in ANSI SQL
+  so it oracle-checks bit-for-bit.
+
+All variants are embarrassingly parallel — a per-row predicate, no
 shuffle at any scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_threshold(fraction: float) -> str:
+    """8-hex-digit threshold such that P[md5_prefix < threshold] ~= fraction.
+
+    Lowercase-hex string comparison on a fixed width is numeric
+    comparison, identically in Spark and any ANSI engine ('z' sorts
+    after every hex digit, so it means 'keep all')."""
+    if fraction >= 1.0:
+        return "zzzzzzzz"
+    if fraction <= 0.0:
+        return "00000000"
+    return format(int(fraction * 16**8), "08x")
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
+
+
+def sample_by_hash(df: DataFrame, fraction: float, key_col: str,
+                   salt: str = "42") -> DataFrame:
+    """Content-keyed Bernoulli: keep rows whose md5(key:salt) prefix falls
+    below the fraction threshold. Same key + salt => same decision,
+    everywhere, forever."""
+    return df.filter(
+        _hash_bucket(F.col(key_col), salt) < F.lit(hash_threshold(fraction))
+    )
+
+
+def sample_stratified_by_hash(df: DataFrame, strata_col: str, fractions: dict,
+                              key_col: str, salt: str = "42") -> DataFrame:
+    """Per-stratum content-keyed rates; strata absent from ``fractions``
+    are dropped (sampleBy semantics)."""
+    threshold = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == k, F.lit(hash_threshold(v)))
+            for k, v in fractions.items()
+        ]
+    )
+    return df.filter(_hash_bucket(F.col(key_col), salt) < threshold)
 
 
 def sample_uniform(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:

@@ -80,11 +80,25 @@ def fingerprint_md5(text_col: str = "text") -> Column:
 
 def fingerprint_rolling(text_col: str = "text") -> Column:
     """Order-sensitive 64-bit rolling fingerprint: fold xxhash64 over the
-    token stream (hash chaining). Not ANSI-SQL-expressible — rows-only."""
+    token stream (hash chaining). Fastest variant (pure JVM long mixing)
+    but xxhash64 chaining has no ANSI-SQL twin — use
+    ``fingerprint_chain_md5`` when cross-engine verifiability matters."""
     return F.aggregate(
         words(text_col),
         F.lit(0).cast("long"),
         lambda acc, w: F.xxhash64(acc, w),
+    )
+
+
+def fingerprint_chain_md5(text_col: str = "text") -> Column:
+    """Order-sensitive chained fingerprint, engine-portable: fold
+    state = md5(state || ' ' || token) over the token stream. Same
+    hash-chaining shape as ``fingerprint_rolling`` but expressible in any
+    engine with md5 + a list fold, so it oracle-checks bit-for-bit."""
+    return F.aggregate(
+        words(text_col),
+        F.lit(""),
+        lambda acc, w: F.md5(F.concat(acc, F.lit(" "), w).cast("binary")),
     )
 
 

@@ -158,11 +158,19 @@ def correlated_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches differ across engines; bounded-error
-    # property vs exact countDistinct tested in tests/test_advanced_rel.py
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_ok
+        FROM events
+        GROUP BY event_type
+    """,
     tags=("aggregate", "approx"),
     description="approx_count_distinct (HyperLogLog++) per event type — the "
-                "sketch path for distinct counting at 100 TB",
+                "sketch path for distinct counting at 100 TB. The sketch "
+                "value itself differs across engines, so the oracle checks "
+                "the exact count plus a 5%-relative-error bound on the "
+                "sketch (approx_ok must come back TRUE).",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -171,6 +179,14 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
         )
     )
 

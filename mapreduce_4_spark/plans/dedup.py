@@ -166,17 +166,34 @@ def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative algorithm (connected components); verified
-    # against a pure-Python union-find in tests/test_dedup.py
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS node, doc_id AS reached FROM documents
+            UNION
+            SELECT r.node, e.dst AS reached
+            FROM reach r JOIN edges e ON r.reached = e.src
+        )
+        SELECT node AS doc_id, MIN(reached) AS cluster_id
+        FROM reach GROUP BY node
+    """,
     tags=("dedup", "iterative"),
-    description="near-dup cluster assignment: connected components over "
-                "MinHash-LSH pairs via distributed label propagation",
+    description="near-dup cluster assignment: connected components over the "
+                "exact 3-gram-Jaccard pair set via distributed label "
+                "propagation, oracled with a recursive transitive closure. "
+                "The LSH-candidate variant of the same operator is covered "
+                "by tests/test_dedup.py.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_4_spark.operators.clustering import dedup_cluster_assignments
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = minhash_near_duplicates(docs, threshold=0.8)
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
     return dedup_cluster_assignments(docs, pairs)
 
 

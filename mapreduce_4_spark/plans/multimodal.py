@@ -68,9 +68,22 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(t.i AS INTEGER) AS frame_idx,
+               md5(lower(substring(d.hx, CAST(t.i * 128 + 1 AS BIGINT), 128)))
+                   AS frame_md5
+        FROM d, LATERAL (SELECT unnest(range(0, (d.nb + 63) // 64)) AS i) t
+    """,
     tags=("multimodal", "udf", "flatmap"),
-    description="frame sampling: 1 media row -> k frame rows via mapInPandas",
+    description="frame sampling: 1 media row -> k frame rows via mapInPandas "
+                "(64-byte windows, hex-canonical md5 per frame)",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -85,26 +85,40 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_documents",
-    oracle=None,  # seeded Bernoulli; determinism/bounds in test_sampling.py
+    oracle="""
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+              < '33333333'
+    """,
     tags=("pipeline", "sampling"),
-    description="seeded uniform 20% corpus sample (no shuffle, reproducible)",
+    description="content-keyed uniform 20% corpus sample (md5-threshold on "
+                "doc_id: partition-independent, engine-portable, no shuffle)",
 )
 def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_4_spark.operators.sampling import sample_uniform
+    from mapreduce_4_spark.operators.sampling import sample_by_hash
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return sample_uniform(docs, 0.2)
+    return sample_by_hash(docs, 0.2, key_col="doc_id")
 
 
 @register(
     "sample_stratified_by_lang",
-    oracle=None,
+    oracle="""
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
+              CASE lang WHEN 'en' THEN '40000000'
+                        WHEN 'de' THEN '80000000'
+                        WHEN 'es' THEN '80000000'
+                        WHEN 'fr' THEN 'zzzzzzzz'
+                        WHEN 'zh' THEN 'zzzzzzzz' END
+    """,
     tags=("pipeline", "sampling"),
-    description="stratified sampling: downweight dominant languages, keep the tail",
+    description="stratified content-keyed sampling: downweight dominant "
+                "languages, keep the tail (per-stratum md5 thresholds)",
 )
 def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_4_spark.operators.sampling import sample_stratified
+    from mapreduce_4_spark.operators.sampling import sample_stratified_by_hash
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     fractions = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 1.0, "zh": 1.0}
-    return sample_stratified(docs, "lang", fractions)
+    return sample_stratified_by_hash(docs, "lang", fractions, key_col="doc_id")

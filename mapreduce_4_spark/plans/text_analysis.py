@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from mapreduce_4_spark.functions.text import ASCII_PUNCT_CLASS, sql_words, words
 from mapreduce_4_spark.operators.text_analysis import (
     LANG_STOPWORDS,
+    fingerprint_chain_md5,
     fingerprint_md5,
     fingerprint_rolling,
     lang_scores,
@@ -131,13 +132,21 @@ def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprint_rolling",
-    oracle=None,  # xxhash64 chaining has no DuckDB equivalent; see tests
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_W} AS w FROM documents)
+        SELECT doc_id,
+               list_reduce(list_prepend('', w),
+                           (acc, x) -> md5(acc || ' ' || x)) AS fp_chain
+        FROM t
+    """,
     tags=("text", "fingerprint"),
-    description="order-sensitive 64-bit rolling fingerprint (xxhash64 fold)",
+    description="order-sensitive rolling fingerprint via hash chaining "
+                "(md5 fold over the token stream; the faster xxhash64 fold "
+                "is fingerprint_rolling in operators/text_analysis.py)",
 )
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select("doc_id", fingerprint_rolling("text").alias("fp64"))
+    return docs.select("doc_id", fingerprint_chain_md5("text").alias("fp_chain"))
 
 
 @register(

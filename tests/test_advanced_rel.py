@@ -2,14 +2,14 @@ from __future__ import annotations
 
 
 def test_approx_count_distinct_bounded_error(spark, sf_oracle):
-    """HLL++ default rsd is 5%; assert the sketch lands within 10% of the
-    exact count for every group (deterministic given fixed data)."""
+    """The registered query folds the HLL++ sketch into a 5%-bound boolean
+    (the oracle expects TRUE); assert the bound holds for every group and
+    that exact counts are positive."""
     from mapreduce_4_spark.plans.advanced_rel import approx_distinct_users
 
     for r in approx_distinct_users(spark, sf_oracle).collect():
-        exact, approx = r["exact_users"], r["approx_users"]
-        assert exact > 0
-        assert abs(approx - exact) / exact <= 0.10, (r["event_type"], approx, exact)
+        assert r["exact_users"] > 0
+        assert r["approx_ok"], (r["event_type"], r["exact_users"])
 
 
 def test_percentile_sketch_properties(spark, sf_oracle):

@@ -26,3 +26,27 @@ def test_chunks_reassemble_exactly(spark, sf_smoke):
         # neighboring chunks really share the overlap region
         for i in idxs[1:]:
             assert chunks[i][:OVERLAP] == chunks[i - 1][CHUNK - OVERLAP:][:OVERLAP]
+
+
+def test_rolling_fingerprints_order_sensitive(spark):
+    """Both hash-chain fingerprints distinguish token ORDER (unlike a
+    set/bag hash) and are deterministic on nulls/empties."""
+    from mapreduce_4_spark.operators.text_analysis import (
+        fingerprint_chain_md5,
+        fingerprint_rolling,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["fp64"], r["fp_chain"])
+        for r in df.select(
+            "doc_id",
+            fingerprint_rolling("text").alias("fp64"),
+            fingerprint_chain_md5("text").alias("fp_chain"),
+        ).collect()
+    }
+    assert rows[1][0] != rows[2][0] and rows[1][1] != rows[2][1]
+    assert rows[3] == (0, "")  # empty -> fold inits

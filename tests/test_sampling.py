@@ -6,7 +6,10 @@ from __future__ import annotations
 import math
 
 from mapreduce_4_spark.operators.sampling import (
+    hash_threshold,
+    sample_by_hash,
     sample_stratified,
+    sample_stratified_by_hash,
     sample_uniform,
     train_test_split,
 )
@@ -41,6 +44,50 @@ def test_train_test_split_partitions(spark, sf_smoke):
     assert tr.isdisjoint(te)
     assert tr | te == _ids(docs)
     assert 0 < len(te) < len(tr)
+
+
+def test_hash_sample_partition_independent(spark, sf_smoke):
+    """The content-keyed sampler keeps the SAME rows regardless of
+    partition layout — the property the seeded Bernoulli sampler lacks."""
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    base = _ids(sample_by_hash(docs, 0.2, key_col="doc_id"))
+    reparted = _ids(sample_by_hash(docs.repartition(7), 0.2, key_col="doc_id"))
+    assert base == reparted
+    assert base <= _ids(docs)
+    # different salt -> different (but similarly sized) sample
+    other = _ids(sample_by_hash(docs, 0.2, key_col="doc_id", salt="7"))
+    assert other != base
+
+
+def test_hash_sample_size_within_binomial_bounds(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    n = docs.count()
+    k = sample_by_hash(docs, 0.2, key_col="doc_id").count()
+    mean, sd = 0.2 * n, math.sqrt(n * 0.2 * 0.8)
+    assert abs(k - mean) <= 5 * sd, (k, mean, sd)
+
+
+def test_hash_threshold_edges():
+    assert hash_threshold(0.0) == "00000000"
+    assert hash_threshold(1.0) == "zzzzzzzz"
+    assert hash_threshold(0.2) == "33333333"
+    assert hash_threshold(0.5) == "80000000"
+
+
+def test_hash_stratified_rates_and_missing_stratum_dropped(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang")
+    fractions = {"en": 0.25, "fr": 1.0}
+    out = sample_stratified_by_hash(docs, "lang", fractions, key_col="doc_id")
+    totals = dict(docs.groupBy("lang").count().collect())
+    kept = dict(out.groupBy("lang").count().collect())
+    assert kept.get("fr", 0) == totals.get("fr", 0)
+    for lang in totals:
+        if lang not in fractions:
+            assert lang not in kept, f"stratum {lang} should be dropped"
+    n, k = totals.get("en", 0), kept.get("en", 0)
+    if n:
+        sd = math.sqrt(n * 0.25 * 0.75)
+        assert abs(k - 0.25 * n) <= 5 * sd
 
 
 def test_stratified_rates(spark, sf_smoke):
