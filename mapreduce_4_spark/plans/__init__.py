@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     temporal_joins,
     tpch_like,
     tpch_like2,
+    tpch_partsupp,
     text_analysis,
     text_scoring,
     udf_surface,

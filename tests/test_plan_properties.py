@@ -132,3 +132,26 @@ def test_q21_decorrelates_to_one_order_aggregate(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "q21_sole_returner")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_q2_min_cost_arrives_by_broadcast(spark, sf_oracle):
+    # the decorrelated per-part min joins back by broadcast; no cartesian,
+    # and the only exchanges are the partsupp distinct + the min aggregate
+    plan = _plan(spark, sf_oracle, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_q20_in_chain_decorrelates_to_left_semi(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "q20_restock_candidates")
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_partsupp_join_no_cartesian_all_dims_broadcast(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "q9_product_type_profit")
+    assert "CartesianProduct" not in plan
+    # part, supplier-geo broadcast; partsupp (fact-derived) + orders may
+    # shuffle -- but never more than: partsupp distinct, orders join, agg
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
