@@ -79,10 +79,19 @@ def train_centroids(corpus: DataFrame, k: int = 8, iters: int = 2,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_clusters: int = 8, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             centroids: DataFrame | None = None,
+             exclude_self: bool = True) -> DataFrame:
     """Probed IVF search: exact cosine ranking within the ``nprobe``
-    closest inverted lists per query."""
-    centroids = train_centroids(corpus, k=n_clusters)
+    closest inverted lists per query.
+
+    Pass pre-trained ``centroids`` (from :func:`train_centroids`, ideally
+    ``.persist()``-ed or checkpointed) to search repeatedly without
+    re-running k-means — the index-build / index-search split every real
+    ANN deployment uses. ``exclude_self`` as in similarity.brute_force_topk.
+    """
+    if centroids is None:
+        centroids = train_centroids(corpus, k=n_clusters)
     lists = _assign(corpus.select(id_col, vec_col), centroids, vec_col, id_col)
 
     qsim = cosine(as_double(F.col(vec_col)), as_double(F.col("_centroid")))
@@ -99,10 +108,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
     sim = cosine(as_double(F.col("_qvec")), as_double(F.col(vec_col)))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    out = lists.join(F.broadcast(probes), "cluster")
+    if exclude_self:
+        out = out.filter(F.col(query_id_col) != F.col(id_col))
     return (
-        lists.join(F.broadcast(probes), "cluster")
-        .filter(F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col, sim.alias("cosine_sim"))
+        out.select(query_id_col, id_col, sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

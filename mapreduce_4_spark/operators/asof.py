@@ -33,14 +33,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``right_tiebreak`` (a right-side column, e.g. a unique key) makes
     the winner among right rows with equal timestamps deterministic —
     required for oracle parity and for idempotent task retries.
+
+    All ``value_cols`` travel as ONE struct, so every output row's
+    values come from the SAME winning right row — carrying columns
+    independently would let a NULL in one value column stitch values
+    from two different reference rows.
     """
+    from pyspark.sql.types import StructField, StructType
+
     tb = right_tiebreak
+    vals_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     lt = left.select(
         F.col(on),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_probe"),
         F.lit(None).cast(right.schema[tb].dataType if tb else "long").alias("_tb"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(vals_type).alias("_vals"),
         *[F.col(c) for c in left.columns if c != on and c != left_time],
     )
     rt = right.select(
@@ -48,7 +58,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_probe"),
         (F.col(tb) if tb else F.lit(0)).alias("_tb"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
@@ -65,11 +75,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_vals", ignorenulls=True).over(w).alias("_asof")
     )
     probe_cols = [c for c in left.columns if c != on and c != left_time]
     return (
@@ -78,6 +84,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
             F.col(on),
             F.col("_t").alias(left_time),
             *probe_cols,
-            *[F.col(f"_asof_{c}").alias(c) for c in value_cols],
+            *[F.col(f"_asof.{c}").alias(c) for c in value_cols],
         )
     )

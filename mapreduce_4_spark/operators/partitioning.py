@@ -37,7 +37,17 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     single key within one partition.
 
     Column sets must be disjoint apart from ``key``.
+
+    Only inner/left/left_semi joins are supported: the right side is
+    replicated once per salt, so an unmatched RIGHT row would surface
+    ``n_salts`` times under right/full-outer semantics. Those shapes
+    need a different skew strategy (AQE skew join or two-phase union).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r}: "
+            "right-side replication would duplicate unmatched right rows"
+        )
     salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
                   F.lit(n_salts))
     l_salted = left.withColumn("_salt", salt)

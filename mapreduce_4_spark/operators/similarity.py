@@ -26,23 +26,28 @@ from mapreduce_4_spark.functions.vectors import as_double, cosine
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     query_id_col: str = "query_id") -> DataFrame:
+                     query_id_col: str = "query_id",
+                     exclude_self: bool = True) -> DataFrame:
     """Exact cosine top-k per query. Queries are broadcast.
 
     Returns (query_id, vec_id, cosine_sim, rank), rank 1..k, ties broken
-    by corpus id for determinism. Self-matches are excluded by the
-    query_id != vec_id guard only when ids share a domain.
+    by corpus id for determinism. ``exclude_self`` drops pairs with
+    query_id == vec_id — set it False when query and corpus ids come from
+    DIFFERENT domains, where an id collision is a legitimate neighbor.
     """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    cond = (
+        F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
+    )
     sim = cosine(as_double(F.col("_qvec")), as_double(F.col("_cvec")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
     return (
-        c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+        c.join(F.broadcast(q), cond)
         .select(query_id_col, id_col, sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -74,7 +79,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding",
              query_id_col: str = "query_id",
-             multiprobe: bool = False) -> DataFrame:
+             multiprobe: bool = False,
+             dim: int | None = None,
+             exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: exact ranking within LSH bucket collisions.
 
     Recall < 1.0 by construction; the property test measures it against
@@ -83,8 +90,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     hamming distance 1 from the query's bucket (each sign bit flipped
     once) — the standard recall-vs-cost knob: probe cost grows by
     n_planes x, recall approaches brute force, corpus side is untouched.
+
+    Pass ``dim`` (the embedding dimensionality) so plan construction
+    stays action-free; if omitted, a one-row driver probe reads it from
+    the corpus. ``exclude_self`` as in :func:`brute_force_topk`.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:  # convenience fallback: costs one tiny driver action
+        dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
     c = lsh_bucket_ids(
         corpus.select(id_col, F.col(vec_col).alias("_cvec")), planes, "_cvec"
@@ -102,10 +114,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
+    out = c.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        out = out.filter(F.col(query_id_col) != F.col(id_col))
     return (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col, sim.alias("cosine_sim"))
+        out.select(query_id_col, id_col, sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

@@ -60,7 +60,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=_K, n_planes=8)
+    return lsh_topk(emb, queries, k=_K, n_planes=8, dim=64)
 
 
 @register(

@@ -128,3 +128,34 @@ def test_shingles_match_reference_tokenization(spark):
 def test_short_docs_dropped_from_shingling(spark):
     df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
     assert shingle_sets(df).count() == 0
+
+
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """Pointer jumping: a diameter-63 chain must converge in O(log2 D)
+    rounds, not D — the property that makes CC viable on pathological
+    near-dup chains at scale."""
+    import math
+
+    from mapreduce_4_spark.operators.clustering import _cc_rounds
+
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    labels, rounds, changed = _cc_rounds(chain, max_iter=20)
+    assert changed == 0
+    assert rounds <= math.ceil(math.log2(n - 1)) + 2, rounds
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    from mapreduce_4_spark.operators.clustering import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
