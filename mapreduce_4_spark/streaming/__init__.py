@@ -1,6 +1,7 @@
 from .events_stream import (
     events_stream,
     stream_click_purchase_join,
+    stream_click_purchase_left_join,
     stream_enrich_customers,
     run_stream_to_memory,
     stream_dedup_events,
@@ -20,6 +21,7 @@ __all__ = [
     "run_foreach_batch",
     "run_stream_to_memory",
     "stream_click_purchase_join",
+    "stream_click_purchase_left_join",
     "stream_enrich_customers",
     "stream_dedup_events",
     "stream_session_windows",

@@ -123,6 +123,35 @@ def stream_enrich_customers(stream: DataFrame, customers: DataFrame) -> DataFram
     )
 
 
+def stream_click_purchase_left_join(clicks: DataFrame, purchases: DataFrame,
+                                    watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its
+    in-horizon purchase when one exists and NULLs when none does.
+
+    The outer side makes eviction semantics load-bearing: an unmatched
+    click can only be emitted once the watermark proves no qualifying
+    purchase can still arrive (purchase watermark past click_ts + 1h),
+    so NULL rows surface with watermark latency, never speculatively.
+    Same state bound as the inner join — O(events in the horizon).
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            "c.user_id = p.user_id AND p.ts >= c.ts "
+            "AND p.ts < c.ts + interval 1 hour"
+        ),
+        "left_outer",
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+    )
+
+
 def stream_click_purchase_join(clicks: DataFrame, purchases: DataFrame,
                                watermark: str = "2 hours") -> DataFrame:
     """Stream-stream interval join: purchases within one hour after a
