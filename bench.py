@@ -36,6 +36,68 @@ HEADLINE = [
 ]
 
 
+def _timed(timings: dict[str, float], name: str, df) -> None:
+    """Warm-up + timed noop-sink materialization (see HEADLINE note)."""
+    df.write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    timings[name] = round(time.perf_counter() - t0, 3)
+    print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+
+def _ab_experiments(spark, timings: dict[str, float]) -> None:
+    """A/B measurements beyond the registered queries.
+
+    1. ANN crossover: brute-force vs hyperplane-LSH top-k at a 200-query
+       load (vs the 5-query headline entry) — the point where bucketed
+       candidate generation starts paying for its recall loss.
+    2. Skew join: plain shuffle join vs salted_join on a fact whose join
+       key is 95%-concentrated in one value, with auto-broadcast off so
+       both sides actually shuffle (the 100 TB skew scenario in miniature).
+       Expected reading at sf0.1: plain WINS — the hot partition (~570k
+       rows) still fits one task comfortably and AQE's skew splitting is
+       active, so salting's 8x right-side replication is pure overhead.
+       The A/B exists to track the crossover: salting pays only once a
+       hot key exceeds what a single task can process in acceptable time
+       AND AQE can't split it (e.g. a hot key inside one partition of a
+       non-SMJ plan). Measuring, not guessing, is the point.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.operators.partitioning import salted_join
+    from mapreduce_4_spark.operators.similarity import brute_force_topk, lsh_topk
+    from mapreduce_4_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    _timed(timings, "ab_bruteforce_topk_q200",
+           brute_force_topk(emb, queries, k=10))
+    _timed(timings, "ab_lsh_topk_q200",
+           lsh_topk(emb, queries, k=10, n_planes=8, dim=64))
+
+    # skewed fact: 95% of lineitem lands on hot_key=5, the rest spreads
+    fact = load_table(spark, SF_DIR, "lineitem").select(
+        F.when(F.col("l_orderkey") % 100 < 95, F.lit(5))
+        .otherwise(F.col("l_orderkey") % 100).alias("k"),
+        "l_quantity",
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("payload")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _timed(timings, "ab_skew_join_plain",
+               fact.join(dim, "k").select("k", "l_quantity", "payload"))
+        _timed(timings, "ab_skew_join_salted",
+               salted_join(fact, dim, "k", n_salts=8)
+               .select("k", "l_quantity", "payload"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def main() -> None:
     from mapreduce_4_spark.plans import REGISTRY
     from mapreduce_4_spark.session import get_spark
@@ -51,18 +113,17 @@ def main() -> None:
         # codegen + file-index costs, which a long-lived cluster session
         # amortizes across thousands of queries; the timed run is the
         # steady-state cost of the physical plan itself.
-        builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        _timed(timings, name, builder(spark, SF_DIR))
+    _ab_experiments(spark, timings)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # the headline total stays comparable round-over-round: ab_* entries
+    # are reported per-query but excluded from the total
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_clock_total",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(timings[n] for n in HEADLINE), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -76,30 +76,57 @@ def _fake_features(payload: bytes, dim: int = 8) -> np.ndarray:
     return np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / np.float32(2**32)
 
 
+def _pil_features(payload: bytes, dim: int) -> np.ndarray:
+    """Real decode path: PIL-decoded pixels -> dim-bucket grayscale
+    histogram (unit-normalized). Undecodable payloads yield zeros — at
+    100 TB a corrupt image must degrade, not kill the job."""
+    import io
+
+    import PIL.Image
+
+    try:
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            gray = np.asarray(img.convert("L"), dtype=np.float32)
+    except Exception:
+        return np.zeros(dim, dtype=np.float32)
+    hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
+    total = hist.sum()
+    return (hist / total).astype(np.float32) if total else np.zeros(dim, np.float32)
+
+
 def decode_features(media_df: DataFrame, decode_mode: str = "fake",
                     dim: int = 8) -> DataFrame:
     """media rows -> per-item feature vectors via mapInPandas.
 
-    Arrow-batched: each Python call sees a pandas batch, not a row.
-    ``decode_mode="real"`` requires an image codec (PIL) — unavailable in
-    this container, so it raises NotImplementedError at plan-build time
-    rather than inside executors.
+    Arrow-batched: each Python call sees a pandas batch, not a row. The
+    SAME batch function serves both modes — only the per-payload decoder
+    differs:
+
+    - ``"fake"`` (default): deterministic digest stand-in, runs anywhere.
+    - ``"pil"`` (alias ``"real"``): actual image decode via PIL, grayscale
+      histogram features. Requires PIL on the cluster image; absence is
+      reported at plan-build time, not inside executors.
     """
-    if decode_mode == "real":
+    if decode_mode in ("pil", "real"):
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:  # codec not in the container
             raise NotImplementedError(
-                "real image decode requires PIL; install codecs on the "
-                "cluster image and re-run with decode_mode='real'"
+                "image decode requires PIL; install codecs on the "
+                "cluster image and re-run with decode_mode='pil'"
             ) from exc
-    elif decode_mode != "fake":
-        raise ValueError(f"decode_mode must be 'real' or 'fake', got {decode_mode!r}")
+        decoder = _pil_features
+    elif decode_mode == "fake":
+        decoder = _fake_features
+    else:
+        raise ValueError(
+            f"decode_mode must be 'pil', 'real' or 'fake', got {decode_mode!r}"
+        )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_features(payload if payload is not None else b"", dim)
+                decoder(payload if payload is not None else b"", dim)
                 for payload in pdf["media"]
             ]
             yield pd.DataFrame(

@@ -55,11 +55,28 @@ def test_decode_parallelism_invariant(spark, media):
     assert one == many
 
 
-def test_real_decode_stub_raises(media):
+def test_real_decode_raises_without_pil(media):
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL installed; the pil path is exercised below")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_features(media, decode_mode="real")
     with pytest.raises(ValueError):
         decode_features(media, decode_mode="bogus")
+
+
+def test_pil_decode_path(spark, media):
+    """With PIL present: same batch fn, real decode. Text payloads are
+    not valid images, so every row degrades to the zero vector rather
+    than failing the job — the corrupt-input contract."""
+    pytest.importorskip("PIL")
+    out = decode_features(media, decode_mode="pil").collect()
+    assert len(out) == media.count()
+    for r in out[:10]:
+        assert len(r["features"]) == 8
+        assert all(v == 0.0 for v in r["features"])
 
 
 def test_frame_sample_explodes(spark, media):
