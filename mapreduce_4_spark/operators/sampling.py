@@ -63,6 +63,52 @@ def sample_stratified_by_hash(df: DataFrame, strata_col: str, fractions: dict,
     return df.filter(_hash_bucket(F.col(key_col), salt) < threshold)
 
 
+def rebalance_mixture(df: DataFrame, strata_col: str, weights: dict,
+                      key_col: str, salt: str = "42") -> DataFrame:
+    """Downsample strata to hit TARGET MIXTURE WEIGHTS — the data-mixing
+    stage of a training pipeline ("30% en, 20% de, ..."), keeping as much
+    data as the most-underrepresented stratum allows.
+
+    Feasible kept total K = min_s(count_s / w_s); stratum rate
+    r_s = w_s * K / count_s (the binding stratum keeps everything,
+    rate 1.0). Selection is content-keyed (md5 threshold), so the kept
+    set is partition-independent and engine-portable; rates derive from
+    exact counts, so the whole computation is deterministic. Strata
+    absent from ``weights`` are dropped. Two tiny aggregates (per-stratum
+    counts + a one-row min) broadcast back onto the scan — no extra
+    shuffle of the data itself at any scale."""
+    weight = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == k, F.lit(float(v)))
+            for k, v in weights.items()
+        ]
+    )
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", weight)
+        .filter(F.col("_w").isNotNull())
+    )
+    k_total = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_k"))
+    rates = (
+        counts.join(F.broadcast(k_total))
+        .select(
+            F.col(strata_col).alias("_stratum"),
+            (F.col("_w") * F.col("_k") / F.col("_n")).alias("_rate"),
+        )
+    )
+    threshold = F.when(F.col("_rate") >= 1.0, F.lit("zzzzzzzz")).otherwise(
+        F.format_string(
+            "%08x", F.floor(F.col("_rate") * F.lit(float(16**8))).cast("long")
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == F.col("_stratum"))
+        .filter(_hash_bucket(F.col(key_col), salt) < threshold)
+        .drop("_stratum", "_rate")
+    )
+
+
 def sample_uniform(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
 

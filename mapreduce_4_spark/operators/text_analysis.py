@@ -11,7 +11,7 @@ hot path; at 100 TB these are scan-bound single-pass projections.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_4_spark.functions.text import ASCII_PUNCT_CLASS, words
@@ -99,6 +99,57 @@ def fingerprint_chain_md5(text_col: str = "text") -> Column:
         words(text_col),
         F.lit(""),
         lambda acc, w: F.md5(F.concat(acc, F.lit(" "), w).cast("binary")),
+    )
+
+
+def ngram_set(text_col: str | Column, n: int) -> Column:
+    """Distinct space-joined word n-grams of a document."""
+    ws = words(text_col)
+    return F.array_distinct(
+        F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def decontaminate(train: DataFrame, evalset: DataFrame, n: int = 3,
+                  min_shared: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination check: for every training document, count
+    how many of its distinct word n-grams also occur in the evaluation
+    set, and flag docs at or above ``min_shared`` — the standard
+    n-gram-overlap decontamination pass run before training.
+
+    Shape at scale: both sides explode to (doc, gram) pairs; the eval
+    gram set is aggregated small (distinct grams of a benchmark corpus)
+    and BROADCAST against the training explosion, so the training corpus
+    is touched once, never shuffled on gram. Returns
+    (id_col, n_shared_grams, contaminated) for every training doc."""
+    train_grams = train.select(
+        F.col(id_col), F.explode(ngram_set(text_col, n)).alias("gram")
+    )
+    eval_grams = (
+        evalset.select(F.explode(ngram_set(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    shared = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) >= min_shared)
+            .alias("contaminated"),
+        )
     )
 
 

@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     similarity,
     grouping,
     joins,
+    llm_pipeline2,
     maintenance,
     multimodal,
     pipeline_ops,

@@ -105,3 +105,56 @@ def test_stratified_rates(spark, sf_smoke):
         else:
             sd = math.sqrt(n * frac * (1 - frac))
             assert abs(k - frac * n) <= 5 * sd, (lang, k, frac * n, sd)
+
+
+def test_rebalance_mixture_hits_target_weights(spark, sf_smoke):
+    """Kept counts must track the target mixture: the binding stratum
+    keeps everything, every other stratum lands within binomial noise of
+    weight * feasible_total."""
+    from mapreduce_4_spark.operators.sampling import rebalance_mixture
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang")
+    weights = {"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.15, "zh": 0.15}
+    out = rebalance_mixture(docs, "lang", weights, key_col="doc_id")
+    totals = dict(docs.groupBy("lang").count().collect())
+    kept = dict(out.groupBy("lang").count().collect())
+    k_feasible = min(totals[s] / w for s, w in weights.items())
+    binding = min(weights, key=lambda s: totals[s] / weights[s])
+    assert kept[binding] == totals[binding], "binding stratum keeps all"
+    for s, w in weights.items():
+        target = w * k_feasible
+        rate = target / totals[s]
+        sd = math.sqrt(totals[s] * rate * (1 - rate)) if rate < 1 else 0.0
+        assert abs(kept.get(s, 0) - target) <= 5 * sd + 1, (s, kept.get(s), target)
+    # partition independence (content-keyed selection)
+    kept_ids = {r["doc_id"] for r in out.collect()}
+    re_ids = {
+        r["doc_id"]
+        for r in rebalance_mixture(
+            docs.repartition(13), "lang", weights, key_col="doc_id"
+        ).collect()
+    }
+    assert kept_ids == re_ids
+
+
+def test_decontaminate_flags_exact_duplicate(spark):
+    from mapreduce_4_spark.operators.text_analysis import decontaminate
+
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # verbatim dup
+            (2, "totally unrelated words in this row"),   # clean
+            (3, "prefix alpha beta gamma suffix words"),  # one shared 3-gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+        for r in decontaminate(train, evalset, n=3, min_shared=3).collect()
+    }
+    assert got[1] == (4, True)
+    assert got[2] == (0, False)
+    assert got[3][0] == 1 and not got[3][1]
