@@ -64,6 +64,55 @@ def write_wordcount_reference_layout(counts: DataFrame, path: str) -> None:
     )
 
 
+def write_mapper_stage_layout(tokens: DataFrame, path: str) -> None:
+    """Reference mapper-stage emulation (O6): the ``temp_mapper/<file>/
+    <partition>`` tree — one directory per (doc, 2000-line partition),
+    lines ``(word,1)`` in token-emission order [FileProcessorMapOutput.so
+    .rodata dir literal; tuple format asio_deep/main.cpp:293-331].
+
+    Spark never needs this tree (its shuffle is a managed binary
+    exchange); it exists so a migration can diff EVERY stage artifact of
+    the reference, not just final_output/. ``tokens`` must carry
+    (doc_id, part_id, line_no, pos, word)."""
+    (
+        tokens.select(
+            "doc_id", "part_id",
+            F.concat(F.lit("("), "word", F.lit(",1)")).alias("value"),
+            "line_no", "pos",
+        )
+        .repartition("doc_id", "part_id")
+        .sortWithinPartitions("doc_id", "part_id", "line_no", "pos")
+        .select("doc_id", "part_id", "value")
+        .write.mode("overwrite")
+        .partitionBy("doc_id", "part_id")
+        .text(path)
+    )
+
+
+def write_shuffler_stage_layout(tokens: DataFrame, path: str) -> None:
+    """Reference shuffler-stage emulation (O8): the ``temp_shuffler/``
+    mirror — per (doc, partition), ``(word,count)`` lines sorted by word
+    (std::map order), i.e. the map-side combine BEFORE the cross-
+    partition reduce merge [ShufflerImpl.so :: shuffleFile;
+    asio_deep/main.cpp:382-420]."""
+    (
+        tokens.groupBy("doc_id", "part_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id", "part_id",
+            F.concat(F.lit("("), "word", F.lit(","),
+                     F.col("cnt").cast("string"), F.lit(")")).alias("value"),
+            "word",
+        )
+        .repartition("doc_id", "part_id")
+        .sortWithinPartitions("doc_id", "part_id", "word")
+        .select("doc_id", "part_id", "value")
+        .write.mode("overwrite")
+        .partitionBy("doc_id", "part_id")
+        .text(path)
+    )
+
+
 def read_wordcount_reference_layout(spark: SparkSession, path: str) -> DataFrame:
     """Parse the reference-layout text tree back to (doc_id, word, cnt)."""
     raw = spark.read.text(path)
