@@ -1,0 +1,83 @@
+"""Snapshot-versioned table format: atomic publish, time travel, keyed
+upsert lineage, history, vacuum safety."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.sources.versioned import (
+    history,
+    latest_version,
+    read_manifest,
+    read_version,
+    upsert_version,
+    vacuum,
+    write_version,
+)
+
+
+def _orders(spark, sf_smoke):
+    from mapreduce_4_spark.sources import load_table
+
+    return load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_write_read_roundtrip_and_latest(spark, sf_smoke, tmp_path):
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    v1 = write_version(base, tdir)
+    assert v1 == 1 and latest_version(tdir) == 1
+    got = read_version(spark, tdir)
+    assert got.count() == base.count()
+    assert got.schema == base.schema
+
+
+def test_time_travel_preserves_old_snapshots(spark, sf_smoke, tmp_path):
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    write_version(base, tdir)
+    updates = base.limit(10).withColumn("o_totalprice", F.lit(0.0))
+    v2 = upsert_version(spark, tdir, updates, key="o_orderkey")
+    assert v2 == 2
+
+    # latest reflects the merge: 10 zeroed rows, same total count
+    latest = read_version(spark, tdir)
+    assert latest.count() == base.count()
+    assert latest.filter(F.col("o_totalprice") == 0.0).count() == 10
+    # v1 is untouched — time travel
+    v1_df = read_version(spark, tdir, version=1)
+    assert v1_df.filter(F.col("o_totalprice") == 0.0).count() == 0
+
+    h = {r["version"]: r for r in history(spark, tdir).collect()}
+    assert h[1]["parent"] is None and h[2]["parent"] == 1
+    assert h[2]["row_count"] == base.count()
+    assert read_manifest(tdir, 2)["schema"]["type"] == "struct"
+
+
+def test_unpublished_version_is_invisible(spark, sf_smoke, tmp_path):
+    tdir = str(tmp_path / "t")
+    write_version(_orders(spark, sf_smoke), tdir)
+    # simulate a crashed writer: data directory without a manifest
+    _orders(spark, sf_smoke).limit(5).write.parquet(f"{tdir}/v=000099")
+    assert latest_version(tdir) == 1
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, tdir, version=99)
+
+
+def test_vacuum_keeps_newest_and_time_travel_fails_cleanly(
+    spark, sf_smoke, tmp_path
+):
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    write_version(base, tdir)
+    upsert_version(spark, tdir, base.limit(1), key="o_orderkey")
+    upsert_version(spark, tdir, base.limit(2), key="o_orderkey")
+    removed = vacuum(tdir, keep_last=2)
+    assert removed == [1]
+    assert list(h["version"] for h in history(spark, tdir).collect()) == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, tdir, version=1)
+    assert read_version(spark, tdir).count() == base.count()
