@@ -95,3 +95,32 @@ def test_results_invariant_to_aqe(spark, sf_smoke):
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
         assert no_aqe == baseline, name
+
+
+def test_round2_queries_invariant_to_shuffle_partition_count(spark, sf_smoke):
+    """Round-2 families: the derived-partsupp joins, mixture rebalancing
+    (content-keyed selection + count-derived rates), decontamination, and
+    rank-selection percentiles must be partition-count-invariant."""
+    for name in ("q9_product_type_profit", "q11_important_stock",
+                 "rebalance_language_mixture", "decontaminate_vs_holdout",
+                 "exact_percentiles_orders", "dedup_clusters"):
+        build = REGISTRY[name].builder
+        baseline = _rows(build(spark, sf_smoke))
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        try:
+            skewed = _rows(build(spark, sf_smoke))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert skewed == baseline, name
+
+
+def test_round2_queries_invariant_to_aqe(spark, sf_smoke):
+    for name in ("q2_min_cost_supplier", "q20_restock_candidates"):
+        build = REGISTRY[name].builder
+        baseline = _rows(build(spark, sf_smoke))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            no_aqe = _rows(build(spark, sf_smoke))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert no_aqe == baseline, name
