@@ -138,3 +138,63 @@ def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("ts", "value")
     )
+
+
+@register(
+    "window_distribution_orders",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               ntile(10) OVER w AS decile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+    description="distribution window functions: percent_rank / cume_dist "
+                "/ ntile over price within status — integer-ratio "
+                "definitions, so doubles are bit-identical across engines",
+)
+def window_distribution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.ntile(10).over(w).cast("long").alias("decile"),
+        )
+    )
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+    """,
+    tags=("join", "subquery", "lateral"),
+    description="correlated LATERAL subquery with per-row LIMIT (top-2 "
+                "orders per customer) — Catalyst decorrelates it to a "
+                "join + ranked filter, never a per-customer re-scan",
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_lat o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )

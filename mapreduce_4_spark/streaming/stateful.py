@@ -69,3 +69,55 @@ def stream_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """The SAME running-totals operator on Spark 4's transformWithState
+    surface (StatefulProcessor + typed ValueState) — the successor API to
+    applyInPandasWithState: composable named state variables, timers, and
+    RocksDB-backed stores. Kept alongside the classic form so both
+    arbitrary-state surfaces stay covered.
+
+    Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) and the protobuf
+    package (the TWS driver worker speaks protobuf to the JVM state
+    server) — both standard on a real cluster image; the test skips
+    where protobuf is absent.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value_cents"].sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_events": [n],
+                    "total_value_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

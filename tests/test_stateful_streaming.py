@@ -33,3 +33,52 @@ def test_stateful_user_totals_match_batch(spark, sf_smoke):
         .collect()
     }
     assert got == batch
+
+
+def test_transform_with_state_totals_match_batch(spark, sf_smoke):
+    """Same totals via Spark 4's transformWithStateInPandas (RocksDB
+    state store). Both arbitrary-state surfaces must agree with the
+    batch aggregation."""
+    import pytest
+
+    try:  # TWS driver worker needs protobuf to talk to the state server
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf not usable in this container; TWS needs it")
+    from mapreduce_4_spark.streaming.stateful import stream_user_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = events_stream(spark, sf_smoke)
+        run_stream_to_memory(
+            stream_user_totals_tws(stream), "t_user_totals_tws",
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = {
+        r["user_id"]: (r["total_events"], r["total_value_cents"])
+        for r in spark.table("t_user_totals_tws").collect()
+    }
+    from mapreduce_4_spark.sources import load_table
+
+    batch = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == batch
