@@ -343,3 +343,107 @@ def q20_restock_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplier.join(
         understocked, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                       AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY year(o.o_orderdate)
+    """,
+    tags=("tpch", "join", "aggregate"),
+    description="TPC-H Q8 shape (completes the 22-query set): NATION_7's "
+                "share of AMERICA-market ECONOMY-part revenue per year — "
+                "7-relation star, every dimension broadcast, share = one "
+                "IEEE division of two exact decimal sums",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.functions.money import dec
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate")
+             >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate")
+               < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    market_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(market_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supp_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", vol)
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )

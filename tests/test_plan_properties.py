@@ -155,3 +155,11 @@ def test_q9_partsupp_join_no_cartesian_all_dims_broadcast(spark, sf_oracle):
     # part, supplier-geo broadcast; partsupp (fact-derived) + orders may
     # shuffle -- but never more than: partsupp distinct, orders join, agg
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_q8_seven_relation_star_single_exchange(spark, sf_oracle):
+    # every dimension broadcasts; the only exchange carries the per-year
+    # aggregate partials — the lineitem scan feeds probe sides directly
+    plan = _plan(spark, sf_oracle, "q8_market_share")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
