@@ -116,6 +116,15 @@ def upsert_version(spark: SparkSession, table_dir: str, updates: DataFrame,
     return write_version(upsert(base, updates, key), table_dir)
 
 
+def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
+    """Rewrite the latest snapshot into ``target_files`` files as a NEW
+    version — the small-files maintenance pass. Readers of the previous
+    version are untouched (snapshots are immutable); vacuum reclaims it
+    when it ages out."""
+    latest = read_version(spark, table_dir)
+    return write_version(latest.coalesce(target_files), table_dir)
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (data + manifest,
     manifest FIRST so concurrent readers never see a published version

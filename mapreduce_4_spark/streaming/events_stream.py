@@ -97,6 +97,20 @@ def stream_dedup_events(stream: DataFrame,
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def stream_dedup_within_watermark(stream: DataFrame,
+                                  watermark: str = "2 hours") -> DataFrame:
+    """Dedup on event_id ALONE with watermark-scoped state eviction
+    (dropDuplicatesWithinWatermark): unlike plain dropDuplicates — which
+    must keep the dedup key in the state key forever unless the event
+    time is part of it — this guarantees eviction of keys older than the
+    watermark while deduplicating records whose event times differ within
+    it. The right primitive for at-least-once sources that may redeliver
+    the same event with a slightly different timestamp."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str,
                          output_mode: str = "append") -> None:
     """Drain the stream into an in-memory table with availableNow (test

@@ -148,3 +148,44 @@ def test_apply_in_pandas_with_state_survives_restart(spark, tmp_path):
     assert all(
         r["batch_id"] not in run2_batches for r in rows if r["user_id"] == 8
     ), rows
+
+
+def test_drop_duplicates_within_watermark_dedups_redelivery(spark, tmp_path):
+    """The same event_id redelivered in a later batch with a slightly
+    different timestamp (at-least-once source behavior) must be emitted
+    once; state for old keys is watermark-evicted."""
+    from mapreduce_4_spark.streaming.events_stream import (
+        stream_dedup_within_watermark,
+    )
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    t0 = time.time() - 1000
+    _write_events(str(src / "f1.parquet"),
+                  [(1, 7, "2024-06-01 10:00:00", 1.0),
+                   (2, 8, "2024-06-01 10:05:00", 1.0)], t0)
+    # redelivery of event 1 with a skewed timestamp + one new event
+    _write_events(str(src / "f2.parquet"),
+                  [(1, 7, "2024-06-01 10:00:03", 1.0),
+                   (3, 9, "2024-06-01 10:10:00", 1.0)], t0 + 100)
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_dedup_within_watermark(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_dd_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["event_id"], str(r["ts"]))
+        for r in spark.table("t_dd_wm").collect()
+    )
+    assert [e for e, _ in got] == [1, 2, 3], got
+    # the kept copy of event 1 is the FIRST arrival
+    assert got[0][1] == "2024-06-01 10:00:00", got
