@@ -71,6 +71,59 @@ def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
     )
 
 
+# Portable (cross-engine) MinHash family: base hash = 31-bit integer from
+# the md5 hex prefix, permutations = affine maps mod the Mersenne prime
+# 2^31-1 with seeded literal coefficients. Every op (md5, hex->int, *, %,
+# min) is bit-identical in Spark and DuckDB, so the LSH candidate set —
+# and therefore the exact-verified output — is fully oracle-checkable.
+# Costs one md5 per shingle instead of one xxhash64 (same one-string-hash
+# structure as the fast family; the k permutations stay integer-only and
+# overflow-free: 31-bit * 31-bit < 2^62 under ANSI mode).
+MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_coefficients(k: int = MINHASH_K, seed: int = 7) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_31, size=k)
+    b = rng.integers(0, MERSENNE_31, size=k)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def _base31(x: Column) -> Column:
+    """First 8 md5 hex chars -> 32-bit int -> masked to 31 bits."""
+    return (
+        F.conv(F.substring(F.md5(x.cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(MERSENNE_31))
+    )
+
+
+def minhash_signature_portable(shingles: Column, k: int = MINHASH_K,
+                               seed: int = 7) -> Column:
+    base = F.transform(shingles, _base31)
+    coef = _perm_coefficients(k, seed)
+    return F.array(*[
+        F.array_min(
+            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31))
+        )
+        for a, b in coef
+    ])
+
+
+def sql_minhash_signature(base_expr: str, k: int = MINHASH_K,
+                          seed: int = 7) -> str:
+    """DuckDB twin of :func:`minhash_signature_portable` over a BIGINT
+    list expression (the base31 hashes)."""
+    coef = _perm_coefficients(k, seed)
+    slots = ", ".join(
+        f"list_min([({a} * h + {b}) % {MERSENNE_31} for h in {base_expr}])"
+        for a, b in coef
+    )
+    return f"[{slots}]"
+
+
 def lsh_band_table(sigs: DataFrame, id_col: str = "doc_id",
                    sig_col: str = "signature",
                    bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
@@ -117,11 +170,17 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
-                            n: int = 3) -> DataFrame:
+                            n: int = 3,
+                            hash_family: str = "portable") -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs, exact-verified.
 
     candidates (LSH bucket join) -> verify (join shingle sets back,
     exact Jaccard >= threshold). Returns (id_a, id_b, jaccard_sim).
+
+    ``hash_family``: "portable" (default — md5-seeded, reproducible in
+    DuckDB, so the registered query is fully oracle-checked) or "fast"
+    (xxhash64-based; same structure, marginally cheaper string hash,
+    not expressible outside Spark).
 
     The shingle table feeds three plan branches (signatures + both sides
     of the verify join); persisting it trades one corpus-sized pass of
@@ -135,10 +194,14 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
     (observed 1-task stages at sf0.1 — a single parquet file). At real
     scale the scan has thousands of splits and this shuffle is noise.
     """
+    if hash_family not in ("portable", "fast"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    sig_fn = (minhash_signature_portable if hash_family == "portable"
+              else minhash_signature)
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sh = shingle_sets(docs, n=n).persist()
-    sigs = sh.select("doc_id", minhash_signature(F.col("shingles")).alias("signature"))
+    sigs = sh.select("doc_id", sig_fn(F.col("shingles")).alias("signature"))
     cands = candidate_pairs(lsh_band_table(sigs))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -185,45 +248,98 @@ def simhash_table(docs: DataFrame, text_col: str = "text",
     return docs.select(id_col, simhash64(words(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_chunks_portable(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Portable SimHash-64 as four 16-bit chunk columns — pure codegen.
+
+    Per token, one md5; its first 16 hex chars are read as four 16-bit
+    ints (hex->int via conv, bit-identical in DuckDB via '0x' casts).
+    Bit j's +/-1 votes are 64 conditional sums in ONE hash aggregate
+    (map-side partial, single shuffle on doc_id); the chunk values are
+    then assembled from the vote signs. No Python anywhere — unlike the
+    blake2b pandas-UDF family (:func:`simhash64`, kept as the engine's
+    vectorized-UDF showcase), this variant is whole-stage-codegen'd AND
+    reproducible in ANSI SQL, which is what makes the registered query
+    oracle-checkable.
+
+    Documents with zero tokens have no SimHash here (they vanish at the
+    explode); near-dup semantics for empty docs belong to exact dedup.
+    """
+    tok = docs.select(id_col, F.explode(words(text_col)).alias("_w"))
+    m = F.md5(F.col("_w").cast("binary"))
+    vs = [
+        F.conv(F.substring(m, 1 + 4 * c, 4), 16, 10).cast("long")
+        for c in range(4)
+    ]
+    aggs = []
+    for j in range(64):
+        c, r = divmod(j, 16)
+        bit = F.shiftright(vs[c], r).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_a{j}"))
+    acc = tok.groupBy(id_col).agg(*aggs)
+    chunk_cols = []
+    for c in range(4):
+        val = F.lit(0).cast("long")
+        for r in range(16):
+            val = val + F.when(F.col(f"_a{16 * c + r}") > 0, F.lit(1 << r)).otherwise(0)
+        chunk_cols.append(val.alias(f"c{c}"))
+    return acc.select(id_col, *chunk_cols)
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       hash_family: str = "portable") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded for scale.
 
     Pigeonhole: distance <= 3 over 4 disjoint 16-bit chunks forces at
     least one identical chunk — join on (chunk_idx, chunk_value), then
     verify with bit_count(xor). Same shuffle-on-bucket shape as LSH.
+
+    ``hash_family``: "portable" (md5-derived bits, DuckDB-reproducible,
+    all-JVM) or "udf" (blake2b pandas-UDF fingerprint).
     """
-    sh = simhash_table(docs)
+    if hash_family == "portable":
+        sig = simhash_chunks_portable(docs)
+    elif hash_family == "udf":
+        sh = simhash_table(docs)
+        sig = sh.select(
+            "doc_id",
+            *[
+                F.shiftrightunsigned("simhash", c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias(f"c{c}")
+                for c in range(4)
+            ],
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     chunks = F.explode(
         F.array(
             *[
-                F.struct(
-                    F.lit(j).alias("chunk"),
-                    F.shiftrightunsigned("simhash", j * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("chunk_val"),
-                )
+                F.struct(F.lit(j).alias("chunk"), F.col(f"c{j}").alias("chunk_val"))
                 for j in range(4)
             ]
         )
     )
-    banded = sh.select("doc_id", "simhash", chunks.alias("c")).select(
-        "doc_id", "simhash", "c.chunk", "c.chunk_val"
+    banded = sig.select("doc_id", "c0", "c1", "c2", "c3", chunks.alias("c")).select(
+        "doc_id", "c0", "c1", "c2", "c3", "c.chunk", "c.chunk_val"
     )
     left = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"),
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
         "chunk", "chunk_val",
     )
     right = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"),
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
         "chunk", "chunk_val",
     )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))) for j in range(4)
+    ).cast("long")
     return (
         left.join(right, ["chunk", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
-        )
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

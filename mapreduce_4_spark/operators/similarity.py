@@ -75,12 +75,11 @@ def lsh_bucket_ids(df: DataFrame, planes: np.ndarray,
     return df.withColumn("bucket", bucket)
 
 
-def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding",
              query_id_col: str = "query_id",
              multiprobe: bool = False,
-             dim: int | None = None,
              exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: exact ranking within LSH bucket collisions.
 
@@ -91,12 +90,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     once) — the standard recall-vs-cost knob: probe cost grows by
     n_planes x, recall approaches brute force, corpus side is untouched.
 
-    Pass ``dim`` (the embedding dimensionality) so plan construction
-    stays action-free; if omitted, a one-row driver probe reads it from
-    the corpus. ``exclude_self`` as in :func:`brute_force_topk`.
+    ``dim`` (the embedding dimensionality) is REQUIRED so plan
+    construction stays action-free — no driver-side probe of the corpus.
+    ``exclude_self`` as in :func:`brute_force_topk`.
     """
-    if dim is None:  # convenience fallback: costs one tiny driver action
-        dim = len(corpus.select(vec_col).first()[0])
+    if not isinstance(dim, int) or dim < 1:
+        raise ValueError(f"dim must be a positive int, got {dim!r}")
     planes = hyperplanes(dim, n_planes)
     c = lsh_bucket_ids(
         corpus.select(id_col, F.col(vec_col).alias("_cvec")), planes, "_cvec"

@@ -1,9 +1,12 @@
 """Dedup queries over the documents/embeddings tables.
 
-Exact and n-gram-Jaccard dedup are SQL-expressible -> full DuckDB
-oracles. MinHash-LSH and SimHash are not practically expressible in
-ANSI SQL -> rows-only driver check here, with invariant/recall property
-tests in tests/test_dedup.py (SURVEY.md §5.2).
+Every family is fully oracled, including the LSH tiers: the MinHash and
+SimHash hash families are md5-seeded ("portable" — operators/dedup.py),
+so DuckDB reproduces the exact candidate sets (band/chunk collisions)
+and the exact verify stage bit-for-bit. The oracle joins candidates with
+an OR over band-slice equalities — semantically identical to the banded
+bucket join + distinct that Spark runs for scale. Recall/invariant
+property tests live in tests/test_dedup.py (SURVEY.md §5.2).
 """
 
 from __future__ import annotations
@@ -13,16 +16,56 @@ from pyspark.sql import functions as F
 
 from mapreduce_4_spark.functions.text import sql_words
 from mapreduce_4_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE_31,
     exact_dedup,
     jaccard,
     minhash_near_duplicates,
     shingle_sets,
     simhash_near_pairs,
+    sql_minhash_signature,
 )
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
 _WORDS_SQL = sql_words("text")
+
+# DuckDB twin of operators.dedup._base31 over each shingle.
+_SQL_BASE31 = (
+    "[(CAST('0x' || substring(md5(x), 1, 8) AS BIGINT) & "
+    f"{MERSENNE_31}) for x in sh]"
+)
+
+# Candidate condition: the pair shares at least one LSH band — an OR of
+# band-slice equalities, which is exactly the pair set the banded bucket
+# join + DISTINCT produces (DuckDB list slices are end-inclusive).
+_SQL_BAND_MATCH = " OR ".join(
+    f"a.sig[{j * LSH_ROWS + 1}:{(j + 1) * LSH_ROWS}] = "
+    f"c.sig[{j * LSH_ROWS + 1}:{(j + 1) * LSH_ROWS}]"
+    for j in range(LSH_BANDS)
+)
+
+
+def _sql_simhash_votes() -> str:
+    """The 64 per-bit vote sums of the portable SimHash, as SQL aggs."""
+    terms = []
+    for j in range(64):
+        c, r = divmod(j, 16)
+        terms.append(f"SUM(2 * ((v{c} >> {r}) & 1) - 1) AS a{j}")
+    return ", ".join(terms)
+
+
+def _sql_simhash_chunks() -> str:
+    """Assemble the four 16-bit chunk values from the vote signs."""
+    chunks = []
+    for c in range(4):
+        bits = " + ".join(
+            f"(CASE WHEN a{16 * c + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(16)
+        )
+        chunks.append(f"({bits}) AS c{c}")
+    return ", ".join(chunks)
 
 
 @register(
@@ -91,10 +134,34 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_neardup",
-    oracle=None,  # LSH banding is not ANSI-SQL-expressible; see tests/test_dedup.py
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS sh
+            FROM t WHERE len(w) >= 3
+        ),
+        b AS (SELECT doc_id, sh, {_SQL_BASE31} AS base FROM s),
+        g AS (SELECT doc_id, sh, {sql_minhash_signature('base')} AS sig FROM b),
+        cand AS (
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.sh AS sh_a, c.sh AS sh_b
+            FROM g a JOIN g c
+              ON a.doc_id < c.doc_id AND ({_SQL_BAND_MATCH})
+        )
+        SELECT id_a, id_b, jaccard_sim FROM (
+            SELECT id_a, id_b,
+                   CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard_sim
+            FROM cand
+        ) WHERE jaccard_sim >= 0.8
+    """,
     tags=("dedup", "lsh"),
-    description="MinHash-LSH near-dup pairs (64-slot signature, 16x4 bands), "
-                "exact-verified at Jaccard >= 0.8 — the 100 TB dedup path",
+    description="MinHash-LSH near-dup pairs (64-slot portable md5-seeded "
+                "signature, 16x4 bands), exact-verified at Jaccard >= 0.8 — "
+                "the 100 TB dedup path, oracle-checked end to end",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -103,9 +170,35 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_pairs",
-    oracle=None,  # pandas-UDF fingerprint; invariants tested in test_dedup.py
-    tags=("dedup", "udf"),
-    description="SimHash-64 near-dup pairs at hamming <= 3 via 16-bit chunk banding",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+        ),
+        e AS (SELECT doc_id, md5(unnest(w)) AS m FROM t),
+        v AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(m, 1, 4) AS BIGINT) AS v0,
+                   CAST('0x' || substring(m, 5, 4) AS BIGINT) AS v1,
+                   CAST('0x' || substring(m, 9, 4) AS BIGINT) AS v2,
+                   CAST('0x' || substring(m, 13, 4) AS BIGINT) AS v3
+            FROM e
+        ),
+        acc AS (SELECT doc_id, {_sql_simhash_votes()} FROM v GROUP BY doc_id),
+        sig AS (SELECT doc_id, {_sql_simhash_chunks()} FROM acc),
+        p AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+                      + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3))
+                        AS BIGINT) AS hamming
+            FROM sig x JOIN sig y
+              ON x.doc_id < y.doc_id
+             AND (x.c0 = y.c0 OR x.c1 = y.c1 OR x.c2 = y.c2 OR x.c3 = y.c3)
+        )
+        SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+    """,
+    tags=("dedup", "lsh"),
+    description="SimHash-64 near-dup pairs at hamming <= 3 via 16-bit chunk "
+                "banding (portable md5-derived bits, all-codegen, oracled)",
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -2,8 +2,12 @@
 
 Brute-force cosine top-k is the exact baseline with a full DuckDB oracle
 (bit-identical doubles, see functions/vectors.py). The LSH-bucketed
-variant is the approximate scale path — rows-only for the driver, with a
-recall-vs-brute-force property test in tests/test_similarity.py.
+variant is ALSO fully oracled: the hyperplanes come from a fixed seed, so
+the oracle SQL bakes the identical plane values in as literals and DuckDB
+reproduces the exact bucket assignment (list_dot_product is bit-identical
+to the Spark fold — see functions/vectors.py) and the exact within-bucket
+rerank. Recall-vs-brute-force is additionally property-tested in
+tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -11,12 +15,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.operators.similarity import brute_force_topk, lsh_topk
+from mapreduce_4_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    lsh_topk,
+)
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
 _N_QUERIES = 5  # vec_id < 5 serve as the query set
 _K = 10
+_N_PLANES = 8
+_DIM = 64
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    """Bucket id as a SQL expression: sum of sign bits against the SAME
+    plane values the Spark operator generates (seeded, baked as literals —
+    repr round-trips doubles exactly, so both engines see identical
+    planes and the dot-product parity makes the signs identical)."""
+    planes = hyperplanes(_DIM, _N_PLANES)
+    terms = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 @register(
@@ -50,17 +76,43 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_lsh_topk",
-    oracle=None,  # approximate by construction; recall measured in tests
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        b AS (
+            SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM emb
+        ),
+        q AS (
+            SELECT vec_id AS query_id, e AS qe, bucket
+            FROM b WHERE vec_id < {_N_QUERIES}
+        ),
+        p AS (
+            SELECT q.query_id, c.vec_id,
+                   list_cosine_similarity(q.qe, c.e) AS cosine_sim
+            FROM q JOIN b c
+              ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+        )
+        SELECT query_id, vec_id, cosine_sim, rank FROM (
+            SELECT p.*,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, vec_id
+                   ) AS rank
+            FROM p
+        ) WHERE rank <= {_K}
+    """,
     tags=("similarity", "lsh"),
     description="LSH-bucketed approximate top-10 (8 hyperplanes): the 100 TB "
-                "ANN path, exact ranking within bucket collisions only",
+                "ANN path, exact ranking within bucket collisions only; "
+                "oracled by baking the seeded plane literals into the SQL",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=_K, n_planes=8, dim=64)
+    return lsh_topk(emb, queries, dim=_DIM, k=_K, n_planes=_N_PLANES)
 
 
 @register(

@@ -53,7 +53,7 @@ def test_lsh_results_subset_and_recall(spark, emb):
     }
     lsh = {
         (r["query_id"], r["vec_id"]): r["cosine_sim"]
-        for r in lsh_topk(emb, q, k=10, n_planes=8).collect()
+        for r in lsh_topk(emb, q, dim=64, k=10, n_planes=8).collect()
     }
     assert lsh, "LSH should return some candidates"
     for pair, sim in lsh.items():
@@ -68,9 +68,9 @@ def test_multiprobe_improves_recall(spark, emb):
     brute = {(r["query_id"], r["vec_id"])
              for r in brute_force_topk(emb, q, k=10).collect()}
     single = {(r["query_id"], r["vec_id"])
-              for r in lsh_topk(emb, q, k=10, n_planes=8).collect()}
+              for r in lsh_topk(emb, q, dim=64, k=10, n_planes=8).collect()}
     multi = {(r["query_id"], r["vec_id"])
-             for r in lsh_topk(emb, q, k=10, n_planes=8, multiprobe=True).collect()}
+             for r in lsh_topk(emb, q, dim=64, k=10, n_planes=8, multiprobe=True).collect()}
     # every single-probe candidate bucket is also probed under multiprobe
     r_single = len(single & brute) / len(brute)
     r_multi = len(multi & brute) / len(brute)
