@@ -77,6 +77,38 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
     _timed(timings, "ab_lsh_topk_q200",
            lsh_topk(emb, queries, k=10, n_planes=8, dim=64))
 
+    # bucketed-vs-plain fact join: the same lineitem x orders equi-join,
+    # once over plain parquet (two exchanges) and once over snapshots
+    # bucketed on the join key (exchange-free SMJ; plan-asserted in
+    # tests/test_plan_properties.py). The one-time bucketed write is paid
+    # OUTSIDE the timing — that's the point: write once, never reshuffle.
+    import shutil
+    import tempfile
+
+    from mapreduce_4_spark.sources.versioned import read_version, write_version
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_bucketed_")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_version(li, f"{tmp}/li", bucket_by=["l_orderkey"], n_buckets=32)
+        write_version(od, f"{tmp}/od", bucket_by=["o_orderkey"], n_buckets=32)
+        bl = read_version(spark, f"{tmp}/li")
+        bo = read_version(spark, f"{tmp}/od")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _timed(timings, "ab_fact_join_plain",
+               li.join(od, li.l_orderkey == od.o_orderkey))
+        _timed(timings, "ab_fact_join_bucketed",
+               bl.join(bo, bl.l_orderkey == bo.o_orderkey))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     # skewed fact: 95% of lineitem lands on hot_key=5, the rest spreads
     fact = load_table(spark, SF_DIR, "lineitem").select(
         F.when(F.col("l_orderkey") % 100 < 95, F.lit(5))

@@ -26,10 +26,29 @@ nothing at write time (old snapshots are simply not deleted until
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _check_local(table_dir: str) -> None:
+    """Manifest I/O uses driver-local files while snapshot data goes
+    through Spark's Hadoop FS — on a remote scheme (hdfs://, s3a://...)
+    those would silently diverge and break the atomic-publish guarantee.
+    Fail loudly instead; routing manifests through the Hadoop FileSystem
+    API is the extension point for object stores."""
+    scheme = table_dir.split("://", 1)[0] if "://" in table_dir else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"versioned tables support local paths only (got scheme "
+            f"{scheme!r}); manifest I/O is driver-local"
+        )
+
+
+def _strip_scheme(table_dir: str) -> str:
+    return table_dir[7:] if table_dir.startswith("file://") else table_dir
 
 
 def _versions_dir(table_dir: str) -> str:
@@ -45,7 +64,8 @@ def _data_dir(table_dir: str, version: int) -> str:
 
 
 def list_versions(table_dir: str) -> list[int]:
-    vdir = _versions_dir(table_dir)
+    _check_local(table_dir)
+    vdir = _versions_dir(_strip_scheme(table_dir))
     if not os.path.isdir(vdir):
         return []
     return sorted(
@@ -53,24 +73,72 @@ def list_versions(table_dir: str) -> list[int]:
     )
 
 
+def _footer_row_count(data_dir: str) -> int:
+    """Exact row count from parquet footers — O(metadata), no second
+    scan of the data (the footers are already on local disk)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 def latest_version(table_dir: str) -> int | None:
     versions = list_versions(table_dir)
     return versions[-1] if versions else None
 
 
-def write_version(df: DataFrame, table_dir: str) -> int:
-    """Publish a new immutable snapshot; returns its version number."""
+def _catalog_name(table_dir: str, version: int) -> str:
+    digest = hashlib.md5(os.path.abspath(table_dir).encode()).hexdigest()[:12]
+    return f"mr4s_bucketed_{digest}_v{version:06d}"
+
+
+def write_version(df: DataFrame, table_dir: str,
+                  bucket_by: list[str] | None = None,
+                  n_buckets: int | None = None,
+                  sort_by: list[str] | None = None) -> int:
+    """Publish a new immutable snapshot; returns its version number.
+
+    With ``bucket_by``/``n_buckets``, the snapshot is hash-bucketed (and
+    sorted within buckets by ``sort_by``, defaulting to the bucket keys).
+    A bucketed fact table written ONCE this way makes every later
+    equi-join/aggregation on the bucket keys exchange-free — the 100 TB
+    alternative to re-shuffling the fact table per query. The bucket
+    spec is recorded in the manifest so any session can rebind it.
+    """
+    _check_local(table_dir)
+    table_dir = _strip_scheme(table_dir)
+    if (bucket_by is None) != (n_buckets is None):
+        raise ValueError("bucket_by and n_buckets must be given together")
     parent = latest_version(table_dir)
     version = (parent or 0) + 1
     data_dir = _data_dir(table_dir, version)
-    df.write.mode("errorifexists").parquet(data_dir)
-    row_count = df.sparkSession.read.parquet(data_dir).count()
+    if bucket_by:
+        sort_cols = sort_by or bucket_by
+        (
+            df.write.mode("errorifexists")
+            .bucketBy(n_buckets, *bucket_by)
+            .sortBy(*sort_cols)
+            .option("path", data_dir)
+            .format("parquet")
+            .saveAsTable(_catalog_name(table_dir, version))
+        )
+    else:
+        df.write.mode("errorifexists").parquet(data_dir)
+    # exact count from the footers just written — no second data scan
+    row_count = _footer_row_count(data_dir)
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     manifest = {
         "version": version,
         "parent": parent,
         "row_count": row_count,
         "schema": df.schema.jsonValue(),
+        "bucket_by": bucket_by,
+        "n_buckets": n_buckets,
+        "sort_by": (sort_by or bucket_by) if bucket_by else None,
     }
     # manifest written last = the publish point
     with open(_manifest_path(table_dir, version), "w") as fh:
@@ -80,13 +148,39 @@ def write_version(df: DataFrame, table_dir: str) -> int:
 
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None) -> DataFrame:
-    """Latest snapshot, or time-travel to an explicit ``version``."""
+    """Latest snapshot, or time-travel to an explicit ``version``.
+
+    Bucketed snapshots come back as catalog tables (re-registered from
+    the manifest's bucket spec if the session is fresh), so the planner
+    sees the bucketing and drops the Exchange on bucket-key joins/aggs.
+    """
+    _check_local(table_dir)
+    table_dir = _strip_scheme(table_dir)
     if version is None:
         version = latest_version(table_dir)
         if version is None:
             raise FileNotFoundError(f"no published versions in {table_dir}")
     elif not os.path.exists(_manifest_path(table_dir, version)):
         raise FileNotFoundError(f"version {version} not published in {table_dir}")
+    manifest = read_manifest(table_dir, version)
+    if manifest.get("bucket_by"):
+        from pyspark.sql.types import StructType
+
+        name = _catalog_name(table_dir, version)
+        if not spark.catalog.tableExists(name):
+            schema = StructType.fromJson(manifest["schema"])
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            keys = ", ".join(f"`{c}`" for c in manifest["bucket_by"])
+            sort_keys = ", ".join(f"`{c}`" for c in manifest["sort_by"])
+            spark.sql(
+                f"CREATE TABLE `{name}` ({cols}) USING parquet "
+                f"CLUSTERED BY ({keys}) SORTED BY ({sort_keys}) "
+                f"INTO {manifest['n_buckets']} BUCKETS "
+                f"LOCATION '{_data_dir(table_dir, version)}'"
+            )
+        return spark.table(name)
     return spark.read.parquet(_data_dir(table_dir, version))
 
 

@@ -157,6 +157,39 @@ def test_q9_partsupp_join_no_cartesian_all_dims_broadcast(spark, sf_oracle):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
+def test_bucketed_fact_tables_make_joins_and_aggs_exchange_free(
+        spark, sf_oracle, tmp_path):
+    # a fact table persisted ONCE with bucketBy(join_key) never shuffles
+    # again for equi-joins or aggregations on that key — the 100 TB
+    # alternative to paying a lineitem-sized exchange per query
+    from mapreduce_4_spark.sources.versioned import read_version, write_version
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{sf_oracle}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_version(li, str(tmp_path / "li"), bucket_by=["l_orderkey"], n_buckets=8)
+    write_version(od, str(tmp_path / "od"), bucket_by=["o_orderkey"], n_buckets=8)
+    a = read_version(spark, str(tmp_path / "li"))
+    b = read_version(spark, str(tmp_path / "od"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, a.l_orderkey == b.o_orderkey)
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        g = a.groupBy("l_orderkey").count()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        n_rows = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in jplan, jplan
+    assert "SortMergeJoin" in jplan
+    assert "Exchange" not in gplan, gplan
+    assert n_rows == li.count()
+
+
 def test_q8_seven_relation_star_single_exchange(spark, sf_oracle):
     # every dimension broadcasts; the only exchange carries the per-year
     # aggregate partials — the lineitem scan feeds probe sides directly

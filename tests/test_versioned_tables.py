@@ -81,3 +81,30 @@ def test_vacuum_keeps_newest_and_time_travel_fails_cleanly(
     with pytest.raises(FileNotFoundError):
         read_version(spark, tdir, version=1)
     assert read_version(spark, tdir).count() == base.count()
+
+
+def test_remote_schemes_rejected_loudly(spark, sf_smoke, tmp_path):
+    # manifest I/O is driver-local; a remote table_dir would silently
+    # break atomic publish, so it must fail up front instead
+    with pytest.raises(ValueError, match="local paths only"):
+        write_version(_orders(spark, sf_smoke), "s3a://bucket/table")
+    with pytest.raises(ValueError, match="local paths only"):
+        read_version(spark, "hdfs://nn/table")
+    # file:// is local and fine
+    tdir = str(tmp_path / "t")
+    assert write_version(_orders(spark, sf_smoke), "file://" + tdir) == 1
+    assert read_version(spark, "file://" + tdir).count() == _orders(
+        spark, sf_smoke
+    ).count()
+
+
+def test_bucketed_snapshot_roundtrip_and_manifest(spark, sf_smoke, tmp_path):
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    write_version(base, tdir, bucket_by=["o_orderkey"], n_buckets=4)
+    m = read_manifest(tdir, 1)
+    assert m["bucket_by"] == ["o_orderkey"] and m["n_buckets"] == 4
+    assert m["row_count"] == base.count()
+    got = read_version(spark, tdir)
+    assert got.count() == base.count()
+    assert sorted(got.columns) == sorted(base.columns)
