@@ -77,6 +77,13 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
     _timed(timings, "ab_lsh_topk_q200",
            lsh_topk(emb, queries, k=10, n_planes=8, dim=64))
 
+    # decimal-exact vs double q1: the registered q1 pays 128-bit decimal
+    # accumulation for bit-identical money parity; this measures what the
+    # documented double fast path buys when that isn't required
+    from mapreduce_4_spark.plans.aggregates import q1_pricing_summary_double
+
+    _timed(timings, "ab_q1_double", q1_pricing_summary_double(spark, SF_DIR))
+
     # bucketed-vs-plain fact join: the same lineitem x orders equi-join,
     # once over plain parquet (two exchanges) and once over snapshots
     # bucketed on the join key (exchange-free SMJ; plan-asserted in
@@ -126,7 +133,20 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
         _timed(timings, "ab_skew_join_salted",
                salted_join(fact, dim, "k", n_salts=8)
                .select("k", "l_quantity", "payload"))
+        # the regime AQE can't save: skew splitting off (standing in for
+        # plans whose skewed exchange isn't splittable). Here blanket
+        # salting pays and ADAPTIVE salting (sample-detect the hot key,
+        # salt only it) should match or beat it at plain-join cost for
+        # the cold 5%.
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        _timed(timings, "ab_skew_join_plain_noaqe",
+               fact.join(dim, "k").select("k", "l_quantity", "payload"))
+        _timed(timings, "ab_skew_join_auto_noaqe",
+               salted_join(fact, dim, "k", n_salts=8, auto=True,
+                           hot_threshold=0.2)
+               .select("k", "l_quantity", "payload"))
     finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 

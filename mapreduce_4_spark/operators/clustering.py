@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 def _cc_rounds(pairs: DataFrame, max_iter: int) -> tuple[DataFrame, int, int]:
     """Run propagation; returns (labels, rounds_used, final_changed)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

@@ -24,8 +24,33 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     )
 
 
+def detect_hot_keys(df: DataFrame, key: str, hot_threshold: float = 0.05,
+                    sample_fraction: float = 0.02) -> list:
+    """Sample-estimate the join keys holding >= ``hot_threshold`` of the
+    rows. Returns at most 1/hot_threshold keys, so the driver collect is
+    bounded and tiny (this is the one deliberate driver action of the
+    adaptive salting path — a sample pass over ``sample_fraction`` of
+    the data, the same move AQE's runtime statistics make internally).
+    """
+    if not 0 < hot_threshold <= 1:
+        raise ValueError(f"hot_threshold must be in (0, 1], got {hot_threshold}")
+    sampled = df.select(key).sample(fraction=sample_fraction, seed=42)
+    counts = sampled.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.select(F.sum("_n").alias("_t"))
+    hot = (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("_n") >= F.col("_t") * hot_threshold)
+        .filter(F.col(key).isNotNull())
+        .select(key)
+        .limit(int(1 / hot_threshold) + 1)
+    )
+    return [r[0] for r in hot.collect()]
+
+
 def salted_join(left: DataFrame, right: DataFrame, key: str,
-                n_salts: int = 8, how: str = "inner") -> DataFrame:
+                n_salts: int = 8, how: str = "inner",
+                auto: bool = False, hot_threshold: float = 0.05,
+                sample_fraction: float = 0.02) -> DataFrame:
     """Skew-resistant equi-join.
 
     A hot key floods one reducer in a plain hash join. Salting splits
@@ -42,12 +67,35 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     replicated once per salt, so an unmatched RIGHT row would surface
     ``n_salts`` times under right/full-outer semantics. Those shapes
     need a different skew strategy (AQE skew join or two-phase union).
+
+    ``auto=True`` is the adaptive variant: sample-detect the keys
+    holding >= ``hot_threshold`` of the left rows and salt ONLY those,
+    joining the rest plain — so the right-side replication cost is paid
+    for the handful of hot keys instead of the whole table, and a
+    skew-free input degenerates to the plain join. This covers the
+    regime AQE's skew splitting can't (a hot key inside one partition
+    of a non-splittable plan); when AQE can split, the cost of auto is
+    just the bounded sampling pass.
     """
     if how not in ("inner", "left", "left_outer", "left_semi"):
         raise ValueError(
             f"salted_join supports inner/left/left_semi, got {how!r}: "
             "right-side replication would duplicate unmatched right rows"
         )
+    if auto:
+        hot = detect_hot_keys(left, key, hot_threshold, sample_fraction)
+        if not hot:
+            return left.join(right, key, how)
+        is_hot = F.col(key).isin(hot)
+        # NULL keys stay on the plain side (they never match, but left
+        # joins must preserve them exactly once)
+        cold_out = left.filter(is_hot.isNull() | ~is_hot).join(right, key, how)
+        hot_out = salted_join(
+            left.filter(is_hot),
+            right.filter(F.col(key).isin(hot)),
+            key, n_salts=n_salts, how=how,
+        )
+        return cold_out.unionByName(hot_out)
     salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
                   F.lit(n_salts))
     l_salted = left.withColumn("_salt", salt)

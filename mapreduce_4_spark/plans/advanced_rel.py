@@ -169,8 +169,8 @@ def correlated_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame
     description="approx_count_distinct (HyperLogLog++) per event type — the "
                 "sketch path for distinct counting at 100 TB. The sketch "
                 "value itself differs across engines, so the oracle checks "
-                "the exact count plus a 5%-relative-error bound on the "
-                "sketch (approx_ok must come back TRUE).",
+                "the exact count plus a 10%-relative-error bound on the "
+                "sketch (2x the default 5% rsd; approx_ok must be TRUE).",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -184,8 +184,11 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "exact_users",
             (
+                # 2x the default rsd (5% = one standard deviation): a
+                # one-sigma bound would make the oracle flaky across
+                # sketch-implementation changes
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= 0.05 * F.col("exact_users")
+                <= 0.10 * F.col("exact_users")
             ).alias("approx_ok"),
         )
     )

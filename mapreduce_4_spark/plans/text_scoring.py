@@ -50,11 +50,17 @@ def tf_rarity_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = exploded_words(docs)
     tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar; tiny and deterministic
-    scored = tf.join(F.broadcast(df), "word").select(
-        "doc_id",
-        "word",
-        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    # corpus size arrives as a broadcast one-row aggregate inside the
+    # same job — no separate driver-side count() pass over the corpus
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * (F.col("_n_docs") / F.col("df"))).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
     return (

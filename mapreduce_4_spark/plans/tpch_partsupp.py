@@ -34,9 +34,23 @@ _PS_SQL = """
 """
 
 
-def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: one persisted partsupp per (session, sf_dir) — the derivation's
+#: lineitem-sized distinct shuffle is paid ONCE and every partsupp query
+#: (Q2/Q9/Q11/Q16/Q20) reads the materialization, the way the reference
+#: reuses its temp_mapper/ stage artifacts across consumers
+#: (asio_deep/main.cpp:293-331). At 100 TB the same move is the bucketed
+#: snapshot write (sources/versioned.py); in-session, persist() is the
+#: zero-infrastructure equivalent (spills to disk if it outgrows memory).
+_PS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str,
+                     cached: bool = True) -> DataFrame:
     """partsupp stand-in: distinct traded (part, supplier) pairs with
     key-derived cost and stock — same rows in any engine, any order."""
+    key = (id(spark), sf_dir)
+    if cached and key in _PS_CACHE:
+        return _PS_CACHE[key]
     pairs = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -45,7 +59,7 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.select(
+    ps = pairs.select(
         "ps_partkey",
         "ps_suppkey",
         ((F.col("ps_partkey") * 3 + F.col("ps_suppkey") * 17) % 9999 + 1)
@@ -55,6 +69,10 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(0.01)
         ).alias("ps_supplycost"),
     )
+    if cached:
+        ps = ps.persist()
+        _PS_CACHE[key] = ps
+    return ps
 
 
 def _supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,3 +64,45 @@ def test_salted_join_spreads_hot_key(spark):
     salt = F.pmod(F.xxhash64(F.struct("k", "payload")), F.lit(8))
     n_buckets = hot.select(salt.alias("s")).distinct().count()
     assert n_buckets == 8
+
+
+def test_auto_salted_join_detects_hot_key_and_matches_plain(spark):
+    """95%-hot fixture: detection must surface the hot key, and the
+    adaptive join must return exactly the plain-join result (inner AND
+    left, including unmatched and NULL left keys)."""
+    from mapreduce_4_spark.operators.partitioning import detect_hot_keys
+
+    left = spark.range(20000).select(
+        F.when(F.col("id") % 100 < 95, F.lit(7))
+        .when(F.col("id") % 100 == 99, F.lit(None))
+        .otherwise(F.col("id") % 100 + 1000)  # 1000.. never in right
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    hot = detect_hot_keys(left, "k", hot_threshold=0.5)
+    assert hot == [7]
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        auto = salted_join(left, right, "k", n_salts=4, how=how, auto=True,
+                           hot_threshold=0.5)
+        canon = lambda df: sorted(map(repr, map(tuple, df.collect())))  # noqa: E731
+        assert canon(auto) == canon(plain), how
+
+
+def test_auto_salted_join_without_skew_is_plain_join(spark):
+    """No key over the threshold -> the plan IS the plain join (no salt
+    column, no right-side replication)."""
+    left = spark.range(5000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("payload")
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+    )
+    auto = salted_join(left, right, "k", n_salts=4, auto=True,
+                       hot_threshold=0.3)
+    assert "_salt" not in auto.columns
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, plain.collect()))
