@@ -1,5 +1,6 @@
 from .events_stream import (
     events_stream,
+    stream_click_purchase_full_outer_join,
     stream_click_purchase_join,
     stream_click_purchase_left_join,
     stream_enrich_customers,
@@ -20,6 +21,7 @@ __all__ = [
     "idempotent_parquet_writer",
     "run_foreach_batch",
     "run_stream_to_memory",
+    "stream_click_purchase_full_outer_join",
     "stream_click_purchase_join",
     "stream_click_purchase_left_join",
     "stream_enrich_customers",

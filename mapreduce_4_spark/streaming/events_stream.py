@@ -166,6 +166,38 @@ def stream_click_purchase_left_join(clicks: DataFrame, purchases: DataFrame,
     )
 
 
+def stream_click_purchase_full_outer_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matched pairs as they
+    arrive, plus every unmatched click AND every unmatched purchase once
+    the watermark proves its counterpart can no longer arrive.
+
+    Both sides' eviction semantics are load-bearing: a purchase with no
+    click is only emitted once the click watermark passes purchase_ts
+    (a click can only precede its purchase under the interval bound),
+    and an unmatched click once the purchase watermark passes
+    click_ts + 1h. State stays O(events in the horizon) — the same
+    bound as the inner and left-outer forms above.
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            "c.user_id = p.user_id AND p.ts >= c.ts "
+            "AND p.ts < c.ts + interval 1 hour"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+    )
+
+
 def stream_click_purchase_join(clicks: DataFrame, purchases: DataFrame,
                                watermark: str = "2 hours") -> DataFrame:
     """Stream-stream interval join: purchases within one hour after a

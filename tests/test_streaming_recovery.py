@@ -1,6 +1,9 @@
-"""Round-2 streaming additions: stream-stream LEFT OUTER interval join
-(NULL rows emitted only after the watermark proves no match can arrive)
-and applyInPandasWithState state survival across a checkpoint restart."""
+"""Streaming depth: stream-stream LEFT OUTER and FULL OUTER interval
+joins (NULL rows emitted only after the watermark proves no match can
+arrive), applyInPandasWithState state survival across a checkpoint
+restart — on both the default HDFS-backed state store and the RocksDB
+provider a large deployment would run — and watermark-scoped
+dropDuplicates under at-least-once redelivery."""
 
 from __future__ import annotations
 
@@ -89,6 +92,66 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     assert len(got) == 3, got
 
 
+def test_stream_stream_full_outer_emits_both_unmatched_sides(
+    spark, tmp_path
+):
+    """Full-outer interval join: unmatched CLICKS and unmatched
+    PURCHASES must both surface with NULLs once the watermark proves no
+    counterpart can arrive — and matched rows exactly once."""
+    from mapreduce_4_spark.streaming import (
+        stream_click_purchase_full_outer_join,
+    )
+
+    clicks_dir, purch_dir = tmp_path / "fo_clicks", tmp_path / "fo_purch"
+    clicks_dir.mkdir()
+    purch_dir.mkdir()
+    t0 = time.time() - 1000
+    # era 1: user 1 matches; user 2's click never purchased; user 4's
+    # purchase has no click at all
+    _write_events(str(clicks_dir / "c1.parquet"),
+                  [(10, 1, "2024-06-01 10:00:00", 1.0),
+                   (20, 2, "2024-06-01 10:00:00", 1.0)], t0)
+    _write_events(str(purch_dir / "p1.parquet"),
+                  [(11, 1, "2024-06-01 10:30:00", 5.0),
+                   (41, 4, "2024-06-01 10:15:00", 9.0)], t0)
+    # era 2 advances both watermarks far past era 1
+    _write_events(str(clicks_dir / "c2.parquet"),
+                  [(30, 3, "2024-06-01 20:00:00", 1.0)], t0 + 100)
+    _write_events(str(purch_dir / "p2.parquet"),
+                  [(31, 3, "2024-06-01 20:00:00", 7.0)], t0 + 100)
+
+    def side(d):
+        return (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .select("event_id", "user_id", "ts")
+        )
+
+    joined = stream_click_purchase_full_outer_join(
+        side(clicks_dir), side(purch_dir), watermark="2 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_full_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.table("t_full_outer").collect()
+    }
+    assert (1, 10, 11) in got, got          # matched
+    assert (3, 30, 31) in got, got          # matched same-instant
+    assert (2, 20, None) in got, got        # click-side unmatched
+    assert (4, None, 41) in got, got        # purchase-side unmatched
+    # no speculative NULL twin for rows that DID match
+    assert (1, 10, None) not in got and (1, None, 11) not in got, got
+    assert len(got) == 4, got
+
+
 def _run_user_totals(spark, src_dir: str, out_dir: str, ckpt: str) -> None:
     from mapreduce_4_spark.streaming.stateful import stream_user_totals
 
@@ -148,6 +211,49 @@ def test_apply_in_pandas_with_state_survives_restart(spark, tmp_path):
     assert all(
         r["batch_id"] not in run2_batches for r in rows if r["user_id"] == 8
     ), rows
+
+
+def test_recovery_with_rocksdb_state_store(spark, tmp_path):
+    """The same checkpoint-restart recovery contract, but with the
+    RocksDB state store provider — the provider a 100 TB deployment
+    would run (state spills off-heap to local SST files instead of
+    living in executor heap). Provider choice is fixed per checkpoint
+    at first start, so both runs set it before the query starts."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    src = tmp_path / "rdb_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "rdb_out"), str(tmp_path / "rdb_ckpt")
+    t0 = time.time() - 1000
+    try:
+        spark.conf.set(key, provider)
+        _write_events(str(src / "f1.parquet"),
+                      [(1, 7, "2024-06-01 10:00:00", 1.25),
+                       (2, 7, "2024-06-01 10:10:00", 2.50),
+                       (3, 8, "2024-06-01 10:20:00", 4.00)], t0)
+        _run_user_totals(spark, str(src), out, ckpt)
+        _write_events(str(src / "f2.parquet"),
+                      [(4, 7, "2024-06-01 11:00:00", 3.25),
+                       (5, 9, "2024-06-01 11:10:00", 0.75)], t0 + 100)
+        _run_user_totals(spark, str(src), out, ckpt)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        k = r["user_id"]
+        if k not in latest or r["batch_id"] > latest[k]["batch_id"]:
+            latest[k] = r
+    # cumulative totals across the restart prove RocksDB state recovered
+    assert (latest[7]["total_events"], latest[7]["total_value_cents"]) == (3, 700)
+    assert (latest[8]["total_events"], latest[8]["total_value_cents"]) == (1, 400)
+    assert (latest[9]["total_events"], latest[9]["total_value_cents"]) == (1, 75)
 
 
 def test_drop_duplicates_within_watermark_dedups_redelivery(spark, tmp_path):
