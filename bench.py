@@ -51,16 +51,16 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
     1. ANN crossover: brute-force vs hyperplane-LSH top-k at a 200-query
        load (vs the 5-query headline entry) — the point where bucketed
        candidate generation starts paying for its recall loss.
-    2. Skew join: plain shuffle join vs salted_join on a fact whose join
-       key is 95%-concentrated in one value, with auto-broadcast off so
-       both sides actually shuffle (the 100 TB skew scenario in miniature).
-       Expected reading at sf0.1: plain WINS — the hot partition (~570k
-       rows) still fits one task comfortably and AQE's skew splitting is
-       active, so salting's 8x right-side replication is pure overhead.
-       The A/B exists to track the crossover: salting pays only once a
-       hot key exceeds what a single task can process in acceptable time
-       AND AQE can't split it (e.g. a hot key inside one partition of a
-       non-SMJ plan). Measuring, not guessing, is the point.
+    2. Skew join with OUTPUT amplification: a 95%-hot key meeting a dim
+       with 128 rows per key, auto-broadcast off so both sides shuffle.
+       AQE is blind to this skew — splitting and coalescing both reason
+       on shuffle INPUT bytes, and the hot partition's input is tiny —
+       so the plain join serializes 0.95 x |fact| x 128 output rows in
+       one task, and salting only pays when partition coalescing is
+       disabled for the job (else the salt buckets get merged right
+       back). Expected reading at sf0.1: plain_aqe ~2x slower than
+       salted_hotkeys; salted_coalesce_on WORSE than plain (the trap).
+       Measuring, not guessing, is the point.
     """
     from pyspark.sql import functions as F
 
@@ -116,37 +116,44 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         shutil.rmtree(tmp, ignore_errors=True)
 
-    # skewed fact: 95% of lineitem lands on hot_key=5, the rest spreads
+    # skewed fact: 95% of lineitem lands on hot_key=5, and the dim has
+    # 128 rows per key, so the hot partition of a plain shuffle join must
+    # EMIT 0.95 x |fact| x 128 rows from one task. This is the regime
+    # AQE cannot fix by itself: both skew-join splitting and partition
+    # coalescing reason on shuffle INPUT bytes (tiny here) and are blind
+    # to join OUTPUT amplification — measured below, AQE leaves the plain
+    # join serial, and with coalescing ON it merges the salt buckets
+    # back into one task (ab_skewamp_salted_coalesce_on). The winning
+    # combination is salting the hot key + disabling coalescing for the
+    # job; hot_keys= (from table stats) beats auto= by the sampling pass.
     fact = load_table(spark, SF_DIR, "lineitem").select(
         F.when(F.col("l_orderkey") % 100 < 95, F.lit(5))
         .otherwise(F.col("l_orderkey") % 100).alias("k"),
         "l_quantity",
     )
-    dim = spark.range(100).select(
-        F.col("id").alias("k"), (F.col("id") * 10).alias("payload")
+    dim = spark.range(100 * 128).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") * 10).alias("payload")
     )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        _timed(timings, "ab_skew_join_plain",
+        _timed(timings, "ab_skewamp_plain_aqe",
                fact.join(dim, "k").select("k", "l_quantity", "payload"))
-        _timed(timings, "ab_skew_join_salted",
-               salted_join(fact, dim, "k", n_salts=8)
+        _timed(timings, "ab_skewamp_salted_coalesce_on",
+               salted_join(fact, dim, "k", n_salts=16, hot_keys=[5])
                .select("k", "l_quantity", "payload"))
-        # the regime AQE can't save: skew splitting off (standing in for
-        # plans whose skewed exchange isn't splittable). Here blanket
-        # salting pays and ADAPTIVE salting (sample-detect the hot key,
-        # salt only it) should match or beat it at plain-join cost for
-        # the cold 5%.
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        _timed(timings, "ab_skew_join_plain_noaqe",
-               fact.join(dim, "k").select("k", "l_quantity", "payload"))
-        _timed(timings, "ab_skew_join_auto_noaqe",
-               salted_join(fact, dim, "k", n_salts=8, auto=True,
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "false")
+        _timed(timings, "ab_skewamp_salted_hotkeys",
+               salted_join(fact, dim, "k", n_salts=16, hot_keys=[5])
+               .select("k", "l_quantity", "payload"))
+        _timed(timings, "ab_skewamp_salted_auto",
+               salted_join(fact, dim, "k", n_salts=16, auto=True,
                            hot_threshold=0.2)
                .select("k", "l_quantity", "payload"))
     finally:
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 

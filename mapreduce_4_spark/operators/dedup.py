@@ -100,9 +100,19 @@ def _base31(x: Column) -> Column:
     )
 
 
-def minhash_signature_portable(shingles: Column, k: int = MINHASH_K,
-                               seed: int = 7) -> Column:
-    base = F.transform(shingles, _base31)
+def minhash_signature_from_base(base: Column, k: int = MINHASH_K,
+                                seed: int = 7) -> Column:
+    """Signature from a PRE-COMPUTED base-hash array column.
+
+    The k permutation expressions each reference ``base``; if that were
+    an inline ``transform(shingles, md5...)`` expression, Catalyst would
+    not common-subexpression-eliminate it across the k lambda bodies and
+    every shingle would be md5-hashed k times (observed 3.5x wall-clock
+    on the sf0.1 bench). Callers materialize the base array once — in a
+    separate projection or a persisted intermediate — and pass the
+    column here, restoring the one-string-hash-per-shingle structure of
+    the fast family.
+    """
     coef = _perm_coefficients(k, seed)
     return F.array(*[
         F.array_min(
@@ -110,6 +120,11 @@ def minhash_signature_portable(shingles: Column, k: int = MINHASH_K,
         )
         for a, b in coef
     ])
+
+
+def minhash_signature_portable(shingles: Column, k: int = MINHASH_K,
+                               seed: int = 7) -> Column:
+    return minhash_signature_from_base(F.transform(shingles, _base31), k, seed)
 
 
 def sql_minhash_signature(base_expr: str, k: int = MINHASH_K,
@@ -196,12 +211,25 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
     """
     if hash_family not in ("portable", "fast"):
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    sig_fn = (minhash_signature_portable if hash_family == "portable"
-              else minhash_signature)
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    sh = shingle_sets(docs, n=n).persist()
-    sigs = sh.select("doc_id", sig_fn(F.col("shingles")).alias("signature"))
+    sh = shingle_sets(docs, n=n)
+    if hash_family == "portable":
+        # base md5 hashes land INSIDE the persisted intermediate: each
+        # shingle is string-hashed exactly once, and the 64 affine
+        # permutations below run over cached longs (inlining the md5
+        # into the permutation lambdas defeats CSE — see
+        # minhash_signature_from_base)
+        sh = sh.withColumn("_base", F.transform("shingles", _base31))
+    sh = sh.persist()
+    if hash_family == "portable":
+        sigs = sh.select(
+            "doc_id", minhash_signature_from_base(F.col("_base")).alias("signature")
+        )
+    else:
+        sigs = sh.select(
+            "doc_id", minhash_signature(F.col("shingles")).alias("signature")
+        )
     cands = candidate_pairs(lsh_band_table(sigs))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))

@@ -50,7 +50,8 @@ def detect_hot_keys(df: DataFrame, key: str, hot_threshold: float = 0.05,
 def salted_join(left: DataFrame, right: DataFrame, key: str,
                 n_salts: int = 8, how: str = "inner",
                 auto: bool = False, hot_threshold: float = 0.05,
-                sample_fraction: float = 0.02) -> DataFrame:
+                sample_fraction: float = 0.02,
+                hot_keys: list | None = None) -> DataFrame:
     """Skew-resistant equi-join.
 
     A hot key floods one reducer in a plain hash join. Salting splits
@@ -76,14 +77,33 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     regime AQE's skew splitting can't (a hot key inside one partition
     of a non-splittable plan); when AQE can split, the cost of auto is
     just the bounded sampling pass.
+
+    ``hot_keys=[...]`` is the same split with caller-supplied hot keys
+    (from table statistics or a prior profiling run) — no sampling pass
+    at all. This is the production shape: hot keys in real corpora
+    (null-ish sentinels, default ids, empty strings) are stable across
+    runs and known ahead of time.
+
+    AQE interaction, load-bearing at scale: BOTH of AQE's runtime
+    rewrites reason on shuffle INPUT bytes and are blind to join OUTPUT
+    amplification. Skew-join splitting won't split a hot partition
+    whose input is small but whose join output explodes (a hot key
+    matching many right rows), and partition COALESCING will actively
+    merge the salt buckets back into one task for the same reason —
+    defeating the salt. When salting for an amplified join, disable
+    ``spark.sql.adaptive.coalescePartitions.enabled`` for the job (or
+    set ``minPartitionSize`` below the per-salt input size). Measured
+    in bench.py (``ab_skewamp_*``): with coalescing left on, the salted
+    join collapses back to the plain join's serial hot task.
     """
     if how not in ("inner", "left", "left_outer", "left_semi"):
         raise ValueError(
             f"salted_join supports inner/left/left_semi, got {how!r}: "
             "right-side replication would duplicate unmatched right rows"
         )
-    if auto:
-        hot = detect_hot_keys(left, key, hot_threshold, sample_fraction)
+    if auto or hot_keys is not None:
+        hot = (list(hot_keys) if hot_keys is not None
+               else detect_hot_keys(left, key, hot_threshold, sample_fraction))
         if not hot:
             return left.join(right, key, how)
         is_hot = F.col(key).isin(hot)

@@ -92,6 +92,24 @@ def test_auto_salted_join_detects_hot_key_and_matches_plain(spark):
         assert canon(auto) == canon(plain), how
 
 
+def test_hot_keys_salted_join_matches_plain_without_sampling(spark):
+    """Caller-supplied hot_keys take the same hot/cold split as auto
+    but with zero sampling jobs; result must equal the plain join."""
+    left = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(3))
+        .otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("rv")
+    )
+    got = salted_join(left, right, "k", n_salts=4, hot_keys=[3])
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    # empty hot_keys degenerates to the plain join plan
+    assert "_salt" not in salted_join(left, right, "k", hot_keys=[]).columns
+
+
 def test_auto_salted_join_without_skew_is_plain_join(spark):
     """No key over the threshold -> the plan IS the plain join (no salt
     column, no right-side replication)."""
