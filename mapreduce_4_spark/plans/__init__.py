@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     grouping,
     joins,
     llm_pipeline2,
+    llm_pipeline3,
     maintenance,
     multimodal,
     pipeline_ops,

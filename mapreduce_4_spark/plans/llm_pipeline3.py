@@ -1,0 +1,161 @@
+"""Round-3 LLM-pipeline queries: corpus heavy hitters, greedy sequence
+packing into fixed-token training bins, and deterministic weighted
+sampling — the shard-construction stages downstream of selection, all
+oracle-checked.
+
+Generalizes the reference's combine-then-merge aggregation contract
+(asio_deep/main.cpp:345-431) to corpus-level statistics: every query is
+a partial-aggregate-then-merge or window plan, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.text import sql_words, words
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+_W = sql_words("text")
+
+#: heavy-hitter support threshold: words carrying >= this fraction of
+#: ALL token occurrences. 0.002 of a 100 TB corpus is still a handful
+#: of thousands of survivors — the boilerplate/stop-word detection knob.
+_HH_SUPPORT = 0.002
+
+#: greedy packing capacity in tokens (toy stand-in for a real context
+#: window; the plan shape is capacity-independent).
+_PACK_CAPACITY = 512
+
+
+@register(
+    "heavy_hitter_words",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({_W}) AS word FROM documents
+        ),
+        c AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+        tot AS (SELECT SUM(cnt) AS total FROM c)
+        SELECT c.word, c.cnt,
+               CAST(c.cnt AS DOUBLE) / tot.total AS share
+        FROM c, tot
+        WHERE c.cnt >= {_HH_SUPPORT} * tot.total
+    """,
+    tags=("pipeline", "text", "heavy-hitters"),
+    description="exact heavy hitters: words holding >= 0.2% of all token "
+                "occurrences (boilerplate/stop-word detection). Two-phase "
+                "count + one-row broadcast total; at 100 TB the same plan "
+                "is a map-side-combined agg over ~vocabulary-sized state, "
+                "and the threshold keeps the output tiny by construction.",
+)
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(words("text")).alias("word"))
+    counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(_HH_SUPPORT) * F.col("total"))
+        .select(
+            "word",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        )
+    )
+
+
+@register(
+    "pack_documents_bins",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len({_W}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor((cum - n_tokens) / {_PACK_CAPACITY}) AS BIGINT)
+                   AS bin_id,
+               cum - n_tokens AS bin_offset
+        FROM c
+    """,
+    tags=("pipeline", "packing"),
+    description="greedy sequence packing: stream each language's docs in "
+                "doc_id order into fixed-capacity token bins; a doc's bin "
+                "is where its tokens START in the concatenated stream "
+                "(docs may span a boundary — the packed-sequence "
+                "construction used for LLM training shards). Pure window "
+                "cumsum: one shuffle per language partition, integer-only "
+                "output, embarrassingly scalable.",
+)
+def pack_documents_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(words("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start / F.lit(_PACK_CAPACITY)).cast("long").alias("bin_id"),
+        start.alias("bin_offset"),
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+        WITH k AS (
+            SELECT doc_id, lang, n_chars,
+                   ln((CAST(CAST('0x' || substring(
+                           md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8)
+                       AS BIGINT) AS DOUBLE) + 1) / 4294967297.0)
+                   / n_chars AS key
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, lang, n_chars
+        FROM k ORDER BY key DESC, doc_id LIMIT 100
+    """,
+    tags=("pipeline", "sampling"),
+    description="weighted sampling without replacement "
+                "(Efraimidis-Spirakis): per-doc key ln(u)/w with w = "
+                "n_chars and u md5-derived from doc_id — deterministic, "
+                "partition-independent, reproducible in any engine. "
+                "Top-k by key IS the weighted sample; ln(u)/w is the "
+                "monotone log-domain form of u^(1/w). TakeOrderedAndProject "
+                "(per-partition heads + one merge) — no global sort.",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                       F.lit(":ws"))), 1, 8),
+            16, 10,
+        ).cast("double")
+        + 1
+    ) / F.lit(4294967297.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.withColumn("_key", key)
+        .orderBy(F.desc("_key"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
+    )

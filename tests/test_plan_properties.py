@@ -204,3 +204,29 @@ def test_q8_seven_relation_star_single_exchange(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "q8_market_share")
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_weighted_sample_uses_take_ordered(spark, sf_oracle):
+    # the weighted sample is a top-k by sampling key: per-partition heads
+    # + one merge, never a global sort of the corpus
+    plan = _plan(spark, sf_oracle, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pack_documents_single_exchange(spark, sf_oracle):
+    # greedy packing is one window over (lang): exactly one shuffle,
+    # no join, no global sort
+    plan = _plan(spark, sf_oracle, "pack_documents_bins")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_heavy_hitters_total_arrives_by_broadcast(spark, sf_oracle):
+    # the corpus-total threshold joins in as a one-row broadcast, not a
+    # second aggregation pass over the token table
+    plan = _plan(spark, sf_oracle, "heavy_hitter_words")
+    assert "BroadcastNestedLoopJoin" in plan
+    # token counting combines map-side before its exchange
+    partial = plan.index("partial_count")
+    assert plan.index("Exchange") < partial
