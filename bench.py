@@ -116,6 +116,26 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # clustered-vs-plain selective scan: the same narrow user_id range
+    # read from a plain snapshot (every file scanned) and from a
+    # clustered one (range-partitioned + sorted on user_id, so parquet
+    # min/max footer stats skip all but ~one file). The one-time sorted
+    # write is paid OUTSIDE the timing, same logic as the bucketed join.
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    tmp2 = tempfile.mkdtemp(prefix="bench_clustered_")
+    try:
+        write_version(ev, f"{tmp2}/plain")
+        write_version(ev, f"{tmp2}/sorted", sort_by=["user_id"], n_files=32)
+        pl = read_version(spark, f"{tmp2}/plain")
+        cl = read_version(spark, f"{tmp2}/sorted")
+        lo = 1000
+        _timed(timings, "ab_scan_plain",
+               pl.filter((F.col("user_id") >= lo) & (F.col("user_id") < lo + 50)))
+        _timed(timings, "ab_scan_clustered",
+               cl.filter((F.col("user_id") >= lo) & (F.col("user_id") < lo + 50)))
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+
     # skewed fact: 95% of lineitem lands on hot_key=5, and the dim has
     # 128 rows per key, so the hot partition of a plain shuffle join must
     # EMIT 0.95 x |fact| x 128 rows from one task. This is the regime

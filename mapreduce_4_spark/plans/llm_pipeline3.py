@@ -118,6 +118,73 @@ def pack_documents_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_lm_score_docs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_W} AS w FROM documents
+        ),
+        e AS (
+            SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+            FROM t, unnest(range(1, len(w))) AS r(i)
+            WHERE len(w) >= 2
+        ),
+        cu AS (SELECT w1, COUNT(*) AS n1 FROM e GROUP BY w1),
+        cb AS (SELECT w1, w2, COUNT(*) AS n2 FROM e GROUP BY w1, w2),
+        p AS (
+            SELECT cb.w1, cb.w2, cb.n2 / cu.n1 AS prob
+            FROM cb JOIN cu USING (w1)
+        )
+        SELECT e.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CAST(p.prob AS DECIMAL(18,15))) AS DOUBLE)
+                   / COUNT(*) AS mean_bigram_p
+        FROM e JOIN p ON e.w1 = p.w1 AND e.w2 = p.w2
+        GROUP BY e.doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+    description="statistical quality score: train a word-bigram LM on the "
+                "corpus itself (P(w2|w1) = bigram count / prefix count) "
+                "and score each doc by its mean bigram probability — "
+                "fluent/common text scores high, gibberish and boilerplate "
+                "outliers surface at the tails. Per-row probabilities are "
+                "single IEEE divisions (deterministic); the per-doc sum "
+                "goes through DECIMAL(18,15) so accumulation order can't "
+                "change the hash. Train and score are the same two "
+                "aggregate passes at any scale.",
+)
+def bigram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    ).filter(F.size("w") >= 2)
+    bi = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.struct(
+            F.element_at("w", i).alias("w1"),
+            F.element_at("w", i + 1).alias("w2"),
+        ),
+    )
+    e = docs.select("doc_id", F.explode(bi).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    cu = e.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    cb = e.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    p = cb.join(cu, "w1").select(
+        "w1", "w2", (F.col("n2") / F.col("n1")).alias("prob")
+    )
+    return (
+        e.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.col("prob").cast("decimal(18,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_bigram_p"),
+        )
+    )
+
+
+@register(
     "weighted_sample_docs",
     oracle="""
         WITH k AS (

@@ -99,7 +99,8 @@ def _catalog_name(table_dir: str, version: int) -> str:
 def write_version(df: DataFrame, table_dir: str,
                   bucket_by: list[str] | None = None,
                   n_buckets: int | None = None,
-                  sort_by: list[str] | None = None) -> int:
+                  sort_by: list[str] | None = None,
+                  n_files: int | None = None) -> int:
     """Publish a new immutable snapshot; returns its version number.
 
     With ``bucket_by``/``n_buckets``, the snapshot is hash-bucketed (and
@@ -108,6 +109,15 @@ def write_version(df: DataFrame, table_dir: str,
     equi-join/aggregation on the bucket keys exchange-free — the 100 TB
     alternative to re-shuffling the fact table per query. The bucket
     spec is recorded in the manifest so any session can rebind it.
+
+    With ``sort_by`` alone, the snapshot is CLUSTERED: range-partitioned
+    across ``n_files`` files (default: the session's shuffle
+    parallelism) and sorted within each, so every file covers a narrow,
+    near-disjoint range of the sort keys. Parquet min/max footer stats
+    then let any engine skip whole files/row-groups on selective
+    sort-key predicates — the 1-D form of what OPTIMIZE ZORDER does in
+    lakehouse formats, and the layout knob that turns a full-corpus scan
+    into a targeted one at 100 TB.
     """
     _check_local(table_dir)
     table_dir = _strip_scheme(table_dir)
@@ -127,6 +137,13 @@ def write_version(df: DataFrame, table_dir: str,
             .saveAsTable(_catalog_name(table_dir, version))
         )
     else:
+        if sort_by:
+            n = n_files or df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+            df = df.repartitionByRange(int(n), *sort_by).sortWithinPartitions(
+                *sort_by
+            )
         df.write.mode("errorifexists").parquet(data_dir)
     # exact count from the footers just written — no second data scan
     row_count = _footer_row_count(data_dir)
@@ -138,7 +155,7 @@ def write_version(df: DataFrame, table_dir: str,
         "schema": df.schema.jsonValue(),
         "bucket_by": bucket_by,
         "n_buckets": n_buckets,
-        "sort_by": (sort_by or bucket_by) if bucket_by else None,
+        "sort_by": (sort_by or bucket_by) if bucket_by else sort_by,
     }
     # manifest written last = the publish point
     with open(_manifest_path(table_dir, version), "w") as fh:

@@ -108,3 +108,51 @@ def test_bucketed_snapshot_roundtrip_and_manifest(spark, sf_smoke, tmp_path):
     got = read_version(spark, tdir)
     assert got.count() == base.count()
     assert sorted(got.columns) == sorted(base.columns)
+
+
+def test_clustered_snapshot_files_cover_disjoint_ranges(spark, sf_smoke, tmp_path):
+    """sort_by without buckets = clustered layout: every parquet file
+    covers a near-disjoint range of the sort key, so min/max footer
+    stats can skip whole files on selective predicates."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "t")
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    write_version(ev, tdir, sort_by=["user_id"], n_files=8)
+    m = read_manifest(tdir, 1)
+    assert m["sort_by"] == ["user_id"] and m["bucket_by"] is None
+
+    data_dir = os.path.join(tdir, "v=000001")
+    ranges = []
+    for f in sorted(os.listdir(data_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(data_dir, f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "user_id"
+        )
+        los, his = zip(*(
+            (md.row_group(g).column(idx).statistics.min,
+             md.row_group(g).column(idx).statistics.max)
+            for g in range(md.num_row_groups)
+        ))
+        ranges.append((min(los), max(his)))
+    assert len(ranges) >= 4
+    # ranges are non-overlapping except possibly at shared boundary keys
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert lo_b >= hi_a, ranges
+
+    # data intact, and a point read touches a single file's range
+    got = read_version(spark, tdir)
+    assert got.count() == ev.count()
+    probe = ev.agg(F.min("user_id")).first()[0]
+    assert (
+        got.filter(F.col("user_id") == probe).count()
+        == ev.filter(F.col("user_id") == probe).count()
+    )
