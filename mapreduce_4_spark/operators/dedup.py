@@ -243,6 +243,64 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
     )
 
 
+def _portable_shingle_table(docs: DataFrame, n: int) -> DataFrame:
+    """Persisted (doc_id, shingles, _base) under the portable family —
+    each shingle md5-hashed exactly once (see minhash_signature_from_base)."""
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        shingle_sets(docs, n=n)
+        .withColumn("_base", F.transform("shingles", _base31))
+        .persist()
+    )
+
+
+def minhash_incremental_neardup(base_docs: DataFrame, delta_docs: DataFrame,
+                                threshold: float = 0.8,
+                                n: int = 3) -> DataFrame:
+    """Near-dups of a DELTA batch against an existing BASE corpus.
+
+    The production dedup shape: a new crawl lands and must be checked
+    against the accumulated corpus WITHOUT re-pairing the corpus against
+    itself. Candidates come from joining the delta's LSH band table to
+    the base's band table only — cost O(|delta| x bands) shuffled rows
+    plus true bucket collisions, never O(|base|^2) and never base x base;
+    at 100 TB the base band table is materialized once (e.g. a snapshot
+    bucketed on (band, band_hash) via sources/versioned.py) and every
+    incoming delta probes it. Uses the portable md5-seeded family, so
+    the whole pipeline — candidate set and exact-Jaccard verify — is
+    reproducible in any engine. Returns (delta_id, base_id, jaccard_sim).
+    """
+    sh_b = _portable_shingle_table(base_docs, n)
+    sh_d = _portable_shingle_table(delta_docs, n)
+
+    def _bands(sh: DataFrame) -> DataFrame:
+        sigs = sh.select(
+            "doc_id", minhash_signature_from_base(F.col("_base")).alias("signature")
+        )
+        return lsh_band_table(sigs)
+
+    cands = (
+        _bands(sh_d).select(F.col("doc_id").alias("delta_id"), "band", "band_hash")
+        .join(
+            _bands(sh_b).select(F.col("doc_id").alias("base_id"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    sd = sh_d.select(F.col("doc_id").alias("delta_id"), F.col("shingles").alias("sh_d"))
+    sb = sh_b.select(F.col("doc_id").alias("base_id"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sd, "delta_id").join(sb, "base_id")
+        .select(
+            "delta_id", "base_id",
+            jaccard(F.col("sh_d"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
 @pandas_udf(LongType())
 def simhash64(words_series: pd.Series) -> pd.Series:
     """64-bit SimHash of a token array (Arrow-batched pandas UDF).

@@ -169,6 +169,50 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_neardup_docs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS sh
+            FROM t WHERE len(w) >= 3
+        ),
+        b AS (SELECT doc_id, sh, {_SQL_BASE31} AS base FROM s),
+        g AS (SELECT doc_id, sh, {sql_minhash_signature('base')} AS sig FROM b),
+        cand AS (
+            SELECT a.doc_id AS delta_id, c.doc_id AS base_id,
+                   a.sh AS sh_d, c.sh AS sh_b
+            FROM g a JOIN g c
+              ON a.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+             AND ({_SQL_BAND_MATCH})
+        )
+        SELECT delta_id, base_id, jaccard_sim FROM (
+            SELECT delta_id, base_id,
+                   CAST(len(list_intersect(sh_d, sh_b)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sh_d, sh_b))) AS jaccard_sim
+            FROM cand
+        ) WHERE jaccard_sim >= 0.8
+    """,
+    tags=("dedup", "lsh", "incremental"),
+    description="incremental MinHash-LSH dedup: the delta slice (doc_id % "
+                "10 = 0, standing in for a new crawl batch) checked against "
+                "the base corpus only — delta bands probe base bands, never "
+                "base x base. The production shape where the base band table "
+                "is materialized once and each arriving batch probes it.",
+)
+def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.dedup import minhash_incremental_neardup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return minhash_incremental_neardup(base, delta, threshold=0.8)
+
+
+@register(
     "simhash_near_pairs",
     oracle=f"""
         WITH t AS (

@@ -100,7 +100,8 @@ def write_version(df: DataFrame, table_dir: str,
                   bucket_by: list[str] | None = None,
                   n_buckets: int | None = None,
                   sort_by: list[str] | None = None,
-                  n_files: int | None = None) -> int:
+                  n_files: int | None = None,
+                  batch_id: int | None = None) -> int:
     """Publish a new immutable snapshot; returns its version number.
 
     With ``bucket_by``/``n_buckets``, the snapshot is hash-bucketed (and
@@ -156,6 +157,9 @@ def write_version(df: DataFrame, table_dir: str,
         "bucket_by": bucket_by,
         "n_buckets": n_buckets,
         "sort_by": (sort_by or bucket_by) if bucket_by else sort_by,
+        # provenance for exactly-once streaming sinks: which micro-batch
+        # produced this snapshot (see streaming/foreach_batch.py)
+        "batch_id": batch_id,
     }
     # manifest written last = the publish point
     with open(_manifest_path(table_dir, version), "w") as fh:

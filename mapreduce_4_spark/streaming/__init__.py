@@ -13,6 +13,7 @@ from .foreach_batch import (
     fanout_writer,
     idempotent_parquet_writer,
     run_foreach_batch,
+    versioned_upsert_sink,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "stream_dedup_events",
     "stream_session_windows",
     "stream_tumbling_counts",
+    "versioned_upsert_sink",
 ]

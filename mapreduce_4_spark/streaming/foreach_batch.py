@@ -88,3 +88,46 @@ def run_foreach_batch(stream_df: DataFrame,
         .start()
     )
     q.awaitTermination()
+
+
+def versioned_upsert_sink(table_dir: str, key: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink merging each micro-batch into a snapshot-
+    versioned table (sources/versioned.py) with exactly-once republish
+    protection.
+
+    Each batch keyed-upserts into the latest snapshot and publishes a
+    NEW version whose manifest records the ``batch_id``. On redelivery
+    (crash between sink write and checkpoint commit), the batch_id is
+    already present in the table's history and the write is skipped —
+    the upsert is idempotent at the table level, so the stream gets
+    exactly-once semantics on top of an at-least-once callback, and the
+    table keeps time travel across the whole ingestion history.
+
+    Scale: the upsert is one full-outer-join-shaped merge per batch
+    (operators/maintenance.py); the history scan for replay detection is
+    O(versions) manifest reads, pure metadata.
+    """
+    from mapreduce_4_spark.operators.maintenance import upsert
+    from mapreduce_4_spark.sources.versioned import (
+        list_versions,
+        read_manifest,
+        read_version,
+        write_version,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versions = list_versions(table_dir)
+        published = {
+            read_manifest(table_dir, v).get("batch_id") for v in versions
+        }
+        if batch_id in published:
+            return  # redelivered batch: already merged, skip
+        if versions:
+            merged = upsert(
+                read_version(batch_df.sparkSession, table_dir), batch_df, key
+            )
+        else:
+            merged = batch_df
+        write_version(merged, table_dir, batch_id=batch_id)
+
+    return write_batch

@@ -159,3 +159,24 @@ def test_connected_components_raises_when_not_converged(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_incremental_neardup_only_reports_delta_vs_base(spark):
+    """base x base near-dups must NOT surface; delta x base must; and
+    the candidate path stays join-shaped (no cartesian)."""
+    from mapreduce_4_spark.operators.dedup import minhash_incremental_neardup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    base = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words entirely "
+                                   "unrelated content here today")],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame([(100, text)], ["doc_id", "text"])
+    out = minhash_incremental_neardup(base, delta, threshold=0.8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = {(r["delta_id"], r["base_id"]) for r in out.collect()}
+    # doc 1 and 2 are identical base-side dups: not this operator's job
+    assert (1, 2) not in rows and (2, 1) not in rows
+    assert rows == {(100, 1), (100, 2)}

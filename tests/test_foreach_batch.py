@@ -83,3 +83,69 @@ def test_fanout_two_sinks_consistent(spark, sf_smoke, tmp_path):
         (r["user_id"], r["batch_id"]): r["n_events"] for r in agg_df.collect()
     }
     assert raw_counts == agg_counts
+
+
+def test_versioned_upsert_sink_exactly_once_with_time_travel(spark, sf_smoke, tmp_path):
+    """Stream micro-batches merge into a versioned table: final snapshot
+    equals the batch-twin aggregate, redelivery is a no-op, and history
+    keeps one version per real batch (time travel over ingestion)."""
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+        read_version,
+    )
+    from mapreduce_4_spark.streaming import versioned_upsert_sink
+
+    tdir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    # per-user running totals, one row per user per batch (update mode)
+    agg = (
+        _stream(spark, sf_smoke)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(versioned_upsert_sink(tdir, "user_id"))
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    v = latest_version(tdir)
+    assert v is not None and v >= 1
+    expected = {
+        (r["user_id"], r["n_events"])
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")).collect()
+    }
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in read_version(spark, tdir).collect()
+    }
+    assert got == expected
+
+    # redeliver the last published batch by hand with GARBAGE data: the
+    # batch_id is in history, so the table must not move
+    last_bid = read_manifest(tdir, v)["batch_id"]
+    garbage = spark.createDataFrame([(999999, -1)], ["user_id", "n_events"])
+    versioned_upsert_sink(tdir, "user_id")(garbage, last_bid)
+    assert latest_version(tdir) == v
+    assert {
+        (r["user_id"], r["n_events"])
+        for r in read_version(spark, tdir).collect()
+    } == expected
+
+    # a genuinely new batch advances the table and history remembers both
+    versioned_upsert_sink(tdir, "user_id")(garbage, last_bid + 1)
+    assert latest_version(tdir) == v + 1
+    assert (999999, -1) in {
+        (r["user_id"], r["n_events"])
+        for r in read_version(spark, tdir).collect()
+    }
+    # time travel: the pre-garbage snapshot is intact
+    assert {
+        (r["user_id"], r["n_events"])
+        for r in read_version(spark, tdir, version=v).collect()
+    } == expected
