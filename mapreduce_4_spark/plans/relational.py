@@ -116,3 +116,37 @@ def scan_all_tables_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+@register(
+    "unpivot_orders_metrics",
+    oracle="""
+        SELECT o_orderkey, 'totalprice' AS metric,
+               CAST(o_totalprice AS DOUBLE) AS val
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'orderyear',
+               CAST(CAST(year(o_orderdate) AS BIGINT) AS DOUBLE)
+        FROM orders
+    """,
+    tags=("relational", "unpivot"),
+    description="UNPIVOT/melt: wide per-order metrics to long "
+                "(order, metric, value) triples via Spark's native "
+                "unpivot operator (Expand under the hood — one scan, no "
+                "join, no shuffle), the inverse of pivot_priority_by_status.",
+)
+def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+        F.year("o_orderdate").cast("double").alias("orderyear"),
+    )
+    return od.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey", "orderyear"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -198,3 +198,83 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
         ) t
         """
     )
+
+
+@register(
+    "forward_fill_events",
+    oracle="""
+        WITH g AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+            FROM events
+        )
+        SELECT event_id, user_id, v AS value_gapped,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled
+        FROM g
+    """,
+    tags=("window", "timeseries"),
+    description="forward fill (last-observation-carried-forward): gaps "
+                "are synthesized by nulling every 7th event, then filled "
+                "with last(... ignorenulls) over the per-user timeline — "
+                "the sensor/telemetry gap-repair primitive. One shuffle "
+                "on user_id; leading nulls stay null in both engines.",
+)
+def forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        v.alias("value_gapped"),
+        F.last(v, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+#: exact decay weights 0.9^i as decimal strings (9^i has exactly i
+#: digits for i <= 21, so "0." + str(9**i) IS 0.9^i with no float error)
+_DECAY_WEIGHTS = ["1"] + [f"0.{9**i}" for i in range(1, 8)]
+
+
+@register(
+    "windowed_decay_sum_events",
+    oracle=f"""
+        SELECT event_id, user_id,
+               CAST({" + ".join(
+                   f"COALESCE(lag(CAST(value AS DECIMAL(18,2)), {i}) OVER ("
+                   f"PARTITION BY user_id ORDER BY ts, event_id), 0) * {w}"
+                   for i, w in enumerate(_DECAY_WEIGHTS)
+               )} AS DOUBLE) AS decay_sum
+        FROM events
+    """,
+    tags=("window", "timeseries"),
+    description="exponentially-decayed rolling sum over the last 8 events "
+                "per user (weights 0.9^i as exact decimal literals, values "
+                "through DECIMAL(18,2)) — the EWMA-shaped feature that is "
+                "bit-identical across engines because every product and "
+                "sum is exact decimal arithmetic, cast to double once at "
+                "the end. Single window shuffle, 8 lags, no recursion.",
+)
+def windowed_decay_sum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = dec("value")
+    zero = F.lit("0").cast("decimal(18,2)")
+    terms = [
+        F.coalesce(F.lag(base, i).over(w), zero)
+        * F.lit(wt).cast(f"decimal({len(wt)},{max(len(wt) - 2, 0)})")
+        for i, wt in enumerate(_DECAY_WEIGHTS)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return ev.select(
+        "event_id", "user_id", total.cast("double").alias("decay_sum")
+    )
