@@ -138,3 +138,80 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm(v).alias("l2_norm"),
         dot(v, v).alias("sq_norm"),
     )
+
+
+_IVF_K = 8        # coarse clusters
+_IVF_NPROBE = 2   # inverted lists probed per query
+
+
+@register(
+    "similarity_ivf_topk_seeded",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        cent AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, e AS c
+            FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {_IVF_K})
+        ),
+        assigned AS (
+            SELECT vec_id, e, cid AS cluster FROM (
+                SELECT v.vec_id, v.e, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.e, c.c) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM emb v CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, qe, cid AS cluster FROM (
+                SELECT q.vec_id AS query_id, q.e AS qe, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.e, c.c) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM emb q CROSS JOIN cent c
+                WHERE q.vec_id < {_N_QUERIES}
+            ) WHERE rn <= {_IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id,
+                   list_cosine_similarity(p.qe, a.e) AS cosine_sim
+            FROM probes p JOIN assigned a ON p.cluster = a.cluster
+            WHERE p.query_id <> a.vec_id
+        )
+        SELECT query_id, vec_id, cosine_sim, rank FROM (
+            SELECT cand.*,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, vec_id
+                   ) AS rank
+            FROM cand
+        ) WHERE rank <= {_K}
+    """,
+    tags=("similarity", "ivf"),
+    description="IVF ANN with a FIXED coarse quantizer (centroids = the "
+                f"{_IVF_K} lowest-id vectors, zero Lloyd rounds): the "
+                "index-build/index-search split with a deterministic "
+                "index, so the whole probed search — assignment, "
+                "nprobe=2 probe selection, within-list exact rerank — is "
+                "reproduced bit-for-bit by the DuckDB oracle "
+                "(list_cosine_similarity parity, functions/vectors.py). "
+                "The Lloyd-trained variant is similarity_ivf_topk "
+                "(rows-only; recall property-tested). Scale: centroids "
+                "broadcast, corpus contact = nprobe/k of brute force.",
+)
+def similarity_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.ann_ivf import ivf_topk, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = train_centroids(emb, k=_IVF_K, iters=0)
+    return ivf_topk(
+        emb, queries, k=_K, nprobe=_IVF_NPROBE, centroids=cent
+    )

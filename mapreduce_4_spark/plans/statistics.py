@@ -128,30 +128,80 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quantiles checked and the folded rank slack. percentile_approx with
+#: accuracy 10_000 guarantees rank error <= n/10_000; the check allows
+#: +-2% of n — ~130x that guarantee — so only a broken sketch (not a
+#: version-to-version wobble) can flip a flag. Same fold-the-check
+#: pattern as approx_distinct_users: the oracle expects literal TRUE.
+_SKETCH_QS = (0.25, 0.5, 0.75, 0.99)
+_SKETCH_SLACK = 0.02
+
+
 @register(
     "percentile_sketch_prices",
-    oracle=None,  # sketch internals differ across engines; bounds and
-    # monotonicity are property-tested in tests/test_advanced_rel.py
+    oracle="""
+        SELECT o_orderstatus,
+               TRUE AS ok_p25, TRUE AS ok_p50,
+               TRUE AS ok_p75, TRUE AS ok_p99
+        FROM orders GROUP BY o_orderstatus
+    """,
     tags=("aggregate", "statistics", "approx"),
     description="approx percentiles (p25/p50/p75/p99) of order prices per "
-                "status — the quantile-sketch path for 100 TB distributions",
+                "status — the quantile-sketch path for 100 TB "
+                "distributions. Oracled by folding the guarantee: each "
+                "sketch value must lie between the EXACT order statistics "
+                "at ranks (q-2%)n and (q+2%)n (rank-window check, ~130x "
+                "the sketch's n/10000 error bound), so the oracle row is "
+                "literal TRUE per quantile. Bounds/monotonicity also "
+                "property-tested in tests/test_advanced_rel.py.",
 )
 def percentile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    pct = F.percentile_approx(
-        "o_totalprice", [0.25, 0.5, 0.75, 0.99], 10_000
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderkey"
     )
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(pct.alias("p"))
-        .select(
-            "o_orderstatus",
-            F.col("p")[0].alias("p25"),
-            F.col("p")[1].alias("p50"),
-            F.col("p")[2].alias("p75"),
-            F.col("p")[3].alias("p99"),
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    # exact order statistics at the slack-widened ranks: value_at(rank k)
+    # = MAX(price WHERE rn = k) because rn is dense within the group
+    def at_rank(rank_expr):
+        return F.max(F.when(F.col("rn") == rank_expr, F.col("o_totalprice")))
+
+    aggs = [
+        F.percentile_approx("o_totalprice", list(_SKETCH_QS), 10_000).alias("p")
+    ]
+    for q in _SKETCH_QS:
+        lo = F.greatest(
+            F.lit(1),
+            F.floor(F.col("n") * F.lit(q - _SKETCH_SLACK)).cast("long"),
         )
-    )
+        hi = F.least(
+            F.col("n"),
+            F.ceil(F.col("n") * F.lit(q + _SKETCH_SLACK)).cast("long"),
+        )
+        tag = str(int(q * 100))
+        aggs.append(at_rank(lo).alias(f"lo_{tag}"))
+        aggs.append(at_rank(hi).alias(f"hi_{tag}"))
+
+    g = ranked.groupBy("o_orderstatus").agg(*aggs)
+    checks = [
+        (
+            (F.col("p")[i] >= F.col(f"lo_{str(int(q * 100))}"))
+            & (F.col("p")[i] <= F.col(f"hi_{str(int(q * 100))}"))
+        ).alias(f"ok_p{str(int(q * 100))}")
+        for i, q in enumerate(_SKETCH_QS)
+    ]
+    return g.select("o_orderstatus", *checks)
 
 
 @register(

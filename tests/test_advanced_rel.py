@@ -13,27 +13,47 @@ def test_approx_count_distinct_bounded_error(spark, sf_oracle):
 
 
 def test_percentile_sketch_properties(spark, sf_oracle):
-    """Sketch quantiles: ordered in p, bounded by min/max, and close to
-    exact numpy quantiles at this accuracy."""
+    """The registered query folds the rank-window check (flags must all
+    be TRUE); the raw sketch values are additionally checked here for
+    ordering, min/max bounds, and closeness to exact numpy quantiles."""
     import numpy as np
+    from pyspark.sql import functions as F
 
     from mapreduce_4_spark.plans.statistics import percentile_sketch_prices
     from mapreduce_4_spark.sources import load_table
 
-    got = {r["o_orderstatus"]: r for r in
-           percentile_sketch_prices(spark, sf_oracle).collect()}
-    orders = load_table(spark, sf_oracle, "orders").select(
-        "o_orderstatus", "o_totalprice"
-    ).collect()
+    for r in percentile_sketch_prices(spark, sf_oracle).collect():
+        for k in ("ok_p25", "ok_p50", "ok_p75", "ok_p99"):
+            assert r[k] is True, (r["o_orderstatus"], k)
+
+    orders = load_table(spark, sf_oracle, "orders")
+    got = {
+        r["o_orderstatus"]: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75, 0.99], 10_000
+            ).alias("p")
+        )
+        .select(
+            "o_orderstatus",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p75"),
+            F.col("p")[3].alias("p99"),
+        )
+        .collect()
+    }
+    rows = orders.select("o_orderstatus", "o_totalprice").collect()
     by_status: dict = {}
-    for r in orders:
+    for r in rows:
         by_status.setdefault(r["o_orderstatus"], []).append(r["o_totalprice"])
     for status, vals in by_status.items():
         r = got[status]
         assert min(vals) <= r["p25"] <= r["p50"] <= r["p75"] <= r["p99"] <= max(vals)
         exact = np.quantile(vals, [0.25, 0.5, 0.75])
         for k, e in zip(("p25", "p50", "p75"), exact):
-            assert abs(r[k] - e) / e < 0.05, (status, k, r[k], e)
+            assert abs(float(r[k]) - e) / e < 0.05, (status, k, r[k], e)
 
 
 def test_rdd_wordcount_equals_dataframe_flagship(spark, sf_smoke):
