@@ -108,3 +108,37 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     return agg.select(
         F.expr(f"stack({len(names)}, {pairs}) AS (rule, violations)")
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  compare: list[str]) -> DataFrame:
+    """Change data feed between two snapshots of a keyed table: one row
+    per changed key with ``op`` in ('I', 'U', 'D'), the compared columns
+    from BOTH sides (``old_*`` / ``new_*``), unchanged keys dropped.
+
+    This is the engine-level CDC primitive Delta's ``table_changes`` /
+    Iceberg's changelog scan expose: a single full-outer join on the key
+    — ONE shuffle at any scale (both sides hash-partitioned by key; with
+    snapshots bucketed on the key, see sources/versioned.py, even that
+    exchange disappears). Update detection is null-safe column equality
+    (``<=>``), so NULL -> value and value -> NULL both count as updates.
+    """
+    o = old.select(key, *compare).alias("o")
+    n = new.select(key, *compare).alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    same = None
+    for c in compare:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    op = (
+        F.when(F.col(f"n.{key}").isNull(), F.lit("D"))
+        .when(F.col(f"o.{key}").isNull(), F.lit("I"))
+        .when(~same, F.lit("U"))
+    )
+    out = joined.select(
+        op.alias("op"),
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        *[F.col(f"o.{c}").alias(f"old_{c}") for c in compare],
+        *[F.col(f"n.{c}").alias(f"new_{c}") for c in compare],
+    )
+    return out.filter(F.col("op").isNotNull())

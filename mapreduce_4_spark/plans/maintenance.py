@@ -179,3 +179,68 @@ def incremental_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_orders").alias("n_orders"),
         )
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        v2 AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN o_totalprice + 1000 ELSE o_totalprice
+                   END AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 <> 1
+            UNION ALL
+            SELECT o_orderkey + 100000000, 'N',
+                   CAST(1.00 AS DECIMAL(15,2))
+            FROM orders WHERE o_orderkey % 101 = 3
+        )
+        SELECT CASE WHEN n.o_orderkey IS NULL THEN 'D'
+                    WHEN o.o_orderkey IS NULL THEN 'I'
+                    ELSE 'U' END AS op,
+               COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.o_orderstatus AS old_o_orderstatus,
+               o.o_totalprice AS old_o_totalprice,
+               n.o_orderstatus AS new_o_orderstatus,
+               n.o_totalprice AS new_o_totalprice
+        FROM v1 o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey
+        WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+    tags=("maintenance", "cdc", "join"),
+    description="change data feed between two table snapshots "
+                "(operators.maintenance.snapshot_diff — Delta "
+                "table_changes / Iceberg changelog shape): v2 simulates "
+                "the next publish with every-10th price corrections, "
+                "every-97th deletes, and every-101st synthetic inserts; "
+                "the diff is ONE full-outer join on the key emitting "
+                "I/U/D rows with null-safe update detection. The same "
+                "primitive reads real published versions via "
+                "sources.versioned.table_changes (tested in "
+                "tests/test_versioned_tables.py).",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.maintenance import snapshot_diff
+
+    v1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = v1.filter(F.col("o_orderkey") % 97 != 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1000
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        v1.filter(F.col("o_orderkey") % 101 == 3).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit("1.00").cast("decimal(15,2)").alias("o_totalprice"),
+        )
+    )
+    return snapshot_diff(
+        v1, v2, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )

@@ -254,3 +254,22 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
         os.remove(_manifest_path(table_dir, v))
         shutil.rmtree(_data_dir(table_dir, v), ignore_errors=True)
     return doomed
+
+
+def table_changes(spark: SparkSession, table_dir: str, key: str,
+                  from_version: int, to_version: int | None = None,
+                  compare: list[str] | None = None) -> DataFrame:
+    """Change data feed between two published versions (CDC read):
+    Delta's ``table_changes`` / Iceberg changelog scan over this table
+    format, computed as one full-outer join of the two snapshots
+    (operators.maintenance.snapshot_diff). ``compare`` defaults to every
+    non-key column of the newer snapshot."""
+    from mapreduce_4_spark.operators.maintenance import snapshot_diff
+
+    if to_version is None:
+        to_version = latest_version(table_dir)
+    old = read_version(spark, table_dir, from_version)
+    new = read_version(spark, table_dir, to_version)
+    if compare is None:
+        compare = [c for c in new.columns if c != key]
+    return snapshot_diff(old, new, key, compare)

@@ -156,3 +156,52 @@ def test_clustered_snapshot_files_cover_disjoint_ranges(spark, sf_smoke, tmp_pat
         got.filter(F.col("user_id") == probe).count()
         == ev.filter(F.col("user_id") == probe).count()
     )
+
+
+def test_table_changes_cdc_between_published_versions(spark, sf_smoke, tmp_path):
+    """CDC over real published versions: upsert_version then
+    table_changes(v1 -> v2) reports exactly the upserted keys as 'U'
+    (values actually changed) and nothing else for untouched keys."""
+    from mapreduce_4_spark.sources.versioned import table_changes
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    write_version(base, tdir)
+    updates = base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 7
+    )
+    v2 = upsert_version(spark, tdir, updates, "o_orderkey")
+    assert v2 == 2
+
+    diff = table_changes(spark, tdir, "o_orderkey", 1, 2).collect()
+    assert diff, "upsert must surface as changes"
+    assert {r["op"] for r in diff} == {"U"}
+    changed_keys = {r["o_orderkey"] for r in diff}
+    expected = {r["o_orderkey"] for r in updates.select("o_orderkey").collect()}
+    assert changed_keys == expected
+    for r in diff:
+        assert r["new_o_totalprice"] == r["old_o_totalprice"] + 7
+
+
+def test_compact_reduces_files_without_changing_rows(spark, sf_smoke, tmp_path):
+    """Small-file compaction publishes a new version with fewer data
+    files and a byte-identical row set (table_changes v_n -> v_n+1 is
+    empty); the pre-compaction snapshot stays readable (immutability)."""
+    import glob
+
+    from mapreduce_4_spark.sources.versioned import compact, table_changes
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke).repartition(8)
+    write_version(base, tdir)
+    n_before = len(glob.glob(f"{tdir}/v=000001/*.parquet"))
+    assert n_before > 1
+
+    v2 = compact(spark, tdir, target_files=1)
+    assert v2 == 2
+    n_after = len(glob.glob(f"{tdir}/v=000002/*.parquet"))
+    assert n_after == 1
+    assert table_changes(spark, tdir, "o_orderkey", 1, 2).count() == 0
+    assert read_version(spark, tdir, 1).count() == read_version(
+        spark, tdir, 2
+    ).count()
