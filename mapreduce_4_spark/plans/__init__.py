@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     multimodal,
     pipeline_ops,
     relational,
+    retrieval,
     scalars,
     scalars2,
     semistructured,

@@ -101,6 +101,7 @@ def write_version(df: DataFrame, table_dir: str,
                   n_buckets: int | None = None,
                   sort_by: list[str] | None = None,
                   n_files: int | None = None,
+                  partition_by: list[str] | None = None,
                   batch_id: int | None = None) -> int:
     """Publish a new immutable snapshot; returns its version number.
 
@@ -119,11 +120,19 @@ def write_version(df: DataFrame, table_dir: str,
     sort-key predicates — the 1-D form of what OPTIMIZE ZORDER does in
     lakehouse formats, and the layout knob that turns a full-corpus scan
     into a targeted one at 100 TB.
+
+    With ``partition_by``, the snapshot is hive-partitioned on those
+    columns: static filters prune whole directories at planning time,
+    and joins against a filtered dimension prune them at RUNTIME via
+    dynamic partition pruning (plan-asserted in tests/test_dpp.py) —
+    the other half of the layout story beside bucketing/clustering.
     """
     _check_local(table_dir)
     table_dir = _strip_scheme(table_dir)
     if (bucket_by is None) != (n_buckets is None):
         raise ValueError("bucket_by and n_buckets must be given together")
+    if partition_by and bucket_by:
+        raise ValueError("partition_by cannot be combined with bucket_by")
     parent = latest_version(table_dir)
     version = (parent or 0) + 1
     data_dir = _data_dir(table_dir, version)
@@ -145,7 +154,10 @@ def write_version(df: DataFrame, table_dir: str,
             df = df.repartitionByRange(int(n), *sort_by).sortWithinPartitions(
                 *sort_by
             )
-        df.write.mode("errorifexists").parquet(data_dir)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
     # exact count from the footers just written — no second data scan
     row_count = _footer_row_count(data_dir)
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
@@ -157,6 +169,7 @@ def write_version(df: DataFrame, table_dir: str,
         "bucket_by": bucket_by,
         "n_buckets": n_buckets,
         "sort_by": (sort_by or bucket_by) if bucket_by else sort_by,
+        "partition_by": partition_by,
         # provenance for exactly-once streaming sinks: which micro-batch
         # produced this snapshot (see streaming/foreach_batch.py)
         "batch_id": batch_id,
