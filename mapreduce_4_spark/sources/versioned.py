@@ -29,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -91,8 +92,15 @@ def latest_version(table_dir: str) -> int | None:
     return versions[-1] if versions else None
 
 
-def _catalog_name(table_dir: str, version: int) -> str:
-    digest = hashlib.md5(os.path.abspath(table_dir).encode()).hexdigest()[:12]
+def _catalog_name(table_dir: str, version: int, nonce: str = "") -> str:
+    """Session-catalog name for a bucketed snapshot. ``nonce`` is the
+    per-write token recorded in the manifest: deriving the name from it
+    (not just the path) means a table dir that is deleted and recreated
+    at the same path — version numbering restarting at 1 — can never
+    rebind to a stale catalog entry carrying the OLD schema/bucket spec."""
+    digest = hashlib.md5(
+        (os.path.abspath(table_dir) + ":" + nonce).encode()
+    ).hexdigest()[:12]
     return f"mr4s_bucketed_{digest}_v{version:06d}"
 
 
@@ -136,6 +144,7 @@ def write_version(df: DataFrame, table_dir: str,
     parent = latest_version(table_dir)
     version = (parent or 0) + 1
     data_dir = _data_dir(table_dir, version)
+    nonce = uuid.uuid4().hex[:12]
     if bucket_by:
         sort_cols = sort_by or bucket_by
         (
@@ -144,7 +153,7 @@ def write_version(df: DataFrame, table_dir: str,
             .sortBy(*sort_cols)
             .option("path", data_dir)
             .format("parquet")
-            .saveAsTable(_catalog_name(table_dir, version))
+            .saveAsTable(_catalog_name(table_dir, version, nonce))
         )
     else:
         if sort_by:
@@ -173,6 +182,9 @@ def write_version(df: DataFrame, table_dir: str,
         # provenance for exactly-once streaming sinks: which micro-batch
         # produced this snapshot (see streaming/foreach_batch.py)
         "batch_id": batch_id,
+        # per-write token: catalog names derive from it, so a recreated
+        # table dir can never alias a previous incarnation's entry
+        "nonce": nonce,
     }
     # manifest written last = the publish point
     with open(_manifest_path(table_dir, version), "w") as fh:
