@@ -212,7 +212,7 @@ def read_version(spark: SparkSession, table_dir: str,
     if manifest.get("bucket_by"):
         from pyspark.sql.types import StructType
 
-        name = _catalog_name(table_dir, version)
+        name = _catalog_name(table_dir, version, manifest.get("nonce") or "")
         if not spark.catalog.tableExists(name):
             schema = StructType.fromJson(manifest["schema"])
             cols = ", ".join(

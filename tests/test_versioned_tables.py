@@ -205,3 +205,50 @@ def test_compact_reduces_files_without_changing_rows(spark, sf_smoke, tmp_path):
     assert read_version(spark, tdir, 1).count() == read_version(
         spark, tdir, 2
     ).count()
+
+
+def test_recreated_bucketed_table_never_rebinds_stale_catalog_entry(
+    spark, sf_smoke, tmp_path
+):
+    """Delete-and-recreate a bucketed table dir at the same path with a
+    DIFFERENT schema and bucket spec: read_version must bind the NEW
+    manifest's nonce-derived catalog name, never the stale session
+    entry from the first incarnation (wrong schema / bucket count would
+    silently corrupt exchange-free join planning)."""
+    import shutil
+
+    tdir = str(tmp_path / "t")
+    first = _orders(spark, sf_smoke).select("o_orderkey", "o_totalprice")
+    write_version(first, tdir, bucket_by=["o_orderkey"], n_buckets=4)
+    # populate the session catalog with the first incarnation's binding
+    assert read_version(spark, tdir).count() == first.count()
+
+    shutil.rmtree(tdir)
+    second = _orders(spark, sf_smoke).select("o_orderkey", "o_orderstatus")
+    write_version(second, tdir, bucket_by=["o_orderkey"], n_buckets=8)
+
+    got = read_version(spark, tdir)
+    assert sorted(got.columns) == sorted(second.columns)
+    assert got.count() == second.count()
+    m = read_manifest(tdir, 1)
+    assert m["n_buckets"] == 8 and m.get("nonce")
+
+
+def test_pre_nonce_manifest_still_readable(spark, sf_smoke, tmp_path):
+    """Manifests written before the nonce field existed (no 'nonce' key)
+    must still read: the catalog name falls back to the path-only
+    derivation."""
+    import json
+    import os
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke).select("o_orderkey", "o_totalprice")
+    write_version(base, tdir, bucket_by=["o_orderkey"], n_buckets=4)
+    mpath = os.path.join(tdir, "_versions", "000001.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    del m["nonce"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    got = read_version(spark, tdir)
+    assert got.count() == base.count()
