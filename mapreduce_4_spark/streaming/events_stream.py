@@ -40,11 +40,16 @@ def events_stream(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        # NOTE: plain TIMESTAMP (not NTZ) — watermarks reject NTZ event
-        # time; the batch loader uses NTZ for oracle type parity, and
-        # under the pinned UTC session both render identical wall times.
+    # NOTE: watermarks require plain TIMESTAMP (not NTZ) event time; the
+    # batch loader uses NTZ for oracle type parity, and under the pinned
+    # UTC session both render identical wall times. Depending on the
+    # PySpark build the batch-peek schema yields either raw bigint nanos
+    # (legacy nanosAsLong) or TIMESTAMP_NTZ — normalize both.
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
