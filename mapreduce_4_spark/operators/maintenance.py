@@ -126,10 +126,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     o = old.select(key, *compare).alias("o")
     n = new.select(key, *compare).alias("n")
     joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
-    same = None
+    # Key-only table (no compared columns): rows can only appear or
+    # disappear, never update — "same" is vacuously true.
+    same = F.lit(True)
     for c in compare:
-        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
     op = (
         F.when(F.col(f"n.{key}").isNull(), F.lit("D"))
         .when(F.col(f"o.{key}").isNull(), F.lit("I"))

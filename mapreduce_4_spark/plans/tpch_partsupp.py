@@ -41,14 +41,17 @@ _PS_SQL = """
 #: (asio_deep/main.cpp:293-331). At 100 TB the same move is the bucketed
 #: snapshot write (sources/versioned.py); in-session, persist() is the
 #: zero-infrastructure equivalent (spills to disk if it outgrows memory).
-_PS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def derived_partsupp(spark: SparkSession, sf_dir: str,
                      cached: bool = True) -> DataFrame:
     """partsupp stand-in: distinct traded (part, supplier) pairs with
     key-derived cost and stock — same rows in any engine, any order."""
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a new session can reuse a
+    # dead session's object id and would receive a DataFrame bound to a
+    # stopped context; applicationId is unique per SparkContext lifetime
+    key = (spark.sparkContext.applicationId, sf_dir)
     if cached and key in _PS_CACHE:
         return _PS_CACHE[key]
     pairs = (

@@ -246,23 +246,63 @@ def history(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def layout_from_manifest(manifest: dict) -> dict:
+    """The physical-layout fields of a manifest as ``write_version``
+    kwargs. Maintenance rewrites (upsert, compact, streaming upsert
+    sinks) MUST carry these through: a table bucketed/clustered/
+    partitioned once is a standing contract that later joins and scans
+    are exchange-free or pruned, and a rewrite that silently drops the
+    layout breaks every downstream plan without an error."""
+    sort_by = manifest.get("sort_by")
+    if manifest.get("bucket_by") and sort_by == manifest["bucket_by"]:
+        # write_version defaulted sort_by to the bucket keys; pass None
+        # back so the default stays a default.
+        sort_by = None
+    return {
+        "bucket_by": manifest.get("bucket_by"),
+        "n_buckets": manifest.get("n_buckets"),
+        "sort_by": sort_by,
+        "partition_by": manifest.get("partition_by"),
+    }
+
+
 def upsert_version(spark: SparkSession, table_dir: str, updates: DataFrame,
                    key: str) -> int:
     """Keyed merge against the latest snapshot, published as a new
-    version — the maintenance upsert with time travel for free."""
+    version — the maintenance upsert with time travel for free. The
+    previous snapshot's bucket/cluster/partition layout is preserved."""
     from mapreduce_4_spark.operators.maintenance import upsert
 
-    base = read_version(spark, table_dir)
-    return write_version(upsert(base, updates, key), table_dir)
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    layout = layout_from_manifest(read_manifest(table_dir, version))
+    base = read_version(spark, table_dir, version)
+    return write_version(upsert(base, updates, key), table_dir, **layout)
 
 
 def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
     """Rewrite the latest snapshot into ``target_files`` files as a NEW
     version — the small-files maintenance pass. Readers of the previous
     version are untouched (snapshots are immutable); vacuum reclaims it
-    when it ages out."""
-    latest = read_version(spark, table_dir)
-    return write_version(latest.coalesce(target_files), table_dir)
+    when it ages out. The snapshot's layout is preserved: bucketed
+    tables recompact to one file per bucket, clustered tables re-range-
+    partition into ``target_files`` files, partitioned tables keep their
+    directory scheme."""
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    layout = layout_from_manifest(read_manifest(table_dir, version))
+    latest = read_version(spark, table_dir, version)
+    if layout["bucket_by"]:
+        # one task ⇒ one file per bucket, the densest legal layout for a
+        # bucketed table (file count is owned by the bucket spec)
+        return write_version(latest.coalesce(1), table_dir, **layout)
+    if layout["sort_by"]:
+        return write_version(
+            latest, table_dir, n_files=target_files, **layout
+        )
+    return write_version(latest.coalesce(target_files), table_dir, **layout)
 
 
 def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:

@@ -109,6 +109,7 @@ def versioned_upsert_sink(table_dir: str, key: str) -> Callable[[DataFrame, int]
     """
     from mapreduce_4_spark.operators.maintenance import upsert
     from mapreduce_4_spark.sources.versioned import (
+        layout_from_manifest,
         list_versions,
         read_manifest,
         read_version,
@@ -122,12 +123,17 @@ def versioned_upsert_sink(table_dir: str, key: str) -> Callable[[DataFrame, int]
         }
         if batch_id in published:
             return  # redelivered batch: already merged, skip
+        layout: dict = {}
         if versions:
+            # carry the table's bucket/cluster/partition layout through
+            # the merge — a bucketed table must stay exchange-free after
+            # every streaming upsert, not just after its first write
+            layout = layout_from_manifest(read_manifest(table_dir, versions[-1]))
             merged = upsert(
                 read_version(batch_df.sparkSession, table_dir), batch_df, key
             )
         else:
             merged = batch_df
-        write_version(merged, table_dir, batch_id=batch_id)
+        write_version(merged, table_dir, batch_id=batch_id, **layout)
 
     return write_batch

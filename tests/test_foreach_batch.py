@@ -149,3 +149,44 @@ def test_versioned_upsert_sink_exactly_once_with_time_travel(spark, sf_smoke, tm
         (r["user_id"], r["n_events"])
         for r in read_version(spark, tdir, version=v).collect()
     } == expected
+
+
+def test_versioned_upsert_sink_preserves_bucketed_layout(
+    spark, sf_smoke, tmp_path
+):
+    """A streaming upsert into a bucketed versioned table must republish
+    WITH the bucket spec (regression: the sink dropped it, so the first
+    micro-batch silently cost the table its exchange-free joins)."""
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+        read_version,
+        write_version,
+    )
+    from mapreduce_4_spark.streaming import versioned_upsert_sink
+
+    tdir = str(tmp_path / "table")
+    base = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    write_version(base, tdir, bucket_by=["user_id"], n_buckets=4)
+
+    batch = spark.createDataFrame([(1, 123), (999999, 7)], ["user_id", "n_events"])
+    versioned_upsert_sink(tdir, "user_id")(batch, 0)
+    v = latest_version(tdir)
+    assert v == 2
+    m = read_manifest(tdir, v)
+    assert m["bucket_by"] == ["user_id"] and m["n_buckets"] == 4, m
+
+    # the planner still sees the bucketing: groupBy on the bucket key
+    # over the post-upsert snapshot needs no Exchange
+    got = read_version(spark, tdir)
+    plan = (
+        got.groupBy("user_id").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    rows = {(r["user_id"], r["n_events"]) for r in got.collect()}
+    assert (999999, 7) in rows and (1, 123) in rows

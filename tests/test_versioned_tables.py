@@ -234,6 +234,93 @@ def test_recreated_bucketed_table_never_rebinds_stale_catalog_entry(
     assert m["n_buckets"] == 8 and m.get("nonce")
 
 
+def test_table_changes_key_only_table(spark, sf_smoke, tmp_path):
+    """CDC on a key-only table (no compared columns): rows can only
+    appear or disappear — ops are exactly I/D, never U, and the empty
+    compare list must not crash (regression: ``same`` stayed None and
+    ``~same`` raised TypeError)."""
+    from mapreduce_4_spark.sources.versioned import table_changes
+
+    tdir = str(tmp_path / "t")
+    keys_v1 = spark.range(1, 11).select(F.col("id").alias("k"))
+    keys_v2 = spark.range(2, 12).select(F.col("id").alias("k"))
+    write_version(keys_v1, tdir)
+    write_version(keys_v2, tdir)
+
+    diff = table_changes(spark, tdir, "k", 1, 2).collect()
+    ops = {r["k"]: r["op"] for r in diff}
+    assert ops == {1: "D", 11: "I"}
+
+
+def test_upsert_and_compact_preserve_bucketed_layout(spark, sf_smoke, tmp_path):
+    """A bucketed table must STAY bucketed through upsert_version and
+    compact: the manifest carries the spec forward and a bucket-key join
+    against another bucketed table stays exchange-free after the full
+    maintenance cycle (regression: rewrites silently dropped the
+    layout, breaking every downstream zero-Exchange plan)."""
+    from mapreduce_4_spark.sources.versioned import compact
+
+    li_dir, od_dir = str(tmp_path / "li"), str(tmp_path / "od")
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_version(li, li_dir, bucket_by=["l_orderkey"], n_buckets=4)
+    write_version(od, od_dir, bucket_by=["o_orderkey"], n_buckets=4)
+
+    updates = od.limit(5).withColumn("o_totalprice", F.lit(0.0))
+    v2 = upsert_version(spark, od_dir, updates, key="o_orderkey")
+    v3 = compact(spark, od_dir)
+    for v in (v2, v3):
+        m = read_manifest(od_dir, v)
+        assert m["bucket_by"] == ["o_orderkey"], m
+        assert m["n_buckets"] == 4, m
+
+    a = read_version(spark, li_dir)
+    b = read_version(spark, od_dir)  # post-upsert, post-compaction
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        n_rows = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, plan
+    assert n_rows == li.count()
+    # the merge itself is correct on top of layout preservation
+    assert b.filter(F.col("o_totalprice") == 0.0).count() == 5
+
+
+def test_compact_preserves_clustered_and_partitioned_layouts(
+    spark, sf_smoke, tmp_path
+):
+    """compact() on a clustered (sort_by) table re-range-partitions into
+    target_files and keeps the manifest's sort spec; on a hive-
+    partitioned table it keeps the directory scheme."""
+    import glob
+
+    from mapreduce_4_spark.sources.versioned import compact
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    cdir = str(tmp_path / "clustered")
+    write_version(ev, cdir, sort_by=["user_id"], n_files=8)
+    compact(spark, cdir, target_files=2)
+    m = read_manifest(cdir, 2)
+    assert m["sort_by"] == ["user_id"]
+    assert len(glob.glob(f"{cdir}/v=000002/*.parquet")) == 2
+
+    pdir = str(tmp_path / "partitioned")
+    write_version(ev, pdir, partition_by=["event_type"])
+    compact(spark, pdir)
+    m = read_manifest(pdir, 2)
+    assert m["partition_by"] == ["event_type"]
+    assert glob.glob(f"{pdir}/v=000002/event_type=*"), "hive dirs must survive"
+    assert read_version(spark, pdir).count() == ev.count()
+
+
 def test_pre_nonce_manifest_still_readable(spark, sf_smoke, tmp_path):
     """Manifests written before the nonce field existed (no 'nonce' key)
     must still read: the catalog name falls back to the path-only
