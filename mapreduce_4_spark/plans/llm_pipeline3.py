@@ -6,6 +6,20 @@ oracle-checked.
 Generalizes the reference's combine-then-merge aggregation contract
 (asio_deep/main.cpp:345-431) to corpus-level statistics: every query is
 a partial-aggregate-then-merge or window plan, no driver-side loops.
+
+Cross-engine float parity note (same standard as plans/retrieval.py):
+``weighted_sample_docs`` ranks by the Efraimidis-Spirakis key
+``ln(u)/w``. +, *, / are correctly rounded in IEEE double and bit-exact
+across engines, but ``ln`` is only faithfully rounded — JVM StrictMath
+and libm may differ in the last ulp. No rational monotone surrogate
+exists here: comparing ``ln(u1)/w1`` vs ``ln(u2)/w2`` across different
+weights is ``u1^w2 vs u2^w1``, which needs exact big-integer powers
+with exponents up to max(n_chars). ACCEPTED RISK, bounded: an oracle
+mismatch requires two docs whose keys differ by < 1 ulp (~1e-16
+relative) to straddle the rank-k boundary; with md5-derived u the keys
+are effectively uniform, so the flip probability is O(n * 1e-16) per
+run — negligible at any tested SF, and the deterministic doc_id
+tie-break removes the exact-tie case entirely.
 """
 
 from __future__ import annotations
