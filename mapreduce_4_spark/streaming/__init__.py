@@ -9,6 +9,7 @@ from .events_stream import (
     stream_session_windows,
     stream_tumbling_counts,
 )
+from .cdc import changes_to_parquet, replay_changes, version_changes
 from .foreach_batch import (
     fanout_writer,
     idempotent_parquet_writer,
@@ -17,7 +18,10 @@ from .foreach_batch import (
 )
 
 __all__ = [
+    "changes_to_parquet",
     "events_stream",
+    "replay_changes",
+    "version_changes",
     "fanout_writer",
     "idempotent_parquet_writer",
     "run_foreach_batch",
