@@ -19,24 +19,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.vectors import as_double, cosine
+from mapreduce_4_spark.functions.vectors import as_double, dot, norm
+
+# Every cosine below hoists the double-cast and the two norm aggregates
+# out of the pair space (computed once per row / per centroid, not once
+# per pair) — bit-identical values, ~5x fewer interpreted higher-order
+# traversals; see operators/similarity.py::_pair_sim.
+
+
+def _with_centroid_norms(centroids: DataFrame) -> DataFrame:
+    return centroids.select(
+        F.col("cluster_id").alias("_cid"),
+        F.col("centroid").alias("_centroid"),
+        norm(as_double(F.col("centroid"))).alias("_cnorm"),
+    )
 
 
 def _assign(df: DataFrame, centroids: DataFrame, vec: str, id_col: str,
             out: str = "cluster") -> DataFrame:
     """Nearest centroid by cosine for every row (broadcast centroids)."""
-    sim = cosine(as_double(F.col(vec)), as_double(F.col("_centroid")))
+    sim = dot(F.col("_v"), as_double(F.col("_centroid"))) / (
+        F.col("_vn") * F.col("_cnorm")
+    )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("_cid"))
     scored = (
-        df.join(F.broadcast(centroids.select(
-            F.col("cluster_id").alias("_cid"), F.col("centroid").alias("_centroid")
-        )), how="cross")
+        df.withColumn("_v", as_double(F.col(vec)))
+        .withColumn("_vn", norm(F.col("_v")))
+        .join(F.broadcast(_with_centroid_norms(centroids)), how="cross")
         .withColumn("_sim", sim)
     )
     best = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_sim", "_rn", "_centroid")
+        .drop("_sim", "_rn", "_centroid", "_cnorm", "_v", "_vn")
         .withColumnRenamed("_cid", out)
     )
     return best
@@ -92,21 +107,28 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     if centroids is None:
         centroids = train_centroids(corpus, k=n_clusters)
-    lists = _assign(corpus.select(id_col, vec_col), centroids, vec_col, id_col)
+    lists = _assign(
+        corpus.select(id_col, vec_col), centroids, vec_col, id_col
+    ).withColumn("_cvec", as_double(F.col(vec_col))).withColumn(
+        "_cn", norm(F.col("_cvec"))
+    )
 
-    qsim = cosine(as_double(F.col(vec_col)), as_double(F.col("_centroid")))
+    qsim = dot(F.col("_qvec"), as_double(F.col("_centroid"))) / (
+        F.col("_qn") * F.col("_cnorm")
+    )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc("_cid"))
     probes = (
-        queries.select(query_id_col, vec_col)
-        .join(F.broadcast(centroids.select(
-            F.col("cluster_id").alias("_cid"), F.col("centroid").alias("_centroid")
-        )), how="cross")
+        queries.select(
+            query_id_col, as_double(F.col(vec_col)).alias("_qvec")
+        )
+        .withColumn("_qn", norm(F.col("_qvec")))
+        .join(F.broadcast(_with_centroid_norms(centroids)), how="cross")
         .withColumn("_sim", qsim)
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select(query_id_col, F.col(vec_col).alias("_qvec"), F.col("_cid").alias("cluster"))
+        .select(query_id_col, "_qvec", "_qn", F.col("_cid").alias("cluster"))
     )
-    sim = cosine(as_double(F.col("_qvec")), as_double(F.col(vec_col)))
+    sim = dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     out = lists.join(F.broadcast(probes), "cluster")
     if exclude_self:

@@ -21,7 +21,20 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.vectors import as_double, cosine
+from mapreduce_4_spark.functions.vectors import as_double, dot, norm
+
+def _pair_sim() -> F.Column:
+    """Per-pair cosine with per-SIDE precomputed double vectors and
+    norms: dot/(|a|*|b|) evaluates bit-identically whether the norms are
+    computed inside the pair expression or once per row, but higher-order
+    functions are interpreted (not codegen'd), so hoisting the cast + two
+    norm aggregates out of the |Q| x |corpus| pair space cuts the
+    per-pair work from 5 array traversals to 1 — the difference between
+    O(pairs x 5d) and O(pairs x d + rows x 4d) interpreted ops at any
+    scale."""
+    return dot(F.col("_qvec"), F.col("_cvec")) / (
+        F.col("_qnorm") * F.col("_cnorm")
+    )
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -36,19 +49,20 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     DIFFERENT domains, where an id collision is a legitimate neighbor.
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("_qvec")
+    ).withColumn("_qnorm", norm(F.col("_qvec")))
+    c = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_cvec")
+    ).withColumn("_cnorm", norm(F.col("_cvec")))
     cond = (
         F.col(query_id_col) != F.col(id_col) if exclude_self else F.lit(True)
     )
-    sim = cosine(as_double(F.col("_qvec")), as_double(F.col("_cvec")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
     return (
         c.join(F.broadcast(q), cond)
-        .select(query_id_col, id_col, sim.alias("cosine_sim"))
+        .select(query_id_col, id_col, _pair_sim().alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
@@ -98,18 +112,19 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         raise ValueError(f"dim must be a positive int, got {dim!r}")
     planes = hyperplanes(dim, n_planes)
     c = lsh_bucket_ids(
-        corpus.select(id_col, F.col(vec_col).alias("_cvec")), planes, "_cvec"
-    )
+        corpus.select(id_col, as_double(F.col(vec_col)).alias("_cvec")),
+        planes, "_cvec",
+    ).withColumn("_cnorm", norm(F.col("_cvec")))
     q = lsh_bucket_ids(
-        queries.select(query_id_col, F.col(vec_col).alias("_qvec")), planes, "_qvec"
-    )
+        queries.select(query_id_col, as_double(F.col(vec_col)).alias("_qvec")),
+        planes, "_qvec",
+    ).withColumn("_qnorm", norm(F.col("_qvec")))
     if multiprobe:
         probe_buckets = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
         )
         q = q.withColumn("bucket", F.explode(probe_buckets))
-    sim = cosine(as_double(F.col("_qvec")), as_double(F.col("_cvec")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
@@ -117,7 +132,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     if exclude_self:
         out = out.filter(F.col(query_id_col) != F.col(id_col))
     return (
-        out.select(query_id_col, id_col, sim.alias("cosine_sim"))
+        out.select(query_id_col, id_col, _pair_sim().alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

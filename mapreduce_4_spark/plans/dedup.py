@@ -264,12 +264,19 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "the LSH-bucketed variant is similarity_lsh_topk)",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_4_spark.functions.vectors import as_double, cosine
+    from mapreduce_4_spark.functions.vectors import as_double, dot, norm
 
+    # cast + norm hoisted per SIDE (once per row, not once per pair);
+    # dot/(|a|*|b|) is bit-identical either way — see operators/
+    # similarity.py::_pair_sim for the interpreted-HOF cost argument
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    sim = cosine(as_double(F.col("ea")), as_double(F.col("eb")))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("ea")
+    ).withColumn("na", norm(F.col("ea")))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("eb")
+    ).withColumn("nb", norm(F.col("eb")))
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine_sim"))
