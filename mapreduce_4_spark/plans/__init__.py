@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     joins,
     llm_pipeline2,
     llm_pipeline3,
+    llm_pipeline4,
     maintenance,
     multimodal,
     pipeline_ops,

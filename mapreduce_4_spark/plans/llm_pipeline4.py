@@ -1,0 +1,154 @@
+"""Round-6 LLM-pipeline queries: corpus-level duplicated-n-gram fraction
+(the cross-document boilerplate signal) and deterministic shard
+assignment (the global-shuffle step of training-shard construction).
+Both fully oracle-checked.
+
+These complete the quality-signal family: ``repetition_ratio_docs``
+measures WITHIN-document repetition; ``dup_ngram_fraction_docs`` below
+measures repetition ACROSS the corpus — the signal C4-style pipelines
+use to find boilerplate (navigation chrome, license headers, templated
+spans) that exact and near dedup both miss because the containing
+documents differ.
+
+Reference anchor: both are one-key aggregations in the reference's
+Map -> Shuffle -> Reduce contract (asio_deep/main.cpp:345-431),
+generalized to gram- and shard-keyed spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.text import sql_words, words
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+_W = sql_words("text")
+
+#: gram order for the cross-corpus duplication signal. 3 balances the
+#: fixture's tiny vocabulary (higher n ~ no collisions, lower n ~ all
+#: collisions); production pipelines use 8-13 on natural text — the
+#: plan shape is n-independent.
+_DUP_N = 3
+
+#: number of training shards for the deterministic global shuffle. A
+#: real run sizes this to the trainer's data-parallel world size (and
+#: the window's per-shard sort parallelism scales with it).
+_N_SHARDS = 16
+
+
+@register(
+    "dup_ngram_fraction_docs",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN len({_W}) >= {_DUP_N} THEN
+                       [{_W}[i] || ' ' || {_W}[i+1] || ' ' || {_W}[i+2]
+                        for i in range(1, len({_W}) - 1)]
+                   ELSE [] END AS grams
+            FROM documents
+        ),
+        pos AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        df AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY gram),
+        per AS (
+            SELECT pos.doc_id,
+                   COUNT(*) AS n_grams,
+                   SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS n_dup_grams
+            FROM pos JOIN df USING (gram)
+            GROUP BY pos.doc_id
+        )
+        SELECT doc_id, n_grams, n_dup_grams,
+               CAST(n_dup_grams AS DOUBLE) / n_grams AS dup_fraction
+        FROM per
+    """,
+    tags=("pipeline", "text", "dedup"),
+    description="cross-corpus duplicated-n-gram fraction per document: "
+                "the share of a doc's n-gram positions whose gram occurs "
+                "in >= 2 distinct documents — the boilerplate/template "
+                "signal that catches repeated spans exact and near dedup "
+                "miss (the containing docs differ). Docs shorter than n "
+                "words are excluded on both engines.",
+)
+def dup_ngram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles + one gram-keyed join at any scale: (1) explode to
+    (doc, gram) positions and count distinct docs per gram (map-side
+    combine applies — gram space is the shuffle key); (2) join document
+    positions back to the gram table and re-aggregate per doc. The gram
+    table is corpus-sized, so the join shuffles rather than broadcasts
+    — at 100 TB that is the honest cost of a corpus-global signal, and
+    both shuffles key on high-cardinality grams (no skew hot spot).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = words("text")
+    grams = F.when(
+        F.size(ws) >= _DUP_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (_DUP_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, _DUP_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select("doc_id", F.explode(grams).alias("gram"))
+    gram_df = pos.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        pos.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+@register(
+    "shard_assignment_docs",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   md5(CAST(doc_id AS VARCHAR) || ':shard') AS hkey
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(CAST('0x' || substring(hkey, 1, 8) AS BIGINT)
+                    % {_N_SHARDS} AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY CAST('0x' || substring(hkey, 1, 8) AS BIGINT)
+                                % {_N_SHARDS}
+                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+        FROM h
+    """,
+    tags=("pipeline", "sampling"),
+    description="deterministic global shuffle into training shards: "
+                "md5-keyed shard id + within-shard position, so every "
+                "engine (and every rerun) materializes byte-identical "
+                "shard files — the reproducible data-order contract "
+                "training jobs need for resume and ablation",
+)
+def shard_assignment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle: hash-partition by shard, sort within shard by the
+    md5 key (window row_number). Parallelism equals _N_SHARDS — sized
+    to the trainer's world size in production, where each shard then
+    writes one ordered file via write.partitionBy(shard)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    hkey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard")))
+    shard = (
+        F.conv(F.substring(F.col("hkey"), 1, 8), 16, 10).cast("long")
+        % _N_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("hkey"), F.asc("doc_id"))
+    return (
+        docs.withColumn("hkey", hkey)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "lang", "shard", "pos")
+    )

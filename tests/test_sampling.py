@@ -158,3 +158,63 @@ def test_decontaminate_flags_exact_duplicate(spark):
     assert got[1] == (4, True)
     assert got[2] == (0, False)
     assert got[3][0] == 1 and not got[3][1]
+
+
+def test_shard_assignment_is_partition_invariant_permutation(spark, sf_oracle):
+    """Every doc lands in exactly one shard with a contiguous 1..n_s
+    position sequence, and the assignment is identical under a different
+    input partitioning (content-keyed, not partition-keyed)."""
+    from mapreduce_4_spark.plans.llm_pipeline4 import (
+        _N_SHARDS,
+        shard_assignment_docs,
+    )
+    from mapreduce_4_spark.sources import load_table
+
+    out = shard_assignment_docs(spark, sf_oracle)
+    rows = out.collect()
+    n_docs = load_table(spark, sf_oracle, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < _N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+    # partition-independence: same assignment from a reshuffled input
+    again = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_assignment_docs(spark, sf_oracle)
+        .repartition(7).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_dup_ngram_fraction_bounds_and_planted_boilerplate(spark):
+    """Fractions live in [0, 1]; a planted template span shared by two
+    docs is flagged in both, while their unique spans are not."""
+    from mapreduce_4_spark.plans.llm_pipeline4 import dup_ngram_fraction_docs
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "copyright header template aa bb cc"),
+            (2, "copyright header template dd ee ff"),
+            (3, "entirely original words here now one"),
+        ],
+        ["doc_id", "text"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        got = {
+            r["doc_id"]: r for r in dup_ngram_fraction_docs(spark, td).collect()
+        }
+    # 4 gram positions per 6-word doc; docs 1 and 2 share only
+    # 'copyright header template' (1 of 4 positions)
+    assert got[1]["n_grams"] == 4 and got[1]["n_dup_grams"] == 1
+    assert got[2]["n_dup_grams"] == 1
+    assert got[3]["n_dup_grams"] == 0
+    for r in got.values():
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+        assert r["n_dup_grams"] <= r["n_grams"]
