@@ -54,7 +54,8 @@ _N_SHARDS = 16
         per AS (
             SELECT pos.doc_id,
                    COUNT(*) AS n_grams,
-                   SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS n_dup_grams
+                   CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_grams
             FROM pos JOIN df USING (gram)
             GROUP BY pos.doc_id
         )
