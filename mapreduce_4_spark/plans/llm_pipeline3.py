@@ -180,6 +180,11 @@ def bigram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = docs.select("doc_id", F.explode(bi).alias("b")).select(
         "doc_id", "b.w1", "b.w2"
     )
+    # both training aggregates read e independently: map-side combine
+    # makes each exchange vocab-sized (not corpus-sized), and the two
+    # partials run in parallel — measured faster than deriving the
+    # prefix counts from the bigram table, which serializes the chain
+    # behind the broadcast build
     cu = e.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     cb = e.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     p = cb.join(cu, "w1").select(
