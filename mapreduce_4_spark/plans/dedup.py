@@ -20,7 +20,6 @@ from mapreduce_4_spark.operators.dedup import (
     LSH_ROWS,
     MERSENNE_31,
     exact_dedup,
-    jaccard,
     minhash_near_duplicates,
     shingle_sets,
     simhash_near_pairs,
@@ -116,18 +115,40 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(the exact baseline the LSH path approximates)",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard without the all-pairs join the oracle SQL states:
+    explode to (lang, gram, doc) and self-join on the gram so
+    |A∩B| arrives as a pair COUNT, then |A∪B| = |A| + |B| - |A∩B|.
+    Same integers, same single IEEE division — bit-identical to the
+    oracle's intersect/union form — but the work is Σ_gram df(gram)²
+    candidate rows instead of |corpus|²/|langs| array intersections:
+    the exact-similarity-join shape that survives scale (pairs sharing
+    zero grams are never materialized; they cannot pass any positive
+    threshold)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     sh = shingle_sets(docs).join(docs.select("doc_id", "lang"), "doc_id")
-    a = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("lang"), F.col("shingles").alias("sh_a")
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("lang"), F.col("shingles").alias("sh_b")
-    )
-    return (
-        a.join(b, "lang")
+    sizes = sh.select("doc_id", F.size("shingles").alias("m"))
+    pos = sh.select("doc_id", "lang", F.explode("shingles").alias("gram"))
+    a = pos.select(F.col("doc_id").alias("id_a"), "lang", "gram")
+    b = pos.select(F.col("doc_id").alias("id_b"), "lang", "gram")
+    inter = (
+        a.join(b, ["lang", "gram"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ma = sizes.select(F.col("doc_id").alias("id_a"), F.col("m").alias("m_a"))
+    mb = sizes.select(F.col("doc_id").alias("id_b"), F.col("m").alias("m_b"))
+    return (
+        inter.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("m_a") + F.col("m_b") - F.col("inter"))
+            ).alias("jaccard_sim"),
+        )
         .filter(F.col("jaccard_sim") >= 0.8)
     )
 
