@@ -103,17 +103,26 @@ def fingerprint_chain_md5(text_col: str = "text") -> Column:
 
 
 def ngram_set(text_col: str | Column, n: int) -> Column:
-    """Distinct space-joined word n-grams of a document."""
-    ws = words(text_col)
-    return F.array_distinct(
-        F.when(
-            F.size(ws) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    """Distinct space-joined word n-grams of a document.
+
+    The tokenizer output is bound ONCE via a lambda variable (transform
+    over a one-element array): referencing the words() expression
+    directly in the per-position lambda would re-run the whole
+    regex-tokenize pipeline for every gram position — Catalyst does not
+    CSE through lambda scopes, and the difference is ~10x on gram-heavy
+    plans."""
+    def grams_of(w: Column) -> Column:
+        return F.array_distinct(
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.element_at(F.transform(F.array(words(text_col)), grams_of), 1)
 
 
 def decontaminate(train: DataFrame, evalset: DataFrame, n: int = 3,

