@@ -144,3 +144,56 @@ def test_feed_over_bucketed_table_is_exchange_free(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "Exchange" not in plan, plan
     assert n == 5
+
+
+def test_cdc_roundtrip_reconstructs_streamed_table(spark, sf_smoke, tmp_path):
+    """Write side meets read side: a streaming upsert sink publishes
+    versions, the CDC feed replays them, and folding the change batches
+    (last op per key wins; 'D' removes) reconstructs exactly the latest
+    snapshot — the end-to-end proof that the feed loses and duplicates
+    nothing across the whole ingestion history."""
+    from pyspark.sql import Window
+
+    from mapreduce_4_spark.sources.versioned import read_version
+    from mapreduce_4_spark.streaming import (
+        events_stream,
+        versioned_upsert_sink,
+    )
+
+    tdir, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    feed_ckpt, out = str(tmp_path / "feed.json"), str(tmp_path / "changes")
+
+    agg = (
+        events_stream(spark, sf_smoke, max_files_per_trigger=1)
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(versioned_upsert_sink(tdir, "user_id"))
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    delivered = replay_changes(
+        spark, tdir, "user_id", feed_ckpt, changes_to_parquet(out)
+    )
+    assert delivered, "feed must deliver every published version"
+
+    ch = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.desc("version"))
+    rebuilt = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", F.col("new_n_events").alias("n_events"))
+    )
+    expected = {
+        (r["user_id"], r["n_events"])
+        for r in read_version(spark, tdir).collect()
+    }
+    assert {
+        (r["user_id"], r["n_events"]) for r in rebuilt.collect()
+    } == expected
