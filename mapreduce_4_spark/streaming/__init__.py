@@ -9,7 +9,12 @@ from .events_stream import (
     stream_session_windows,
     stream_tumbling_counts,
 )
-from .cdc import changes_to_parquet, replay_changes, version_changes
+from .cdc import (
+    changes_readstream,
+    changes_to_parquet,
+    replay_changes,
+    version_changes,
+)
 from .foreach_batch import (
     fanout_writer,
     idempotent_parquet_writer,
@@ -18,6 +23,7 @@ from .foreach_batch import (
 )
 
 __all__ = [
+    "changes_readstream",
     "changes_to_parquet",
     "events_stream",
     "replay_changes",

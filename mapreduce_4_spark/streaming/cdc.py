@@ -105,6 +105,20 @@ def replay_changes(spark: SparkSession, table_dir: str, key: str,
     return delivered
 
 
+def changes_readstream(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Subscribe to a ``changes_to_parquet`` changelog as a LIVE stream:
+    each version the feed lands under ``out_dir/version=N/`` is a new
+    set of files for the FileStreamSource, so a downstream streaming
+    pipeline (enrichment, rollup refresh, audit sink) consumes the
+    table's changes continuously — versioned table -> change feed ->
+    changelog -> readStream completes the subscription story without a
+    message bus. Schema comes from a batch peek (file streams need it
+    up front); the ``version`` partition column rides along for
+    ordering/idempotence downstream."""
+    schema = spark.read.parquet(out_dir).schema
+    return spark.readStream.schema(schema).parquet(out_dir)
+
+
 def changes_to_parquet(out_dir: str) -> Callable[[DataFrame, int], None]:
     """Canonical exactly-once CDC subscriber: append each version's
     change rows under ``out_dir/version=N/`` with dynamic partition

@@ -197,3 +197,44 @@ def test_cdc_roundtrip_reconstructs_streamed_table(spark, sf_smoke, tmp_path):
     assert {
         (r["user_id"], r["n_events"]) for r in rebuilt.collect()
     } == expected
+
+
+def test_changelog_is_consumable_as_a_stream(spark, sf_smoke, tmp_path):
+    """changes_readstream over the feed's parquet changelog: an
+    availableNow drain sees exactly the batch rows, and a version
+    published AFTER the first drain arrives incrementally on the next —
+    the changelog is a live source, not a one-shot export."""
+    from mapreduce_4_spark.streaming import changes_readstream
+
+    tdir, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt.json")
+    out = str(tmp_path / "changes")
+    base = _publish_three_versions(spark, sf_smoke, tdir)
+    replay_changes(spark, tdir, "o_orderkey", ckpt, changes_to_parquet(out))
+
+    def drain(name):
+        q = (
+            changes_readstream(spark, out)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"sckpt_{name}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    got = drain("cdc_stream_1")
+    assert _rows(got) == _rows(spark.read.parquet(out))
+
+    # a fourth version lands; the stream (fresh drain, same source dir)
+    # picks up exactly the new files
+    upsert_version(
+        spark, tdir,
+        base.limit(2).withColumn("o_totalprice", F.lit(-9.0)),
+        "o_orderkey",
+    )
+    assert replay_changes(
+        spark, tdir, "o_orderkey", ckpt, changes_to_parquet(out)
+    ) == [4]
+    got2 = drain("cdc_stream_2")
+    assert _rows(got2) == _rows(spark.read.parquet(out))
+    assert got2.filter(F.col("version") == 4).count() == 2
