@@ -230,3 +230,27 @@ def test_heavy_hitters_total_arrives_by_broadcast(spark, sf_oracle):
     # token counting combines map-side before its exchange
     partial = plan.index("partial_count")
     assert plan.index("Exchange") < partial
+
+
+def test_exact_jaccard_has_no_quadratic_join(spark, sf_oracle):
+    # the exact tier computes |A∩B| via a gram self-join + pair count —
+    # never the lang-blocked all-pairs product the oracle SQL states
+    plan = _plan(spark, sf_oracle, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the self-join keys on (lang, gram), not on the block alone
+    assert "gram" in plan
+
+
+def test_fuzzy_er_verifies_on_distinct_names(spark, sf_oracle):
+    # Levenshtein runs once per DISTINCT (block, name) pair: both join
+    # inputs aggregate/distinct BEFORE the distance filter, so the
+    # expensive verify never touches keyed-row cardinality
+    plan = _plan(spark, sf_oracle, "fuzzy_join_part_names")
+    lev = plan.index("levenshtein")
+    agg_positions = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert sum(1 for p in agg_positions if p > lev) >= 2, (
+        "expected the distinct/min-key aggregates below the Levenshtein "
+        "verify (executedPlan prints children after parents)"
+    )
+    assert "CartesianProduct" not in plan
