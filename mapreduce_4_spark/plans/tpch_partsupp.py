@@ -50,8 +50,14 @@ def derived_partsupp(spark: SparkSession, sf_dir: str,
     key-derived cost and stock — same rows in any engine, any order."""
     # keyed by applicationId, not id(spark): a new session can reuse a
     # dead session's object id and would receive a DataFrame bound to a
-    # stopped context; applicationId is unique per SparkContext lifetime
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # stopped context; applicationId is unique per SparkContext lifetime.
+    # Only one context is active per process, so entries under any OTHER
+    # app id are bound to stopped contexts — prune them here instead of
+    # letting dead persisted DataFrames accumulate for the process life.
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PS_CACHE if k[0] != app_id]:
+        del _PS_CACHE[k]
+    key = (app_id, sf_dir)
     if cached and key in _PS_CACHE:
         return _PS_CACHE[key]
     pairs = (

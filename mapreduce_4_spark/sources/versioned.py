@@ -231,7 +231,8 @@ def read_version(spark: SparkSession, table_dir: str,
 
 
 def read_manifest(table_dir: str, version: int) -> dict:
-    with open(_manifest_path(table_dir, version)) as fh:
+    _check_local(table_dir)
+    with open(_manifest_path(_strip_scheme(table_dir), version)) as fh:
         return json.load(fh)
 
 

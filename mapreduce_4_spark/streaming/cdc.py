@@ -63,19 +63,23 @@ def version_changes(spark: SparkSession, table_dir: str, key: str,
                     compare: list[str] | None = None) -> DataFrame:
     """The change batch a CDC subscriber sees for ``version``:
     ``snapshot_diff`` against its parent, or against an empty snapshot
-    for the first version (initial load = all 'I')."""
+    when the parent is unavailable — version 1, AND the oldest version
+    still retained after ``vacuum`` dropped its ancestors. A subscriber
+    arriving later than the retention window gets the oldest retained
+    snapshot as its initial 'I' load, the same catch-up semantics Delta
+    CDF readers have past the retention boundary."""
     from mapreduce_4_spark.operators.maintenance import snapshot_diff
-    from mapreduce_4_spark.sources.versioned import read_version
+    from mapreduce_4_spark.sources.versioned import list_versions, read_version
 
     new = read_version(spark, table_dir, version)
     if compare is None:
         compare = [c for c in new.columns if c != key]
-    if version == 1:
+    if version - 1 in list_versions(table_dir):
+        old = read_version(spark, table_dir, version - 1)
+    else:
         from pyspark.sql import functions as F
 
         old = new.filter(F.lit(False))
-    else:
-        old = read_version(spark, table_dir, version - 1)
     return snapshot_diff(old, new, key, compare)
 
 
@@ -105,17 +109,32 @@ def replay_changes(spark: SparkSession, table_dir: str, key: str,
     return delivered
 
 
-def changes_readstream(spark: SparkSession, out_dir: str) -> DataFrame:
+def changes_readstream(spark: SparkSession, out_dir: str,
+                       schema=None) -> DataFrame:
     """Subscribe to a ``changes_to_parquet`` changelog as a LIVE stream:
     each version the feed lands under ``out_dir/version=N/`` is a new
     set of files for the FileStreamSource, so a downstream streaming
     pipeline (enrichment, rollup refresh, audit sink) consumes the
     table's changes continuously — versioned table -> change feed ->
     changelog -> readStream completes the subscription story without a
-    message bus. Schema comes from a batch peek (file streams need it
-    up front); the ``version`` partition column rides along for
-    ordering/idempotence downstream."""
-    schema = spark.read.parquet(out_dir).schema
+    message bus.
+
+    File streams need the schema up front. By default it comes from a
+    batch peek of the changelog, which requires at least one delivered
+    batch; to subscribe BEFORE the first delivery, pass ``schema``
+    explicitly (op string, the key, old_*/new_* columns, version int).
+    """
+    if schema is None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            schema = spark.read.parquet(out_dir).schema
+        except AnalysisException as ex:
+            raise ValueError(
+                f"changelog at {out_dir!r} is empty or absent; run "
+                "replay_changes first or pass schema= to subscribe "
+                "ahead of the first delivery"
+            ) from ex
     return spark.readStream.schema(schema).parquet(out_dir)
 
 

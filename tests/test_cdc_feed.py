@@ -238,3 +238,35 @@ def test_changelog_is_consumable_as_a_stream(spark, sf_smoke, tmp_path):
     got2 = drain("cdc_stream_2")
     assert _rows(got2) == _rows(spark.read.parquet(out))
     assert got2.filter(F.col("version") == 4).count() == 2
+
+
+def test_feed_past_vacuum_retention_gives_initial_load(spark, sf_smoke, tmp_path):
+    """A subscriber arriving after vacuum dropped the older versions
+    gets the oldest retained snapshot as its 'I' initial load instead
+    of crashing on the missing parent manifest."""
+    from mapreduce_4_spark.sources.versioned import read_version, vacuum
+
+    tdir, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt.json")
+    _publish_three_versions(spark, sf_smoke, tdir)
+    vacuum(tdir, keep_last=1)
+
+    seen: dict[int, int] = {}
+    delivered = replay_changes(
+        spark, tdir, "o_orderkey", ckpt,
+        lambda df, v: seen.__setitem__(
+            v, df.filter(F.col("op") == "I").count()
+        ),
+    )
+    assert delivered == [3]
+    assert seen[3] == read_version(spark, tdir, 3).count()
+
+
+def test_changes_readstream_clear_error_before_first_delivery(
+    spark, tmp_path
+):
+    import pytest
+
+    from mapreduce_4_spark.streaming import changes_readstream
+
+    with pytest.raises(ValueError, match="empty or absent"):
+        changes_readstream(spark, str(tmp_path / "nowhere"))

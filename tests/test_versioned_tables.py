@@ -339,3 +339,21 @@ def test_pre_nonce_manifest_still_readable(spark, sf_smoke, tmp_path):
         json.dump(m, fh)
     got = read_version(spark, tdir)
     assert got.count() == base.count()
+
+
+def test_maintenance_rewrites_accept_file_scheme(spark, sf_smoke, tmp_path):
+    """upsert_version and compact must keep working on file:// paths —
+    they read the manifest for layout propagation, and the manifest
+    reader has to strip the scheme like every other entry point."""
+    from mapreduce_4_spark.sources.versioned import compact
+
+    tdir = "file://" + str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    write_version(base, tdir)
+    v2 = upsert_version(
+        spark, tdir, base.limit(1).withColumn("o_totalprice", F.lit(0.0)),
+        key="o_orderkey",
+    )
+    assert v2 == 2
+    assert compact(spark, tdir) == 3
+    assert read_version(spark, tdir).count() == base.count()
