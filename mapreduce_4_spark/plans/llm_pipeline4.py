@@ -1,7 +1,7 @@
 """Round-6 LLM-pipeline queries: corpus-level duplicated-n-gram fraction
-(the cross-document boilerplate signal) and deterministic shard
-assignment (the global-shuffle step of training-shard construction).
-Both fully oracle-checked.
+(the cross-document boilerplate signal), deterministic shard assignment
+(the global-shuffle step of training-shard construction), and the
+cross-source contamination matrix. All fully oracle-checked.
 
 These complete the quality-signal family: ``repetition_ratio_docs``
 measures WITHIN-document repetition; ``dup_ngram_fraction_docs`` below
@@ -155,4 +155,79 @@ def shard_assignment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "lang", "shard", "pos")
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+        WITH g AS (
+            SELECT source,
+                   CASE WHEN len({_W}) >= {_DUP_N} THEN
+                       [{_W}[i] || ' ' || {_W}[i+1] || ' ' || {_W}[i+2]
+                        for i in range(1, len({_W}) - 1)]
+                   ELSE [] END AS grams
+            FROM documents
+        ),
+        sg AS (SELECT DISTINCT source, unnest(grams) AS gram FROM g),
+        m AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS shared_grams
+            FROM sg a JOIN sg b
+              ON a.gram = b.gram AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT source_a, source_b, shared_grams,
+               CAST(shared_grams AS DOUBLE)
+                   / (ma.n + mb.n - shared_grams) AS gram_jaccard
+        FROM inter
+        JOIN m ma ON ma.source = inter.source_a
+        JOIN m mb ON mb.source = inter.source_b
+    """,
+    tags=("pipeline", "text", "dedup"),
+    description="cross-source contamination matrix: distinct shared "
+                "n-grams and gram-set Jaccard for every source pair — "
+                "the corpus-curation view of duplication (which feeds "
+                "mirror which), at source granularity where doc-level "
+                "dedup reports pairs",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact-similarity-join shape as ngram_jaccard_pairs one level
+    up: distinct (source, gram) explode -> gram self-join -> pair count,
+    sizes joined back; |A∪B| = m_a + m_b − inter keeps the division
+    bit-identical to the oracle. The (source, gram) relation is
+    vocabulary-sized, so every stage is small at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select("source", words("text").alias("w")).filter(
+        F.size("w") >= _DUP_N
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (_DUP_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice("w", i, _DUP_N)),
+    )
+    sg = toks.select("source", F.explode(grams).alias("gram")).distinct()
+    m = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.select(F.col("source").alias("source_a"), "gram")
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    ma = m.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    mb = m.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(ma, "source_a")
+        .join(mb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            (
+                F.col("shared_grams").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_grams"))
+            ).alias("gram_jaccard"),
+        )
     )
