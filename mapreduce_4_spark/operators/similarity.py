@@ -136,3 +136,208 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def exact_cosine_pairs(corpus: DataFrame, threshold: float,
+                       n_blocks: int = 16, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """EXACT cosine-threshold self-join without the quadratic nested-loop
+    plan the naive ``a JOIN b ON id_a < id_b`` form produces.
+
+    Block nested-loop with pruning, every tier provably lossless at
+    ``threshold``:
+
+    1. **Blocking** — each vector goes to its nearest of ``n_blocks``
+       seed directions (the lowest-id vectors: deterministic, no
+       training pass). The seeds are collected once (k rows — bounded,
+       like the hot-key sample in operators/partitioning.py) and
+       inlined as LITERAL arrays in a single argmax expression, so
+       assignment is a pure per-row column expression — no join, no
+       window, no shuffle. Blocks partition the corpus, so every
+       unordered pair lives in exactly one block pair.
+    2. **Block-pair bound pruning** — per block pair, inside the verify
+       step: unit mean-direction centroid + angular radius (max member
+       angle to it), both recomputed deterministically from the member
+       matrices. For any u in A, v in B the spherical triangle
+       inequality gives ``angle(u,v) >= angle(cA,cB) - rA - rB``, hence
+       ``cos(u,v) <= cos(max(0, angle(cA,cB) - rA - rB))``; a block pair
+       whose bound is below ``threshold - 1e-6`` cannot contain a
+       qualifying pair and its GEMM is skipped (the slack dwarfs the
+       ~1e-7 worst-case float error of the angle math — the bound holds
+       for ANY centroid choice, so no coordination between tiers is
+       needed). On an angularly clustered corpus this skips most block
+       pairs; on an adversarially uniform corpus (where NO exact method
+       beats Omega(n^2) pair inspections) it degrades to vectorized
+       brute force, never to a wrong answer.
+    3. **Vectorized verify** — block pairs join their member arrays
+       (equi-joins on block id: the plan is hash joins only, no
+       BroadcastNestedLoopJoin, no CartesianProduct — pinned by
+       tests/test_plan_properties.py) and a ``mapInPandas`` step runs
+       one normalized numpy GEMM per surviving block pair, emitting
+       candidate id pairs at ``threshold - 1e-6`` (GEMM and the JVM's
+       left-to-right accumulation agree to ~1e-12 relative, so no
+       qualifying pair can be lost). Candidates — a tiny fraction of
+       the pair space — are re-scored with the bit-exact JVM expression
+       ``dot/(|a|*|b|)`` (functions/vectors.py) and filtered at
+       ``threshold``, so output VALUES are bit-identical to DuckDB's
+       ``list_cosine_similarity`` all-pairs oracle.
+
+    Zero-norm vectors: DuckDB's ``list_cosine_similarity`` defines the
+    cosine of a zero-norm pair as -1.0, so the exact tier emits -1.0 for
+    them (never a DIVIDE_BY_ZERO under ANSI mode) and the GEMM keeps its
+    NaN hits as candidates only when the threshold admits -1.0.
+
+    100 TB posture: communication is O(n_blocks * n) — each block ships
+    to at most n_blocks partners; FLOPs are n^2 d only in the
+    no-structure worst case and run at BLAS speed. Scale n_blocks ~
+    n / desired_block_rows so one block's member matrix fits a task
+    (e.g. 10k x 64 doubles = 5 MB); for corpora with real angular
+    structure, swap the iters=0 seeds for a trained
+    ``train_centroids(iters>=1)`` table to tighten radii — the bound
+    logic is unchanged.
+
+    Returns (id_a, id_b, cosine_sim) with id_a < id_b.
+    """
+    import math
+
+    spark = corpus.sparkSession
+    emb = corpus.select(id_col, vec_col)
+
+    seeds = emb.orderBy(id_col).limit(n_blocks).collect()  # bounded: k rows
+    if not seeds:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
+
+    # Nearest-seed assignment as ONE literal column expression: an
+    # argmax over k literal dot products. Seeds are unit-normalized
+    # driver-side, so argmax(dot(v, unit_seed)) == argmax(cosine) with
+    # NO division in the expression (ANSI mode makes x/0 an error, and
+    # the argmax is scale-invariant in |v| anyway). Ties break to the
+    # lowest seed index via the negated-index struct field (array_max
+    # compares struct fields lexicographically); a zero-norm vector
+    # scores 0 against every seed and lands in block 1 — also fine,
+    # blocks only need to be a deterministic partition.
+    vd = as_double(F.col(vec_col))
+    unit_seeds = []
+    for row in seeds:
+        sv = [float(x) for x in row[vec_col]]
+        sn = math.sqrt(math.fsum(x * x for x in sv))
+        if sn > 0:
+            unit_seeds.append([x / sn for x in sv])
+    if unit_seeds:
+        scored = [
+            F.struct(
+                dot(vd, F.array(*[F.lit(x) for x in us])).alias("s"),
+                F.lit(-k).alias("nid"),
+            )
+            for k, us in enumerate(unit_seeds, start=1)
+        ]
+        block_expr = (-F.array_max(F.array(*scored))["nid"]).cast("int")
+    else:  # every seed zero-norm: one block, still a valid partition
+        block_expr = F.lit(1).cast("int")
+    assigned = emb.withColumn("block", block_expr)
+    members = assigned.groupBy("block").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        ).alias("members")
+    )
+    # All K(K+1)/2 unordered block-id pairs as a literal join table;
+    # empty blocks simply never match the inner equi-joins.
+    bp = spark.createDataFrame(
+        [(ba, bb) for ba in range(1, n_blocks + 1)
+         for bb in range(ba, n_blocks + 1)],
+        "ba int, bb int",
+    )
+    paired = (
+        bp.join(members.select(F.col("block").alias("ba"),
+                               F.col("members").alias("ma")), "ba")
+        .join(members.select(F.col("block").alias("bb"),
+                             F.col("members").alias("mb")), "bb")
+    )
+
+    prefilter = float(threshold) - 1e-6
+    # Zero-norm semantics: DuckDB's list_cosine_similarity returns -1.0
+    # when either side has zero norm, so such pairs qualify only at
+    # threshold <= -1.0; the GEMM's NaN hits are kept as candidates only
+    # in that regime and the exact tier emits the -1.0 itself.
+    nan_qualifies = prefilter <= -1.0
+
+    def _gemm(batches):
+        import math
+
+        import pandas as pd
+
+        def unpack(m):
+            ids = np.fromiter((x["id"] for x in m), dtype=np.int64)
+            vs = np.array([x["v"] for x in m], dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                un = vs / np.linalg.norm(vs, axis=1)[:, None]
+            return ids, un
+
+        def stats(un):
+            # unit centroid + max member angle; valid for ANY centroid,
+            # so NaN rows (zero-norm members) just force radius = pi.
+            c = np.nansum(un, axis=0)
+            nc = np.linalg.norm(c)
+            if nc == 0 or not np.isfinite(nc):
+                return None, math.pi
+            c = c / nc
+            cosines = un @ c
+            if np.isnan(cosines).any():
+                return c, math.pi
+            return c, math.acos(max(-1.0, min(1.0, float(cosines.min()))))
+
+        for pdf in batches:
+            out_a: list = []
+            out_b: list = []
+            for ba, bb, ma, mb in zip(pdf["ba"], pdf["bb"],
+                                      pdf["ma"], pdf["mb"]):
+                ia, ua = unpack(ma)
+                ib, ub = unpack(mb)
+                ca, ra = stats(ua)
+                cb, rb = stats(ub)
+                if ca is not None and cb is not None:
+                    ang = math.acos(max(-1.0, min(1.0, float(ca @ cb))))
+                    if math.cos(max(0.0, ang - ra - rb)) < prefilter:
+                        continue  # provably no qualifying pair inside
+                sim = ua @ ub.T
+                with np.errstate(invalid="ignore"):
+                    keep = sim >= prefilter
+                    if nan_qualifies:
+                        keep |= np.isnan(sim)
+                ii, jj = np.nonzero(keep)
+                id1, id2 = ia[ii], ib[jj]
+                mask = id1 < id2 if ba == bb else id1 != id2
+                id1, id2 = id1[mask], id2[mask]
+                out_a.append(np.minimum(id1, id2))
+                out_b.append(np.maximum(id1, id2))
+            yield pd.DataFrame({
+                "id_a": np.concatenate(out_a) if out_a else
+                        np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else
+                        np.array([], dtype=np.int64),
+            })
+
+    cands = paired.mapInPandas(_gemm, "id_a long, id_b long")
+
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   as_double(F.col(vec_col)).alias("_ea")).withColumn(
+        "_na", norm(F.col("_ea")))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   as_double(F.col(vec_col)).alias("_eb")).withColumn(
+        "_nb", norm(F.col("_eb")))
+    # identical FP op order to DuckDB list_cosine_similarity, including
+    # its -1.0 for zero-norm inputs (the when-guard also keeps ANSI mode
+    # from raising DIVIDE_BY_ZERO on the guarded branch)
+    sim = F.when(
+        (F.col("_na") * F.col("_nb")) == 0.0, F.lit(-1.0)
+    ).otherwise(
+        dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

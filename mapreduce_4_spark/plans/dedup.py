@@ -281,28 +281,22 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
     tags=("dedup", "similarity"),
-    description="embedding-cosine near-dup pairs (exact pairwise baseline; "
-                "the LSH-bucketed variant is similarity_lsh_topk)",
+    description="embedding-cosine near-dup pairs: exact result of the "
+                "all-pairs oracle via angular block-bound pruning + GEMM "
+                "verify — no quadratic join in the plan (the approximate "
+                "LSH variant is similarity_lsh_topk)",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_4_spark.functions.vectors import as_double, dot, norm
+    """Exact tier of the embedding near-dup capability. The oracle states
+    the naive all-pairs semantics; the Spark plan computes the identical
+    pair set via k-means blocks + a provable block-level cosine upper
+    bound + vectorized verify (operators/similarity.py::
+    exact_cosine_pairs) — hash joins only, no BroadcastNestedLoopJoin,
+    pinned by tests/test_plan_properties.py."""
+    from mapreduce_4_spark.operators.similarity import exact_cosine_pairs
 
-    # cast + norm hoisted per SIDE (once per row, not once per pair);
-    # dot/(|a|*|b|) is bit-identical either way — see operators/
-    # similarity.py::_pair_sim for the interpreted-HOF cost argument
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("ea")
-    ).withColumn("na", norm(F.col("ea")))
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("eb")
-    ).withColumn("nb", norm(F.col("eb")))
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= 0.4)
-    )
+    return exact_cosine_pairs(emb, threshold=0.4, n_blocks=16)
 
 
 from mapreduce_4_spark.registry import REGISTRY as _REG

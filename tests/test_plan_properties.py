@@ -254,3 +254,12 @@ def test_fuzzy_er_verifies_on_distinct_names(spark, sf_oracle):
         "verify (executedPlan prints children after parents)"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_dup_has_no_quadratic_join(spark, sf_oracle):
+    """The exact cosine pair join must not fall back to the naive
+    all-pairs BroadcastNestedLoopJoin (24s at sf0.1, dead at 100x): the
+    blocked form is equi-joins + mapInPandas only."""
+    plan = _plan(spark, sf_oracle, "embedding_near_dup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -126,3 +126,55 @@ def test_brute_force_matches_numpy(spark, emb):
     for (evid, esim), (gvid, gsim) in zip(expected, got):
         assert evid == gvid
         assert gsim == pytest.approx(esim, abs=1e-12)
+
+
+def test_exact_cosine_pairs_matches_numpy_all_pairs(spark, emb):
+    """The blocked/pruned plan returns exactly the naive all-pairs set."""
+    import numpy as np
+
+    from mapreduce_4_spark.operators.similarity import exact_cosine_pairs
+
+    thr = 0.4
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    ids = sorted(vecs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            s = float(vecs[a] @ vecs[b]
+                      / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if s >= thr:
+                expected.add((a, b))
+    got = {(r["id_a"], r["id_b"])
+           for r in exact_cosine_pairs(emb, threshold=thr).collect()}
+    assert got == expected
+
+
+def test_exact_cosine_pairs_small_corpus_and_blocks(spark):
+    """n < n_blocks, duplicate directions, and a zero vector: DuckDB's
+    list_cosine_similarity defines zero-norm cosine as -1.0, so the zero
+    vector pairs with nothing at a positive threshold — and the engine
+    must not raise ANSI DIVIDE_BY_ZERO on it either."""
+    from mapreduce_4_spark.operators.similarity import exact_cosine_pairs
+
+    data = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),      # same direction as 1 -> cosine 1.0
+        (3, [0.0, 1.0]),      # orthogonal to 1/2 -> cosine 0.0
+        (4, [0.0, 0.0]),      # zero vector -> cosine -1.0 (DuckDB def)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    out = exact_cosine_pairs(df, threshold=0.5, n_blocks=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+    assert out[0]["cosine_sim"] == 1.0
+    # at threshold -1.0 every pair qualifies, zero vector included
+    low = exact_cosine_pairs(df, threshold=-1.0, n_blocks=8)
+    assert low.count() == 6
+
+
+def test_exact_cosine_pairs_empty_corpus(spark):
+    from mapreduce_4_spark.operators.similarity import exact_cosine_pairs
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert exact_cosine_pairs(df, threshold=0.4).count() == 0
