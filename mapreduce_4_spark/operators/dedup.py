@@ -184,6 +184,120 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def jaccard_prefix_candidates(sh: DataFrame, threshold: float,
+                              block_col: str | None = None,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Candidate (id_a, id_b) pairs for a Jaccard-threshold self-join,
+    via prefix filtering. Guaranteed to contain EVERY pair with
+    jaccard >= threshold (see prefix_filtered_jaccard_pairs for the
+    lemma); hot grams never enter a prefix, so candidate volume is
+    bounded by rare-gram df². Exposed separately so tests can pin the
+    pruning behaviour directly.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    blocks = [block_col] if block_col else []
+
+    pos = sh.select(id_col, *blocks, F.explode("shingles").alias("gram"))
+
+    # Global order: ascending df within the block universe, gram value
+    # as deterministic tie-break. Any total order is lossless; rarest-
+    # first minimizes candidates. The groupBy and the join below both
+    # hash-partition pos on (block, gram), so Catalyst reuses one
+    # exchange of the exploded relation for both sides.
+    df_tbl = pos.groupBy(*blocks, "gram").agg(F.count(F.lit(1)).alias("df"))
+
+    # One doc_id window pass yields both the df-rank and the set size m
+    # (no separate sizes join / extra shingle recompute).
+    w = Window.partitionBy(id_col)
+    ranked = pos.join(df_tbl, [*blocks, "gram"]).select(
+        id_col,
+        *blocks,
+        "gram",
+        F.row_number().over(w.orderBy("df", "gram")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    # prefix_len = m - ceil(t*m) + 1, integer-exact:
+    # ceil(num*m/den) = (num*m + den - 1) div den
+    prefix_len = (
+        F.col("m")
+        - F.expr(f"({num} * m + {den - 1}) div {den}")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select(
+        id_col, *blocks, "gram"
+    )
+
+    pa = prefix.select(F.col(id_col).alias("id_a"), *blocks, "gram")
+    pb = prefix.select(F.col(id_col).alias("id_b"), *blocks, "gram")
+    return (
+        pa.join(pb, [*blocks, "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float,
+                                  block_col: str | None = None,
+                                  id_col: str = "doc_id") -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    All-Pairs / PPJoin candidate bound), returning every pair with
+    ``jaccard_sim >= threshold`` — bit-identical to the naive all-pairs
+    intersect/union form, but with candidate generation bounded by
+    *rare*-gram document frequency instead of Σ_gram df(gram)².
+
+    Input ``sh`` is (id_col, [block_col], shingles: array<string>) with
+    distinct shingles per row (shingle_sets output). Pairs are only
+    formed within a block when ``block_col`` is given.
+
+    Why it is lossless: order each doc's grams by a global total order
+    (ascending document frequency, gram value as tie-break). For a pair
+    with J(A,B) >= t the overlap obeys |A∩B| >= ceil(t·max(|A|,|B|)), so
+    by the prefix-filtering lemma the first |X| - ceil(t·|X|) + 1 grams
+    of each side must share at least one gram. Joining only those
+    prefixes therefore finds every qualifying pair; each candidate is
+    then verified with the exact pair-count form (same integers, same
+    single IEEE division as the oracle's intersect/union SQL).
+
+    Scale shape: a hot gram (stopword trigram, boilerplate header) has
+    high df, ranks LAST in every doc's ordering, and never enters a
+    prefix — the df² blowup the plain gram self-join suffers on
+    templated corpora cannot happen. Candidate rows scale with
+    Σ_{rare grams} df², prefix length is (1-t)·|doc| + 1 grams.
+    Everything is hash joins + one row_number window; no UDF, no
+    cartesian. ceil(t·m) is computed in exact integer arithmetic
+    (t as a Fraction), so no float rounding can shorten a prefix.
+    """
+    # The shingle table feeds four consumers (df table, ranking, and
+    # both verify sides); persist it once instead of re-running the
+    # regex+explode pipeline per consumer (same discipline as
+    # minhash_incremental_neardup below — MEMORY_AND_DISK, spills at
+    # scale rather than OOMs).
+    sh = sh.persist()
+    cand = jaccard_prefix_candidates(sh, threshold, block_col, id_col)
+
+    # Exact verify: one array intersection per surviving candidate on
+    # the per-doc shingle arrays — the same integers (|A∩B|, |A∪B|) and
+    # the same single IEEE division as the oracle's intersect/union SQL.
+    sha = sh.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    shb = sh.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
                             n: int = 3,
                             hash_family: str = "portable") -> DataFrame:

@@ -116,41 +116,21 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard without the all-pairs join the oracle SQL states:
-    explode to (lang, gram, doc) and self-join on the gram so
-    |A∩B| arrives as a pair COUNT, then |A∪B| = |A| + |B| - |A∩B|.
-    Same integers, same single IEEE division — bit-identical to the
-    oracle's intersect/union form — but the work is Σ_gram df(gram)²
-    candidate rows instead of |corpus|²/|langs| array intersections:
-    the exact-similarity-join shape that survives scale (pairs sharing
-    zero grams are never materialized; they cannot pass any positive
-    threshold)."""
+    prefix filtering (operators/dedup.py::prefix_filtered_jaccard_pairs).
+    Candidates come from joining only each doc's rarest
+    (1-τ)·|doc| + 1 grams (global ascending-df order) — provably
+    lossless at τ=0.8 — then |A∩B| arrives as a pair COUNT over the
+    full gram relation and |A∪B| = |A| + |B| - |A∩B|. Same integers,
+    same single IEEE division — bit-identical to the oracle's
+    intersect/union form — but hot grams (df² blowup on templated
+    corpora) never enter a prefix, so candidate rows scale with
+    rare-gram df only: the exact-similarity-join shape that survives
+    100 TB."""
+    from mapreduce_4_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     sh = shingle_sets(docs).join(docs.select("doc_id", "lang"), "doc_id")
-    sizes = sh.select("doc_id", F.size("shingles").alias("m"))
-    pos = sh.select("doc_id", "lang", F.explode("shingles").alias("gram"))
-    a = pos.select(F.col("doc_id").alias("id_a"), "lang", "gram")
-    b = pos.select(F.col("doc_id").alias("id_b"), "lang", "gram")
-    inter = (
-        a.join(b, ["lang", "gram"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    ma = sizes.select(F.col("doc_id").alias("id_a"), F.col("m").alias("m_a"))
-    mb = sizes.select(F.col("doc_id").alias("id_b"), F.col("m").alias("m_b"))
-    return (
-        inter.join(ma, "id_a")
-        .join(mb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("m_a") + F.col("m_b") - F.col("inter"))
-            ).alias("jaccard_sim"),
-        )
-        .filter(F.col("jaccard_sim") >= 0.8)
-    )
+    return prefix_filtered_jaccard_pairs(sh, threshold=0.8, block_col="lang")
 
 
 @register(

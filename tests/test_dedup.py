@@ -180,3 +180,106 @@ def test_incremental_neardup_only_reports_delta_vs_base(spark):
     # doc 1 and 2 are identical base-side dups: not this operator's job
     assert (1, 2) not in rows and (2, 1) not in rows
     assert rows == {(100, 1), (100, 2)}
+
+
+# ---- prefix filtering (exact Jaccard tier) ---------------------------------
+
+
+def _sh_df(spark, rows):
+    """(doc_id, lang, shingles) DataFrame from [(id, lang, [grams])]."""
+    return spark.createDataFrame(rows, "doc_id long, lang string, shingles array<string>")
+
+
+def _brute_pairs(rows, threshold):
+    """Driver-side all-pairs oracle for tiny corpora."""
+    out = {}
+    for i, (ida, la, sa) in enumerate(rows):
+        for idb, lb, sb in rows[i + 1:]:
+            if la != lb:
+                continue
+            a, b = set(sa), set(sb)
+            j = len(a & b) / len(a | b)
+            if j >= threshold:
+                key = (min(ida, idb), max(ida, idb))
+                out[key] = j
+    return out
+
+
+def test_prefix_filter_is_lossless_vs_bruteforce(spark):
+    """Every pair the naive all-pairs join finds, the prefix-filtered
+    join finds too — including boundary docs whose prefix length depends
+    on exact integer ceil (m=5 at t=0.8 -> prefix 2; m=4 -> prefix 1)."""
+    import random
+
+    from mapreduce_4_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = [f"g{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        m = rng.randint(3, 12)
+        rows.append((i, rng.choice(["en", "de"]), rng.sample(vocab, m)))
+    # plant exact duplicates and a just-at-threshold pair (8 shared of
+    # 8+2 union = 0.8 exactly)
+    rows.append((100, "en", rows[0][2]))
+    base10 = vocab[:9]
+    rows.append((101, "en", base10[:9]))          # m=9
+    rows.append((102, "en", base10[:8] + ["zz"]))  # |∩|=8, |∪|=10 -> 0.8
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in prefix_filtered_jaccard_pairs(
+            _sh_df(spark, rows), threshold=0.8, block_col="lang"
+        ).collect()
+    }
+    want = _brute_pairs(rows, 0.8)
+    assert (100 in {a for a, _ in want} or 100 in {b for _, b in want})
+    assert (101, 102) in want  # the exactly-0.8 boundary pair
+    assert got == pytest.approx(want)
+
+
+def test_prefix_filter_hot_gram_generates_no_candidates(spark):
+    """THE scale property: a gram shared by every document (boilerplate,
+    stopword trigram) must not generate candidate pairs — it ranks last
+    in the global df order and never enters any prefix. The naive gram
+    self-join would produce n(n-1)/2 candidates from it."""
+    from mapreduce_4_spark.operators.dedup import jaccard_prefix_candidates
+
+    n = 40
+    rows = [
+        (
+            i,
+            "en",
+            ["HOT"] + [f"doc{i}_{j}" for j in range(9)],  # m=10, prefix=3
+        )
+        for i in range(n)
+    ]
+    cand = jaccard_prefix_candidates(
+        _sh_df(spark, rows), threshold=0.8, block_col="lang"
+    )
+    assert cand.count() == 0, (
+        "hot gram leaked into prefixes: candidate volume would be "
+        "quadratic in its df on a templated corpus"
+    )
+
+
+def test_prefix_candidates_superset_of_qualifying_pairs(spark):
+    """Candidates may over-approximate but can never miss a >=t pair
+    (random corpora, several thresholds)."""
+    import random
+
+    from mapreduce_4_spark.operators.dedup import jaccard_prefix_candidates
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [
+        (i, "en", rng.sample(vocab, rng.randint(2, 10))) for i in range(30)
+    ]
+    for thr in (0.5, 0.7, 0.8, 0.9):
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_prefix_candidates(
+                _sh_df(spark, rows), thr, block_col="lang"
+            ).collect()
+        }
+        missing = set(_brute_pairs(rows, thr)) - cand
+        assert not missing, f"t={thr}: prefix filter missed {missing}"

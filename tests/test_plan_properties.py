@@ -233,13 +233,19 @@ def test_heavy_hitters_total_arrives_by_broadcast(spark, sf_oracle):
 
 
 def test_exact_jaccard_has_no_quadratic_join(spark, sf_oracle):
-    # the exact tier computes |A∩B| via a gram self-join + pair count —
-    # never the lang-blocked all-pairs product the oracle SQL states
+    # the exact tier generates candidates from PREFIX grams only (each
+    # doc's rarest (1-t)m+1 grams in global df order) — never the
+    # lang-blocked all-pairs product the oracle SQL states, and never
+    # an unbounded hot-gram self-join
     plan = _plan(spark, sf_oracle, "ngram_jaccard_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the self-join keys on (lang, gram), not on the block alone
+    # the candidate self-join keys on (lang, gram), not the block alone
     assert "gram" in plan
+    # the df-order prefix ranking is present: a row_number window over
+    # the per-doc gram relation feeds the rk <= prefix-length filter
+    assert "row_number" in plan
+    assert "div" in plan  # integer-exact ceil(t*m), no float rounding
 
 
 def test_fuzzy_er_verifies_on_distinct_names(spark, sf_oracle):
