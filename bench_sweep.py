@@ -14,8 +14,34 @@ found). Slowest queries print to stderr as they finish.
 from __future__ import annotations
 
 import json
+import os
+import sys
 
 import bench
+
+BUDGET_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SWEEP_BUDGET.json")
+
+
+def check_budget(timings: dict[str, float]) -> list[str]:
+    """Regression gate: compare a sweep against the checked-in per-query
+    budget (3x a known-good sweep min, 1.5s floor — SWEEP_BUDGET.json).
+    Returns breach descriptions; queries without a budget entry (new
+    this round) only warn, so adding queries is never a failure."""
+    try:
+        with open(BUDGET_FILE) as f:
+            budget = json.load(f)["budget_sec"]
+    except FileNotFoundError:
+        print("# no SWEEP_BUDGET.json — gate skipped", file=sys.stderr)
+        return []
+    breaches = []
+    for name, sec in timings.items():
+        cap = budget.get(name)
+        if cap is None:
+            print(f"# NEW (no budget yet): {name} {sec:.2f}s", file=sys.stderr)
+        elif sec > cap:
+            breaches.append(f"{name}: {sec:.2f}s > budget {cap:.2f}s")
+    return breaches
 
 
 def main() -> None:
@@ -40,6 +66,14 @@ def main() -> None:
             }
         )
     )
+
+    # The gate only makes sense at the budget's scale factor (sf0.1).
+    if bench.SF_DIR.rstrip("/").endswith("sf0.1"):
+        breaches = check_budget(timings)
+        for b in breaches:
+            print(f"# BUDGET BREACH: {b}", file=sys.stderr)
+        if breaches:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
