@@ -23,7 +23,14 @@ against an empty snapshot: every initial row surfaces as an 'I'.
 Scale: one full-outer join per version pair, the manifest listing is
 O(versions) driver-side metadata, and nothing is ever collected — the
 change batches stay distributed DataFrames. With snapshots bucketed on
-the key (sources/versioned.py) the per-pair join is exchange-free.
+the key (sources/versioned.py) the per-pair join is exchange-free. A
+subscriber far behind (or first-subscribing to a long-lived table)
+opts into ``coalesce_after=N``: catch-up is then ONE net diff
+last->latest instead of one join per missed version. A checkpoint that
+predates the vacuum retention window refuses to resume (deletes in the
+gap are undeliverable) unless the subscriber opts into a full reload;
+schema evolution between versions is absorbed by typed-null padding so
+adds/drops surface as updates instead of wedging the feed.
 
 The reference has no streaming or CDC at all (SURVEY.md §2.2); this
 generalizes its stage-to-stage file handoff (O6/O8: a consumer stage
@@ -58,35 +65,70 @@ def _commit_checkpoint(path: str, version: int) -> None:
     os.replace(tmp, path)
 
 
+def _aligned_diff(old: DataFrame, new: DataFrame, key: str,
+                  compare: list[str] | None) -> DataFrame:
+    """snapshot_diff tolerant of schema evolution between versions:
+    ``compare`` defaults to the UNION of both sides' non-key columns,
+    and a column absent on one side is padded with a typed null there —
+    so a column add surfaces as 'U' rows (NULL -> value) instead of an
+    AnalysisException wedging the feed mid-replay, and a column drop as
+    value -> NULL. An explicit ``compare`` naming a column absent on
+    both sides still fails, loudly, with the offending names."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.operators.maintenance import snapshot_diff
+
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    if compare is None:
+        # new's column order first (the common, un-evolved case is then
+        # byte-identical to the old behaviour), dropped columns after
+        compare = [c for c in new.columns if c != key]
+        compare += [c for c in old.columns if c != key and c not in new_types]
+    missing = [c for c in compare if c not in old_types and c not in new_types]
+    if missing:
+        raise ValueError(
+            f"compare columns {missing} exist in neither version "
+            f"(old: {sorted(old_types)}, new: {sorted(new_types)})"
+        )
+    for c in compare:
+        if c not in old_types:
+            old = old.withColumn(c, F.lit(None).cast(new_types[c]))
+        if c not in new_types:
+            new = new.withColumn(c, F.lit(None).cast(old_types[c]))
+    return snapshot_diff(old, new, key, compare)
+
+
 def version_changes(spark: SparkSession, table_dir: str, key: str,
                     version: int,
                     compare: list[str] | None = None) -> DataFrame:
     """The change batch a CDC subscriber sees for ``version``:
     ``snapshot_diff`` against its parent, or against an empty snapshot
     when the parent is unavailable — version 1, AND the oldest version
-    still retained after ``vacuum`` dropped its ancestors. A subscriber
-    arriving later than the retention window gets the oldest retained
-    snapshot as its initial 'I' load, the same catch-up semantics Delta
-    CDF readers have past the retention boundary."""
-    from mapreduce_4_spark.operators.maintenance import snapshot_diff
+    still retained after ``vacuum`` dropped its ancestors. A NEW
+    subscriber arriving later than the retention window gets the oldest
+    retained snapshot as its initial 'I' load, the same catch-up
+    semantics Delta CDF readers have past the retention boundary. (For
+    an EXISTING checkpoint that predates the window, ``replay_changes``
+    refuses instead of silently reloading — see its retention guard.)"""
     from mapreduce_4_spark.sources.versioned import list_versions, read_version
 
     new = read_version(spark, table_dir, version)
-    if compare is None:
-        compare = [c for c in new.columns if c != key]
     if version - 1 in list_versions(table_dir):
         old = read_version(spark, table_dir, version - 1)
     else:
         from pyspark.sql import functions as F
 
         old = new.filter(F.lit(False))
-    return snapshot_diff(old, new, key, compare)
+    return _aligned_diff(old, new, key, compare)
 
 
 def replay_changes(spark: SparkSession, table_dir: str, key: str,
                    checkpoint_path: str,
                    batch_fn: Callable[[DataFrame, int], None],
-                   compare: list[str] | None = None) -> list[int]:
+                   compare: list[str] | None = None,
+                   coalesce_after: int | None = None,
+                   allow_full_reload: bool = False) -> list[int]:
     """Drain every version published since the checkpoint through
     ``batch_fn(changes_df, version)``; returns the versions delivered
     this call. Re-invoking after new publishes resumes where it left
@@ -95,14 +137,60 @@ def replay_changes(spark: SparkSession, table_dir: str, key: str,
     The checkpoint commits after each callback, so one version is the
     unit of redelivery: a crash mid-feed never skips a version and
     never half-commits one.
+
+    Retention guard: if the checkpoint names a version older than the
+    oldest retained parent (``vacuum`` dropped the gap), per-version
+    replay would silently deliver the oldest retained snapshot as a
+    full 'I' initial load — redelivering rows the subscriber already
+    holds and NEVER delivering deletes that happened inside the gap.
+    That corrupts any downstream state applying I/U/D ops, so it raises
+    instead (Delta CDF does the same); pass ``allow_full_reload=True``
+    only when the subscriber treats each batch as a full refresh.
+
+    Catch-up compaction: with ``coalesce_after=N``, a subscriber more
+    than N versions behind gets ONE batch — the net diff
+    ``last_checkpointed -> latest`` (same operator the batch
+    ``table_changes`` read uses) delivered with the latest version as
+    its replay key — instead of one full-outer join per missed version.
+    A feed 10⁴ versions behind catches up with one join; intermediate
+    flip-flops collapse away, net result identical by construction.
     """
-    from mapreduce_4_spark.sources.versioned import list_versions
+    from mapreduce_4_spark.sources.versioned import list_versions, read_version
 
     last = _read_checkpoint(checkpoint_path)
+    versions = list_versions(table_dir)
+    pending = [v for v in versions if v > last]
+    if not pending:
+        return []
+
+    if last > 0 and last not in versions and last < min(versions):
+        if not allow_full_reload:
+            raise ValueError(
+                f"CDC checkpoint at version {last} predates the retention "
+                f"window (oldest retained: {min(versions)}): deletes inside "
+                "the vacuumed gap can no longer be delivered, so resuming "
+                "would silently corrupt I/U/D-applying subscribers. Pass "
+                "allow_full_reload=True to accept initial-load semantics, "
+                "or re-subscribe from a fresh checkpoint."
+            )
+        # explicit opt-in: restart as a full reload of the latest state
+        last = 0
+
+    if coalesce_after is not None and len(pending) > coalesce_after:
+        latest = max(pending)
+        new = read_version(spark, table_dir, latest)
+        if last > 0 and last in versions:
+            old = read_version(spark, table_dir, last)
+        else:
+            from pyspark.sql import functions as F
+
+            old = new.filter(F.lit(False))
+        batch_fn(_aligned_diff(old, new, key, compare), latest)
+        _commit_checkpoint(checkpoint_path, latest)
+        return [latest]
+
     delivered: list[int] = []
-    for v in list_versions(table_dir):
-        if v <= last:
-            continue
+    for v in pending:
         batch_fn(version_changes(spark, table_dir, key, v, compare), v)
         _commit_checkpoint(checkpoint_path, v)
         delivered.append(v)

@@ -270,3 +270,105 @@ def test_changes_readstream_clear_error_before_first_delivery(
 
     with pytest.raises(ValueError, match="empty or absent"):
         changes_readstream(spark, str(tmp_path / "nowhere"))
+
+
+def test_feed_refuses_checkpoint_past_retention(spark, sf_smoke, tmp_path):
+    """An EXISTING checkpoint older than the retention window must not
+    silently become an initial load: rows the subscriber already holds
+    would be redelivered as 'I' and deletes inside the vacuumed gap
+    would never be delivered. The feed raises (Delta-CDF semantics)
+    unless the subscriber explicitly opts into a full reload."""
+    import json
+
+    import pytest
+
+    from mapreduce_4_spark.sources.versioned import read_version, vacuum
+
+    tdir, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt.json")
+    _publish_three_versions(spark, sf_smoke, tdir)
+    with open(ckpt, "w") as fh:
+        json.dump({"last_version": 1}, fh)
+    vacuum(tdir, keep_last=1)  # only v3 retained; v2 (= ckpt+1) is gone
+
+    with pytest.raises(ValueError, match="retention window"):
+        replay_changes(spark, tdir, "o_orderkey", ckpt, lambda df, v: None)
+
+    # explicit opt-in: full reload of the latest state, all 'I'
+    seen: dict[int, int] = {}
+    delivered = replay_changes(
+        spark, tdir, "o_orderkey", ckpt,
+        lambda df, v: seen.__setitem__(v, df.filter(F.col("op") == "I").count()),
+        allow_full_reload=True,
+    )
+    assert delivered == [3]
+    assert seen[3] == read_version(spark, tdir, 3).count()
+
+
+def test_feed_coalesced_catchup_single_join(spark, sf_smoke, tmp_path):
+    """A subscriber more than coalesce_after versions behind gets ONE
+    net batch — diff(checkpoint -> latest), the same operator as the
+    batch table_changes oracle — instead of one join per version."""
+    import json
+
+    tdir, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt.json")
+    _publish_three_versions(spark, sf_smoke, tdir)
+    with open(ckpt, "w") as fh:
+        json.dump({"last_version": 1}, fh)
+
+    batches: dict[int, list] = {}
+    delivered = replay_changes(
+        spark, tdir, "o_orderkey", ckpt,
+        lambda df, v: batches.__setitem__(v, _rows(df)),
+        coalesce_after=1,
+    )
+    assert delivered == [3]  # one batch, keyed by the latest version
+    assert batches[3] == _rows(
+        table_changes(spark, tdir, "o_orderkey", 1, 3)
+    ), "coalesced catch-up must equal the batch table_changes net diff"
+
+    # and a NEW subscriber coalesces to one initial load of latest
+    ckpt2 = str(tmp_path / "ckpt2.json")
+    n_i: dict[int, int] = {}
+    delivered = replay_changes(
+        spark, tdir, "o_orderkey", ckpt2,
+        lambda df, v: n_i.__setitem__(v, df.filter(F.col("op") == "I").count()),
+        coalesce_after=2,
+    )
+    from mapreduce_4_spark.sources.versioned import read_version
+
+    assert delivered == [3]
+    assert n_i[3] == read_version(spark, tdir, 3).count()
+
+
+def test_feed_survives_schema_evolution(spark, sf_smoke, tmp_path):
+    """A column added between versions must not wedge the feed with an
+    AnalysisException mid-replay: the old side is padded with typed
+    nulls, so the add surfaces as NULL -> value updates."""
+    tdir, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt.json")
+    base = _orders(spark, sf_smoke)
+    write_version(base, tdir)
+    write_version(base.withColumn("o_tier", F.lit("gold")), tdir)  # add
+    write_version(base.drop("o_orderstatus"), tdir)                # drop
+
+    seen: dict[int, object] = {}
+    delivered = replay_changes(
+        spark, tdir, "o_orderkey", ckpt,
+        lambda df, v: seen.__setitem__(v, df),
+    )
+    assert delivered == [1, 2, 3]
+    # v2: every row updates NULL -> 'gold' on the added column
+    v2 = seen[2]
+    assert v2.filter(F.col("op") == "U").count() == base.count()
+    assert v2.filter(F.col("old_o_tier").isNull()).count() == base.count()
+    assert v2.filter(F.col("new_o_tier") == "gold").count() == base.count()
+    # v3: both the dropped columns surface as value -> NULL updates
+    v3 = seen[3]
+    assert v3.filter(F.col("op") == "U").count() == base.count()
+    assert v3.filter(F.col("new_o_orderstatus").isNull()).count() == base.count()
+    # an explicit compare naming a column on neither side still fails
+    import pytest
+
+    with pytest.raises(ValueError, match="neither version"):
+        from mapreduce_4_spark.streaming import version_changes as vc
+
+        vc(spark, tdir, "o_orderkey", 3, compare=["no_such_col"]).collect()
