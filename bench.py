@@ -211,12 +211,22 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # the headline total stays comparable round-over-round: ab_* entries
-    # are reported per-query but excluded from the total
+    # are reported per-query but excluded from the total. Alongside the
+    # min-of-N total (the contention-free plan-cost estimate), the
+    # first-run and median totals are reported so rounds benched under
+    # different estimators can still be compared like-for-like — min-of-N
+    # is biased low vs a single-shot number under contention, and a round
+    # delta should never be an artifact of switching estimators.
+    def _total(pick) -> float:
+        return round(sum(pick(_RAW[n]) for n in HEADLINE), 3)
+
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_clock_total",
                 "value": round(sum(timings[n] for n in HEADLINE), 3),
+                "value_first_run": _total(lambda r: r[0]),
+                "value_median": _total(lambda r: sorted(r)[len(r) // 2]),
                 "unit": "sec",
                 "queries": timings,
                 "runs": N_RUNS,

@@ -56,6 +56,14 @@ def derived_partsupp(spark: SparkSession, sf_dir: str,
     # letting dead persisted DataFrames accumulate for the process life.
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _PS_CACHE if k[0] != app_id]:
+        # hygiene: unpersist before dropping, in case the entry's
+        # context is somehow still alive (one-active-context-per-process
+        # is Spark's norm but not enforced here); for genuinely stopped
+        # contexts this is a harmless no-op that throws, hence the guard
+        try:
+            _PS_CACHE[k].unpersist()
+        except Exception:
+            pass
         del _PS_CACHE[k]
     key = (app_id, sf_dir)
     if cached and key in _PS_CACHE:
