@@ -109,6 +109,44 @@ def rebalance_mixture(df: DataFrame, strata_col: str, weights: dict,
     )
 
 
+def temperature_resample(df: DataFrame, strata_col: str, weight_col: str,
+                         key_col: str, salt: str = "42") -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-corpus
+    move popularized by mBERT/mC4: sample stratum s with probability
+    ∝ size_s^α, α<1, so huge strata are tempered and small ones
+    surface). Fixed at α=1/2, which makes the per-stratum keep rate
+
+        rate_s = sqrt(min_tot / tot_s)       (smallest stratum keeps all)
+
+    where tot_s = Σ weight_col over the stratum (tokens, not docs, so a
+    stratum of few huge documents is tempered like one of many small
+    ones). α=1/2 is deliberate: integer totals, one correctly-rounded
+    IEEE division and one correctly-rounded sqrt are bit-identical in
+    every engine, so the kept set oracle-checks exactly — a free-form
+    pow(x, α) would be library-dependent in the last ulp. Selection is
+    the same content-keyed md5 threshold as every sampler here:
+    partition-independent, engine-portable, replayable.
+
+    Scale: two tiny aggregates (per-stratum totals + a one-row min)
+    broadcast back onto the scan; the data itself never shuffles."""
+    totals = df.groupBy(strata_col).agg(F.sum(weight_col).alias("_tot"))
+    mn = totals.agg(F.min("_tot").alias("_mn"))
+    rates = totals.join(F.broadcast(mn)).select(
+        F.col(strata_col).alias("_stratum"),
+        F.sqrt(F.col("_mn") / F.col("_tot")).alias("_rate"),
+    )
+    threshold = F.when(F.col("_rate") >= 1.0, F.lit("zzzzzzzz")).otherwise(
+        F.format_string(
+            "%08x", F.floor(F.col("_rate") * F.lit(float(16**8))).cast("long")
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == F.col("_stratum"))
+        .filter(_hash_bucket(F.col(key_col), salt) < threshold)
+        .drop("_stratum", "_rate")
+    )
+
+
 def sample_uniform(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
 

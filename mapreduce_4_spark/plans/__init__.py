@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     llm_pipeline2,
     llm_pipeline3,
     llm_pipeline4,
+    llm_pipeline5,
     maintenance,
     multimodal,
     pipeline_ops,

@@ -218,3 +218,31 @@ def test_dup_ngram_fraction_bounds_and_planted_boilerplate(spark):
     for r in got.values():
         assert 0.0 <= r["dup_fraction"] <= 1.0
         assert r["n_dup_grams"] <= r["n_grams"]
+
+
+def test_temperature_resample_smallest_stratum_keeps_all(spark):
+    """alpha=1/2 tempering: the smallest stratum's rate is exactly 1.0
+    (every row kept); larger strata keep ~sqrt(min/tot) of their rows;
+    and the kept set is independent of partitioning."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.operators.sampling import temperature_resample
+
+    rows = [("small", i, 1) for i in range(50)] + [
+        ("big", 1000 + i, 1) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "src string, k long, w long")
+    kept = temperature_resample(df, "src", "w", key_col="k")
+    by = {r["src"]: r["n"] for r in
+          kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["small"] == 50  # rate 1.0, all kept
+    # big stratum: rate = sqrt(50/5000) = 0.1 -> ~500 of 5000 (md5 noise)
+    assert 350 <= by["big"] <= 650
+    # partition-independence: same kept keys after a repartition
+    k1 = sorted(r["k"] for r in kept.collect())
+    k2 = sorted(
+        r["k"] for r in temperature_resample(
+            df.repartition(13, "k"), "src", "w", key_col="k"
+        ).collect()
+    )
+    assert k1 == k2
