@@ -158,3 +158,145 @@ def train_split_assignment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+_PAIRS_SQL = REGISTRY["ngram_jaccard_pairs"].oracle
+
+_SPLIT_CASE = """
+    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+              < 'e6666666' THEN 'train'
+         WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+              < 'f3333333' THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@register(
+    "curated_corpus_stats",
+    oracle=f"""
+        WITH exact_keep AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        pairs AS ({_PAIRS_SQL}),
+        q AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       len({_W}) AS n_words,
+                       CAST(len(list_distinct({_W})) AS DOUBLE)
+                         / len({_W}) AS uniq_ratio,
+                       CAST(length(text) - length(regexp_replace(text,
+                            '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                         / length(text) AS punct_ratio
+                FROM documents WHERE len({_W}) > 0
+            )
+            WHERE n_words >= 20 AND uniq_ratio >= 0.3 AND punct_ratio <= 0.1
+        ),
+        kept AS (
+            SELECT d.doc_id, d.lang, len({_W}) AS tokens
+            FROM documents d
+            JOIN exact_keep USING (doc_id)
+            JOIN q USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
+        )
+        SELECT {_SPLIT_CASE} AS split, lang,
+               COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens
+        FROM kept GROUP BY 1, 2
+    """,
+    tags=("pipeline", "dedup", "composition"),
+    description="the end-to-end curation pipeline as ONE declarative "
+                "plan: quality gate -> exact dedup -> near-dup keep-"
+                "list -> split assignment -> per-(split, lang) doc and "
+                "token totals. Every stage is itself a registered, "
+                "individually-oracled query; composing them stays one "
+                "Catalyst plan (semi/anti joins + one aggregate), no "
+                "materialization between stages",
+)
+def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition is the point: a Spark-first pipeline chains stages
+    as DataFrame lineage and lets Catalyst plan the whole thing (the
+    reference, by contrast, materializes every stage to text files —
+    asio_deep/main.cpp:293-331 — which is exactly the pattern this
+    engine replaces with in-plan composition)."""
+    from mapreduce_4_spark.plans.dedup import (
+        dedup_exact_docs,
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_4_spark.plans.pipeline_ops import quality_filter_docs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    exact_keep = dedup_exact_docs(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    dominated = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("id_b").alias("doc_id")
+    )
+    quality_keep = (
+        quality_filter_docs(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    from mapreduce_4_spark.operators.sampling import _hash_bucket
+
+    h = _hash_bucket(F.col("doc_id"), "42")
+    split = (
+        F.when(h < "e6666666", F.lit("train"))
+        .when(h < "f3333333", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    kept = (
+        docs.join(exact_keep, "doc_id", "left_semi")
+        .join(quality_keep, "doc_id", "left_semi")
+        .join(dominated, "doc_id", "left_anti")
+    )
+    return (
+        kept.select(
+            split.alias("split"), "lang", F.size(words("text")).alias("tokens")
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+        WITH pairs AS ({_PAIRS_SQL}),
+        dominated AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               COUNT(dom.doc_id) AS n_neardup,
+               CAST(COUNT(dom.doc_id) AS DOUBLE) / COUNT(*) AS dup_rate
+        FROM documents d LEFT JOIN dominated dom ON d.doc_id = dom.doc_id
+        GROUP BY d.source
+    """,
+    tags=("dedup", "pipeline", "diagnostics"),
+    description="feed-redundancy diagnostic: per source, the fraction "
+                "of documents dominated by a near-dup pair — the "
+                "signal that tells a crawl operator which feed is "
+                "mirroring content already held",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    from mapreduce_4_spark.plans.dedup import ngram_jaccard_pairs
+
+    dominated = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dom", F.lit(1))
+    )
+    return (
+        docs.join(dominated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dom").alias("n_neardup"),
+            (F.count("_dom").cast("double") / F.count(F.lit(1)))
+            .alias("dup_rate"),
+        )
+    )
