@@ -300,3 +300,125 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_rate"),
         )
     )
+
+
+@register(
+    "events_debounce",
+    oracle="""
+        SELECT event_id, user_id, event_type, ts
+        FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+        WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 10 MINUTE
+    """,
+    tags=("window", "dedup", "events"),
+    description="batch debounce: drop an event when the SAME (user, "
+                "type) fired within the previous 10 minutes (lag-based "
+                "raw-predecessor debounce; the chained-throttle variant "
+                "that suppresses relative to the last KEPT event is the "
+                "streaming stateful-dedup operator, streaming/)",
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window shuffle on (user_id, event_type); ties on ts break by
+    event_id so the kept set is deterministic in any engine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+#: vocabulary size for the id-mapping tokenizer below. Production BPE
+#: vocabs are 32k-256k; the plan shape (broadcast vocab join) is
+#: size-independent.
+_VOCAB_K = 1000
+
+
+@register(
+    "tokenize_to_ids_docs",
+    oracle=f"""
+        WITH tok AS (
+            SELECT w AS word, COUNT(*) AS n
+            FROM (SELECT unnest({_W}) AS w FROM documents) GROUP BY w
+        ),
+        vocab AS (
+            SELECT word, id FROM (
+                SELECT word,
+                       row_number() OVER (ORDER BY n DESC, word) AS id
+                FROM tok
+            ) WHERE id <= {_VOCAB_K}
+        ),
+        e AS (
+            SELECT doc_id,
+                   unnest({_W}) AS word,
+                   unnest(range(1, len({_W}) + 1)) AS pos
+            FROM documents
+        )
+        SELECT doc_id,
+               string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' '
+                          ORDER BY pos) AS ids,
+               CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unk
+        FROM e LEFT JOIN vocab v USING (word)
+        GROUP BY doc_id
+    """,
+    tags=("text", "pipeline", "tokenize"),
+    description="corpus-vocab id tokenization: build the top-1000 word "
+                "vocabulary (count desc, word asc - deterministic), map "
+                "every token to its id (0 = UNK), emit the id sequence "
+                "in document order plus the OOV count - the id-mapping "
+                "step of training-shard construction",
+)
+def tokenize_to_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab is corpus-derived, so the token->id map arrives by
+    BROADCAST join onto the exploded token stream (the vocab aggregate
+    is vocabulary-sized, not corpus-sized); documents reassemble with
+    one groupBy(doc_id) whose order key is the token position -
+    deterministic in any engine. Two shuffles total at any scale (vocab
+    count + reassembly)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    tok = docs.select(F.explode("w").alias("word"))
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "id",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("word"))
+            ),
+        )
+        .filter(F.col("id") <= _VOCAB_K)
+        .select("word", "id")
+    )
+    pos = docs.select("doc_id", F.posexplode("w").alias("pos", "word"))
+    mapped = pos.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "id"))
+                ),
+                lambda s: s["id"].cast("string"),
+            ),
+        ).alias("ids"),
+        F.sum((F.col("id") == 0).cast("long")).alias("n_unk"),
+    )

@@ -37,6 +37,13 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.shuffle.partitions": "32",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # local[N] runs the whole engine inside the driver JVM, whose default
+    # 1g heap starves 32 concurrent tasks' execution memory (observed:
+    # UNABLE_TO_ACQUIRE_MEMORY during the full-registry sweep). Size it
+    # like one real executor instead; harmless under spark-submit, where
+    # --driver-memory / executor memory take precedence over this default
+    # (only applied at JVM launch, overridable via SPARK_GRAFT_DRIVER_MEM).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
