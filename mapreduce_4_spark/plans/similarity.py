@@ -215,3 +215,141 @@ def similarity_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries, k=_K, nprobe=_IVF_NPROBE, centroids=cent
     )
+
+
+from mapreduce_4_spark.registry import REGISTRY as _REG
+
+_BF_SQL = _REG["similarity_bruteforce_topk"].oracle
+_LSH_SQL = _REG["similarity_lsh_topk"].oracle
+
+#: second arm of the recall diagnostic: 4 planes + hamming-1 multiprobe
+#: (the recall-vs-cost knob turned the other way from the registered
+#: 8-plane single-probe config)
+_MP_PLANES = 4
+
+
+def _sql_bucket_n(vec_expr: str, n_planes: int) -> str:
+    """Like _sql_bucket but for an arbitrary plane count."""
+    planes = hyperplanes(_DIM, n_planes)
+    terms = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+# multiprobe candidate condition: exact bucket OR any hamming-1 probe
+_MP_MATCH = " OR ".join(
+    ["q.bucket = c.bucket"]
+    + [f"xor(q.bucket, {1 << j}) = c.bucket" for j in range(_MP_PLANES)]
+)
+
+_LSH_MP_SQL = f"""
+    WITH emb4 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    b4 AS (
+        SELECT vec_id, e, {{bucket}} AS bucket FROM emb4
+    ),
+    q4 AS (
+        SELECT vec_id AS query_id, e AS qe, bucket
+        FROM b4 WHERE vec_id < {_N_QUERIES}
+    ),
+    p4 AS (
+        SELECT q.query_id, c.vec_id,
+               list_cosine_similarity(q.qe, c.e) AS cosine_sim
+        FROM q4 q JOIN b4 c
+          ON ({_MP_MATCH}) AND q.query_id <> c.vec_id
+    )
+    SELECT query_id, vec_id FROM (
+        SELECT p4.*,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, vec_id
+               ) AS rank
+        FROM p4
+    ) WHERE rank <= {_K}
+""".format(bucket=_sql_bucket_n("e", _MP_PLANES))
+
+
+def _recall_arm_sql(config: str, lsh_sql: str) -> str:
+    return f"""
+        SELECT '{config}' AS config, bf.query_id,
+               COUNT(*) AS n_true,
+               COUNT(l.vec_id) AS n_hit,
+               CAST(COUNT(l.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_10
+        FROM ({_BF_SQL}) bf
+        LEFT JOIN ({lsh_sql}) l
+          ON bf.query_id = l.query_id AND bf.vec_id = l.vec_id
+        GROUP BY bf.query_id
+    """
+
+
+@register(
+    "lsh_recall_at_k",
+    oracle=(
+        _recall_arm_sql("planes8_single", _LSH_SQL)
+        + " UNION ALL "
+        + _recall_arm_sql("planes4_multiprobe", _LSH_MP_SQL)
+    ),
+    tags=("similarity", "lsh", "diagnostics"),
+    description="per-query recall@10 of two LSH configs against the "
+                "exact brute-force top-10: the registered 8-plane "
+                "single-probe (fast, low recall on unstructured "
+                "fixtures) vs 4 planes + hamming-1 multiprobe (the "
+                "knob turned toward recall) — the ANN tier ships with "
+                "its own measured quality, as a fully-oracled query",
+)
+def lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval harness for the ANN tier, as a composition: join each
+    LSH config's result against the exact result, count hits per query.
+    The fixture's embeddings are near-uniform random — the hardest case
+    for sign-LSH (top-10 cosines sit at ~0.3-0.4, so bucket-collision
+    probability is low by construction); the two arms quantify exactly
+    what the n_planes / multiprobe dial buys there (measured 0.0 vs
+    ~0.4-0.5 recall). At scale the exact side runs on a sampled query
+    set — recall is a statistic, the sample bounds the brute-force
+    cost."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    arms = [
+        ("planes8_single", similarity_lsh_topk(spark, sf_dir)),
+        (
+            "planes4_multiprobe",
+            lsh_topk(emb, queries, dim=_DIM, k=_K, n_planes=_MP_PLANES,
+                     multiprobe=True),
+        ),
+    ]
+    out = None
+    for config, lsh in arms:
+        scored = (
+            brute.join(
+                lsh.select("query_id", "vec_id", F.lit(1).alias("_hit")),
+                ["query_id", "vec_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.count("_hit").alias("n_hit"),
+                (F.count("_hit").cast("double") / F.count(F.lit(1)))
+                .alias("recall_at_10"),
+            )
+            .select(
+                F.lit(config).alias("config"),
+                "query_id",
+                "n_true",
+                "n_hit",
+                "recall_at_10",
+            )
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
