@@ -242,3 +242,55 @@ def array_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("head_rounded"),
     )
+
+
+_SKEW_COLS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def _skew_arm_sql(table: str, col: str) -> str:
+    return f"""
+        SELECT '{table}.{col}' AS key_col,
+               CAST(SUM(kn) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               MAX(kn) AS max_key_rows,
+               CAST(MAX(kn) AS DOUBLE) / SUM(kn) AS max_key_share
+        FROM (SELECT {col}, COUNT(*) AS kn FROM {table} GROUP BY {col})
+    """
+
+
+@register(
+    "join_key_skew_report",
+    oracle=" UNION ALL ".join(_skew_arm_sql(t, c) for t, c in _SKEW_COLS),
+    tags=("statistics", "diagnostics"),
+    description="join-key skew report: rows, distinct keys, hottest-key "
+                "row count and share for each fact join column — the "
+                "number an operator reads BEFORE choosing plain vs "
+                "salted vs broadcast join at scale (the ab_skewamp "
+                "bench arms quantify what happens when this is ignored)",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial-aggregated groupBy per key column (map-side combine,
+    a shuffle of distinct keys only) then a one-row rollup per column —
+    cost O(distinct keys), never a sort, never a collect beyond the
+    4-row report itself."""
+    out = None
+    for table, col in _SKEW_COLS:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("kn"))
+        )
+        arm = per_key.agg(
+            F.lit(f"{table}.{col}").alias("key_col"),
+            F.sum("kn").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("kn").alias("max_key_rows"),
+            (F.max("kn").cast("double") / F.sum("kn")).alias("max_key_share"),
+        ).select("key_col", "n_rows", "n_keys", "max_key_rows", "max_key_share")
+        out = arm if out is None else out.unionByName(arm)
+    return out
