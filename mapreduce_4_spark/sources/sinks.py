@@ -32,6 +32,16 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format warehouses ask
+    for (built into Spark, same pushdown/pruning machinery as parquet)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     r = spark.read.option("header", True)
     return r.schema(schema).csv(path) if schema is not None else \

@@ -10,9 +10,11 @@ from mapreduce_4_spark.sources import load_table
 from mapreduce_4_spark.sources.sinks import (
     read_csv,
     read_json,
+    read_orc,
     read_wordcount_reference_layout,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
     write_wordcount_reference_layout,
 )
@@ -135,3 +137,21 @@ def test_text_source_with_input_file_name(spark, tmp_path):
     assert ("a.txt", "Hello, World!") in got
     assert ("b.txt", "tab\there") in got
     assert df.count() == 3
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_smoke, tmp_path):
+    """ORC round-trips exactly and drives the same scan machinery as
+    parquet: the read back under a filter shows PushedFilters in the
+    ORC scan (predicate pushdown is format-independent engine policy)."""
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out)
+    back = read_orc(spark, out)
+    assert _rows(back) == _rows(orders)
+    plan = (
+        back.filter(F.col("o_orderkey") == 42)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan
