@@ -422,3 +422,140 @@ def tokenize_to_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ids"),
         F.sum((F.col("id") == 0).cast("long")).alias("n_unk"),
     )
+
+
+@register(
+    "length_band_filter_docs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, len({_W}) AS n_tok FROM documents
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_tok, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM t
+        ),
+        bands AS (
+            SELECT lang,
+                   MAX(CASE WHEN rn = CAST(floor((n-1) * 0.05) AS BIGINT) + 1
+                            THEN n_tok END) AS p5_tokens,
+                   MAX(CASE WHEN rn = CAST(floor((n-1) * 0.95) AS BIGINT) + 1
+                            THEN n_tok END) AS p95_tokens
+            FROM ranked GROUP BY lang
+        )
+        SELECT t.doc_id, t.lang, t.n_tok,
+               b.p5_tokens, b.p95_tokens,
+               (t.n_tok >= b.p5_tokens AND t.n_tok <= b.p95_tokens) AS keep
+        FROM t JOIN bands b USING (lang)
+    """,
+    tags=("pipeline", "statistics", "quality"),
+    description="adaptive length-band filter: keep docs inside the "
+                "per-language p5-p95 token-length band, with the band "
+                "computed from the corpus itself by exact rank "
+                "selection (bit-identical across engines, unlike "
+                "interpolating quantiles) - thresholds that move with "
+                "the corpus instead of hand-tuned constants",
+)
+def length_band_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass adaptive thresholding: one window pass ranks lengths
+    per language, the per-lang band (a languages-sized table) joins
+    back by broadcast - the corpus shuffles once for the rank, never
+    for the filter."""
+    from pyspark.sql import Window
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(words("text")).cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = t.select(
+        "lang",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        idx = F.floor((F.col("n") - 1) * F.lit(p)).cast("long") + 1
+        return F.max(F.when(F.col("rn") == idx, F.col("n_tok"))).alias(name)
+
+    bands = ranked.groupBy("lang").agg(
+        pick(0.05, "p5_tokens"), pick(0.95, "p95_tokens")
+    )
+    return t.join(F.broadcast(bands), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "p5_tokens",
+        "p95_tokens",
+        (
+            (F.col("n_tok") >= F.col("p5_tokens"))
+            & (F.col("n_tok") <= F.col("p95_tokens"))
+        ).alias("keep"),
+    )
+
+
+@register(
+    "char_diversity_docs",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ''), x -> x != '') AS cs
+            FROM documents WHERE length(text) > 0
+        ),
+        k AS (
+            SELECT doc_id, cs, len(cs) AS n,
+                   [len(list_filter(cs, x -> x = d))
+                    for d in list_distinct(cs)] AS counts
+            FROM c
+        )
+        SELECT doc_id,
+               n AS n_chars,
+               len(counts) AS n_distinct_chars,
+               1.0 - CAST(list_sum(counts.list_transform(x -> x * x))
+                          AS DOUBLE) / (n * n) AS simpson_diversity
+        FROM k
+    """,
+    tags=("text", "quality"),
+    description="character-level Simpson diversity index 1 - sum(p_c^2) "
+                "per document: the gibberish/repetition signal at the "
+                "character level. Simpson is chosen over Shannon "
+                "entropy DELIBERATELY - it needs only integer counts "
+                "and one IEEE division, so it is bit-identical across "
+                "engines, where log2's last-ulp behaviour is "
+                "library-dependent",
+)
+def char_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure column expressions (split / distinct / transform /
+    aggregate) - per-row compute, no shuffle, no UDF. The sum of
+    squared counts is order-independent integer math, so no fold-order
+    coordination with the oracle is needed at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cs = F.filter(F.split("text", ""), lambda x: x != F.lit(""))
+    d = docs.filter(F.length("text") > 0).select(
+        "doc_id", cs.alias("cs")
+    )
+    counts = F.transform(
+        F.array_distinct("cs"),
+        lambda ch: F.size(F.filter("cs", lambda x: x == ch)),
+    )
+    k = d.select(
+        "doc_id",
+        F.size("cs").alias("n"),
+        counts.alias("counts"),
+    )
+    sumsq = F.aggregate(
+        "counts", F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long") * x.cast("long"),
+    )
+    return k.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.size("counts").cast("long").alias("n_distinct_chars"),
+        (
+            F.lit(1.0)
+            - sumsq.cast("double") / (F.col("n").cast("long") * F.col("n"))
+        ).alias("simpson_diversity"),
+    )
