@@ -528,34 +528,51 @@ def length_band_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "library-dependent",
 )
 def char_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure column expressions (split / distinct / transform /
-    aggregate) - per-row compute, no shuffle, no UDF. The sum of
-    squared counts is order-independent integer math, so no fold-order
-    coordination with the oracle is needed at all."""
+    """Pure column expressions, per-row compute, no shuffle, no UDF.
+    The squared counts come from ONE run-length fold over the SORTED
+    char array (O(n log n) per doc), not a count-per-distinct-char scan
+    (O(k·n) — measured 2× slower and quadratic on high-alphabet texts).
+    The sum of squared counts is order-independent integer math, so no
+    fold-order coordination with the oracle is needed at all."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     cs = F.filter(F.split("text", ""), lambda x: x != F.lit(""))
     d = docs.filter(F.length("text") > 0).select(
-        "doc_id", cs.alias("cs")
+        "doc_id", F.array_sort(cs).alias("cs")
     )
-    counts = F.transform(
-        F.array_distinct("cs"),
-        lambda ch: F.size(F.filter("cs", lambda x: x == ch)),
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    # fold state: (prev char, current run length, Σ finished-run², runs)
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"),
+        zero.alias("acc"), zero.alias("k"),
+    )
+    step = lambda s, x: F.when(
+        x == s["prev"],
+        F.struct(
+            s["prev"].alias("prev"), (s["run"] + one).alias("run"),
+            s["acc"].alias("acc"), s["k"].alias("k"),
+        ),
+    ).otherwise(
+        F.struct(
+            x.alias("prev"), one.alias("run"),
+            (s["acc"] + s["run"] * s["run"]).alias("acc"),
+            (s["k"] + one).alias("k"),
+        )
+    )
+    fin = lambda s: F.struct(
+        (s["acc"] + s["run"] * s["run"]).alias("sumsq"), s["k"].alias("k")
     )
     k = d.select(
         "doc_id",
-        F.size("cs").alias("n"),
-        counts.alias("counts"),
-    )
-    sumsq = F.aggregate(
-        "counts", F.lit(0).cast("long"),
-        lambda acc, x: acc + x.cast("long") * x.cast("long"),
+        F.size("cs").cast("long").alias("n"),
+        F.aggregate("cs", init, step, fin).alias("st"),
     )
     return k.select(
         "doc_id",
-        F.col("n").cast("long").alias("n_chars"),
-        F.size("counts").cast("long").alias("n_distinct_chars"),
+        F.col("n").alias("n_chars"),
+        F.col("st")["k"].alias("n_distinct_chars"),
         (
             F.lit(1.0)
-            - sumsq.cast("double") / (F.col("n").cast("long") * F.col("n"))
+            - F.col("st")["sumsq"].cast("double") / (F.col("n") * F.col("n"))
         ).alias("simpson_diversity"),
     )
