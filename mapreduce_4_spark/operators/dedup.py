@@ -277,8 +277,17 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float,
     # both verify sides); persist it once instead of re-running the
     # regex+explode pipeline per consumer (same discipline as
     # minhash_incremental_neardup below — MEMORY_AND_DISK, spills at
-    # scale rather than OOMs).
-    sh = sh.persist()
+    # scale rather than OOMs). Spark's cache manager keys entries by
+    # analyzed plan, so the compositions that rebuild this exact
+    # lineage (neardup_survivors, dedup_clusters, curated_corpus_stats,
+    # dedup_rate_by_source) share ONE entry per input, not one each;
+    # the storageLevel guard skips the redundant persist call for them.
+    # Entries live until session end — app-scoped, like the partsupp
+    # cache in plans/tpch_partsupp.py; bounded by distinct inputs.
+    from pyspark.storagelevel import StorageLevel
+
+    if sh.storageLevel == StorageLevel.NONE:
+        sh = sh.persist()
     cand = jaccard_prefix_candidates(sh, threshold, block_col, id_col)
 
     # Exact verify: one array intersection per surviving candidate on

@@ -143,3 +143,36 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
         *[F.col(f"n.{c}").alias(f"new_{c}") for c in compare],
     )
     return out.filter(F.col("op").isNotNull())
+
+
+def snapshot_diff_aligned(old: DataFrame, new: DataFrame, key: str,
+                          compare: list[str] | None = None) -> DataFrame:
+    """``snapshot_diff`` tolerant of schema evolution between the two
+    snapshots: ``compare`` defaults to the UNION of both sides' non-key
+    columns, and a column absent on one side is padded with a typed
+    null there — so a column add surfaces as 'U' rows (NULL -> value)
+    instead of an AnalysisException, and a column drop as value ->
+    NULL. An explicit ``compare`` naming a column absent on BOTH sides
+    still fails, loudly, with the offending names. This is the diff
+    every CDC read path uses (``table_changes`` and the streaming feed
+    in streaming/cdc.py), so batch and feed agree on evolved schemas by
+    construction."""
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    if compare is None:
+        # new's column order first (the common, un-evolved case is then
+        # byte-identical to plain snapshot_diff), dropped columns after
+        compare = [c for c in new.columns if c != key]
+        compare += [c for c in old.columns if c != key and c not in new_types]
+    missing = [c for c in compare if c not in old_types and c not in new_types]
+    if missing:
+        raise ValueError(
+            f"compare columns {missing} exist in neither snapshot "
+            f"(old: {sorted(old_types)}, new: {sorted(new_types)})"
+        )
+    for c in compare:
+        if c not in old_types:
+            old = old.withColumn(c, F.lit(None).cast(new_types[c]))
+        if c not in new_types:
+            new = new.withColumn(c, F.lit(None).cast(old_types[c]))
+    return snapshot_diff(old, new, key, compare)

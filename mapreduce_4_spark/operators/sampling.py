@@ -128,8 +128,18 @@ def temperature_resample(df: DataFrame, strata_col: str, weight_col: str,
     partition-independent, engine-portable, replayable.
 
     Scale: two tiny aggregates (per-stratum totals + a one-row min)
-    broadcast back onto the scan; the data itself never shuffles."""
-    totals = df.groupBy(strata_col).agg(F.sum(weight_col).alias("_tot"))
+    broadcast back onto the scan; the data itself never shuffles.
+
+    A stratum with ZERO total weight (e.g. a source whose documents all
+    tokenize empty) is excluded from both the min and the rate table:
+    it keeps nothing (it contributes no tokens to the mixture), and —
+    critically — it must not drag min_tot to 0, which would silently
+    zero every other stratum's rate and empty the whole output."""
+    totals = (
+        df.groupBy(strata_col)
+        .agg(F.sum(weight_col).alias("_tot"))
+        .filter(F.col("_tot") > 0)
+    )
     mn = totals.agg(F.min("_tot").alias("_mn"))
     rates = totals.join(F.broadcast(mn)).select(
         F.col(strata_col).alias("_stratum"),

@@ -138,7 +138,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     )
 
 
-def exact_cosine_pairs(corpus: DataFrame, threshold: float,
+def exact_cosine_pairs(corpus: DataFrame, threshold: float, dim: int,
                        n_blocks: int = 16, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
     """EXACT cosine-threshold self-join without the quadratic nested-loop
@@ -148,13 +148,14 @@ def exact_cosine_pairs(corpus: DataFrame, threshold: float,
     ``threshold``:
 
     1. **Blocking** — each vector goes to its nearest of ``n_blocks``
-       seed directions (the lowest-id vectors: deterministic, no
-       training pass). The seeds are collected once (k rows — bounded,
-       like the hot-key sample in operators/partitioning.py) and
-       inlined as LITERAL arrays in a single argmax expression, so
-       assignment is a pure per-row column expression — no join, no
-       window, no shuffle. Blocks partition the corpus, so every
-       unordered pair lives in exactly one block pair.
+       seed directions, generated from ``(dim, n_blocks, seed)`` by the
+       same seeded generator as the LSH hyperplanes — derived from NO
+       data, so plan construction is action-free. The unit-normalized
+       seeds are inlined as LITERAL arrays in a single argmax
+       expression, so assignment is a pure per-row column expression —
+       no join, no window, no shuffle, no driver-side corpus probe.
+       Blocks partition the corpus, so every unordered pair lives in
+       exactly one block pair.
     2. **Block-pair bound pruning** — per block pair, inside the verify
        step: unit mean-direction centroid + angular radius (max member
        angle to it), both recomputed deterministically from the member
@@ -192,7 +193,7 @@ def exact_cosine_pairs(corpus: DataFrame, threshold: float,
     no-structure worst case and run at BLAS speed. Scale n_blocks ~
     n / desired_block_rows so one block's member matrix fits a task
     (e.g. 10k x 64 doubles = 5 MB); for corpora with real angular
-    structure, swap the iters=0 seeds for a trained
+    structure, swap the data-free seeds for a trained
     ``train_centroids(iters>=1)`` table to tighten radii — the bound
     logic is unchanged.
 
@@ -203,11 +204,20 @@ def exact_cosine_pairs(corpus: DataFrame, threshold: float,
     spark = corpus.sparkSession
     emb = corpus.select(id_col, vec_col)
 
-    seeds = emb.orderBy(id_col).limit(n_blocks).collect()  # bounded: k rows
-    if not seeds:
-        return spark.createDataFrame(
-            [], "id_a long, id_b long, cosine_sim double"
-        )
+    # Seed directions come from the SAME seeded generator as the LSH
+    # hyperplanes — derived from (dim, n_blocks, seed) alone, NEVER from
+    # the data, so plan construction stays action-free (the repo-wide
+    # convention lsh_topk/ivf pin: no driver-side probe of the corpus).
+    # ``dim`` is required for the same reason. Any deterministic
+    # direction set yields a valid partition of the corpus; the
+    # block-level bound is computed downstream from the ACTUAL members,
+    # so correctness never depends on seed quality — only pruning rate
+    # does.
+    raw_seeds = hyperplanes(dim, n_blocks)
+    unit_seeds = []
+    for sv in raw_seeds:
+        sn = math.sqrt(math.fsum(float(x) * float(x) for x in sv))
+        unit_seeds.append([float(x) / sn for x in sv])
 
     # Nearest-seed assignment as ONE literal column expression: an
     # argmax over k literal dot products. Seeds are unit-normalized
@@ -219,23 +229,14 @@ def exact_cosine_pairs(corpus: DataFrame, threshold: float,
     # scores 0 against every seed and lands in block 1 — also fine,
     # blocks only need to be a deterministic partition.
     vd = as_double(F.col(vec_col))
-    unit_seeds = []
-    for row in seeds:
-        sv = [float(x) for x in row[vec_col]]
-        sn = math.sqrt(math.fsum(x * x for x in sv))
-        if sn > 0:
-            unit_seeds.append([x / sn for x in sv])
-    if unit_seeds:
-        scored = [
-            F.struct(
-                dot(vd, F.array(*[F.lit(x) for x in us])).alias("s"),
-                F.lit(-k).alias("nid"),
-            )
-            for k, us in enumerate(unit_seeds, start=1)
-        ]
-        block_expr = (-F.array_max(F.array(*scored))["nid"]).cast("int")
-    else:  # every seed zero-norm: one block, still a valid partition
-        block_expr = F.lit(1).cast("int")
+    scored = [
+        F.struct(
+            dot(vd, F.array(*[F.lit(x) for x in us])).alias("s"),
+            F.lit(-k).alias("nid"),
+        )
+        for k, us in enumerate(unit_seeds, start=1)
+    ]
+    block_expr = (-F.array_max(F.array(*scored))["nid"]).cast("int")
     assigned = emb.withColumn("block", block_expr)
     members = assigned.groupBy("block").agg(
         F.collect_list(

@@ -119,9 +119,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix filtering (operators/dedup.py::prefix_filtered_jaccard_pairs).
     Candidates come from joining only each doc's rarest
     (1-τ)·|doc| + 1 grams (global ascending-df order) — provably
-    lossless at τ=0.8 — then |A∩B| arrives as a pair COUNT over the
-    full gram relation and |A∪B| = |A| + |B| - |A∩B|. Same integers,
-    same single IEEE division — bit-identical to the oracle's
+    lossless at τ=0.8 — then each candidate verifies with ONE
+    array_intersect/array_union on the per-doc shingle arrays. Same
+    integers, same single IEEE division — bit-identical to the oracle's
     intersect/union form — but hot grams (df² blowup on templated
     corpora) never enter a prefix, so candidate rows scale with
     rare-gram df only: the exact-similarity-join shape that survives
@@ -276,7 +276,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_4_spark.operators.similarity import exact_cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return exact_cosine_pairs(emb, threshold=0.4, n_blocks=16)
+    return exact_cosine_pairs(emb, threshold=0.4, dim=64, n_blocks=16)
 
 
 from mapreduce_4_spark.registry import REGISTRY as _REG

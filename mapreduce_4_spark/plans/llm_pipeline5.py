@@ -93,7 +93,10 @@ _W = sql_words("text")
         WITH tok AS (
             SELECT doc_id, source, len({_W}) AS w FROM documents
         ),
-        tot AS (SELECT source, SUM(w) AS tot FROM tok GROUP BY source),
+        tot AS (
+            SELECT source, SUM(w) AS tot FROM tok GROUP BY source
+            HAVING SUM(w) > 0
+        ),
         mn AS (SELECT MIN(tot) AS mn FROM tot),
         r AS (SELECT source, sqrt(mn / tot) AS rate FROM tot, mn)
         SELECT t.doc_id, t.source

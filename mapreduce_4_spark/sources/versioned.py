@@ -328,14 +328,15 @@ def table_changes(spark: SparkSession, table_dir: str, key: str,
     """Change data feed between two published versions (CDC read):
     Delta's ``table_changes`` / Iceberg changelog scan over this table
     format, computed as one full-outer join of the two snapshots
-    (operators.maintenance.snapshot_diff). ``compare`` defaults to every
-    non-key column of the newer snapshot."""
-    from mapreduce_4_spark.operators.maintenance import snapshot_diff
+    (operators.maintenance.snapshot_diff_aligned). ``compare`` defaults
+    to the union of both snapshots' non-key columns, with typed-null
+    padding when the schema evolved between the versions — the same
+    alignment the streaming feed uses, so batch and feed agree on
+    evolved schemas by construction."""
+    from mapreduce_4_spark.operators.maintenance import snapshot_diff_aligned
 
     if to_version is None:
         to_version = latest_version(table_dir)
     old = read_version(spark, table_dir, from_version)
     new = read_version(spark, table_dir, to_version)
-    if compare is None:
-        compare = [c for c in new.columns if c != key]
-    return snapshot_diff(old, new, key, compare)
+    return snapshot_diff_aligned(old, new, key, compare)

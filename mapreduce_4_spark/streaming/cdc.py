@@ -67,36 +67,14 @@ def _commit_checkpoint(path: str, version: int) -> None:
 
 def _aligned_diff(old: DataFrame, new: DataFrame, key: str,
                   compare: list[str] | None) -> DataFrame:
-    """snapshot_diff tolerant of schema evolution between versions:
-    ``compare`` defaults to the UNION of both sides' non-key columns,
-    and a column absent on one side is padded with a typed null there —
-    so a column add surfaces as 'U' rows (NULL -> value) instead of an
-    AnalysisException wedging the feed mid-replay, and a column drop as
-    value -> NULL. An explicit ``compare`` naming a column absent on
-    both sides still fails, loudly, with the offending names."""
-    from pyspark.sql import functions as F
+    """Schema-evolution-tolerant diff. The alignment logic lives one
+    layer down, in operators/maintenance.py::snapshot_diff_aligned,
+    shared with the batch ``table_changes`` read — so the feed and the
+    batch oracle agree on evolved schemas by construction, not by two
+    parallel implementations."""
+    from mapreduce_4_spark.operators.maintenance import snapshot_diff_aligned
 
-    from mapreduce_4_spark.operators.maintenance import snapshot_diff
-
-    old_types = {f.name: f.dataType for f in old.schema.fields}
-    new_types = {f.name: f.dataType for f in new.schema.fields}
-    if compare is None:
-        # new's column order first (the common, un-evolved case is then
-        # byte-identical to the old behaviour), dropped columns after
-        compare = [c for c in new.columns if c != key]
-        compare += [c for c in old.columns if c != key and c not in new_types]
-    missing = [c for c in compare if c not in old_types and c not in new_types]
-    if missing:
-        raise ValueError(
-            f"compare columns {missing} exist in neither version "
-            f"(old: {sorted(old_types)}, new: {sorted(new_types)})"
-        )
-    for c in compare:
-        if c not in old_types:
-            old = old.withColumn(c, F.lit(None).cast(new_types[c]))
-        if c not in new_types:
-            new = new.withColumn(c, F.lit(None).cast(old_types[c]))
-    return snapshot_diff(old, new, key, compare)
+    return snapshot_diff_aligned(old, new, key, compare)
 
 
 def version_changes(spark: SparkSession, table_dir: str, key: str,
@@ -159,6 +137,24 @@ def replay_changes(spark: SparkSession, table_dir: str, key: str,
 
     last = _read_checkpoint(checkpoint_path)
     versions = list_versions(table_dir)
+
+    # Checkpoint AHEAD of the whole retained history: the table was
+    # recreated or rolled back underneath the subscriber. Per-version
+    # replay would silently deliver nothing forever while the table's
+    # content was fully replaced — the same corruption class as the
+    # retention gap below, in the other direction.
+    if versions and last > max(versions):
+        if not allow_full_reload:
+            raise ValueError(
+                f"CDC checkpoint at version {last} is AHEAD of the table's "
+                f"entire history (latest retained: {max(versions)}): the "
+                "table was recreated or rolled back, so resuming would "
+                "silently deliver nothing while its content changed. Pass "
+                "allow_full_reload=True to restart as an initial load, or "
+                "re-subscribe from a fresh checkpoint."
+            )
+        last = 0
+
     pending = [v for v in versions if v > last]
     if not pending:
         return []

@@ -368,7 +368,63 @@ def test_feed_survives_schema_evolution(spark, sf_smoke, tmp_path):
     # an explicit compare naming a column on neither side still fails
     import pytest
 
-    with pytest.raises(ValueError, match="neither version"):
+    with pytest.raises(ValueError, match="neither snapshot"):
         from mapreduce_4_spark.streaming import version_changes as vc
 
         vc(spark, tdir, "o_orderkey", 3, compare=["no_such_col"]).collect()
+
+
+def test_feed_refuses_checkpoint_ahead_of_history(spark, sf_smoke, tmp_path):
+    """A checkpoint AHEAD of the whole retained history means the table
+    was recreated or rolled back: per-version replay would silently
+    deliver nothing forever while the content changed. The feed raises
+    unless the subscriber opts into a full reload."""
+    import json
+
+    import pytest
+
+    from mapreduce_4_spark.sources.versioned import read_version
+
+    tdir, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt.json")
+    _publish_three_versions(spark, sf_smoke, tdir)
+    with open(ckpt, "w") as fh:
+        json.dump({"last_version": 10}, fh)  # table history tops out at 3
+
+    with pytest.raises(ValueError, match="AHEAD"):
+        replay_changes(spark, tdir, "o_orderkey", ckpt, lambda df, v: None)
+
+    seen: dict[int, int] = {}
+    delivered = replay_changes(
+        spark, tdir, "o_orderkey", ckpt,
+        lambda df, v: seen.__setitem__(v, df.count()),
+        allow_full_reload=True,
+    )
+    assert delivered == [1, 2, 3]  # restarted as a full replay
+    assert seen[1] == read_version(spark, tdir, 1).count()
+
+
+def test_batch_table_changes_survives_schema_evolution(spark, sf_smoke, tmp_path):
+    """The BATCH read and the feed share one aligned diff: a column
+    added between versions must not wedge table_changes either, and the
+    coalesced feed catch-up must equal it on the evolved range."""
+    import json
+
+    tdir, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt.json")
+    base = _orders(spark, sf_smoke)
+    write_version(base, tdir)
+    write_version(base.withColumn("o_tier", F.lit("gold")), tdir)
+    write_version(base.drop("o_orderstatus"), tdir)
+
+    batch = table_changes(spark, tdir, "o_orderkey", 1, 3)
+    assert batch.filter(F.col("op") == "U").count() == base.count()
+
+    with open(ckpt, "w") as fh:
+        json.dump({"last_version": 1}, fh)
+    got: dict[int, list] = {}
+    delivered = replay_changes(
+        spark, tdir, "o_orderkey", ckpt,
+        lambda df, v: got.__setitem__(v, _rows(df)),
+        coalesce_after=1,
+    )
+    assert delivered == [3]
+    assert got[3] == _rows(batch)

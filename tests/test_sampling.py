@@ -246,3 +246,25 @@ def test_temperature_resample_smallest_stratum_keeps_all(spark):
         ).collect()
     )
     assert k1 == k2
+
+
+def test_temperature_resample_zero_weight_stratum_does_not_empty_output(spark):
+    """A stratum with zero total weight (all docs tokenize empty) keeps
+    nothing, but must NOT drag min_tot to 0 and silently zero every
+    other stratum's rate."""
+    from mapreduce_4_spark.operators.sampling import temperature_resample
+
+    rows = (
+        [("empty", i, 0) for i in range(10)]
+        + [("small", 100 + i, 1) for i in range(50)]
+        + [("big", 1000 + i, 1) for i in range(5000)]
+    )
+    df = spark.createDataFrame(rows, "src string, k long, w long")
+    kept = temperature_resample(df, "src", "w", key_col="k")
+    from pyspark.sql import functions as F
+
+    by = {r["src"]: r["n"] for r in
+          kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "empty" not in by          # contributes no tokens -> dropped
+    assert by["small"] == 50          # still the binding stratum, rate 1.0
+    assert 350 <= by.get("big", 0) <= 650

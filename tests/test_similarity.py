@@ -147,7 +147,7 @@ def test_exact_cosine_pairs_matches_numpy_all_pairs(spark, emb):
             if s >= thr:
                 expected.add((a, b))
     got = {(r["id_a"], r["id_b"])
-           for r in exact_cosine_pairs(emb, threshold=thr).collect()}
+           for r in exact_cosine_pairs(emb, threshold=thr, dim=64).collect()}
     assert got == expected
 
 
@@ -165,11 +165,11 @@ def test_exact_cosine_pairs_small_corpus_and_blocks(spark):
         (4, [0.0, 0.0]),      # zero vector -> cosine -1.0 (DuckDB def)
     ]
     df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
-    out = exact_cosine_pairs(df, threshold=0.5, n_blocks=8).collect()
+    out = exact_cosine_pairs(df, threshold=0.5, dim=2, n_blocks=8).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
     assert out[0]["cosine_sim"] == 1.0
     # at threshold -1.0 every pair qualifies, zero vector included
-    low = exact_cosine_pairs(df, threshold=-1.0, n_blocks=8)
+    low = exact_cosine_pairs(df, threshold=-1.0, dim=2, n_blocks=8)
     assert low.count() == 6
 
 
@@ -177,4 +177,4 @@ def test_exact_cosine_pairs_empty_corpus(spark):
     from mapreduce_4_spark.operators.similarity import exact_cosine_pairs
 
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
-    assert exact_cosine_pairs(df, threshold=0.4).count() == 0
+    assert exact_cosine_pairs(df, threshold=0.4, dim=2).count() == 0
