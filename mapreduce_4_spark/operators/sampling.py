@@ -109,6 +109,41 @@ def rebalance_mixture(df: DataFrame, strata_col: str, weights: dict,
     )
 
 
+#: 90/5/5 split boundaries as hex images of 0.90 and 0.95 of the 32-bit
+#: md5-prefix space — shared by the Spark expression and the oracle SQL
+#: builders below so the two can never drift.
+SPLIT_BOUNDS = (("train", "e6666666"), ("val", "f3333333"), ("test", None))
+
+
+def split_assignment(key: Column, salt: str = "42") -> Column:
+    """Deterministic train/val/test label from content-keyed md5
+    buckets — the lineage-stable alternative to randomSplit (whose
+    assignment changes with partitioning). A row never migrates between
+    splits as the corpus grows."""
+    h = _hash_bucket(key, salt)
+    expr = None
+    for name, bound in SPLIT_BOUNDS:
+        if bound is None:
+            expr = expr.otherwise(F.lit(name))
+        elif expr is None:
+            expr = F.when(h < bound, F.lit(name))
+        else:
+            expr = expr.when(h < bound, F.lit(name))
+    return expr
+
+
+def sql_split_assignment(key_expr: str, salt: str = "42") -> str:
+    """DuckDB twin of :func:`split_assignment` (identical buckets)."""
+    h = f"substring(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8)"
+    parts = []
+    for name, bound in SPLIT_BOUNDS:
+        if bound is None:
+            parts.append(f"ELSE '{name}'")
+        else:
+            parts.append(f"WHEN {h} < '{bound}' THEN '{name}'")
+    return "CASE " + " ".join(parts) + " END"
+
+
 def temperature_resample(df: DataFrame, strata_col: str, weight_col: str,
                          key_col: str, salt: str = "42") -> DataFrame:
     """Temperature-based mixture resampling (the multilingual-corpus

@@ -125,18 +125,14 @@ def temperature_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+from mapreduce_4_spark.operators.sampling import sql_split_assignment
+
 @register(
     "train_split_assignment_docs",
-    oracle="""
+    oracle=f"""
         SELECT doc_id, source,
-               CASE WHEN h < 'e6666666' THEN 'train'
-                    WHEN h < 'f3333333' THEN 'val'
-                    ELSE 'test' END AS split
-        FROM (
-            SELECT doc_id, source,
-                   substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS h
-            FROM documents
-        )
+               {sql_split_assignment("doc_id")} AS split
+        FROM documents
     """,
     tags=("pipeline", "sampling"),
     description="deterministic 90/5/5 train/val/test assignment via the "
@@ -145,33 +141,23 @@ def temperature_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "never migrates between splits as the corpus grows",
 )
 def train_split_assignment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-bucket split assignment — the lineage-stable alternative to
-    randomSplit (whose assignment changes with partitioning). Thresholds
-    are the hex images of 0.90 and 0.95 of the 32-bit hash space; the
-    per-row predicate costs no shuffle at any scale."""
-    from mapreduce_4_spark.operators.sampling import _hash_bucket
+    """Hash-bucket split assignment (operators/sampling.py::
+    split_assignment — thresholds shared with the SQL twin so Spark and
+    oracle can never drift); the per-row predicate costs no shuffle at
+    any scale."""
+    from mapreduce_4_spark.operators.sampling import split_assignment
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    h = _hash_bucket(F.col("doc_id"), "42")
     return docs.select(
-        "doc_id",
-        "source",
-        F.when(h < "e6666666", F.lit("train"))
-        .when(h < "f3333333", F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        "doc_id", "source", split_assignment(F.col("doc_id")).alias("split")
     )
 
 
 _PAIRS_SQL = REGISTRY["ngram_jaccard_pairs"].oracle
 
-_SPLIT_CASE = """
-    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
-              < 'e6666666' THEN 'train'
-         WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
-              < 'f3333333' THEN 'val'
-         ELSE 'test' END
-"""
+from mapreduce_4_spark.operators.sampling import sql_split_assignment as _ssa
+
+_SPLIT_CASE = _ssa("doc_id")
 
 
 @register(
@@ -240,14 +226,9 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep"))
         .select("doc_id")
     )
-    from mapreduce_4_spark.operators.sampling import _hash_bucket
+    from mapreduce_4_spark.operators.sampling import split_assignment
 
-    h = _hash_bucket(F.col("doc_id"), "42")
-    split = (
-        F.when(h < "e6666666", F.lit("train"))
-        .when(h < "f3333333", F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_assignment(F.col("doc_id"))
     kept = (
         docs.join(exact_keep, "doc_id", "left_semi")
         .join(quality_keep, "doc_id", "left_semi")

@@ -283,3 +283,28 @@ def test_prefix_candidates_superset_of_qualifying_pairs(spark):
         }
         missing = set(_brute_pairs(rows, thr)) - cand
         assert not missing, f"t={thr}: prefix filter missed {missing}"
+
+
+def test_prefix_filter_lossless_many_seeds(spark):
+    """Losslessness across a spread of random corpora and thresholds —
+    broader evidence than the single-seed test above."""
+    import random
+
+    from mapreduce_4_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    for seed in (1, 2, 3, 11, 23):
+        rng = random.Random(seed)
+        vocab = [f"g{i}" for i in range(15)]
+        rows = [
+            (i, "en", rng.sample(vocab, rng.randint(1, 12)))
+            for i in range(25)
+        ]
+        for thr in (0.6, 0.8):
+            got = {
+                (r["id_a"], r["id_b"]): r["jaccard_sim"]
+                for r in prefix_filtered_jaccard_pairs(
+                    _sh_df(spark, rows), thr, block_col="lang"
+                ).collect()
+            }
+            want = _brute_pairs(rows, thr)
+            assert got == pytest.approx(want), f"seed={seed} thr={thr}"

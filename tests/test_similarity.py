@@ -178,3 +178,22 @@ def test_exact_cosine_pairs_empty_corpus(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert exact_cosine_pairs(df, threshold=0.4, dim=2).count() == 0
+
+
+def test_exact_cosine_plan_construction_is_action_free(spark):
+    """Building the exact_cosine_pairs plan must launch NO Spark job
+    (the repo-wide convention lsh_topk pins with its required dim):
+    EXPLAIN and plan-property tests would otherwise cost a cluster job
+    per call."""
+    from mapreduce_4_spark.operators.similarity import exact_cosine_pairs
+
+    tracker = spark.sparkContext.statusTracker()
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    before = set(tracker.getJobIdsForGroup(None))
+    out = exact_cosine_pairs(df, threshold=0.5, dim=2, n_blocks=4)
+    _ = out.schema  # analysis only — still no job
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "plan construction launched a Spark job"
