@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     llm_pipeline3,
     llm_pipeline4,
     llm_pipeline5,
+    llm_pipeline6,
     maintenance,
     multimodal,
     pipeline_ops,

@@ -1,0 +1,513 @@
+"""Round-7 LLM-pipeline additions: winnowing fingerprints (the MOSS
+span-level dedup signal), BPE first-merge pair statistics, fixed-width
+block dedup with document reconstruction (C4-style line dedup adapted to
+the fixture's delimiter-free token soup), per-source token-distribution
+drift (total-variation distance — chosen over KL deliberately: TVD stays
+in exact integer arithmetic until ONE final IEEE division, where KL's
+per-token log would drift in the last ulp across engines), and an int8
+scalar-quantization recall eval for the similarity tier. All fully
+oracle-checked.
+
+Reference anchor: each is a composition of the reference's
+Map -> Shuffle -> Reduce contract (asio_deep/main.cpp:216-516)
+generalized to gram-, pair-, block-, token- and vector-keyed spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.text import sql_words, words
+from mapreduce_4_spark.functions.vectors import as_double, cosine
+from mapreduce_4_spark.operators.dedup import MERSENNE_31, _base31
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+_W = sql_words("text")
+
+#: winnowing parameters: k-gram size and window width. Guarantee: any
+#: shared span of >= _WIN_K + _WIN_W - 1 tokens produces at least one
+#: shared fingerprint (the winnowing theorem), at ~2/(w+1) the storage
+#: of the full gram set.
+_WIN_K = 3
+_WIN_W = 4
+
+#: BPE pair statistics: report the top-N adjacent-symbol pairs.
+_BPE_TOP = 30
+
+#: block dedup: block width in tokens (C4 uses lines; the fixture has no
+#: newlines, so fixed-width token blocks stand in for them).
+_BLOCK = 20
+
+#: quantization eval reuses the similarity tier's query/k conventions.
+_QR_QUERIES = 5
+_QR_K = 10
+_QR_DIM = 64
+
+
+@register(
+    "winnow_fingerprints_docs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_W} AS w FROM documents
+            WHERE len({_W}) >= {_WIN_K + _WIN_W - 1}
+        ),
+        g AS (
+            SELECT doc_id,
+                   [CAST('0x' || substring(md5(w[i] || ' ' || w[i+1] || ' ' ||
+                                               w[i+2]), 1, 8) AS BIGINT)
+                    & {MERSENNE_31}
+                    for i in range(1, len(w) - 1)] AS hs
+            FROM t
+        ),
+        p AS (
+            SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+                   s['i'] - 1 AS p, s['h'] AS h
+            FROM (SELECT doc_id, hs,
+                         unnest([{{'i': i, 'h': hs[i]}}
+                                 for i in range(1, len(hs) + 1)]) AS s
+                  FROM g)
+        ),
+        wm AS (
+            SELECT doc_id, n_grams, p,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS BETWEEN CURRENT ROW
+                                AND {_WIN_W - 1} FOLLOWING) AS wmin
+            FROM p
+        )
+        SELECT doc_id, n_grams,
+               COUNT(*) AS n_windows,
+               COUNT(DISTINCT wmin) AS n_fingerprints,
+               MIN(wmin) AS fp_min,
+               CAST(SUM(DISTINCT wmin) AS BIGINT) AS fp_checksum
+        FROM wm
+        WHERE p <= n_grams - {_WIN_W}
+        GROUP BY doc_id, n_grams
+    """,
+    tags=("text", "dedup", "fingerprint"),
+    description="winnowing fingerprints (MOSS): md5-base31 3-gram hashes, "
+                "min over each 4-window — any shared span of >= 6 tokens "
+                "shares a fingerprint; per-doc count/min/checksum digest "
+                "(docs shorter than k+w-1 words excluded on both engines)",
+)
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing selects ~2/(w+1) of the k-gram hashes as the document's
+    fingerprint set while guaranteeing every sufficiently long shared
+    span is detected — the classic span-level dedup signal (Schleimer et
+    al., MOSS). Per-partition cost is linear and the only shuffle keys on
+    doc_id (the window partition), so the plan is embarrassingly
+    parallel at 100 TB; fingerprint sets feed the same banded-join
+    machinery as MinHash downstream."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", words("text").alias("w")).filter(
+        F.size("w") >= _WIN_K + _WIN_W - 1
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (_WIN_K - 1)),
+        lambda i: F.concat_ws(" ", F.slice("w", i, _WIN_K)),
+    )
+    # explode the hash EXPRESSION, not a materialized array column:
+    # Generate over an attribute triggers InferFiltersFromGenerate, whose
+    # size(g)>0 / isnotnull(g) predicates get substituted through the
+    # projections and re-evaluate the whole tokenize+gram pipeline ~3x
+    # (measured 5.7s -> 0.8s at sf0.1 for the explode stage alone)
+    pos = toks.select(
+        "doc_id",
+        (F.size("w") - (_WIN_K - 1)).cast("long").alias("n_grams"),
+        F.posexplode(F.transform(grams, _base31)).alias("p", "h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wm = pos.withColumn("wmin", F.min("h").over(win))
+    return (
+        wm.filter(F.col("p") <= F.col("n_grams") - _WIN_W)
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.countDistinct("wmin").alias("n_fingerprints"),
+            F.min("wmin").alias("fp_min"),
+            F.sum_distinct(F.col("wmin")).alias("fp_checksum"),
+        )
+        .select("doc_id", "n_grams", "n_windows", "n_fingerprints",
+                "fp_min", "fp_checksum")
+    )
+
+
+@register(
+    "bpe_top_pairs",
+    oracle=f"""
+        WITH w AS (SELECT unnest({_W}) AS word FROM documents),
+        wc AS (
+            SELECT word, COUNT(*) AS cnt FROM w
+            WHERE len(word) >= 2 GROUP BY word
+        ),
+        p AS (
+            SELECT substring(word, i, 2) AS pair, word, cnt
+            FROM (SELECT word, cnt, unnest(range(1, len(word))) AS i FROM wc)
+        )
+        SELECT pair,
+               COUNT(DISTINCT word) AS n_words,
+               CAST(SUM(cnt) AS BIGINT) AS pair_count
+        FROM p
+        GROUP BY pair
+        ORDER BY pair_count DESC, pair
+        LIMIT {_BPE_TOP}
+    """,
+    tags=("text", "tokenizer"),
+    description="BPE training's first merge step: corpus-frequency-weighted "
+                "adjacent character-pair counts, top 30 with deterministic "
+                "(count desc, pair asc) tiebreak — computed over the "
+                "vocabulary with word multiplicities, not the raw stream",
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of byte-pair-encoding training: which adjacent
+    symbol pair is most frequent. Scale shape: aggregate the corpus to
+    its VOCABULARY first (word -> count, map-side combine applies), then
+    explode character pairs over the vocabulary only — pair rows scale
+    with distinct words, not corpus tokens, exactly how production BPE
+    trainers batch their pair counts. Top-30 is TakeOrderedAndProject.
+    Single-char words have no pair and are excluded on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    wc = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wc.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("cnt").alias("pair_count"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
+
+
+@register(
+    "block_dedup_docs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_W} AS w FROM documents WHERE len({_W}) >= 1
+        ),
+        b AS (
+            SELECT doc_id, j AS bidx,
+                   array_to_string(
+                       w[(j-1)*{_BLOCK}+1:(j-1)*{_BLOCK}+{_BLOCK}], ' '
+                   ) AS btext,
+                   LEAST({_BLOCK}, len(w) - (j-1)*{_BLOCK}) AS blen
+            FROM (SELECT doc_id, w,
+                         unnest(range(1,
+                             CAST(ceil(len(w) / {_BLOCK}.0) AS BIGINT) + 1)
+                         ) AS j
+                  FROM t)
+        ),
+        r AS (
+            SELECT doc_id, bidx, blen,
+                   ROW_NUMBER() OVER (PARTITION BY btext
+                                      ORDER BY doc_id, bidx) AS rn
+            FROM b
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_blocks,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept_blocks,
+               CAST(SUM(blen) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN rn = 1 THEN blen ELSE 0 END) AS BIGINT)
+                   AS n_tokens_kept,
+               CAST(SUM(CASE WHEN rn = 1 THEN blen ELSE 0 END) AS DOUBLE)
+                   / SUM(blen) AS kept_token_fraction
+        FROM r
+        GROUP BY doc_id
+    """,
+    tags=("pipeline", "dedup"),
+    description="C4-style block-level dedup: split every doc into fixed "
+                "20-token blocks, keep only the globally FIRST occurrence "
+                "of each distinct block (order by doc_id, block index), "
+                "report per-doc surviving block/token counts — the "
+                "reconstruction ledger for span-level boilerplate removal",
+)
+def block_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/paragraph dedup is the C4 pipeline's remedy for repeated
+    boilerplate INSIDE otherwise-distinct documents; with no newlines in
+    the fixture, fixed-width token blocks are the unit. Scale shape: one
+    shuffle keyed on block text (high cardinality, no hot key — a
+    globally repeated block is exactly what the row_number dedups), one
+    doc-keyed re-aggregation. First-occurrence choice is deterministic
+    via (doc_id, bidx) ordering, so replays are idempotent."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", words("text").alias("w")).filter(
+        F.size("w") >= 1
+    )
+    blocks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(size(w) / {_BLOCK}.0) "
+                f"as int)), j -> struct(j as bidx, "
+                f"concat_ws(' ', slice(w, (j-1)*{_BLOCK}+1, {_BLOCK})) "
+                f"as btext, "
+                f"least({_BLOCK}, size(w) - (j-1)*{_BLOCK}) as blen))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bidx", "b.btext", "b.blen")
+    rn = F.row_number().over(
+        Window.partitionBy("btext").orderBy("doc_id", "bidx")
+    )
+    r = blocks.withColumn("rn", rn)
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    kept_toks = F.when(F.col("rn") == 1, F.col("blen")).otherwise(0)
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(kept).alias("n_kept_blocks"),
+            F.sum("blen").alias("n_tokens"),
+            F.sum(kept_toks).alias("n_tokens_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_kept_blocks",
+            "n_tokens",
+            "n_tokens_kept",
+            (
+                F.col("n_tokens_kept").cast("double") / F.col("n_tokens")
+            ).alias("kept_token_fraction"),
+        )
+    )
+
+
+@register(
+    "source_token_drift",
+    oracle=f"""
+        WITH tok AS (SELECT source, unnest({_W}) AS word FROM documents),
+        cst AS (
+            SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, word
+        ),
+        ct AS (SELECT word, CAST(SUM(c) AS BIGINT) AS ct FROM cst GROUP BY word),
+        ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM cst
+               GROUP BY source),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n,
+                       COUNT(*) AS vocab_total FROM ct),
+        agg AS (
+            SELECT cst.source,
+                   COUNT(*) AS vocab_used,
+                   SUM(ABS(CAST(cst.c AS HUGEINT) * tot.n
+                           - CAST(ct.ct AS HUGEINT) * ns.ns)) AS s_term,
+                   CAST(SUM(ct.ct) AS HUGEINT) AS t_s
+            FROM cst
+            JOIN ct USING (word)
+            JOIN ns ON cst.source = ns.source
+            CROSS JOIN tot
+            GROUP BY cst.source, ns.ns, tot.n
+        )
+        SELECT agg.source, ns.ns AS n_tokens, agg.vocab_used,
+               tot.vocab_total,
+               CAST(agg.s_term + (CAST(tot.n AS HUGEINT) - agg.t_s) * ns.ns
+                    AS DOUBLE)
+               / (2.0 * CAST(ns.ns AS DOUBLE) * CAST(tot.n AS DOUBLE)) AS tvd
+        FROM agg JOIN ns ON agg.source = ns.source CROSS JOIN tot
+    """,
+    tags=("pipeline", "statistics"),
+    description="per-source token-distribution drift vs the corpus: total "
+                "variation distance 0.5*sum|p_src - p_corpus|, computed in "
+                "exact integer cross-products with ONE final IEEE division "
+                "(bit-exact where KL's logs would drift) — the mixture "
+                "monitor that flags a feed whose content shifted",
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TVD decomposes as [sum over the source's own vocabulary of
+    |c_st*N - c_t*n_s| plus the mass of tokens the source never uses,
+    (N - T_s)*n_s] / (2*n_s*N) — so NO source x global-vocab grid is
+    materialized: cost is the distinct (source, token) relation joined
+    to the vocabulary table on its natural key. At 100 TB that is the
+    same shape as the per-source counts themselves. The big operands
+    ride decimal(38,0) (exact to 1e38; token counts at 100 TB are ~1e13,
+    products ~1e26), and order-free integer sums make the result
+    reduction-order-independent across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(words("text")).alias("word"))
+    cst = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    ct = cst.groupBy("word").agg(F.sum("c").alias("ct"))
+    ns = cst.groupBy("source").agg(F.sum("c").alias("ns"))
+    tot = ct.agg(
+        F.sum("ct").alias("n"), F.count(F.lit(1)).alias("vocab_total")
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        cst.join(ct, "word")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "ns", "n")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_used"),
+            F.sum(F.abs(dec("c") * dec("n") - dec("ct") * dec("ns")))
+            .alias("s_term"),
+            F.sum("ct").cast("decimal(38,0)").alias("t_s"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot.select("vocab_total")))
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            "vocab_used",
+            "vocab_total",
+            (
+                (
+                    F.col("s_term")
+                    + (dec("n") - F.col("t_s")) * dec("ns")
+                ).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("ns").cast("double")
+                    * F.col("n").cast("double")
+                )
+            ).alias("tvd"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize_recall",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        d AS (
+            SELECT i, MAX(ABS(v[i])) AS m
+            FROM e CROSS JOIN range(1, {_QR_DIM + 1}) t(i)
+            GROUP BY i
+        ),
+        mx AS (SELECT list(m ORDER BY i) AS marr FROM d),
+        dq AS (
+            SELECT vec_id,
+                   [CASE WHEN marr[i] = 0.0 THEN 0.0
+                         ELSE floor(v[i] / marr[i] * 127.0 + 0.5)
+                              * marr[i] / 127.0 END
+                    for i in range(1, {_QR_DIM + 1})] AS dv
+            FROM e CROSS JOIN mx
+        ),
+        qt AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.dv, c.dv) DESC,
+                                    c.vec_id
+                       ) AS rnk
+                FROM dq q JOIN dq c
+                  ON q.vec_id < {_QR_QUERIES} AND q.vec_id <> c.vec_id
+            ) WHERE rnk <= {_QR_K}
+        ),
+        ex AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                    c.vec_id
+                       ) AS rnk
+                FROM e q JOIN e c
+                  ON q.vec_id < {_QR_QUERIES} AND q.vec_id <> c.vec_id
+            ) WHERE rnk <= {_QR_K}
+        )
+        SELECT ex.query_id,
+               COUNT(*) AS n_true,
+               COUNT(qt.vec_id) AS n_hit,
+               CAST(COUNT(qt.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_10
+        FROM ex LEFT JOIN qt
+          ON ex.query_id = qt.query_id AND ex.vec_id = qt.vec_id
+        GROUP BY ex.query_id
+    """,
+    tags=("similarity", "quantization", "diagnostics"),
+    description="int8 scalar-quantization recall eval: per-dimension "
+                "symmetric max-abs quantization of the embeddings, "
+                "dequantized cosine top-10 vs the exact top-10, recall "
+                "per query — the compression knob of the similarity tier "
+                "shipping with its measured quality, fully oracled",
+)
+def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension max-abs) int8 quantization is the standard
+    4x compression step before ANN serving; this query measures what it
+    costs in top-10 recall. Scale shape: the dimension-stats pass is one
+    tiny aggregation (64 rows) broadcast back; quantization is a pure
+    column expression; the eval joins only the sampled query set against
+    the corpus (the same bounded brute-force contract as
+    ``lsh_recall_at_k``). floor(x/m*127 + 0.5) keeps the code assignment
+    in correctly-rounded IEEE ops — bit-identical across engines where a
+    round() builtin's half-even/half-up choice would not be."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    marr = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.max(F.abs("x")).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("marr")
+        )
+    )
+    dq = emb.crossJoin(F.broadcast(marr)).select(
+        "vec_id",
+        F.zip_with(
+            "v",
+            "marr",
+            lambda x, m: F.when(m == 0.0, F.lit(0.0)).otherwise(
+                F.floor(x / m * 127.0 + 0.5).cast("double") * m / 127.0
+            ),
+        ).alias("dv"),
+    )
+
+    def topk(df: DataFrame, col: str) -> DataFrame:
+        q = df.filter(F.col("vec_id") < _QR_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col(col).alias("qv")
+        )
+        pairs = F.broadcast(q).join(
+            df.select("vec_id", col), F.col("query_id") != F.col("vec_id")
+        )
+        sim = cosine(F.col("qv"), F.col(col))
+        rnk = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                sim.desc(), F.col("vec_id").asc()
+            )
+        )
+        return (
+            pairs.withColumn("rnk", rnk)
+            .filter(F.col("rnk") <= _QR_K)
+            .select("query_id", "vec_id")
+        )
+
+    exact = topk(emb, "v")
+    quant = topk(dq, "dv").withColumn("_hit", F.lit(1))
+    return (
+        exact.join(quant, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_hit"),
+            (F.count("_hit").cast("double") / F.count(F.lit(1))).alias(
+                "recall_at_10"
+            ),
+        )
+    )

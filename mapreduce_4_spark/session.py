@@ -35,6 +35,15 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Keep planner free to broadcast dimension tables (region/nation/...).
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # InferFiltersFromGenerate adds size(arr)>0 / isnotnull(arr) guards
+    # below every Generate; PushDownPredicates then substitutes the
+    # array-producing expression (tokenize + gram transforms here) into
+    # those filters, re-evaluating the whole pipeline 2-3x per row —
+    # measured 10-40% on the explode-heavy dedup family and up to 7x on
+    # winnowing before its query-level fix. Our exploded arrays are
+    # never null and rarely empty, so the inferred guards only burn CPU.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.shuffle.partitions": "32",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     # local[N] runs the whole engine inside the driver JVM, whose default

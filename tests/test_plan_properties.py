@@ -269,3 +269,56 @@ def test_embedding_near_dup_has_no_quadratic_join(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "embedding_near_dup_pairs")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_pairs_aggregates_vocabulary_then_takeordered(spark, sf_oracle):
+    """Pair counts aggregate over the VOCABULARY (word -> count first,
+    map-side combine), and the top-30 is TakeOrderedAndProject, never a
+    global sort."""
+    plan = _plan(spark, sf_oracle, "bpe_top_pairs")
+    assert "TakeOrderedAndProject" in plan
+    # two keyed aggregations: word counts, then pair counts
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_winnowing_explodes_expression_not_inferred_filters(spark, sf_oracle):
+    """The gram pipeline must evaluate once per document: Generate over a
+    materialized array column triggers InferFiltersFromGenerate, whose
+    size/isnotnull guards re-run the tokenizer 2-3x (measured 5.7s vs
+    0.8s at sf0.1 for the explode stage). Pinned by counting tokenizer
+    occurrences in the executed plan: the length filter, the gram
+    projection, and the scan node's DataFilters rendering of that same
+    filter — anything beyond 3 means inferred generate guards are back."""
+    plan = _plan(spark, sf_oracle, "winnow_fingerprints_docs")
+    assert plan.count("regexp_replace") <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_block_dedup_no_quadratic_join(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "block_dedup_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # first-occurrence choice rides one window over the block-text key
+    assert "row_number" in plan
+
+
+def test_source_token_drift_no_vocab_grid(spark, sf_oracle):
+    """TVD must come from the (source, token) relation joined to the
+    vocabulary on its key plus a ONE-ROW broadcast total — never a
+    sources x vocabulary grid (that dies at a 1e9-token vocabulary)."""
+    plan = _plan(spark, sf_oracle, "source_token_drift")
+    assert "CartesianProduct" not in plan
+    # the corpus total joins in as a one-row broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+    # HUGEINT-class exactness: the cross-products ride decimal(38,0)
+    assert "decimal(38,0)" in plan
+
+
+def test_quantize_recall_bounded_brute_force(spark, sf_oracle):
+    """Both ranking passes broadcast only the 5-row query side (the
+    bounded brute-force contract shared with similarity_bruteforce) and
+    the top-10 rides the WindowGroupLimit pushdown, not a full sort of
+    the pair space."""
+    plan = _plan(spark, sf_oracle, "embedding_quantize_recall")
+    assert "LessThan(vec_id,5)" in plan
+    assert "WindowGroupLimit" in plan
