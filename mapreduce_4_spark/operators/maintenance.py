@@ -176,3 +176,33 @@ def snapshot_diff_aligned(old: DataFrame, new: DataFrame, key: str,
         if c not in new_types:
             new = new.withColumn(c, F.lit(None).cast(old_types[c]))
     return snapshot_diff(old, new, key, compare)
+
+
+def delete_rows(base: DataFrame, keys: DataFrame | None = None,
+                key: str | None = None,
+                predicate: Column | str | None = None) -> DataFrame:
+    """Targeted row deletion — the right-to-be-forgotten / retention
+    primitive. Exactly one of two forms:
+
+    - ``keys`` + ``key``: drop every base row whose key appears in the
+      delete list (a GDPR request table). One LeftAnti join; the delete
+      list is typically tiny and broadcasts, so the base never shuffles.
+    - ``predicate``: drop rows where the predicate is TRUE. SQL DELETE
+      semantics: rows where it evaluates NULL are KEPT (only a definite
+      match deletes), which plain ``filter(~p)`` would get wrong.
+
+    Deletion by rewrite is the honest model for immutable storage —
+    Delta/Iceberg do the same per touched file; here the enclosing
+    snapshot is the rewrite unit (``sources.versioned.delete_version``
+    preserves the bucket/cluster/partition layout so downstream
+    exchange-free joins survive the delete).
+    """
+    if (keys is None) == (predicate is None):
+        raise ValueError("exactly one of keys or predicate is required")
+    if keys is not None:
+        if key is None:
+            raise ValueError("key column name required with a delete list")
+        return base.join(F.broadcast(keys.select(key)), key, "left_anti")
+    p = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # keep rows where the predicate is FALSE or NULL
+    return base.filter(~p.eqNullSafe(F.lit(True)))

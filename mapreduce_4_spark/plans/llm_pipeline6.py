@@ -45,6 +45,47 @@ _QR_QUERIES = 5
 _QR_K = 10
 _QR_DIM = 64
 
+#: number of BPE merge rounds to train. Semantics per round: count
+#: adjacent symbol pairs over the vocabulary weighted by word frequency,
+#: pick the (count desc, pair asc) winner, merge it everywhere with ONE
+#: left-to-right non-overlapping replace pass (so 'a a a' -> 'aa a' —
+#: replace() semantics are identical in Spark and DuckDB, which is what
+#: makes the unrolled oracle bit-exact).
+_BPE_MERGES = 5
+
+
+def _bpe_oracle() -> str:
+    """Programmatically unrolled DuckDB twin of the 5-round merge loop."""
+    parts = [
+        f"WITH wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM (SELECT unnest({_W}) AS word FROM documents) GROUP BY word), "
+        "s0 AS (SELECT ' ' || array_to_string("
+        "[word[i] for i in range(1, len(word) + 1)], ' ') || ' ' AS s, cnt "
+        "FROM wc)"
+    ]
+    for r in range(1, _BPE_MERGES + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f", p{r} AS (SELECT w[i] || ' ' || w[i+1] AS pair, cnt "
+            f"FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i "
+            f"FROM (SELECT string_split(trim(s), ' ') AS w, cnt "
+            f"FROM {prev})))"
+            f", t{r} AS (SELECT CAST({r} AS BIGINT) AS merge_rank, pair, "
+            f"CAST(SUM(cnt) AS BIGINT) AS pair_count FROM p{r} "
+            f"GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1)"
+        )
+        if r < _BPE_MERGES:
+            parts.append(
+                f", s{r} AS (SELECT replace(s, "
+                f"' ' || (SELECT pair FROM t{r}) || ' ', "
+                f"' ' || replace((SELECT pair FROM t{r}), ' ', '') || ' ') "
+                f"AS s, cnt FROM {prev})"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM t{r}" for r in range(1, _BPE_MERGES + 1)
+    )
+    return "".join(parts) + " " + union
+
 
 @register(
     "winnow_fingerprints_docs",
@@ -510,4 +551,88 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_10"
             ),
         )
+    )
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "tokenizer", "iterative"),
+    description="iterative BPE training, 5 merge rounds: per round, count "
+                "adjacent symbol pairs over the frequency-weighted "
+                "vocabulary, adopt the (count desc, pair asc) winner, and "
+                "merge it everywhere with one left-to-right replace pass; "
+                "emits (merge_rank, pair, pair_count) — oracled by a "
+                "programmatically unrolled 5-stage CTE chain",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative-algorithm showcase of the tokenizer family (the
+    same driver-loop shape as ``dedup_clusters``' pointer jumping): each
+    round is one vocabulary-sized aggregation plus a 1-row driver action
+    for the winning pair, which then enters the next round's plan as a
+    LITERAL — no growing lineage of scalar subqueries. Scale shape: the
+    corpus collapses to its vocabulary ONCE (persisted across rounds, the
+    derived_partsupp move), so the 5 rounds never rescan documents; at
+    1e7 distinct words each round is a sub-second aggregate. Merge
+    application is a single non-overlapping replace pass — identical
+    semantics in Spark and DuckDB, so the unrolled oracle is bit-exact
+    (canonical BPE re-scans after every within-word merge; this batched
+    variant is the documented, engine-portable choice: 'a a a' merges to
+    'aa a', not 'aa aa')."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    wc = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    cur = wc.select(
+        F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("s"),
+        "cnt",
+    ).persist()
+    try:
+        cur.count()  # materialize the vocabulary once for all rounds
+        out = []
+        for r in range(1, _BPE_MERGES + 1):
+            # guard size >= 2: sequence(1, 0) would generate DESCENDING
+            # [1, 0] for single-symbol words and emit null pairs
+            toks = cur.select(
+                F.split(F.trim("s"), " ").alias("w"), "cnt"
+            ).filter(F.size("w") >= 2)
+            pairs = toks.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 1), "
+                        "i -> concat(w[i-1], ' ', w[i]))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), F.asc("pair"))
+                .limit(1)
+                .first()
+            )
+            out.append((r, top["pair"], top["pair_count"]))
+            if r < _BPE_MERGES:
+                merged = top["pair"].replace(" ", "")
+                nxt = cur.select(
+                    F.replace(
+                        F.col("s"),
+                        F.lit(f" {top['pair']} "),
+                        F.lit(f" {merged} "),
+                    ).alias("s"),
+                    "cnt",
+                ).persist()
+                nxt.count()
+                cur.unpersist()
+                cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        out, "merge_rank bigint, pair string, pair_count bigint"
     )

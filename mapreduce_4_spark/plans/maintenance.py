@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_4_spark.functions.money import sql_dsum
 from mapreduce_4_spark.operators.maintenance import upsert, validate
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
@@ -243,4 +244,85 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snapshot_diff(
         v1, v2, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@register(
+    "gdpr_delete_orders",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0)
+        GROUP BY o_orderstatus
+    """,
+    tags=("maintenance", "join"),
+    description="right-to-be-forgotten pass: every 13th customer files an "
+                "erasure request; their orders are removed by ONE LeftAnti "
+                "join against the broadcast request list "
+                "(operators.maintenance.delete_rows), and the surviving "
+                "table is summarized per status. The versioned-table twin "
+                "(sources.versioned.delete_version) publishes the same "
+                "plan as a new snapshot with layout preserved and the "
+                "deletions visible as CDC 'D' ops — "
+                "tests/test_versioned_tables.py.",
+)
+def gdpr_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete list is always tiny next to the fact table, so the
+    anti-join broadcasts and the base never shuffles — at 100 TB the
+    delete costs one scan plus the rewrite of touched storage, never a
+    repartition."""
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.operators.maintenance import delete_rows
+
+    orders = load_table(spark, sf_dir, "orders")
+    requests = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return (
+        delete_rows(orders, keys=requests, key="o_custkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "retention_delete_orders",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        WHERE NOT (o_orderdate < TIMESTAMP '1993-01-01 00:00:00')
+        GROUP BY order_year
+    """,
+    tags=("maintenance",),
+    description="retention pass: predicate delete of all orders before "
+                "1993 (SQL DELETE semantics — only a definitely-TRUE "
+                "predicate deletes, NULL keeps), surviving volume per "
+                "order year",
+)
+def retention_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.operators.maintenance import delete_rows
+
+    orders = load_table(spark, sf_dir, "orders")
+    kept = delete_rows(
+        orders, predicate=F.col("o_orderdate") < "1993-01-01 00:00:00"
+    )
+    return (
+        kept.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
     )

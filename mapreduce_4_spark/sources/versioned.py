@@ -282,6 +282,32 @@ def upsert_version(spark: SparkSession, table_dir: str, updates: DataFrame,
     return write_version(upsert(base, updates, key), table_dir, **layout)
 
 
+def delete_version(spark: SparkSession, table_dir: str,
+                   keys: DataFrame | None = None, key: str | None = None,
+                   predicate=None) -> int:
+    """Targeted delete against the latest snapshot, published as a new
+    version — the GDPR right-to-be-forgotten / retention pass with time
+    travel and CDC for free: ``table_changes`` between the parent and
+    the new version emits exactly the deleted rows as 'D' ops, and the
+    streaming change feed delivers them to subscribers like any other
+    change. The previous snapshot's bucket/cluster/partition layout is
+    preserved (the delete must not cost downstream joins their
+    exchange-free plans), and the deleted data physically disappears
+    only when ``vacuum`` retires the parent snapshots — record that lag
+    in any compliance story."""
+    from mapreduce_4_spark.operators.maintenance import delete_rows
+
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    layout = layout_from_manifest(read_manifest(table_dir, version))
+    base = read_version(spark, table_dir, version)
+    return write_version(
+        delete_rows(base, keys=keys, key=key, predicate=predicate),
+        table_dir, **layout,
+    )
+
+
 def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
     """Rewrite the latest snapshot into ``target_files`` files as a NEW
     version — the small-files maintenance pass. Readers of the previous

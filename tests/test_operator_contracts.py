@@ -147,3 +147,35 @@ def test_lsh_topk_requires_dim(spark):
     q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="dim"):
         lsh_topk(emb, q, dim=None)
+
+
+def test_bpe_first_merge_equals_top_pair(spark, sf_oracle):
+    """Round 1 of the iterative BPE trainer counts exactly what
+    bpe_top_pairs counts (character pairs weighted by word frequency),
+    so its first adopted merge must be that query's #1 row."""
+    from mapreduce_4_spark.plans import REGISTRY
+
+    top = REGISTRY["bpe_top_pairs"].builder(spark, sf_oracle).first()
+    first_merge = (
+        REGISTRY["bpe_train_merges"].builder(spark, sf_oracle)
+        .filter(F.col("merge_rank") == 1)
+        .first()
+    )
+    assert first_merge["pair"] == f"{top['pair'][0]} {top['pair'][1]}"
+    assert first_merge["pair_count"] == top["pair_count"]
+
+
+def test_bpe_merges_are_progressively_adopted(spark, sf_oracle):
+    """Each round merges its winner everywhere before the next count, so
+    no pair may be adopted twice and counts never increase."""
+    from mapreduce_4_spark.plans import REGISTRY
+
+    rows = (
+        REGISTRY["bpe_train_merges"].builder(spark, sf_oracle)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    pairs = [r["pair"] for r in rows]
+    assert len(set(pairs)) == len(pairs)
+    counts = [r["pair_count"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))

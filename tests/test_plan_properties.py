@@ -322,3 +322,12 @@ def test_quantize_recall_bounded_brute_force(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "embedding_quantize_recall")
     assert "LessThan(vec_id,5)" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_gdpr_delete_is_broadcast_anti_join(spark, sf_oracle):
+    """The erasure-request list broadcasts and the fact table never
+    shuffles for the delete itself — at 100 TB the delete costs one scan
+    plus the rewrite, never a repartition of the base."""
+    plan = _plan(spark, sf_oracle, "gdpr_delete_orders")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

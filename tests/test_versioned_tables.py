@@ -357,3 +357,72 @@ def test_maintenance_rewrites_accept_file_scheme(spark, sf_smoke, tmp_path):
     assert v2 == 2
     assert compact(spark, tdir) == 3
     assert read_version(spark, tdir).count() == base.count()
+
+
+def test_delete_version_keyed_with_cdc_and_layout(spark, sf_smoke, tmp_path):
+    """GDPR delete: keyed delete publishes a new version whose diff vs
+    the parent is exactly the deleted rows as 'D' ops, and a bucketed
+    layout survives the rewrite."""
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version,
+        table_changes,
+    )
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    write_version(base, tdir, bucket_by=["o_orderkey"], n_buckets=4)
+
+    doomed = base.select("o_orderkey").filter(F.col("o_orderkey") % 7 == 0)
+    n_doomed = doomed.count()
+    v2 = delete_version(spark, tdir, keys=doomed, key="o_orderkey")
+    assert v2 == 2
+
+    latest = read_version(spark, tdir)
+    assert latest.count() == base.count() - n_doomed
+    assert latest.filter(F.col("o_orderkey") % 7 == 0).count() == 0
+    # parent snapshot untouched (time travel), layout preserved
+    assert read_version(spark, tdir, 1).count() == base.count()
+    m2 = read_manifest(tdir, 2)
+    assert m2["bucket_by"] == ["o_orderkey"] and m2["n_buckets"] == 4
+
+    cdc = table_changes(spark, tdir, "o_orderkey", 1, 2)
+    ops = {r["op"] for r in cdc.select("op").distinct().collect()}
+    assert ops == {"D"}
+    assert cdc.count() == n_doomed
+
+
+def test_delete_version_predicate_null_semantics(spark, sf_smoke, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL are
+    KEPT — only a definitely-TRUE predicate deletes."""
+    from mapreduce_4_spark.sources.versioned import delete_version
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    write_version(base, tdir)
+    n_null = base.filter(F.col("o_totalprice").isNull()).count()
+    n_cheap = base.filter(F.col("o_totalprice") < 50000).count()
+    assert n_null > 0 and n_cheap > 0
+
+    delete_version(spark, tdir, predicate=F.col("o_totalprice") < 50000)
+    latest = read_version(spark, tdir)
+    # NULL-price rows survive; only definitely-cheap rows deleted
+    assert latest.filter(F.col("o_totalprice").isNull()).count() == n_null
+    assert latest.count() == base.count() - n_cheap
+
+
+def test_delete_rows_argument_validation(spark, sf_smoke):
+    from mapreduce_4_spark.operators.maintenance import delete_rows
+
+    base = _orders(spark, sf_smoke)
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_rows(base)
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_rows(base, keys=base.select("o_orderkey"),
+                    key="o_orderkey", predicate="o_totalprice < 0")
+    with pytest.raises(ValueError, match="key column"):
+        delete_rows(base, keys=base.select("o_orderkey"))
