@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from mapreduce_4_spark.functions.text import sql_words, words
 from mapreduce_4_spark.functions.vectors import as_double, cosine
 from mapreduce_4_spark.operators.dedup import MERSENNE_31, _base31
+from mapreduce_4_spark.registry import REGISTRY as _REG
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -635,4 +636,86 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur.unpersist()
     return spark.createDataFrame(
         out, "merge_rank bigint, pair string, pair_count bigint"
+    )
+
+
+@register(
+    "neardup_degree_histogram",
+    oracle="""
+        WITH pairs AS ({PAIRS}),
+        deg AS (
+            SELECT doc_id, COUNT(other) AS degree FROM (
+                SELECT d.doc_id, p.id AS other
+                FROM documents d
+                LEFT JOIN (
+                    SELECT id_a AS doc_id, id_b AS id FROM pairs
+                    UNION ALL
+                    SELECT id_b AS doc_id, id_a AS id FROM pairs
+                ) p USING (doc_id)
+            ) GROUP BY doc_id
+        )
+        SELECT degree, COUNT(*) AS n_docs
+        FROM deg GROUP BY degree
+    """.replace("{PAIRS}", _REG["ngram_jaccard_pairs"].oracle),
+    tags=("dedup", "graph", "diagnostics"),
+    description="degree distribution of the near-dup graph (exact-Jaccard "
+                ">= 0.8 pairs as undirected edges, degree-0 docs included): "
+                "the duplication-topology monitor — a fat tail means hub "
+                "documents (templates) that chain clusters together",
+)
+def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the dedup tier as a composition: the pair
+    relation is the registered ``ngram_jaccard_pairs`` lineage (prefix-
+    filtered candidates — never quadratic), doubled into undirected
+    edges, counted per doc, and histogrammed. Two extra shuffles beyond
+    the pair computation, both keyed on high-cardinality doc ids."""
+    from mapreduce_4_spark.plans.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    # one endpoint-explode instead of a two-branch union: referencing the
+    # pair relation twice would duplicate its whole (non-trivial) lineage
+    # inside the single Catalyst plan
+    ends = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    )
+    deg = (
+        docs.join(
+            ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("d")),
+            "doc_id", "left",
+        )
+        .select(F.coalesce("d", F.lit(0)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+        WITH assign AS ({_REG['dedup_clusters'].oracle})
+        SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM assign GROUP BY cluster_id
+        ) GROUP BY cluster_size
+    """,
+    tags=("dedup", "graph", "diagnostics"),
+    description="near-dup cluster-size distribution over the connected "
+                "components of the exact-Jaccard pair graph — how much of "
+                "the corpus sits in big duplicate families vs singletons "
+                "(the number that decides dedup's token savings)",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the pointer-jumping connected components (O(log D)
+    rounds) with two counting aggregations; the oracle wraps the
+    recursive-closure oracle of ``dedup_clusters`` as a CTE, so both
+    layers stay independently checked."""
+    from mapreduce_4_spark.plans.dedup import dedup_clusters
+
+    sizes = (
+        dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
     )

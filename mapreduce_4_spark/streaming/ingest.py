@@ -1,0 +1,158 @@
+"""Streaming corpus ingestion with online near-duplicate dedup — the
+daily-crawl pipeline as a stream.
+
+Each micro-batch of new documents is (1) deduped WITHIN the batch
+(MinHash-LSH pairs, smaller doc_id wins — the ``neardup_survivors``
+keep rule), (2) probed against the accumulated corpus via its persisted
+signature/shingle INDEX table — the corpus text is never re-shingled,
+never re-hashed, and never paired against itself — and (3) only the
+surviving documents are appended, publishing the corpus AND its index
+as lockstep snapshot versions (sources/versioned.py).
+
+Exactly-once across the two tables rides per-table batch_id replay
+keys: corpus publishes first, index second, and a redelivered batch
+(re)publishes only whichever table is missing its batch_id — because
+the probe reads the INDEX (still at the parent state until its own
+publish), the recomputed survivor set is identical and the repair is
+idempotent. This is the streaming composition of
+``operators.dedup.minhash_incremental_neardup`` (the batch twin the
+tests pin against) with the ``foreach_batch.versioned_upsert_sink``
+exactly-once contract.
+
+100 TB posture: per batch the work is O(|delta| x bands) band-join rows
+plus true bucket collisions — the corpus is touched only through its
+index (at scale: a snapshot bucketed on (band, band_hash)) and through
+the append rewrite that the snapshot format makes explicit (a
+transaction-log format would turn that rewrite into a file append; the
+dedup data flow is identical).
+
+Reference anchor: generalizes the reference's append-only final sink
+(asio_deep/main.cpp:470-506) into an idempotent, dedup-gated publish.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.operators.dedup import (
+    _portable_shingle_table,
+    candidate_pairs,
+    jaccard,
+    lsh_band_table,
+    minhash_signature_from_base,
+)
+from mapreduce_4_spark.sources.versioned import (
+    latest_version,
+    list_versions,
+    read_manifest,
+    read_version,
+    write_version,
+)
+
+
+def _published_batch_ids(table_dir: str) -> set:
+    try:
+        versions = list_versions(table_dir)
+    except FileNotFoundError:
+        return set()
+    return {read_manifest(table_dir, v).get("batch_id") for v in versions}
+
+
+def dedup_ingest_sink(corpus_dir: str, index_dir: str,
+                      threshold: float = 0.8, n: int = 3,
+                      id_col: str = "doc_id",
+                      ) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: near-dup-gated append into a versioned corpus
+    plus its signature/shingle index, exactly-once per batch on both."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        corpus_done = batch_id in _published_batch_ids(corpus_dir)
+        index_done = batch_id in _published_batch_ids(index_dir)
+        if corpus_done and index_done:
+            return  # fully committed batch redelivered: no-op
+
+        spark = batch_df.sparkSession
+        sh_d = _portable_shingle_table(batch_df, n)  # persisted by helper
+        try:
+            sigs_d = sh_d.select(
+                id_col,
+                minhash_signature_from_base(F.col("_base")).alias("signature"),
+            )
+            bands_d = lsh_band_table(sigs_d, id_col=id_col)
+
+            # (1) within-batch: LSH candidates, exact-Jaccard verify,
+            # smaller id wins — drop every dominated (larger) id
+            cands = candidate_pairs(bands_d, id_col=id_col)
+            sa = sh_d.select(F.col(id_col).alias("id_a"),
+                             F.col("shingles").alias("sh_a"))
+            sb = sh_d.select(F.col(id_col).alias("id_b"),
+                             F.col("shingles").alias("sh_b"))
+            dominated = (
+                cands.join(sa, "id_a").join(sb, "id_b")
+                .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
+            )
+            survivors = batch_df.join(dominated, id_col, "left_anti")
+            surviving_idx = (
+                sh_d.select(id_col, "shingles")
+                .join(sigs_d, id_col)
+                .join(dominated, id_col, "left_anti")
+            )
+
+            # (2) vs corpus: probe the stored index — the parent state
+            # until the index's own publish below, which is what makes
+            # crash repair recompute the identical survivor set
+            if latest_version(index_dir) is not None:
+                base_idx = read_version(spark, index_dir)
+                base_bands = lsh_band_table(
+                    base_idx.select(id_col, "signature"), id_col=id_col
+                )
+                matched = (
+                    bands_d.select(F.col(id_col).alias("delta_id"),
+                                   "band", "band_hash")
+                    .join(
+                        base_bands.select(F.col(id_col).alias("base_id"),
+                                          "band", "band_hash"),
+                        ["band", "band_hash"],
+                    )
+                    .select("delta_id", "base_id")
+                    .distinct()
+                    .join(sh_d.select(F.col(id_col).alias("delta_id"),
+                                      F.col("shingles").alias("sh_dd")),
+                          "delta_id")
+                    .join(base_idx.select(F.col(id_col).alias("base_id"),
+                                          F.col("shingles").alias("sh_bb")),
+                          "base_id")
+                    .filter(jaccard(F.col("sh_dd"), F.col("sh_bb"))
+                            >= threshold)
+                    .select(F.col("delta_id").alias(id_col))
+                    .distinct()
+                )
+                survivors = survivors.join(matched, id_col, "left_anti")
+                surviving_idx = surviving_idx.join(matched, id_col,
+                                                   "left_anti")
+
+            # (3) publish corpus FIRST, index second; each guarded by its
+            # own replay key so a crash between the two repairs cleanly
+            if not corpus_done:
+                prev = latest_version(corpus_dir)
+                corpus_new = (
+                    read_version(spark, corpus_dir).unionByName(survivors)
+                    if prev is not None else survivors
+                )
+                write_version(corpus_new, corpus_dir, batch_id=batch_id)
+            if not index_done:
+                prev = latest_version(index_dir)
+                idx_new = (
+                    read_version(spark, index_dir).unionByName(surviving_idx)
+                    if prev is not None else surviving_idx
+                )
+                write_version(idx_new, index_dir, batch_id=batch_id)
+        finally:
+            sh_d.unpersist()
+
+    return write_batch

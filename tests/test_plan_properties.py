@@ -331,3 +331,15 @@ def test_gdpr_delete_is_broadcast_anti_join(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "gdpr_delete_orders")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_degree_histogram_single_pair_lineage(spark, sf_oracle):
+    """The near-dup degree histogram must not duplicate the pair
+    pipeline: endpoints come from ONE explode over the pair relation,
+    never a two-branch union of it (measured 29 vs 16 shuffles)."""
+    plan = _plan(spark, sf_oracle, "neardup_degree_histogram")
+    base = _plan(spark, sf_oracle, "ngram_jaccard_pairs")
+    n_scans = plan.count("ReadSchema: struct<")
+    base_scans = base.count("ReadSchema: struct<")
+    assert n_scans <= base_scans + 1, (n_scans, base_scans)
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,152 @@
+"""Streaming corpus ingestion with online near-dup dedup
+(streaming/ingest.py): the availableNow replay must equal the
+sequential batch composition of minhash_incremental_neardup + the
+within-batch keep rule, the corpus and its index must stay in lockstep,
+and a crash between the two publishes must repair idempotently."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.operators.dedup import (
+    minhash_incremental_neardup,
+    minhash_near_duplicates,
+)
+from mapreduce_4_spark.sources.versioned import (
+    latest_version,
+    read_manifest,
+    read_version,
+)
+from mapreduce_4_spark.streaming.ingest import dedup_ingest_sink
+
+_BASE_TEXTS = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "spark shuffles hash partitions across executors for wide joins",
+    "minhash signatures approximate jaccard similarity between shingle sets",
+    "column pruning pushes projection into the parquet scan footer stats",
+    "watermarks bound streaming state for session window aggregation",
+    "broadcast joins replicate the small dimension to every executor",
+]
+
+
+def _mk_batches(spark):
+    """Three batches with planted near-dups: batch2 repeats batch1 docs
+    verbatim (cross-batch dups), batch3 perturbs one word (still above
+    the 0.8 shingle-jaccard bar for these lengths? no — verbatim only)
+    and adds genuinely new docs; batch1 contains one within-batch dup."""
+    rows1 = [(i, _BASE_TEXTS[i]) for i in range(4)]
+    rows1.append((100, _BASE_TEXTS[0]))  # within-batch dup of doc 0
+    rows2 = [(200 + i, _BASE_TEXTS[i]) for i in range(2)]  # dups of corpus
+    rows2.append((250, _BASE_TEXTS[4]))  # new
+    rows3 = [(300, _BASE_TEXTS[5]), (301, _BASE_TEXTS[4])]  # one new, one dup
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    return [mk(rows1), mk(rows2), mk(rows3)]
+
+
+def _expected_sequential(spark, batches, threshold=0.8):
+    """The batch twin: fold batches through within-batch keep rule +
+    minhash_incremental_neardup against the accumulated corpus."""
+    corpus = None
+    for b in batches:
+        pairs = minhash_near_duplicates(b, threshold=threshold)
+        dominated = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        survivors = b.join(dominated, "doc_id", "left_anti")
+        if corpus is not None:
+            matched = (
+                minhash_incremental_neardup(corpus, survivors,
+                                            threshold=threshold)
+                .select(F.col("delta_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = survivors.join(matched, "doc_id", "left_anti")
+            corpus = corpus.unionByName(survivors)
+        else:
+            corpus = survivors
+    return corpus
+
+
+def _run_stream(spark, src_dir, ckpt, sink):
+    from mapreduce_4_spark.streaming.foreach_batch import run_foreach_batch
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    run_foreach_batch(stream, sink, ckpt)
+
+
+def test_streaming_ingest_equals_sequential_batch_twin(spark, tmp_path):
+    batches = _mk_batches(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{src}/b{i}")
+        # flatten: move part files up so maxFilesPerTrigger=1 sees 3 files
+    # parquet dirs inside a stream source are fine; use file-per-batch
+    # layout instead: rewrite as single files
+    import glob
+    import shutil
+    for i in range(len(batches)):
+        part = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch_{i}.parquet")
+        shutil.rmtree(f"{src}/b{i}")
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    sink = dedup_ingest_sink(corpus_dir, index_dir)
+    _run_stream(spark, src, str(tmp_path / "ckpt"), sink)
+
+    got = read_version(spark, corpus_dir)
+    expected = _expected_sequential(spark, batches)
+    assert sorted(r["doc_id"] for r in got.collect()) == \
+        sorted(r["doc_id"] for r in expected.collect())
+
+    # the planted dups are gone: 100 (within-batch), 200/201 (vs corpus),
+    # 301 (vs batch-2 survivor 250); originals survive
+    ids = {r["doc_id"] for r in got.collect()}
+    assert {0, 1, 2, 3, 250, 300} <= ids
+    assert not {100, 200, 201, 301} & ids
+
+    # index in lockstep: same doc set (all fixture docs have >= 3 words)
+    idx = read_version(spark, index_dir)
+    assert sorted(r["doc_id"] for r in idx.collect()) == \
+        sorted(r["doc_id"] for r in got.collect())
+    assert {"doc_id", "shingles", "signature"} <= set(idx.columns)
+
+    # restart with the same checkpoint: fully replayed, no new versions
+    v_corpus, v_index = latest_version(corpus_dir), latest_version(index_dir)
+    _run_stream(spark, src, str(tmp_path / "ckpt"), sink)
+    assert latest_version(corpus_dir) == v_corpus
+    assert latest_version(index_dir) == v_index
+
+
+def test_ingest_sink_repairs_missing_index_publish(spark, tmp_path):
+    """Crash between the corpus and index publishes: redelivery must
+    skip the corpus (batch_id already recorded) and publish ONLY the
+    index, with the identical survivor set (the probe reads the index,
+    still at the parent state)."""
+    batches = _mk_batches(spark)
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    sink = dedup_ingest_sink(corpus_dir, index_dir)
+
+    sink(batches[0], 0)
+    # simulate the crash: wipe the index publish of batch 0
+    import shutil
+    shutil.rmtree(index_dir)
+    assert latest_version(corpus_dir) == 1 and latest_version(index_dir) is None
+
+    sink(batches[0], 0)  # redelivery
+    assert latest_version(corpus_dir) == 1  # NOT republished
+    assert latest_version(index_dir) == 1   # repaired
+    assert read_manifest(index_dir, 1)["batch_id"] == 0
+    got = sorted(r["doc_id"] for r in read_version(spark, corpus_dir).collect())
+    idx = sorted(r["doc_id"] for r in read_version(spark, index_dir).collect())
+    assert got == idx == [0, 1, 2, 3]
+
+    # fully-committed redelivery is a no-op
+    sink(batches[0], 0)
+    assert latest_version(corpus_dir) == 1 and latest_version(index_dir) == 1
