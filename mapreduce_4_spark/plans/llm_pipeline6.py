@@ -618,6 +618,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(1)
                 .first()
             )
+            if top is None:  # degenerate corpus: nothing left to merge
+                break
             out.append((r, top["pair"], top["pair_count"]))
             if r < _BPE_MERGES:
                 merged = top["pair"].replace(" ", "")
@@ -718,4 +720,75 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+@register(
+    "perplexity_bucket_docs",
+    oracle="""
+        WITH scores AS ({SCORES}),
+        j AS (
+            SELECT s.doc_id, s.mean_bigram_p, d.lang, d.n_chars
+            FROM scores s JOIN documents d USING (doc_id)
+        ),
+        ranked AS (
+            SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY mean_bigram_p DESC, doc_id)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM j
+        )
+        SELECT lang,
+               CASE WHEN rn * 3 <= n THEN 'head'
+                    WHEN rn * 3 <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM ranked GROUP BY lang, bucket
+    """.replace("{SCORES}", _REG["bigram_lm_score_docs"].oracle),
+    tags=("pipeline", "text", "statistics"),
+    description="CCNet-style fluency buckets: per-language exact tertiles "
+                "of the corpus-trained bigram-LM score (head = most "
+                "fluent third), doc/char volume per (lang, bucket) — the "
+                "quality-stratification step pipelines use to mix "
+                "head-heavy training data",
+)
+def perplexity_bucket_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buckets are pure rank arithmetic (rn*3 <= n / 2n) over a
+    per-language window, so the split is exactly reproducible in any
+    engine — no interpolated quantiles, no value-threshold tie lumping.
+    Scale shape: CCNet's buckets ARE per-language, so the window
+    partitions on lang; for a single dominant language at 100 TB the
+    two-pass threshold selection of ``length_band_filter_docs`` is the
+    documented alternative to a whole-language sort. Docs below the
+    scorer's 2-word floor carry no score and are out of scope, exactly
+    as in the scoring query."""
+    from mapreduce_4_spark.plans.llm_pipeline3 import bigram_lm_score_docs
+
+    scores = bigram_lm_score_docs(spark, sf_dir).select(
+        "doc_id", "mean_bigram_p"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    j = scores.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_bigram_p"), F.asc("doc_id")
+    )
+    wn = Window.partitionBy("lang")
+    ranked = j.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
     )
