@@ -149,3 +149,95 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "events_resample_hourly",
+    oracle=f"""
+        WITH b AS (
+            SELECT user_id, date_trunc('hour', MIN(ts)) AS g0,
+                   date_trunc('hour', MAX(ts)) AS g1
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(g0, g1, INTERVAL 1 HOUR)) AS ts
+            FROM b
+        ),
+        u AS (
+            SELECT user_id, ts, 0 AS is_grid, event_id, value FROM events
+            UNION ALL
+            SELECT user_id, ts, 1, NULL, NULL FROM grid
+        ),
+        l AS (
+            SELECT user_id, ts, is_grid,
+                   last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, is_grid, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS locf
+            FROM u
+        )
+        SELECT user_id,
+               COUNT(*) AS n_grid,
+               CAST(COUNT(locf) AS BIGINT) AS n_filled,
+               {sql_dsum('locf')} AS sum_locf
+        FROM l WHERE is_grid = 1 GROUP BY user_id
+    """,
+    tags=("timeseries", "window"),
+    description="time-series resampling to a regular hourly grid with "
+                "last-observation-carried-forward: per user, generate the "
+                "hour grid spanning their activity, take each grid "
+                "point's LOCF value via ONE merged per-user window pass "
+                "(no as-of join), and digest per user (grid size, filled "
+                "points, exact-decimal sum of resampled values)",
+)
+def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sensor/telemetry regularization primitive: irregular events
+    become a fixed-cadence series. The union trick folds grid points
+    into the event timeline and ONE LOCF window (partitioned by user,
+    ordered by ts with grid rows AFTER real events at the same instant)
+    values every grid point — a single user-keyed shuffle at any scale,
+    where the naive as-of join would shuffle twice and build a range
+    join. Grid volume is span/cadence per user — sized by the caller's
+    cadence choice, independent of event count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("g0"),
+        F.date_trunc("hour", F.max("ts")).alias("g1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("g0", "g1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    )
+    from pyspark.sql import Window
+
+    u = ev.select(
+        "user_id", "ts", F.lit(0).alias("is_grid"), "event_id", "value"
+    ).unionByName(
+        grid.select(
+            "user_id", "ts", F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    locf = F.last("value", ignorenulls=True).over(w)
+    return (
+        u.select("user_id", "is_grid", locf.alias("locf"))
+        .filter(F.col("is_grid") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grid"),
+            F.count("locf").alias("n_filled"),
+            dsum("locf").alias("sum_locf"),
+        )
+    )
