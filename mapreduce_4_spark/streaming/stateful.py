@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -120,4 +121,72 @@ def stream_user_totals_tws(stream: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+LOCF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value_gapped", DoubleType()),
+        StructField("value_filled", DoubleType()),
+    ]
+)
+
+LOCF_STATE_SCHEMA = StructType([StructField("last", DoubleType())])
+
+
+def _locf_update(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    pdf = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    filled: list[float | None] = []
+    for v in pdf["value_gapped"]:
+        if pd.notna(v):
+            last = float(v)
+        filled.append(last)
+    if last is not None:
+        # the carried value crosses the micro-batch boundary through the
+        # state store untouched (no arithmetic): bit-exact continuation
+        state.update((last,))
+    yield pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": key[0],
+            "value_gapped": pdf["value_gapped"],
+            "value_filled": pd.array(filled, dtype="Float64"),
+        }
+    )
+
+
+def stream_forward_fill(stream: DataFrame) -> DataFrame:
+    """Streaming LOCF (last-observation-carried-forward): each event is
+    emitted with the per-user last non-null value, carried ACROSS
+    micro-batches in the state store — the streaming twin of the batch
+    ``forward_fill_events`` window query, with the same synthesized gaps
+    (every 7th event nulled).
+
+    Semantics note: LOCF is order-sensitive, so cross-batch correctness
+    assumes per-key in-order delivery across micro-batches (each batch
+    is sorted internally by (ts, event_id); a source replaying time-
+    sliced files satisfies the cross-batch half). Late data takes the
+    state as of its processing batch — the honest streaming contract
+    without a watermark-buffered reorder."""
+    from pyspark.sql import functions as F
+
+    gapped = stream.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value_gapped"),
+    )
+    return gapped.groupBy("user_id").applyInPandasWithState(
+        _locf_update,
+        LOCF_OUTPUT_SCHEMA,
+        LOCF_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )
