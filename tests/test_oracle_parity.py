@@ -46,3 +46,32 @@ def test_no_collection_columns_in_final_projection(spark, sf_oracle, name):
         f"{name} emits collection-typed final columns {offenders}; "
         "serialize at the registry boundary"
     )
+
+
+#: sf0.1 spot check: bit-exactness must not be an artifact of the tiny
+#: oracle fixture. Ten heavy/representative queries whose DuckDB oracle
+#: also scales to sf0.1 replay there (the all-pairs-oracle dedup tiers
+#: are excluded — their oracles are deliberately quadratic).
+_SF01_SPOT = [
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "agg_orders_stats",
+    "dup_ngram_fraction_docs",
+    "winnow_fingerprints_docs",
+    "block_dedup_docs",
+    "source_token_drift",
+    "events_resample_hourly",
+    "heavy_hitter_words",
+    "exact_percentiles_orders",
+]
+
+
+@pytest.mark.parametrize("name", _SF01_SPOT)
+def test_oracle_parity_sf01_spot(spark, name):
+    import os
+
+    sf01 = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 fixture not present")
+    spec = REGISTRY[name]
+    compare(spec.builder(spark, sf01), spec.oracle, sf01)

@@ -1,0 +1,68 @@
+"""Engine-parity on non-ASCII input: the fixtures are ASCII word soup,
+but the oracle contract (identical tokenizer regex, identical length
+semantics) must also hold on unicode text — accents, CJK, emoji,
+combining marks. Each case builds a documents table with unicode
+content and replays registered text queries against their DuckDB
+oracles bit-exact."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from mapreduce_4_spark.plans import REGISTRY
+from tests.oracle import TABLES, compare
+
+_UNICODE_DOCS = [
+    (0, "café naïve fiancée déjà vu café", "fr", "src0"),
+    (1, "straße größe weiß straße", "de", "src0"),
+    (2, "日本語 の テスト 文書 です 日本語", "ja", "src1"),
+    (3, "mixed ascii and café and 日本語 words", "en", "src1"),
+    (4, "emoji 🎉 party 🎉 emoji rows", "en", "src2"),
+    (5, "combining á mark vs precomposed á forms", "en", "src2"),
+    (6, "tabs\tsurvive the single space split", "en", "src3"),
+    (7, "punct! stays? stripped; but accents café rest", "en", "src3"),
+]
+
+#: text queries whose semantics must survive unicode unchanged. The
+#: heavier dedup/LSH tiers share the same tokenizer, so parity here
+#: covers their text-side behavior too.
+_QUERIES = [
+    "text_stats_docs",
+    "token_counts_docs",
+    "doc_fingerprint_md5",
+    "top_bigrams",
+    "char_diversity_docs",
+    "winnow_fingerprints_docs",
+    "block_dedup_docs",
+    "source_token_drift",
+    "bpe_top_pairs",
+    "dedup_exact_docs",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf(spark, sf_smoke, tmp_path_factory) -> str:
+    sf = str(tmp_path_factory.mktemp("unicode_sf"))
+    for t in TABLES:
+        shutil.copy(f"{sf_smoke}/{t}.parquet", f"{sf}/{t}.parquet")
+    os.remove(f"{sf}/documents.parquet")
+    docs = spark.createDataFrame(
+        [(i, txt, lang, src, len(txt)) for i, txt, lang, src in _UNICODE_DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{sf}/tmp_docs")
+    import glob
+
+    part = glob.glob(f"{sf}/tmp_docs/part-*.parquet")[0]
+    shutil.move(part, f"{sf}/documents.parquet")
+    shutil.rmtree(f"{sf}/tmp_docs")
+    return sf
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_unicode_text_parity(spark, unicode_sf, name):
+    spec = REGISTRY[name]
+    compare(spec.builder(spark, unicode_sf), spec.oracle, unicode_sf)
