@@ -1,0 +1,92 @@
+"""Command-line front door: run any registered query from a shell.
+
+The reference engine is a CLI program (asio_deep/main.cpp — scan a
+directory, run the pipeline, write results); this module is its
+generalized counterpart over the whole registry:
+
+    python -m mapreduce_4_spark list [--tag dedup]
+    python -m mapreduce_4_spark run q1_pricing_summary [--sf DIR] [-n 20]
+    python -m mapreduce_4_spark explain minhash_lsh_neardup
+    python -m mapreduce_4_spark oracle q1_pricing_summary
+    python -m mapreduce_4_spark bench q5_revenue_by_nation [--runs 3]
+
+``--sf`` defaults to $SPARK_GRAFT_SF_DIR, else /root/testdata/sf0.1 —
+the same contract as bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _default_sf() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mapreduce_4_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("list", help="list registered queries")
+    sp.add_argument("--tag", help="filter by tag substring")
+
+    for cmd, hlp in [("run", "run a query and show rows"),
+                     ("explain", "print the optimized physical plan"),
+                     ("oracle", "print the DuckDB oracle SQL"),
+                     ("bench", "time a query (min of N runs)")]:
+        sp = sub.add_parser(cmd, help=hlp)
+        sp.add_argument("name")
+        sp.add_argument("--sf", default=_default_sf())
+        if cmd == "run":
+            sp.add_argument("-n", "--rows", type=int, default=20)
+        if cmd == "bench":
+            sp.add_argument("--runs", type=int, default=3)
+
+    args = p.parse_args(argv)
+
+    from mapreduce_4_spark.plans import REGISTRY
+
+    if args.cmd == "list":
+        for name, spec in REGISTRY.items():
+            if args.tag and not any(args.tag in t for t in spec.tags):
+                continue
+            mark = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t[{mark}]\t{', '.join(spec.tags)}")
+        return 0
+
+    spec = REGISTRY.get(args.name)
+    if spec is None:
+        close = [n for n in REGISTRY if args.name in n]
+        hint = f" (did you mean: {', '.join(close[:5])}?)" if close else ""
+        print(f"unknown query: {args.name}{hint}", file=sys.stderr)
+        return 2
+
+    if args.cmd == "oracle":
+        print(spec.oracle or f"-- {args.name} is rows-only (no SQL oracle)")
+        return 0
+
+    from mapreduce_4_spark.session import get_spark
+
+    spark = get_spark(f"mapreduce_4_spark-cli-{args.cmd}")
+    df = spec.builder(spark, args.sf)
+
+    if args.cmd == "explain":
+        df.explain("formatted")
+    elif args.cmd == "run":
+        df.show(args.rows, truncate=False)
+        print(f"({df.count()} rows total)")
+    elif args.cmd == "bench":
+        df.count()  # warm: scan caches, broadcast builds, codegen
+        best = min(
+            (lambda s: (df.count(), time.time() - s)[1])(time.time())
+            for _ in range(args.runs)
+        )
+        print(f"{args.name}: {best:.3f}s (min of {args.runs}, sf={args.sf})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,40 @@
+"""CLI front door (__main__.py): list/run/explain/oracle against the
+registry, in-process (the Spark fixture is reused via get_spark's
+getOrCreate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_4_spark.__main__ import main
+
+
+def test_cli_list_filters_by_tag(capsys):
+    assert main(["list", "--tag", "graph"]) == 0
+    out = capsys.readouterr().out
+    assert "neardup_degree_histogram" in out
+    assert "q1_pricing_summary" not in out
+
+
+def test_cli_oracle_prints_sql(capsys):
+    assert main(["oracle", "wordcount_global"]) == 0
+    assert "SELECT" in capsys.readouterr().out
+
+
+def test_cli_oracle_rows_only_note(capsys):
+    assert main(["oracle", "binary_files_meta"]) == 0
+    assert "rows-only" in capsys.readouterr().out
+
+
+def test_cli_unknown_query_suggests(capsys):
+    assert main(["run", "q1_pricing"]) == 2
+    err = capsys.readouterr().err
+    assert "unknown query" in err and "q1_pricing_summary" in err
+
+
+def test_cli_run_and_explain(spark, sf_smoke, capsys):
+    assert main(["run", "scan_all_tables_counts", "--sf", sf_smoke]) == 0
+    out = capsys.readouterr().out
+    assert "region" in out and "rows total" in out
+    assert main(["explain", "filter_project_lineitem", "--sf", sf_smoke]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
