@@ -15,6 +15,10 @@ from .cdc import (
     replay_changes,
     version_changes,
 )
+from .wordcount_stream import (
+    documents_stream,
+    stream_wordcount,
+)
 from .foreach_batch import (
     fanout_writer,
     idempotent_parquet_writer,
@@ -36,8 +40,10 @@ __all__ = [
     "stream_click_purchase_join",
     "stream_click_purchase_left_join",
     "stream_enrich_customers",
+    "documents_stream",
     "stream_dedup_events",
     "stream_session_windows",
     "stream_tumbling_counts",
+    "stream_wordcount",
     "versioned_upsert_sink",
 ]
