@@ -792,3 +792,102 @@ def perplexity_bucket_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+#: the target "quality domain" for importance-style selection: one feed
+#: stands in for the curated corpus (wiki/books in a real pipeline).
+_AFFINITY_TARGET = "src0"
+
+
+@register(
+    "domain_affinity_docs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, {_W} AS w FROM documents
+            WHERE len({_W}) >= 2
+        ),
+        e AS (
+            SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+            FROM t, unnest(range(1, len(w))) AS r(i)
+        ),
+        cu AS (SELECT w1, COUNT(*) AS n1 FROM e GROUP BY w1),
+        cb AS (SELECT w1, w2, COUNT(*) AS n2 FROM e GROUP BY w1, w2),
+        pc AS (SELECT cb.w1, cb.w2, cb.n2 / cu.n1 AS prob
+               FROM cb JOIN cu USING (w1)),
+        et AS (SELECT * FROM e WHERE source = '{_AFFINITY_TARGET}'),
+        cut AS (SELECT w1, COUNT(*) AS n1 FROM et GROUP BY w1),
+        cbt AS (SELECT w1, w2, COUNT(*) AS n2 FROM et GROUP BY w1, w2),
+        pt AS (SELECT cbt.w1, cbt.w2, cbt.n2 / cut.n1 AS prob
+               FROM cbt JOIN cut USING (w1))
+        SELECT e.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CAST(pt.prob AS DECIMAL(18,15))) AS DOUBLE)
+                   / COUNT(*) AS target_score,
+               CAST(SUM(CAST(pc.prob AS DECIMAL(18,15))) AS DOUBLE)
+                   / COUNT(*) AS corpus_score,
+               CAST(SUM(CAST(pt.prob AS DECIMAL(18,15))) AS DOUBLE)
+                   / COUNT(*)
+               - CAST(SUM(CAST(pc.prob AS DECIMAL(18,15))) AS DOUBLE)
+                   / COUNT(*) AS affinity
+        FROM e
+        JOIN pc ON e.w1 = pc.w1 AND e.w2 = pc.w2
+        LEFT JOIN pt ON e.w1 = pt.w1 AND e.w2 = pt.w2
+        GROUP BY e.doc_id
+    """,
+    tags=("pipeline", "text", "statistics"),
+    description="DSIR-shaped targeted selection signal: train a bigram LM "
+                "on the target feed and on the whole corpus, score every "
+                "doc under both, affinity = target mean-probability minus "
+                "corpus mean-probability — docs resembling the quality "
+                "domain surface without a learned classifier. Exact "
+                "decimal accumulation; missing target bigrams contribute "
+                "0 (the unsmoothed, engine-portable choice)",
+)
+def domain_affinity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-style domain selection (DSIR's shape, with mean
+    probability standing in for log-likelihood: logs drift in the last
+    ulp across engines, exact decimal sums don't). Scale shape: both LM
+    trainings are vocabulary-sized aggregates with map-side combine;
+    scoring is one inner + one left hash join keyed on bigrams. SUM of
+    a NULL-only group (a doc with zero target-known bigrams) is NULL on
+    both engines — surfaced as NULL target_score, not 0: 'no evidence'
+    and 'poor match' stay distinguishable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", words("text").alias("w")
+    ).filter(F.size("w") >= 2)
+    bi = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.struct(
+            F.element_at("w", i).alias("w1"),
+            F.element_at("w", i + 1).alias("w2"),
+        ),
+    )
+    e = docs.select("doc_id", "source", F.explode(bi).alias("b")).select(
+        "doc_id", "source", "b.w1", "b.w2"
+    )
+
+    def lm(rel: DataFrame) -> DataFrame:
+        cu = rel.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+        cb = rel.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+        return cb.join(cu, "w1").select(
+            "w1", "w2", (F.col("n2") / F.col("n1")).alias("prob")
+        )
+
+    pc = lm(e)
+    pt = lm(e.filter(F.col("source") == _AFFINITY_TARGET)).withColumnRenamed(
+        "prob", "prob_t"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,15)")  # noqa: E731
+    t_score = F.sum(dec("prob_t")).cast("double") / F.count(F.lit(1))
+    c_score = F.sum(dec("prob")).cast("double") / F.count(F.lit(1))
+    return (
+        e.join(pc, ["w1", "w2"])
+        .join(pt, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            t_score.alias("target_score"),
+            c_score.alias("corpus_score"),
+            (t_score - c_score).alias("affinity"),
+        )
+    )
