@@ -66,3 +66,61 @@ def unicode_sf(spark, sf_smoke, tmp_path_factory) -> str:
 def test_unicode_text_parity(spark, unicode_sf, name):
     spec = REGISTRY[name]
     compare(spec.builder(spark, unicode_sf), spec.oracle, unicode_sf)
+
+
+# --- hypothesis fuzz: random corpora must stay bit-exact vs DuckDB ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FUZZ_ALPHABET = st.characters(
+    codec="latin-1", min_codepoint=0x09, exclude_categories=("Cc",),
+) | st.sampled_from(list(" \t àé .,!?'\"-"))
+
+_fuzz_corpora = st.lists(
+    st.text(alphabet=_FUZZ_ALPHABET, max_size=60), min_size=1, max_size=8
+)
+
+_FUZZ_QUERIES = ["winnow_fingerprints_docs", "block_dedup_docs",
+                 "source_token_drift", "bpe_top_pairs"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(texts=_fuzz_corpora)
+def test_fuzz_oracle_parity_on_random_corpora(spark, sf_smoke, texts):
+    """For arbitrary latin-1 corpora (including empty/whitespace-only
+    docs and punctuation soup) the four newest text queries must still
+    hash-match DuckDB — the parity contract can't depend on the
+    fixture's shape."""
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="fuzz_sf_")
+    try:
+        for t in TABLES:
+            shutil.copy(f"{sf_smoke}/{t}.parquet", f"{sf}/{t}.parquet")
+        os.remove(f"{sf}/documents.parquet")
+        rows = [
+            (i, t, "en" if i % 2 else "de", f"src{i % 3}", len(t))
+            for i, t in enumerate(texts)
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        docs.coalesce(1).write.parquet(f"{sf}/tmp_docs")
+        import glob
+
+        part = glob.glob(f"{sf}/tmp_docs/part-*.parquet")[0]
+        shutil.move(part, f"{sf}/documents.parquet")
+        shutil.rmtree(f"{sf}/tmp_docs")
+        for name in _FUZZ_QUERIES:
+            spec = REGISTRY[name]
+            compare(spec.builder(spark, sf), spec.oracle, sf)
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
