@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     maintenance,
     multimodal,
     pipeline_ops,
+    quantization,
     relational,
     retrieval,
     scalars,

@@ -1,0 +1,216 @@
+"""Product quantization (PQ) for the similarity tier, with its measured
+recall — the second compression knob beside the int8 scalar quantizer
+(``embedding_quantize_recall``).
+
+The 64-dim embedding splits into M=4 16-dim subspaces; each subspace
+has a K=16-codeword codebook SEEDED from the lowest-id vectors (the
+``similarity_ivf_topk_seeded`` convention: a deterministic index build,
+zero Lloyd rounds, so the whole encode -> reconstruct -> search path is
+reproduced bit-for-bit by the DuckDB oracle). Vectors encode to 4
+codes (4 bytes vs 256 float bytes — 64x); search is asymmetric (ADC):
+the RAW query scores against candidates' codeword reconstructions.
+
+Nearest-codeword assignment ranks by ``-2*<sub,cw> + |cw|^2`` (equal
+ordering to L2 distance, |sub|^2 constant per row) — dot products only,
+which is the operation with established fold parity across engines
+(functions/vectors.py).
+
+100 TB posture: the codebook is 64 tiny rows broadcast everywhere;
+encoding is a per-row map; candidate scoring touches reconstructions,
+never raw vectors — this is how billion-scale ANN serves from RAM.
+
+Reference anchor: the O9 merge contract generalized to vector-keyed
+spaces (asio_deep/main.cpp:434-516).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.vectors import as_double, cosine, dot
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+_DIM = 64
+_PQ_M = 4          # subspaces
+_PQ_SUB = _DIM // _PQ_M
+_PQ_K = 16         # codewords per subspace (codebook = 16 lowest ids)
+_N_QUERIES = 5
+_K = 10
+
+
+def _sql_sub(expr: str, m: int) -> str:
+    return f"{expr}[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}]"
+
+
+def _pq_oracle() -> str:
+    sub_union = " UNION ALL ".join(
+        f"SELECT cid, {m} AS m, {_sql_sub('c', m)} AS cw FROM seed"
+        for m in range(_PQ_M)
+    )
+    enc_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {_sql_sub('e', m)} AS sub FROM emb"
+        for m in range(_PQ_M)
+    )
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        seed AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, e AS c
+            FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {_PQ_K})
+        ),
+        cb AS ({sub_union}),
+        subs AS ({enc_union}),
+        codes AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT s.vec_id, s.m, b.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY -2.0 * list_dot_product(s.sub, b.cw)
+                                    + list_dot_product(b.cw, b.cw) ASC,
+                                    b.cid
+                       ) AS rn
+                FROM subs s JOIN cb b ON s.m = b.m
+            ) WHERE rn = 1
+        ),
+        recon AS (
+            SELECT vec_id, flatten(list(cw ORDER BY m)) AS r
+            FROM (SELECT c.vec_id, c.m, b.cw
+                  FROM codes c JOIN cb b ON c.m = b.m AND c.cid = b.cid)
+            GROUP BY vec_id
+        ),
+        qt AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, r.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.e, r.r) DESC,
+                                    r.vec_id
+                       ) AS rnk
+                FROM emb q JOIN recon r
+                  ON q.vec_id < {_N_QUERIES} AND q.vec_id <> r.vec_id
+            ) WHERE rnk <= {_K}
+        ),
+        ex AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+                                    c.vec_id
+                       ) AS rnk
+                FROM emb q JOIN emb c
+                  ON q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+            ) WHERE rnk <= {_K}
+        )
+        SELECT ex.query_id,
+               COUNT(*) AS n_true,
+               COUNT(qt.vec_id) AS n_hit,
+               CAST(COUNT(qt.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_10
+        FROM ex LEFT JOIN qt
+          ON ex.query_id = qt.query_id AND ex.vec_id = qt.vec_id
+        GROUP BY ex.query_id
+    """
+
+
+@register(
+    "pq_recall_topk",
+    oracle=_pq_oracle(),
+    tags=("similarity", "quantization", "diagnostics"),
+    description="product-quantization recall eval: 4x16-dim subspaces, "
+                "16 seeded codewords each (64x compression), asymmetric "
+                "search — raw query cosine against candidates' codeword "
+                "reconstructions — recall@10 per query vs the exact tier; "
+                "fully oracled via the seeded-index convention",
+)
+def pq_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode: per (vector, subspace), nearest codeword from a 64-row
+    broadcast codebook (rank by -2<sub,cw>+|cw|^2 — dot products only,
+    the fold with cross-engine parity). Reconstruct: 4 codeword joins,
+    reassembled in subspace order. Search: the bounded query-side
+    broadcast contract shared with the other recall evals."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    seed = (
+        emb.orderBy("vec_id").limit(_PQ_K)
+        .select(F.row_number().over(Window.orderBy("vec_id")).alias("cid"), "e")
+    )
+    cb = None
+    for m in range(_PQ_M):
+        part = seed.select(
+            "cid", F.lit(m).alias("m"),
+            F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("cw"),
+        )
+        cb = part if cb is None else cb.unionByName(part)
+
+    subs = None
+    for m in range(_PQ_M):
+        part = emb.select(
+            "vec_id", F.lit(m).alias("m"),
+            F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+        )
+        subs = part if subs is None else subs.unionByName(part)
+
+    score = F.lit(-2.0) * dot(F.col("sub"), F.col("cw")) + dot(
+        F.col("cw"), F.col("cw")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(
+            score.asc(), F.col("cid").asc()
+        )
+    )
+    codes = (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    recon = (
+        codes.join(F.broadcast(cb), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "cw"))),
+                    lambda s: s["cw"],
+                )
+            ).alias("r")
+        )
+    )
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+
+    def topk(cand: DataFrame, col: str) -> DataFrame:
+        pairs = F.broadcast(q).join(
+            cand, F.col("query_id") != F.col("vec_id")
+        )
+        rnk = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                cosine(F.col("qe"), F.col(col)).desc(),
+                F.col("vec_id").asc(),
+            )
+        )
+        return (
+            pairs.withColumn("rnk", rnk)
+            .filter(F.col("rnk") <= _K)
+            .select("query_id", "vec_id")
+        )
+
+    exact = topk(emb.select("vec_id", "e"), "e")
+    quant = topk(recon, "r").withColumn("_hit", F.lit(1))
+    return (
+        exact.join(quant, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_hit"),
+            (F.count("_hit").cast("double") / F.count(F.lit(1))).alias(
+                "recall_at_10"
+            ),
+        )
+    )
