@@ -110,7 +110,8 @@ def write_version(df: DataFrame, table_dir: str,
                   sort_by: list[str] | None = None,
                   n_files: int | None = None,
                   partition_by: list[str] | None = None,
-                  batch_id: int | None = None) -> int:
+                  batch_id: int | None = None,
+                  manifest_extra: dict | None = None) -> int:
     """Publish a new immutable snapshot; returns its version number.
 
     With ``bucket_by``/``n_buckets``, the snapshot is hash-bucketed (and
@@ -185,6 +186,7 @@ def write_version(df: DataFrame, table_dir: str,
         # per-write token: catalog names derive from it, so a recreated
         # table dir can never alias a previous incarnation's entry
         "nonce": nonce,
+        **(manifest_extra or {}),
     }
     # manifest written last = the publish point
     with open(_manifest_path(table_dir, version), "w") as fh:
@@ -305,6 +307,66 @@ def delete_version(spark: SparkSession, table_dir: str,
     return write_version(
         delete_rows(base, keys=keys, key=key, predicate=predicate),
         table_dir, **layout,
+    )
+
+
+def publish_checked(df: DataFrame, table_dir: str, expectations: dict,
+                    mode: str = "fail", **layout) -> int:
+    """Constraint-enforced publish — Delta CHECK constraints / DLT
+    expectations for this table format. ``expectations`` maps rule name
+    -> boolean Column that is True when VIOLATED (the
+    ``operators.maintenance.validate`` contract, so the same rules serve
+    the batch DQ gate and the write path).
+
+    ``mode='fail'``: count violations in ONE pass first; any violation
+    aborts with per-rule counts and NO version is written (the check
+    runs before any data lands, so a refused publish leaves the table
+    untouched). ``mode='drop'``: publish only rows violating NO rule;
+    per-rule counts and total dropped rows are recorded in the manifest
+    — the audit trail DLT calls expectation metrics. A NULL rule result
+    is not a definite violation and the row is kept, matching SQL CHECK
+    semantics.
+
+    Scale: one extra aggregate pass in fail mode (conditional counts,
+    map-side combined); drop mode folds the filter into the write scan.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.operators.maintenance import validate
+
+    if mode not in ("fail", "drop"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    if not expectations:
+        raise ValueError("expectations must not be empty")
+    counts = {
+        r["rule"]: r["violations"]
+        for r in validate(df, expectations).collect()
+    }
+    if mode == "fail":
+        bad = {k: v for k, v in counts.items() if v}
+        if bad:
+            raise ValueError(
+                f"publish refused for {table_dir}: expectation violations "
+                f"{bad}"
+            )
+        return write_version(
+            df, table_dir,
+            manifest_extra={"expectations": {k: 0 for k in counts}},
+            **layout,
+        )
+    violated = None
+    for cond in expectations.values():
+        c = cond.eqNullSafe(F.lit(True))
+        violated = c if violated is None else (violated | c)
+    kept = df.filter(~violated)
+    n_dropped = int(sum(counts.values()))
+    return write_version(
+        kept, table_dir,
+        manifest_extra={
+            "expectations": {k: int(v) for k, v in counts.items()},
+            "rows_dropped_by_expectations_upper_bound": n_dropped,
+        },
+        **layout,
     )
 
 

@@ -426,3 +426,61 @@ def test_delete_rows_argument_validation(spark, sf_smoke):
                     key="o_orderkey", predicate="o_totalprice < 0")
     with pytest.raises(ValueError, match="key column"):
         delete_rows(base, keys=base.select("o_orderkey"))
+
+
+def test_publish_checked_fail_mode_refuses_and_leaves_no_version(
+        spark, sf_smoke, tmp_path):
+    from mapreduce_4_spark.sources.versioned import publish_checked
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    rules = {
+        "null_key": F.col("o_orderkey").isNull(),
+        "nonpositive_price": F.col("o_totalprice") <= 0,
+    }
+    # clean data publishes, and the manifest records the audited rules
+    v = publish_checked(base, tdir, rules)
+    assert v == 1
+    assert read_manifest(tdir, 1)["expectations"] == {
+        "null_key": 0, "nonpositive_price": 0,
+    }
+
+    # poisoned data refuses — and the refused publish wrote NOTHING
+    poisoned = base.unionByName(
+        spark.createDataFrame(
+            [(999999999, "F", -1.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    with pytest.raises(ValueError, match="nonpositive_price"):
+        publish_checked(poisoned, tdir, rules)
+    assert latest_version(tdir) == 1
+
+
+def test_publish_checked_drop_mode_keeps_nulls_and_audits(spark, sf_smoke,
+                                                          tmp_path):
+    """SQL CHECK semantics: a NULL rule result is not a definite
+    violation — the row survives; definite violations drop, with
+    per-rule counts recorded in the manifest."""
+    from mapreduce_4_spark.sources.versioned import publish_checked
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 0, None)      # NULL rule result
+        .when(F.col("o_orderkey") % 7 == 0, -5.0)        # definite violation
+        .otherwise(F.col("o_totalprice")),
+    )
+    n_bad = base.filter(F.col("o_totalprice") <= 0).count()
+    n_null = base.filter(F.col("o_totalprice").isNull()).count()
+    assert n_bad > 0 and n_null > 0
+
+    v = publish_checked(
+        base, tdir, {"nonpositive_price": F.col("o_totalprice") <= 0},
+        mode="drop",
+    )
+    got = read_version(spark, tdir, v)
+    assert got.count() == base.count() - n_bad
+    assert got.filter(F.col("o_totalprice").isNull()).count() == n_null
+    m = read_manifest(tdir, v)
+    assert m["expectations"] == {"nonpositive_price": n_bad}
