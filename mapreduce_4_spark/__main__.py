@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("list", help="list registered queries")
     sp.add_argument("--tag", help="filter by tag substring")
 
+    sp = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL over the fixture tables "
+                    "(region/nation/.../documents/embeddings as views)")
+    sp.add_argument("statement")
+    sp.add_argument("--sf", default=_default_sf())
+    sp.add_argument("-n", "--rows", type=int, default=20)
+
     for cmd, hlp in [("run", "run a query and show rows"),
                      ("explain", "print the optimized physical plan"),
                      ("oracle", "print the DuckDB oracle SQL"),
@@ -55,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
                 continue
             mark = "oracle" if spec.oracle else "rows-only"
             print(f"{name}\t[{mark}]\t{', '.join(spec.tags)}")
+        return 0
+
+    if args.cmd == "sql":
+        from mapreduce_4_spark.session import get_spark
+        from mapreduce_4_spark.sources import register_temp_views
+
+        spark = get_spark("mapreduce_4_spark-cli-sql")
+        register_temp_views(spark, args.sf)
+        spark.sql(args.statement).show(args.rows, truncate=False)
         return 0
 
     spec = REGISTRY.get(args.name)

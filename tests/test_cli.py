@@ -38,3 +38,14 @@ def test_cli_run_and_explain(spark, sf_smoke, capsys):
     assert "region" in out and "rows total" in out
     assert main(["explain", "filter_project_lineitem", "--sf", sf_smoke]) == 0
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_cli_adhoc_sql(spark, sf_smoke, capsys):
+    assert main([
+        "sql",
+        "SELECT r_name, COUNT(*) AS n FROM region "
+        "GROUP BY r_name ORDER BY r_name LIMIT 2",
+        "--sf", sf_smoke,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "AFRICA" in out
