@@ -311,7 +311,8 @@ def delete_version(spark: SparkSession, table_dir: str,
 
 
 def publish_checked(df: DataFrame, table_dir: str, expectations: dict,
-                    mode: str = "fail", **layout) -> int:
+                    mode: str = "fail", quarantine_dir: str | None = None,
+                    **layout) -> int:
     """Constraint-enforced publish — Delta CHECK constraints / DLT
     expectations for this table format. ``expectations`` maps rule name
     -> boolean Column that is True when VIOLATED (the
@@ -360,7 +361,7 @@ def publish_checked(df: DataFrame, table_dir: str, expectations: dict,
         violated = c if violated is None else (violated | c)
     kept = df.filter(~violated)
     n_dropped = int(sum(counts.values()))
-    return write_version(
+    version = write_version(
         kept, table_dir,
         manifest_extra={
             "expectations": {k: int(v) for k, v in counts.items()},
@@ -368,6 +369,19 @@ def publish_checked(df: DataFrame, table_dir: str, expectations: dict,
         },
         **layout,
     )
+    if quarantine_dir is not None:
+        # dead-letter path: the dropped rows land in their own versioned
+        # table (same schema), tagged with the main table's version so
+        # an operator can line up every quarantine batch with the
+        # publish that rejected it. Quarantine publishes AFTER the main
+        # table: a crash in between loses only the audit copy, never
+        # accepted data, and the manifest counts above still record the
+        # drop.
+        write_version(
+            df.filter(violated), quarantine_dir,
+            manifest_extra={"quarantined_from_version": version},
+        )
+    return version
 
 
 def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:

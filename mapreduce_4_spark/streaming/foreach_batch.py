@@ -90,7 +90,9 @@ def run_foreach_batch(stream_df: DataFrame,
     q.awaitTermination()
 
 
-def versioned_upsert_sink(table_dir: str, key: str) -> Callable[[DataFrame, int], None]:
+def versioned_upsert_sink(table_dir: str, key: str,
+                          expectations: dict | None = None,
+                          ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink merging each micro-batch into a snapshot-
     versioned table (sources/versioned.py) with exactly-once republish
     protection.
@@ -123,6 +125,27 @@ def versioned_upsert_sink(table_dir: str, key: str) -> Callable[[DataFrame, int]
         }
         if batch_id in published:
             return  # redelivered batch: already merged, skip
+        extra: dict = {}
+        if expectations:
+            # DLT-style streaming expectations, drop mode: gate the
+            # ARRIVING rows (never already-accepted table rows), record
+            # per-rule violation counts in this version's manifest as
+            # the per-batch audit trail. Deterministic, so a redelivered
+            # batch re-derives the identical clean subset.
+            from pyspark.sql import functions as F
+
+            from mapreduce_4_spark.operators.maintenance import validate
+
+            counts = {
+                r["rule"]: int(r["violations"])
+                for r in validate(batch_df, expectations).collect()
+            }
+            violated = None
+            for cond in expectations.values():
+                c = cond.eqNullSafe(F.lit(True))
+                violated = c if violated is None else (violated | c)
+            batch_df = batch_df.filter(~violated)
+            extra["expectations"] = counts
         layout: dict = {}
         if versions:
             # carry the table's bucket/cluster/partition layout through
@@ -134,6 +157,7 @@ def versioned_upsert_sink(table_dir: str, key: str) -> Callable[[DataFrame, int]
             )
         else:
             merged = batch_df
-        write_version(merged, table_dir, batch_id=batch_id, **layout)
+        write_version(merged, table_dir, batch_id=batch_id,
+                      manifest_extra=extra, **layout)
 
     return write_batch

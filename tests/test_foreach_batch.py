@@ -190,3 +190,50 @@ def test_versioned_upsert_sink_preserves_bucketed_layout(
     assert "Exchange" not in plan, plan
     rows = {(r["user_id"], r["n_events"]) for r in got.collect()}
     assert (999999, 7) in rows and (1, 123) in rows
+
+
+def test_versioned_upsert_sink_streaming_expectations(spark, sf_smoke,
+                                                      tmp_path):
+    """Streaming expectations, drop mode: arriving rows violating a rule
+    never reach the table, and each version's manifest records the
+    per-rule violation counts for that batch (the DLT audit trail)."""
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+        read_version,
+    )
+    from mapreduce_4_spark.streaming import versioned_upsert_sink
+
+    tdir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    # poison the stream: every 5th event gets a negative value
+    poisoned = _stream(spark, sf_smoke).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, -1.0).otherwise(F.col("value")),
+    ).select("event_id", "user_id", "value")
+    rules = {"negative_value": F.col("value") < 0}
+    q = (
+        poisoned.writeStream.foreachBatch(
+            versioned_upsert_sink(tdir, "event_id", expectations=rules)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = read_version(spark, tdir)
+    assert got.filter(F.col("value") < 0).count() == 0
+    from mapreduce_4_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    n_bad = ev.filter(F.col("event_id") % 5 == 0).count()
+    assert got.count() == ev.count() - n_bad
+    # the audit trail: summed over versions, counts equal the poison
+    total = sum(
+        read_manifest(tdir, v).get("expectations", {}).get(
+            "negative_value", 0
+        )
+        for v in range(1, latest_version(tdir) + 1)
+    )
+    assert total == n_bad

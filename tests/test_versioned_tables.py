@@ -484,3 +484,28 @@ def test_publish_checked_drop_mode_keeps_nulls_and_audits(spark, sf_smoke,
     assert got.filter(F.col("o_totalprice").isNull()).count() == n_null
     m = read_manifest(tdir, v)
     assert m["expectations"] == {"nonpositive_price": n_bad}
+
+
+def test_publish_checked_quarantines_dropped_rows(spark, sf_smoke, tmp_path):
+    """Drop mode with a dead-letter table: violating rows land in their
+    own versioned table, tagged with the publish version that rejected
+    them; kept + quarantined partitions the input exactly."""
+    from mapreduce_4_spark.sources.versioned import publish_checked
+
+    tdir, qdir = str(tmp_path / "t"), str(tmp_path / "q")
+    base = _orders(spark, sf_smoke).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, -5.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    n_bad = base.filter(F.col("o_totalprice") <= 0).count()
+    v = publish_checked(
+        base, tdir, {"nonpositive_price": F.col("o_totalprice") <= 0},
+        mode="drop", quarantine_dir=qdir,
+    )
+    kept = read_version(spark, tdir, v)
+    quar = read_version(spark, qdir)
+    assert quar.count() == n_bad
+    assert kept.count() + quar.count() == base.count()
+    assert quar.filter(F.col("o_totalprice") > 0).count() == 0
+    assert read_manifest(qdir, 1)["quarantined_from_version"] == v
