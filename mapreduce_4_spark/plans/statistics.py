@@ -294,3 +294,84 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("key_col", "n_rows", "n_keys", "max_key_rows", "max_key_share")
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+@register(
+    "event_value_outliers",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+            FROM events GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n, s1 / n AS mean_value,
+                   sqrt((n * s2 - s1 * s1)
+                        / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_value
+            FROM s
+        )
+        SELECT m.event_type, m.n, m.mean_value, m.stddev_value,
+               CAST(SUM(CASE WHEN abs(e.value - m.mean_value)
+                                  > 3.0 * m.stddev_value
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(SUM(CASE WHEN abs(e.value - m.mean_value)
+                                  > 3.0 * m.stddev_value
+                             THEN 1 ELSE 0 END) AS DOUBLE) / m.n
+                   AS outlier_fraction
+        FROM events e JOIN m USING (event_type)
+        GROUP BY m.event_type, m.n, m.mean_value, m.stddev_value
+    """,
+    tags=("aggregate", "statistics"),
+    description="3-sigma outlier counts per event type: mean/stddev from "
+                "exact decimal moments (deterministic), broadcast back "
+                "onto the event stream for a per-row |v-mean| > 3*sigma "
+                "test — the telemetry anomaly monitor as two linear "
+                "passes, never a sort",
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two passes at any scale: a per-type moments aggregate (map-side
+    combined, handful of rows out) broadcast back onto the events scan
+    for the conditional count. The mean/stddev doubles are assembled
+    identically on both engines from exact decimal sums, so the per-row
+    3-sigma comparison is deterministic — no Welford drift, no sampled
+    thresholds."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    v = dec("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("s1") / n).alias("mean_value"),
+        F.sqrt(
+            (n * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (n.cast("double") * (n - F.lit(1)))
+        ).alias("stddev_value"),
+    )
+    is_out = F.when(
+        F.abs(F.col("value") - F.col("mean_value"))
+        > 3.0 * F.col("stddev_value"),
+        1,
+    ).otherwise(0)
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mean_value", "stddev_value")
+        .agg(F.sum(is_out).alias("n_outliers"))
+        .select(
+            "event_type",
+            "n",
+            "mean_value",
+            "stddev_value",
+            "n_outliers",
+            (F.col("n_outliers").cast("double") / F.col("n")).alias(
+                "outlier_fraction"
+            ),
+        )
+    )
