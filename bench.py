@@ -190,6 +190,24 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
                        "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    # F) InferFiltersFromGenerate: the rule's inferred size/isnotnull
+    # guards get predicate-pushed through projections, re-evaluating the
+    # tokenize+gram pipeline 2-3x per row on explode-heavy plans. The
+    # session excludes it (session.py); this arm re-enables it on the
+    # gram-join family to keep the cost measured, not folklore.
+    from mapreduce_4_spark.plans import REGISTRY as _R
+
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    prev_excl = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    try:
+        _timed(timings, "ab_generate_infer_excluded",
+               _R["tokenize_to_ids_docs"].builder(spark, SF_DIR))
+        spark.conf.set("spark.sql.optimizer.excludedRules", "")
+        _timed(timings, "ab_generate_infer_default",
+               _R["tokenize_to_ids_docs"].builder(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.optimizer.excludedRules", prev_excl)
+
 
 def main() -> None:
     from mapreduce_4_spark.plans import REGISTRY
