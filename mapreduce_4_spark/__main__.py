@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("list", help="list registered queries")
     sp.add_argument("--tag", help="filter by tag substring")
+    sp.add_argument("--markdown", action="store_true",
+                    help="emit the full registry as a markdown table "
+                         "(QUERIES.md is generated from this)")
 
     sp = sub.add_parser(
         "sql", help="run ad-hoc Spark SQL over the fixture tables "
@@ -57,11 +60,28 @@ def main(argv: list[str] | None = None) -> int:
     from mapreduce_4_spark.plans import REGISTRY
 
     if args.cmd == "list":
-        for name, spec in REGISTRY.items():
-            if args.tag and not any(args.tag in t for t in spec.tags):
-                continue
-            mark = "oracle" if spec.oracle else "rows-only"
-            print(f"{name}\t[{mark}]\t{', '.join(spec.tags)}")
+        items = sorted(
+            (n, s) for n, s in REGISTRY.items()
+            if not args.tag or any(args.tag in t for t in s.tags)
+        )
+        if args.markdown:
+            n_oracle = sum(1 for _, s in items if s.oracle)
+            print("# QUERIES — the registered surface, generated\n")
+            print(f"{len(items)} queries; {n_oracle} fully DuckDB-oracled, "
+                  f"{len(items) - n_oracle} rows-only. Regenerate with "
+                  "`python -m mapreduce_4_spark list --markdown > "
+                  "QUERIES.md` (pinned in tests/test_cli.py).\n")
+            print("| Query | Correctness | Tags | What it computes |")
+            print("|---|---|---|---|")
+            for name, spec in items:
+                mark = "oracle" if spec.oracle else "rows-only"
+                desc = " ".join(spec.description.split())
+                print(f"| `{name}` | {mark} | {', '.join(spec.tags)} "
+                      f"| {desc} |")
+        else:
+            for name, spec in items:
+                mark = "oracle" if spec.oracle else "rows-only"
+                print(f"{name}\t[{mark}]\t{', '.join(spec.tags)}")
         return 0
 
     if args.cmd == "sql":

@@ -49,3 +49,17 @@ def test_cli_adhoc_sql(spark, sf_smoke, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "AFRICA" in out
+
+
+def test_queries_md_in_sync(capsys):
+    """QUERIES.md is generated from the registry; a stale checked-in
+    copy fails here — regenerate with
+    `python -m mapreduce_4_spark list --markdown > QUERIES.md`."""
+    import os
+
+    assert main(["list", "--markdown"]) == 0
+    generated = capsys.readouterr().out
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "QUERIES.md")
+    with open(path) as f:
+        assert f.read() == generated
