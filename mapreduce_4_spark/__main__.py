@@ -112,8 +112,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "explain":
         df.explain("formatted")
     elif args.cmd == "run":
-        df.show(args.rows, truncate=False)
-        print(f"({df.count()} rows total)")
+        # one execution: collect once, print the head + the total
+        rows = df.collect()
+        head = df.limit(0).sparkSession.createDataFrame(
+            rows[: args.rows], df.schema
+        )
+        head.show(args.rows, truncate=False)
+        print(f"({len(rows)} rows total)")
     elif args.cmd == "bench":
         df.count()  # warm: scan caches, broadcast builds, codegen
         best = min(

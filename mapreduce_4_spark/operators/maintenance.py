@@ -206,3 +206,22 @@ def delete_rows(base: DataFrame, keys: DataFrame | None = None,
     p = F.expr(predicate) if isinstance(predicate, str) else predicate
     # keep rows where the predicate is FALSE or NULL
     return base.filter(~p.eqNullSafe(F.lit(True)))
+
+
+def apply_expectations(df: DataFrame, rules: dict[str, Column],
+                       ) -> tuple[dict[str, int], DataFrame]:
+    """The expectations gate shared by the batch publish and the
+    streaming sink: per-rule violation counts (ONE aggregate pass) plus
+    the clean subset. NULL rule results are not definite violations —
+    the row is kept (SQL CHECK semantics) — and an EMPTY input yields
+    zero counts, not NULLs (F.sum over zero rows is NULL; the gate must
+    publish an empty-but-valid batch, not crash)."""
+    counts = {
+        r["rule"]: int(r["violations"] or 0)
+        for r in validate(df, rules).collect()
+    }
+    violated = None
+    for cond in rules.values():
+        c = cond.eqNullSafe(F.lit(True))
+        violated = c if violated is None else (violated | c)
+    return counts, df.filter(~violated)

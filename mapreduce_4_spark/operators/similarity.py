@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.vectors import as_double, dot, norm
+from mapreduce_4_spark.functions.vectors import as_double, cosine, dot, norm
 
 def _pair_sim() -> F.Column:
     """Per-pair cosine with per-SIDE precomputed double vectors and
@@ -341,4 +341,44 @@ def exact_cosine_pairs(corpus: DataFrame, threshold: float, dim: int,
         .join(b, "id_b")
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cosine_topk_ids(queries: DataFrame, cand: DataFrame, col: str,
+                    k: int) -> DataFrame:
+    """(query_id, vec_id) of each query's cosine top-k over ``cand[col]``
+    — the bounded-brute-force contract shared by the recall evals: the
+    query side (``query_id``, ``qv``) broadcasts, ranking is
+    (cosine desc, vec_id asc) with the WindowGroupLimit pushdown, and
+    self-matches are excluded."""
+    pairs = F.broadcast(queries).join(
+        cand, F.col("query_id") != F.col("vec_id")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            cosine(F.col("qv"), F.col(col)).desc(), F.col("vec_id").asc()
+        )
+    )
+    return (
+        pairs.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id")
+    )
+
+
+def recall_vs_exact(exact_ids: DataFrame, approx_ids: DataFrame) -> DataFrame:
+    """Per-query recall@k of an approximate id set against the exact one:
+    (query_id, n_true, n_hit, recall_at_10). The shared eval tail of the
+    quantization/LSH recall queries — one convention, one place."""
+    hits = approx_ids.withColumn("_hit", F.lit(1))
+    return (
+        exact_ids.join(hits, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_hit"),
+            (F.count("_hit").cast("double") / F.count(F.lit(1))).alias(
+                "recall_at_10"
+            ),
+        )
     )

@@ -287,11 +287,13 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def block_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line/paragraph dedup is the C4 pipeline's remedy for repeated
     boilerplate INSIDE otherwise-distinct documents; with no newlines in
-    the fixture, fixed-width token blocks are the unit. Scale shape: one
-    shuffle keyed on block text (high cardinality, no hot key — a
-    globally repeated block is exactly what the row_number dedups), one
-    doc-keyed re-aggregation. First-occurrence choice is deterministic
-    via (doc_id, bidx) ordering, so replays are idempotent."""
+    the fixture, fixed-width token blocks are the unit. Scale shape: the
+    first-occurrence pick is a block-text-keyed AGGREGATE (min struct),
+    so a globally repeated boilerplate block — the hot key this query
+    exists to find — collapses map-side instead of sorting through one
+    window task; then one probe-side join (AQE skew-split handles the
+    hot probe) and the doc-keyed re-aggregation. The (doc_id, bidx)
+    choice is deterministic, so replays are idempotent."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", words("text").alias("w")).filter(
         F.size("w") >= 1
@@ -308,12 +310,18 @@ def block_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.bidx", "b.btext", "b.blen")
-    rn = F.row_number().over(
-        Window.partitionBy("btext").orderBy("doc_id", "bidx")
+    # first occurrence = MIN(struct(doc_id, bidx)) per block text: a
+    # hash AGGREGATE (map-side combine collapses a hot boilerplate
+    # block to one partial per task) instead of a per-btext window
+    # sort that would funnel every occurrence through one task. Same
+    # (doc_id, bidx) lexicographic choice as the oracle's ROW_NUMBER.
+    first = blocks.groupBy("btext").agg(
+        F.min(F.struct("doc_id", "bidx")).alias("_first")
     )
-    r = blocks.withColumn("rn", rn)
-    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
-    kept_toks = F.when(F.col("rn") == 1, F.col("blen")).otherwise(0)
+    r = blocks.join(first, "btext")
+    is_first = F.struct("doc_id", "bidx") == F.col("_first")
+    kept = F.when(is_first, 1).otherwise(0)
+    kept_toks = F.when(is_first, F.col("blen")).otherwise(0)
     return (
         r.groupBy("doc_id")
         .agg(
@@ -393,11 +401,14 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ct").alias("n"), F.count(F.lit(1)).alias("vocab_total")
     )
     dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    # vocab_total rides the FIRST broadcast and survives the groupBy as
+    # a grouping column — a second crossJoin(tot) would re-run the whole
+    # tokenize+vocab lineage (different projection defeats ReuseExchange)
     agg = (
         cst.join(ct, "word")
         .join(ns, "source")
         .crossJoin(F.broadcast(tot))
-        .groupBy("source", "ns", "n")
+        .groupBy("source", "ns", "n", "vocab_total")
         .agg(
             F.count(F.lit(1)).alias("vocab_used"),
             F.sum(F.abs(dec("c") * dec("n") - dec("ct") * dec("ns")))
@@ -406,7 +417,7 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        agg.crossJoin(F.broadcast(tot.select("vocab_total")))
+        agg
         .select(
             "source",
             F.col("ns").alias("n_tokens"),
@@ -521,38 +532,18 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dv"),
     )
 
+    from mapreduce_4_spark.operators.similarity import (
+        cosine_topk_ids,
+        recall_vs_exact,
+    )
+
     def topk(df: DataFrame, col: str) -> DataFrame:
         q = df.filter(F.col("vec_id") < _QR_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col(col).alias("qv")
         )
-        pairs = F.broadcast(q).join(
-            df.select("vec_id", col), F.col("query_id") != F.col("vec_id")
-        )
-        sim = cosine(F.col("qv"), F.col(col))
-        rnk = F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                sim.desc(), F.col("vec_id").asc()
-            )
-        )
-        return (
-            pairs.withColumn("rnk", rnk)
-            .filter(F.col("rnk") <= _QR_K)
-            .select("query_id", "vec_id")
-        )
+        return cosine_topk_ids(q, df.select("vec_id", col), col, _QR_K)
 
-    exact = topk(emb, "v")
-    quant = topk(dq, "dv").withColumn("_hit", F.lit(1))
-    return (
-        exact.join(quant, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_true"),
-            F.count("_hit").alias("n_hit"),
-            (F.count("_hit").cast("double") / F.count(F.lit(1))).alias(
-                "recall_at_10"
-            ),
-        )
-    )
+    return recall_vs_exact(topk(emb, "v"), topk(dq, "dv"))
 
 
 @register(

@@ -182,35 +182,14 @@ def pq_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
     )
 
-    def topk(cand: DataFrame, col: str) -> DataFrame:
-        pairs = F.broadcast(q).join(
-            cand, F.col("query_id") != F.col("vec_id")
-        )
-        rnk = F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                cosine(F.col("qe"), F.col(col)).desc(),
-                F.col("vec_id").asc(),
-            )
-        )
-        return (
-            pairs.withColumn("rnk", rnk)
-            .filter(F.col("rnk") <= _K)
-            .select("query_id", "vec_id")
-        )
-
-    exact = topk(emb.select("vec_id", "e"), "e")
-    quant = topk(recon, "r").withColumn("_hit", F.lit(1))
-    return (
-        exact.join(quant, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_true"),
-            F.count("_hit").alias("n_hit"),
-            (F.count("_hit").cast("double") / F.count(F.lit(1))).alias(
-                "recall_at_10"
-            ),
-        )
+    from mapreduce_4_spark.operators.similarity import (
+        cosine_topk_ids,
+        recall_vs_exact,
     )
+
+    exact = cosine_topk_ids(q, emb.select("vec_id", "e"), "e", _K)
+    quant = cosine_topk_ids(q, recon, "r", _K)
+    return recall_vs_exact(exact, quant)

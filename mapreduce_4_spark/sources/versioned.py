@@ -331,18 +331,13 @@ def publish_checked(df: DataFrame, table_dir: str, expectations: dict,
     Scale: one extra aggregate pass in fail mode (conditional counts,
     map-side combined); drop mode folds the filter into the write scan.
     """
-    from pyspark.sql import functions as F
-
-    from mapreduce_4_spark.operators.maintenance import validate
+    from mapreduce_4_spark.operators.maintenance import apply_expectations
 
     if mode not in ("fail", "drop"):
         raise ValueError(f"unknown mode: {mode!r}")
     if not expectations:
         raise ValueError("expectations must not be empty")
-    counts = {
-        r["rule"]: r["violations"]
-        for r in validate(df, expectations).collect()
-    }
+    counts, kept = apply_expectations(df, expectations)
     if mode == "fail":
         bad = {k: v for k, v in counts.items() if v}
         if bad:
@@ -355,11 +350,6 @@ def publish_checked(df: DataFrame, table_dir: str, expectations: dict,
             manifest_extra={"expectations": {k: 0 for k in counts}},
             **layout,
         )
-    violated = None
-    for cond in expectations.values():
-        c = cond.eqNullSafe(F.lit(True))
-        violated = c if violated is None else (violated | c)
-    kept = df.filter(~violated)
     n_dropped = int(sum(counts.values()))
     version = write_version(
         kept, table_dir,
@@ -377,6 +367,12 @@ def publish_checked(df: DataFrame, table_dir: str, expectations: dict,
         # table: a crash in between loses only the audit copy, never
         # accepted data, and the manifest counts above still record the
         # drop.
+        from pyspark.sql import functions as F
+
+        violated = None
+        for cond in expectations.values():
+            c = cond.eqNullSafe(F.lit(True))
+            violated = c if violated is None else (violated | c)
         write_version(
             df.filter(violated), quarantine_dir,
             manifest_extra={"quarantined_from_version": version},

@@ -132,19 +132,11 @@ def versioned_upsert_sink(table_dir: str, key: str,
             # per-rule violation counts in this version's manifest as
             # the per-batch audit trail. Deterministic, so a redelivered
             # batch re-derives the identical clean subset.
-            from pyspark.sql import functions as F
+            from mapreduce_4_spark.operators.maintenance import (
+                apply_expectations,
+            )
 
-            from mapreduce_4_spark.operators.maintenance import validate
-
-            counts = {
-                r["rule"]: int(r["violations"])
-                for r in validate(batch_df, expectations).collect()
-            }
-            violated = None
-            for cond in expectations.values():
-                c = cond.eqNullSafe(F.lit(True))
-                violated = c if violated is None else (violated | c)
-            batch_df = batch_df.filter(~violated)
+            counts, batch_df = apply_expectations(batch_df, expectations)
             extra["expectations"] = counts
         layout: dict = {}
         if versions:

@@ -37,8 +37,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_4_spark.functions.text import words
 from mapreduce_4_spark.operators.dedup import (
-    _portable_shingle_table,
+    _base31,
     candidate_pairs,
     jaccard,
     lsh_band_table,
@@ -63,10 +64,17 @@ def _published_batch_ids(table_dir: str) -> set:
 
 def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                       threshold: float = 0.8, n: int = 3,
-                      id_col: str = "doc_id",
                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: near-dup-gated append into a versioned corpus
-    plus its signature/shingle index, exactly-once per batch on both."""
+    plus its signature/shingle index, exactly-once per batch on both.
+
+    Documents shorter than ``n`` words have no shingles; they get a
+    SINGLETON set {normalized text} instead, so they ride the identical
+    banded pipeline and dedup EXACTLY (jaccard of singletons is 1.0 on
+    a text match, 0 otherwise) — every document, long or short, is
+    probed and indexed; the corpus/index lockstep holds corpus-wide.
+    """
+    id_col = "doc_id"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         corpus_done = batch_id in _published_batch_ids(corpus_dir)
@@ -75,7 +83,21 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
             return  # fully committed batch redelivered: no-op
 
         spark = batch_df.sparkSession
-        sh_d = _portable_shingle_table(batch_df, n)  # persisted by helper
+        toks = batch_df.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(id_col, words("text").alias("_w"))
+        idx = F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1))
+        grams = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_w", i, n)))
+        )
+        shingle = F.when(F.size("_w") >= n, grams).otherwise(
+            F.array(F.concat_ws(" ", "_w"))
+        )
+        sh_d = (
+            toks.select(id_col, shingle.alias("shingles"))
+            .withColumn("_base", F.transform("shingles", _base31))
+            .persist()
+        )
         try:
             sigs_d = sh_d.select(
                 id_col,

@@ -294,12 +294,16 @@ def test_winnowing_explodes_expression_not_inferred_filters(spark, sf_oracle):
     assert "CartesianProduct" not in plan
 
 
-def test_block_dedup_no_quadratic_join(spark, sf_oracle):
+def test_block_dedup_no_quadratic_join_and_no_hot_key_window(spark,
+                                                             sf_oracle):
     plan = _plan(spark, sf_oracle, "block_dedup_docs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # first-occurrence choice rides one window over the block-text key
-    assert "row_number" in plan
+    # the first-occurrence pick must be an aggregate (partial min
+    # combines a hot boilerplate block map-side), never a per-btext
+    # window sort that funnels a hot key through one task
+    assert "partial_min" in plan
+    assert "row_number" not in plan
 
 
 def test_source_token_drift_no_vocab_grid(spark, sf_oracle):

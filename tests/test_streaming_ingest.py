@@ -150,3 +150,30 @@ def test_ingest_sink_repairs_missing_index_publish(spark, tmp_path):
     # fully-committed redelivery is a no-op
     sink(batches[0], 0)
     assert latest_version(corpus_dir) == 1 and latest_version(index_dir) == 1
+
+
+def test_ingest_short_docs_dedup_exactly_and_stay_indexed(spark, tmp_path):
+    """Docs below the shingle floor (< 3 words) ride a singleton
+    {normalized text} set: identical short docs dedup across batches and
+    within a batch, different short docs survive, and the corpus/index
+    lockstep holds for every document."""
+    b1 = spark.createDataFrame(
+        [(1, "hello world"), (2, "tiny doc"), (3, "hello world"),
+         (4, _BASE_TEXTS[0])],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "hello world"), (11, "another tiny"), (12, _BASE_TEXTS[1])],
+        "doc_id long, text string",
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    sink = dedup_ingest_sink(corpus_dir, index_dir)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    got = sorted(r["doc_id"] for r in read_version(spark, corpus_dir).collect())
+    # 3 dups 1 within batch; 10 dups 1 across batches; others survive
+    assert got == [1, 2, 4, 11, 12]
+    idx = sorted(r["doc_id"] for r in read_version(spark, index_dir).collect())
+    assert idx == got

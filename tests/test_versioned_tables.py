@@ -509,3 +509,24 @@ def test_publish_checked_quarantines_dropped_rows(spark, sf_smoke, tmp_path):
     assert kept.count() + quar.count() == base.count()
     assert quar.filter(F.col("o_totalprice") > 0).count() == 0
     assert read_manifest(qdir, 1)["quarantined_from_version"] == v
+
+
+def test_publish_checked_empty_input_publishes_zero_counts(spark, sf_smoke,
+                                                           tmp_path):
+    """An empty-but-valid input (everything filtered upstream) must
+    publish an empty version with zero violation counts in BOTH modes —
+    not crash on NULL aggregate counts."""
+    from mapreduce_4_spark.sources.versioned import publish_checked
+
+    base = _orders(spark, sf_smoke).filter(F.lit(False))
+    rules = {"nonpositive_price": F.col("o_totalprice") <= 0}
+    v1 = publish_checked(base, str(tmp_path / "a"), rules, mode="fail")
+    v2 = publish_checked(base, str(tmp_path / "b"), rules, mode="drop")
+    assert v1 == 1 and v2 == 1
+    assert read_manifest(str(tmp_path / "a"), 1)["expectations"] == {
+        "nonpositive_price": 0
+    }
+    assert read_manifest(str(tmp_path / "b"), 1)["expectations"] == {
+        "nonpositive_price": 0
+    }
+    assert read_version(spark, str(tmp_path / "b")).count() == 0
