@@ -112,13 +112,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "explain":
         df.explain("formatted")
     elif args.cmd == "run":
-        # one execution: collect once, print the head + the total
-        rows = df.collect()
-        head = df.limit(0).sparkSession.createDataFrame(
-            rows[: args.rows], df.schema
-        )
-        head.show(args.rows, truncate=False)
-        print(f"({len(rows)} rows total)")
+        # bounded driver memory: only the head crosses to the driver;
+        # the total comes from a count() that never collects rows
+        df.show(args.rows, truncate=False)
+        print(f"({df.count()} rows total)")
     elif args.cmd == "bench":
         df.count()  # warm: scan caches, broadcast builds, codegen
         best = min(

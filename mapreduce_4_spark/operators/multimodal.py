@@ -70,10 +70,20 @@ def attach_fake_image(docs: DataFrame) -> DataFrame:
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in for a real feature extractor: unit-scaled
-    bytes of a blake2b digest. Stable across processes and runs."""
-    digest = hashlib.blake2b(payload, digest_size=dim * 4).digest()
-    return np.frombuffer(digest, dtype=np.uint32).astype(np.float32) / np.float32(2**32)
+    """Deterministic stand-in for a real feature extractor, defined so an
+    external SQL oracle can replay it byte-for-byte: concatenate
+    ``md5(str(j) + payload)`` blocks until ``dim`` little-endian uint32
+    lanes are covered, keep each lane's TOP 24 bits (``u >> 8`` fits a
+    float32 mantissa exactly), and scale by 2^-24 (a power of two, so
+    the division is exact too). Every feature value is therefore an
+    exact dyadic rational — stable across processes, runs, AND engines
+    (the DuckDB oracle recomputes the same integers from the md5 hex)."""
+    n_blocks = (dim * 4 + 15) // 16
+    digest = b"".join(
+        hashlib.md5(str(j).encode() + payload).digest() for j in range(n_blocks)
+    )
+    lanes = np.frombuffer(digest[: dim * 4], dtype="<u4")
+    return (lanes >> 8).astype(np.float32) / np.float32(2**24)
 
 
 def _pil_features(payload: bytes, dim: int) -> np.ndarray:

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_4_spark.functions.text import sql_words, words
-from mapreduce_4_spark.functions.vectors import as_double, cosine
+from mapreduce_4_spark.functions.vectors import as_double
 from mapreduce_4_spark.operators.dedup import MERSENNE_31, _base31
 from mapreduce_4_spark.registry import REGISTRY as _REG
 from mapreduce_4_spark.registry import register

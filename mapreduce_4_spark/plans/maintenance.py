@@ -302,7 +302,8 @@ def gdpr_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_orders,
                {sql_dsum('o_totalprice')} AS sum_price
         FROM orders
-        WHERE NOT (o_orderdate < TIMESTAMP '1993-01-01 00:00:00')
+        WHERE o_orderdate IS NULL
+           OR NOT (o_orderdate < TIMESTAMP '1993-01-01 00:00:00')
         GROUP BY order_year
     """,
     tags=("maintenance",),

@@ -44,12 +44,41 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # decode stub (blake2b) is not SQL; batch plumbing tested separately
+    # The stub decode is exact byte arithmetic (md5 blocks -> LE uint32
+    # lanes -> top 24 bits scaled by 2^-24; operators/multimodal.py
+    # _fake_features), so DuckDB can replay it from the same payload
+    # bytes. The boundary serializes each float32 feature back to its
+    # underlying 24-bit integer (f * 2^24 — exact, the value IS a
+    # dyadic rational with a 24-bit numerator), sidestepping
+    # engine-specific float->string formatting entirely.
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   md5('0' || text) || md5('1' || text) AS hx,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(64 + doc_id % 512 AS INTEGER) AS width,
+               CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST(8 AS BIGINT) AS dim,
+               array_to_string(
+                   list_transform(range(0, 8), g -> CAST(
+                       CAST('0x' || substr(hx, g * 8 + 7, 2)
+                                 || substr(hx, g * 8 + 5, 2)
+                                 || substr(hx, g * 8 + 3, 2)
+                                 || substr(hx, g * 8 + 1, 2) AS BIGINT) >> 8
+                       AS VARCHAR)),
+                   '|') AS features_q24_csv
+        FROM d
+    """,
     tags=("multimodal", "udf"),
     description="mapInPandas feature extraction over binary media "
                 "(deterministic stub decode; real codec slots into the same "
-                "batch fn). Feature vector serialized to CSV at the registry "
-                "boundary; the array API lives in operators/multimodal.py.",
+                "batch fn). Features serialized losslessly as 24-bit "
+                "integers at the registry boundary; the float array API "
+                "lives in operators/multimodal.py.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -61,8 +90,13 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.size("features").cast("long").alias("dim"),
         F.concat_ws(
-            "|", F.transform("features", lambda x: x.cast("string"))
-        ).alias("features_csv"),
+            "|",
+            F.transform(
+                "features",
+                lambda x: (x.cast("double") * F.lit(float(1 << 24)))
+                .cast("long").cast("string"),
+            ),
+        ).alias("features_q24_csv"),
     )
 
 
@@ -116,11 +150,30 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The one path an oracle SQL string cannot receive as a parameter: the
+#: driver's correctness pass runs every oracle at this fixed scale
+#: factor (TESTDATA.md: "t2 correctness (duckdb oracle) uses sf0.01"),
+#: so the read_blob glob pins it. The Spark builder still honors
+#: whatever sf_dir it is handed; only the oracle is sf0.01-specific,
+#: like the conftest ORACLE_DIR default it mirrors.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
 @register(
     "binary_files_meta",
-    oracle=None,  # filesystem metadata has no DuckDB view
+    # DuckDB's read_blob() sees the same files the binaryFile source
+    # scans. md5 in DuckDB 1.0 is VARCHAR-only, so both engines hash the
+    # lowercase-hex canonical form of the bytes (the same convention
+    # multimodal_frame_sample established for frame payloads).
+    oracle=f"""
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+               CAST(size AS BIGINT) AS length,
+               md5(lower(hex(content))) AS content_md5
+        FROM read_blob('{_ORACLE_SF_DIR}/*.parquet')
+    """,
     tags=("multimodal", "scan"),
-    description="binaryFile source: one row per file with path/length/bytes",
+    description="binaryFile source: one row per file with path/length and a "
+                "hex-canonical content hash",
 )
 def binary_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_4_spark.sources.binary import read_binary_dir
@@ -129,5 +182,5 @@ def binary_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         "length",
-        F.md5("content").alias("content_md5"),
+        F.md5(F.lower(F.hex("content")).cast("binary")).alias("content_md5"),
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.vectors import as_double, cosine, dot
+from mapreduce_4_spark.functions.vectors import as_double, dot
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 

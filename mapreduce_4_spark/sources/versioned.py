@@ -359,7 +359,10 @@ def publish_checked(df: DataFrame, table_dir: str, expectations: dict,
         },
         **layout,
     )
-    if quarantine_dir is not None:
+    if quarantine_dir is not None and n_dropped > 0:
+        # n_dropped == 0 writes nothing: a clean publish must not append
+        # an empty snapshot to the dead-letter table's version history
+        # (vacuum workload and audit noise scale with version count).
         # dead-letter path: the dropped rows land in their own versioned
         # table (same schema), tagged with the main table's version so
         # an operator can line up every quarantine batch with the
