@@ -111,7 +111,8 @@ def write_version(df: DataFrame, table_dir: str,
                   n_files: int | None = None,
                   partition_by: list[str] | None = None,
                   batch_id: int | None = None,
-                  manifest_extra: dict | None = None) -> int:
+                  manifest_extra: dict | None = None,
+                  append: bool = False) -> int:
     """Publish a new immutable snapshot; returns its version number.
 
     With ``bucket_by``/``n_buckets``, the snapshot is hash-bucketed (and
@@ -135,6 +136,19 @@ def write_version(df: DataFrame, table_dir: str,
     and joins against a filtered dimension prune them at RUNTIME via
     dynamic partition pruning (plan-asserted in tests/test_dpp.py) —
     the other half of the layout story beside bucketing/clustering.
+
+    With ``append=True``, ``df`` holds only the NEW rows: they land
+    under ``v=N/`` as usual, but the manifest records the full data-dir
+    LIST (parent's dirs + this one) and ``read_version`` unions the
+    listed dirs — the Iceberg/Delta transaction-log move that turns a
+    long-running streaming append from an O(total) rewrite per batch
+    into an O(batch) write. Readers still see each version as one
+    immutable snapshot; time travel is unchanged. ``compact`` naturally
+    resets the chain (it publishes a full snapshot), and ``vacuum``
+    only removes a data dir once no retained manifest references it.
+    Appended snapshots are plain parquet (no bucket/cluster/partition
+    layout — a layout is a whole-table property, which is exactly what
+    compaction re-establishes).
     """
     _check_local(table_dir)
     table_dir = _strip_scheme(table_dir)
@@ -142,8 +156,25 @@ def write_version(df: DataFrame, table_dir: str,
         raise ValueError("bucket_by and n_buckets must be given together")
     if partition_by and bucket_by:
         raise ValueError("partition_by cannot be combined with bucket_by")
+    if append and (bucket_by or sort_by or partition_by):
+        raise ValueError(
+            "append snapshots are plain parquet; a bucket/cluster/"
+            "partition layout is a whole-table property — compact() to "
+            "re-establish one"
+        )
     parent = latest_version(table_dir)
     version = (parent or 0) + 1
+    parent_dirs: list[str] = []
+    parent_rows = 0
+    if append and parent is not None:
+        pm = read_manifest(table_dir, parent)
+        if pm.get("bucket_by") or pm.get("sort_by") or pm.get("partition_by"):
+            raise ValueError(
+                "cannot append to a laid-out snapshot (bucketed/"
+                "clustered/partitioned); compact() first"
+            )
+        parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
+        parent_rows = pm["row_count"]
     data_dir = _data_dir(table_dir, version)
     nonce = uuid.uuid4().hex[:12]
     if bucket_by:
@@ -169,7 +200,9 @@ def write_version(df: DataFrame, table_dir: str,
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
     # exact count from the footers just written — no second data scan
-    row_count = _footer_row_count(data_dir)
+    # (append: parent's manifest count + the new dir's footers)
+    row_count = _footer_row_count(data_dir) + parent_rows
+    data_dirs = parent_dirs + [f"v={version:06d}"] if append else None
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     manifest = {
         "version": version,
@@ -186,6 +219,9 @@ def write_version(df: DataFrame, table_dir: str,
         # per-write token: catalog names derive from it, so a recreated
         # table dir can never alias a previous incarnation's entry
         "nonce": nonce,
+        # append chains: every data dir (relative) this version reads;
+        # absent/None for full snapshots
+        "data_dirs": data_dirs,
         **(manifest_extra or {}),
     }
     # manifest written last = the publish point
@@ -229,6 +265,12 @@ def read_version(spark: SparkSession, table_dir: str,
                 f"LOCATION '{_data_dir(table_dir, version)}'"
             )
         return spark.table(name)
+    if manifest.get("data_dirs"):
+        # append chain: the version's content is the union of its listed
+        # dirs; one multi-path parquet read, pushdown/pruning intact
+        return spark.read.parquet(
+            *[os.path.join(table_dir, d) for d in manifest["data_dirs"]]
+        )
     return spark.read.parquet(_data_dir(table_dir, version))
 
 
@@ -410,16 +452,29 @@ def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
 def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (data + manifest,
     manifest FIRST so concurrent readers never see a published version
-    whose data is disappearing). Returns removed versions."""
+    whose data is disappearing). Returns removed versions.
+
+    Append-chain aware: a retained manifest may reference OLDER data
+    dirs through its ``data_dirs`` list, so a doomed version's manifest
+    always goes, but its data dir is removed only when no retained
+    manifest still reads it — the same liveness rule a lakehouse
+    format's garbage collection applies to its file lists."""
     import shutil
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(table_dir)
     doomed = versions[:-keep_last] if keep_last < len(versions) else []
+    kept = versions[-keep_last:] if keep_last < len(versions) else versions
+    live_dirs = set()
+    for v in kept:
+        m = read_manifest(table_dir, v)
+        for d in m.get("data_dirs") or [f"v={v:06d}"]:
+            live_dirs.add(d)
     for v in doomed:
         os.remove(_manifest_path(table_dir, v))
-        shutil.rmtree(_data_dir(table_dir, v), ignore_errors=True)
+        if f"v={v:06d}" not in live_dirs:
+            shutil.rmtree(_data_dir(table_dir, v), ignore_errors=True)
     return doomed
 
 

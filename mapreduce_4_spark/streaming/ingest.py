@@ -174,21 +174,18 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                                                    "left_anti")
 
             # (3) publish corpus FIRST, index second; each guarded by its
-            # own replay key so a crash between the two repairs cleanly
+            # own replay key so a crash between the two repairs cleanly.
+            # append=True: each publish writes ONLY the batch's survivor
+            # rows and chains the manifest's data-dir list — per-batch
+            # write cost is O(|batch|), not O(|corpus so far|), which is
+            # what keeps the 100-batch latency slope flat (SCALE.md's
+            # sustained-replay probe measures it).
             if not corpus_done:
-                prev = latest_version(corpus_dir)
-                corpus_new = (
-                    read_version(spark, corpus_dir).unionByName(survivors)
-                    if prev is not None else survivors
-                )
-                write_version(corpus_new, corpus_dir, batch_id=batch_id)
+                write_version(survivors, corpus_dir, batch_id=batch_id,
+                              append=True)
             if not index_done:
-                prev = latest_version(index_dir)
-                idx_new = (
-                    read_version(spark, index_dir).unionByName(surviving_idx)
-                    if prev is not None else surviving_idx
-                )
-                write_version(idx_new, index_dir, batch_id=batch_id)
+                write_version(surviving_idx, index_dir, batch_id=batch_id,
+                              append=True)
         finally:
             sh_d.unpersist()
 

@@ -530,3 +530,67 @@ def test_publish_checked_empty_input_publishes_zero_counts(spark, sf_smoke,
         "nonpositive_price": 0
     }
     assert read_version(spark, str(tmp_path / "b")).count() == 0
+
+
+def test_append_chain_reads_union_and_counts(spark, sf_smoke, tmp_path):
+    """append=True publishes only the new rows but every version reads
+    as the full table; manifest row_count is the chain total."""
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    a = base.filter(F.col("o_orderkey") % 3 == 0)
+    b = base.filter(F.col("o_orderkey") % 3 == 1)
+    c = base.filter(F.col("o_orderkey") % 3 == 2)
+    write_version(a, tdir, append=True)
+    write_version(b, tdir, append=True)
+    v3 = write_version(c, tdir, append=True)
+    assert v3 == 3
+    assert read_version(spark, tdir).count() == base.count()
+    assert read_manifest(tdir, 3)["row_count"] == base.count()
+    # time travel into the middle of the chain
+    assert read_version(spark, tdir, 2).count() == a.count() + b.count()
+    # only the delta was written: v=000002 holds b's rows alone
+    import os
+    assert read_manifest(tdir, 2)["data_dirs"] == ["v=000001", "v=000002"]
+    assert spark.read.parquet(os.path.join(tdir, "v=000002")).count() == b.count()
+
+
+def test_append_vacuum_keeps_dirs_live_manifests_reference(spark, sf_smoke, tmp_path):
+    """Vacuuming an append chain drops old MANIFESTS but must keep any
+    data dir the retained head still reads."""
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    for m in range(3):
+        write_version(base.filter(F.col("o_orderkey") % 3 == m), tdir,
+                      append=True)
+    removed = vacuum(tdir, keep_last=1)
+    assert removed == [1, 2]
+    # the head still reads the whole chain
+    assert read_version(spark, tdir).count() == base.count()
+
+
+def test_append_refuses_laid_out_parent_and_layouts(spark, sf_smoke, tmp_path):
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    with pytest.raises(ValueError, match="append snapshots are plain"):
+        write_version(base, tdir, append=True, sort_by=["o_orderkey"])
+    write_version(base, tdir, sort_by=["o_orderkey"])
+    with pytest.raises(ValueError, match="compact"):
+        write_version(base.limit(5), tdir, append=True)
+
+
+def test_compact_resets_append_chain(spark, sf_smoke, tmp_path):
+    """compact() publishes a full snapshot, so later vacuum can actually
+    reclaim the chain's many small dirs."""
+    from mapreduce_4_spark.sources.versioned import compact
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    for m in range(3):
+        write_version(base.filter(F.col("o_orderkey") % 3 == m), tdir,
+                      append=True)
+    v = compact(spark, tdir, target_files=1)
+    assert read_manifest(tdir, v).get("data_dirs") is None
+    assert read_version(spark, tdir).count() == base.count()
+    vacuum(tdir, keep_last=1)
+    import os
+    assert not os.path.isdir(os.path.join(tdir, "v=000001"))
