@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     llm_pipeline4,
     llm_pipeline5,
     llm_pipeline6,
+    llm_pipeline7,
     maintenance,
     multimodal,
     pipeline_ops,

@@ -347,3 +347,20 @@ def test_degree_histogram_single_pair_lineage(spark, sf_oracle):
     base_scans = base.count("ReadSchema: struct<")
     assert n_scans <= base_scans + 1, (n_scans, base_scans)
     assert "CartesianProduct" not in plan
+
+
+def test_per_doc_transforms_have_zero_exchanges(spark, sf_oracle):
+    """gopher_quality_docs and intra_doc_repeat_trim are pure per-row
+    column expressions — any Exchange in their plans means a shuffle
+    crept into what must stay an embarrassingly parallel scan."""
+    for name in ("gopher_quality_docs", "intra_doc_repeat_trim"):
+        plan = _plan(spark, sf_oracle, name)
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
+
+
+def test_packing_report_single_shuffle(spark, sf_oracle):
+    """The per-lang window and the per-lang aggregate must share ONE
+    hash partitioning on lang — two Exchanges means the agg re-shuffled
+    what the window already co-located."""
+    plan = _plan(spark, sf_oracle, "packing_efficiency_report")
+    assert plan.count("Exchange") == 1, plan
