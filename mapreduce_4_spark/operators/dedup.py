@@ -307,6 +307,91 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float,
     )
 
 
+def prefix_filtered_containment_pairs(sh: DataFrame, threshold: float,
+                                      block_col: str | None = None,
+                                      id_col: str = "doc_id") -> DataFrame:
+    """EXACT containment-threshold self-join via one-sided prefix
+    filtering, returning every ORDERED pair (id_a, id_b), a != b, with
+    ``containment = |A∩B| / |A| >= threshold`` — the asymmetric near-dup
+    relation that catches "A is a quote/subset of B" where Jaccard is
+    diluted by B's extra content (the near-dup shape of boilerplate
+    inclusion, doc-in-doc quoting, and train/eval contamination).
+
+    Losslessness (one-sided prefix lemma): order grams by a global total
+    order (ascending df, gram tie-break). C(A,B) >= t implies
+    |A∩B| >= ceil(t·|A|), so among the first |A| - ceil(t·|A|) + 1 grams
+    of A at least one is in B. Joining A-prefixes against the FULL
+    exploded gram table on the B side therefore finds every qualifying
+    ordered pair; each candidate is verified with the exact integer
+    intersection and one IEEE division (same ops as the oracle SQL).
+    Unlike the symmetric Jaccard filter, only the probe (A) side is
+    pruned — B must keep all grams, since a tiny A can be contained in
+    a huge B sharing only A's rare grams.
+
+    Scale shape: candidate volume = Σ_{A-prefix grams} df(gram); hot
+    grams rank last and rarely enter prefixes, and the B side is the
+    already-materialized exploded table (no second explosion). All hash
+    joins + one window; no cartesian, no UDF. ceil(t·m) is exact
+    integer arithmetic (Fraction), so rounding can't shorten a prefix.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    blocks = [block_col] if block_col else []
+
+    from pyspark.storagelevel import StorageLevel
+
+    if sh.storageLevel == StorageLevel.NONE:
+        sh = sh.persist()
+
+    pos = sh.select(id_col, *blocks, F.explode("shingles").alias("gram"))
+    df_tbl = pos.groupBy(*blocks, "gram").agg(F.count(F.lit(1)).alias("df"))
+
+    w = Window.partitionBy(id_col)
+    ranked = pos.join(df_tbl, [*blocks, "gram"]).select(
+        id_col,
+        *blocks,
+        "gram",
+        F.row_number().over(w.orderBy("df", "gram")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    prefix_len = (
+        F.col("m")
+        - F.expr(f"({num} * m + {den - 1}) div {den}")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select(
+        F.col(id_col).alias("id_a"), *blocks, "gram"
+    )
+    full_b = pos.select(F.col(id_col).alias("id_b"), *blocks, "gram")
+    cand = (
+        prefix.join(full_b, [*blocks, "gram"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sha = sh.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    shb = sh.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    containment = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size("sh_a")
+    )
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
                             n: int = 3,
                             hash_family: str = "portable") -> DataFrame:

@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     llm_pipeline5,
     llm_pipeline6,
     llm_pipeline7,
+    llm_pipeline8,
     maintenance,
     multimodal,
     pipeline_ops,
