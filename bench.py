@@ -233,6 +233,23 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
     _timed(timings, "ab_simhash_blocks6_10x",
            simhash_near_pairs(docs10, max_hamming=3, banding="blocks6"))
 
+    # H) iterative vs single-pass chain grouping: the SAME order-streak
+    # result (test-pinned equal) computed by Spark 4's native recursive
+    # CTE (depth iterations of frontier-joins against the cached edge
+    # list) and by one window pass (gap flag + running sum — the
+    # sessionization shape). The delta is the measured price of the
+    # iterative-execution surface when a closed-form window exists; the
+    # recursive path's value is reachability where no closed form does.
+    from mapreduce_4_spark.plans.spark4_surface import (
+        order_streaks_recursive,
+        order_streaks_window,
+    )
+
+    _timed(timings, "ab_streaks_recursive",
+           order_streaks_recursive(spark, SF_DIR))
+    _timed(timings, "ab_streaks_window",
+           order_streaks_window(spark, SF_DIR))
+
 
 def main() -> None:
     from mapreduce_4_spark.plans import REGISTRY

@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     semistructured,
     setops,
     sort_topk,
+    spark4_surface,
     statistics,
     temporal_joins,
     tpch_like,

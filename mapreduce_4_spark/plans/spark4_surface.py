@@ -1,0 +1,262 @@
+"""Spark-4 SQL-surface queries: recursive CTE reachability, a custom
+Python DataSource scan, and a SQL-macro UDF — three extension surfaces
+the engine exposes beyond the classic DataFrame API.
+
+- ``order_streaks_recursive`` runs a genuine ``WITH RECURSIVE`` chain
+  closure INSIDE Spark (4.x recursive CTE execution) and is oracled by
+  the *same SQL text* in DuckDB — the strongest possible cross-engine
+  pin for the iterative-plan path.
+- ``python_datasource_rows`` scans the custom Python DataSource
+  (sources/pyds.py) — the idiomatic replacement for the reference's
+  dlopen'd input plugin (asio_deep/main.cpp:219-226) — and is oracled by
+  DuckDB ``range()`` + md5.
+- ``sql_udf_wordcount`` registers a SQL-macro function (CREATE
+  TEMPORARY FUNCTION ... RETURN expr) carrying the reference's O3 clean
+  expression and runs the flagship word count through it, extending the
+  O11 plugin-surface family (row UDF / pandas_udf / applyInPandas /
+  UDAF / UDTF) with the declarative sixth mechanism — unlike the five
+  imperative ones, a SQL macro inlines into the plan and stays fully
+  inside WholeStageCodegen (no serialization boundary at all).
+
+Reference anchor: SURVEY.md §2.1 O11 (plugin/UDF surface,
+asio_deep/main.cpp:98-149) and §3.3 (the spark.sql entry path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_4_spark.functions.text import CLEAN_CLASS
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+#: The recursive closure + final rollup, shared verbatim with the
+#: oracle (the prefix views are materialized separately on the Spark
+#: side — see the builder).
+_CHAIN_SQL = """
+WITH RECURSIVE roots AS (
+    SELECT o.o_custkey AS ck, o.rn
+    FROM {ord} o LEFT JOIN {edges} e
+      ON o.o_custkey = e.ck AND o.rn = e.rn_next
+    WHERE e.rn_next IS NULL
+),
+chain(ck, root_rn, rn) AS (
+    SELECT ck, rn, rn FROM roots
+    UNION ALL
+    SELECT c.ck, c.root_rn, e.rn_next
+    FROM chain c JOIN {edges} e
+      ON c.ck = e.ck AND c.rn = e.rn_prev
+)
+SELECT c.ck AS o_custkey,
+       r.o_orderkey AS root_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS streak_len,
+       MIN(o.o_orderdate) AS first_date,
+       MAX(o.o_orderdate) AS last_date
+FROM chain c
+JOIN {ord} o ON c.ck = o.o_custkey AND c.rn = o.rn
+JOIN {ord} r ON c.ck = r.o_custkey AND c.root_rn = r.rn
+GROUP BY c.ck, r.o_orderkey
+"""
+
+_ORD_SQL = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+           ) AS rn
+    FROM {tbl}
+"""
+
+_EDGES_SQL = """
+    SELECT a.o_custkey AS ck, a.rn AS rn_prev, b.rn AS rn_next
+    FROM {ord} a JOIN {ord} b
+      ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+    WHERE b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+@register(
+    "order_streaks_recursive",
+    oracle=(
+        # Same three building blocks; DuckDB takes them as sibling CTEs
+        # under one WITH RECURSIVE, so the closure text is byte-identical
+        # to what Spark executes.
+        "WITH RECURSIVE ord AS (" + _ORD_SQL.format(tbl="orders") + "),\n"
+        "edges AS (" + _EDGES_SQL.format(ord="ord") + ")"
+        + _CHAIN_SQL.format(ord="ord", edges="edges").replace(
+            "WITH RECURSIVE roots AS", ", roots AS", 1
+        )
+    ),
+    tags=("sql", "recursive", "graph", "window"),
+    description="order streaks via WITH RECURSIVE chain closure, "
+                "executed natively by Spark's recursive-CTE path with "
+                "the closure SQL shared verbatim with the DuckDB "
+                "oracle: maximal runs of a customer's orders each "
+                "within 30 days of the previous — per streak: root "
+                "order, length, first/last date. The non-recursive "
+                "prefix (row_number + edge list) is materialized once "
+                "(persisted, plan-keyed cache) so the ~6 closure "
+                "iterations join a 3-column edge table instead of "
+                "recomputing the window per iteration; unbounded-depth "
+                "reachability routes to the pointer-jumping operator",
+)
+def order_streaks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    orders.createOrReplaceTempView("orders_rcte_v")
+    ord_df = spark.sql(_ORD_SQL.format(tbl="orders_rcte_v"))
+    # Plan-keyed persist (partsupp-cache discipline): repeated builder
+    # calls reuse one entry; the recursion and the three final-join
+    # consumers read the materialized 4-column table, not the window.
+    if ord_df.storageLevel == StorageLevel.NONE:
+        ord_df = ord_df.persist()
+    ord_df.createOrReplaceTempView("ord_rcte_v")
+    edges = spark.sql(_EDGES_SQL.format(ord="ord_rcte_v"))
+    if edges.storageLevel == StorageLevel.NONE:
+        edges = edges.persist()
+    edges.createOrReplaceTempView("edges_rcte_v")
+    return spark.sql(_CHAIN_SQL.format(ord="ord_rcte_v", edges="edges_rcte_v"))
+
+
+_PYDS_N = 20_000
+_PYDS_PARTS = 8
+
+
+@register(
+    "python_datasource_rows",
+    oracle=f"""
+        SELECT CAST(range % 32 AS INT) AS bucket,
+               COUNT(*) AS n_rows,
+               MIN(range) AS min_id,
+               MAX(range) AS max_id,
+               MIN(md5(CAST(range AS VARCHAR))) AS min_payload
+        FROM range({_PYDS_N})
+        GROUP BY 1
+    """,
+    tags=("source", "udf", "python-datasource"),
+    description=f"custom Python DataSource scan (Spark 4 DataSource "
+                f"API): {_PYDS_N} deterministic rows generated across "
+                f"{_PYDS_PARTS} planned input partitions (the "
+                "dlopen'd-input-plugin surface of the reference, "
+                "re-expressed as a registered Python class with "
+                "driver-side partition planning + executor-side row "
+                "generation), aggregated per bucket and oracled by "
+                "DuckDB range()+md5",
+)
+def python_datasource_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.pyds import register_synth_source
+
+    register_synth_source(spark)
+    rows = (
+        spark.read.format("synthrows")
+        .option("n", _PYDS_N).option("parts", _PYDS_PARTS).load()
+    )
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.min("payload").alias("min_payload"),
+    )
+
+
+#: The SQL-macro clean function: the reference's O3 lowerRemovePunc as a
+#: declarative CREATE FUNCTION body (same CLEAN_CLASS regex the engine
+#: and every oracle share).
+#: Spark SQL string literals are backslash-escaped (unlike DuckDB's
+#: standard-SQL literals), so the regex's backslashes must be doubled
+#: for the DDL text to deliver the same pattern to the regex engine.
+_SQL_UDF_DDL = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION ref_clean(s STRING) "
+    "RETURNS STRING RETURN lower(regexp_replace(s, "
+    f"'{CLEAN_CLASS.replace(chr(92), chr(92) * 2)}', ''))"
+)
+
+
+@register(
+    "sql_udf_wordcount",
+    oracle=f"""
+        WITH w AS (
+            SELECT unnest(string_split(
+                lower(regexp_replace(text, '{CLEAN_CLASS}', '', 'g')),
+                ' ')) AS word
+            FROM documents
+        )
+        SELECT word, COUNT(*) AS cnt
+        FROM w WHERE len(word) > 0
+        GROUP BY word
+        ORDER BY cnt DESC, word
+        LIMIT 20
+    """,
+    tags=("udf", "sql", "text", "topk"),
+    description="the flagship word count through a SQL-macro UDF "
+                "(CREATE TEMPORARY FUNCTION ... RETURN expr) carrying "
+                "the reference O3 clean expression — the sixth O11 "
+                "plugin mechanism, and the only one that inlines into "
+                "the plan with zero serialization boundary (the macro "
+                "body compiles into WholeStageCodegen like a built-in)",
+)
+def sql_udf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs.createOrReplaceTempView("docs_sqludf_v")
+    spark.sql(_SQL_UDF_DDL)
+    # The macro is applied in its own projection: Spark disallows a SQL
+    # UDF directly inside a Generate (explode), so clean first, then
+    # tokenize the cleaned column — same plan after collapse.
+    return spark.sql("""
+        SELECT word, COUNT(*) AS cnt
+        FROM (
+            SELECT explode(split(cleaned, ' ')) AS word
+            FROM (SELECT ref_clean(text) AS cleaned FROM docs_sqludf_v)
+        )
+        WHERE length(word) > 0
+        GROUP BY word
+        ORDER BY cnt DESC, word
+        LIMIT 20
+    """)
+
+
+def order_streaks_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed-form twin of :func:`order_streaks_recursive`: one
+    window pass (30-day gap flag + running sum = streak id) instead of
+    depth iterations — the sessionization shape. Not registered (it
+    would duplicate the registered query's result); it exists as the
+    measured comparison arm (``ab_streaks_window`` in bench.py) and the
+    algorithm-independence cross-check in tests. Same output schema and
+    values as the recursive query (pinned in
+    tests/test_spark4_surface.py via a third inline implementation)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.withColumn(
+        "new_streak",
+        F.when(
+            F.col("o_orderdate")
+            <= F.lag("o_orderdate").over(w) + F.expr("INTERVAL 30 DAY"),
+            0,
+        ).otherwise(1),
+    ).withColumn("sid", F.sum("new_streak").over(w))
+    return (
+        flagged.groupBy("o_custkey", "sid")
+        .agg(
+            F.min(F.struct("o_orderdate", "o_orderkey")).alias("_root"),
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .select(
+            "o_custkey",
+            F.col("_root.o_orderkey").alias("root_orderkey"),
+            "streak_len",
+            "first_date",
+            "last_date",
+        )
+    )

@@ -1,0 +1,122 @@
+"""Tests for the Spark-4 surface queries (plans/spark4_surface.py):
+recursive-CTE correctness against an independent window-based
+algorithm, Python DataSource partition planning, and SQL-macro parity
+with the flagship word count.
+
+Oracle parity for all three registered queries is covered by the
+blanket replay in tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_recursive_streaks_match_window_sessionization(spark, sf_oracle):
+    """The WITH RECURSIVE chain closure must agree with a completely
+    different algorithm: gap-flag + running-sum sessionization (the
+    events_user_sessions shape) — same streaks, same lengths, same
+    roots."""
+    from mapreduce_4_spark.plans.spark4_surface import order_streaks_recursive
+    from mapreduce_4_spark.sources import load_table
+
+    got = {
+        (r["o_custkey"], r["root_orderkey"]): (
+            r["streak_len"], r["first_date"], r["last_date"]
+        )
+        for r in order_streaks_recursive(spark, sf_oracle).collect()
+    }
+
+    orders = load_table(spark, sf_oracle, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.withColumn(
+        "new_streak",
+        F.when(
+            F.col("o_orderdate")
+            <= F.lag("o_orderdate").over(w) + F.expr("INTERVAL 30 DAY"),
+            0,
+        ).otherwise(1),
+    ).withColumn("sid", F.sum("new_streak").over(w))
+    want_rows = (
+        flagged.groupBy("o_custkey", "sid")
+        .agg(
+            F.min(F.struct("o_orderdate", "o_orderkey")).alias("root"),
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .collect()
+    )
+    want = {
+        (r["o_custkey"], r["root"]["o_orderkey"]): (
+            r["streak_len"], r["first_date"], r["last_date"]
+        )
+        for r in want_rows
+    }
+    assert got == want
+    # every order belongs to exactly one streak
+    assert sum(v[0] for v in got.values()) == orders.count()
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom source must honor its partition plan: `parts` input
+    partitions, contiguous non-overlapping ranges, exact row count,
+    deterministic payloads."""
+    from mapreduce_4_spark.sources.pyds import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("synthrows")
+        .option("n", 1000).option("parts", 7).load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    rows = df.collect()
+    assert len(rows) == 1000
+    ids = sorted(r["id"] for r in rows)
+    assert ids == list(range(1000))
+    import hashlib
+
+    probe = next(r for r in rows if r["id"] == 123)
+    assert probe["bucket"] == 123 % 32
+    assert probe["payload"] == hashlib.md5(b"123").hexdigest()
+
+
+def test_python_datasource_single_row_edge(spark):
+    from mapreduce_4_spark.sources.pyds import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("synthrows")
+        .option("n", 1).option("parts", 4).load()
+    )
+    assert [r["id"] for r in df.collect()] == [0]
+
+
+def test_sql_udf_wordcount_equals_flagship(spark, sf_oracle):
+    """The SQL-macro mechanism must produce exactly the flagship
+    DataFrame word count's top-20 (same clean regex, different plugin
+    surface — the O11 equivalence the reference's dlopen plugins
+    promise)."""
+    from mapreduce_4_spark.plans.spark4_surface import sql_udf_wordcount
+    from mapreduce_4_spark.plans.wordcount import wordcount_topk
+
+    got = [tuple(r) for r in sql_udf_wordcount(spark, sf_oracle).collect()]
+    want = [tuple(r) for r in wordcount_topk(spark, sf_oracle).collect()]
+    assert got == want
+
+
+def test_sql_udf_inlines_without_python_boundary(spark, sf_oracle):
+    """The macro body must inline into the plan: no BatchEvalPython /
+    ArrowEvalPython stage (the property that distinguishes it from the
+    five imperative UDF mechanisms)."""
+    from mapreduce_4_spark.plans.spark4_surface import sql_udf_wordcount
+
+    plan = (
+        sql_udf_wordcount(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
