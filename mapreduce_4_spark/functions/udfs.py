@@ -96,3 +96,30 @@ def register_tokenize_udtf(spark) -> None:
                 yield (tok,)
 
     spark.udtf.register("tokenize_ref", Tokenize)
+
+
+def arrow_wordcount_batches(batches):
+    """O7's map-side combiner through the Arrow plugin surface: consume
+    raw RecordBatches of (text), emit one RecordBatch of per-batch
+    PARTIAL (word, count) pairs — the shuffler's insert-or-increment map
+    [binary: shuffle/ShufflerImpl.so :: shuffleFile] expressed as a
+    ``mapInArrow`` iterator. The partials shrink each Arrow batch to its
+    vocabulary before anything shuffles; Spark's final hash aggregate
+    sums them (reference O9). Zero pandas conversion — columns move
+    Arrow-native both ways."""
+    import collections
+
+    import pyarrow as pa
+
+    for batch in batches:
+        counter: collections.Counter = collections.Counter()
+        for line in batch.column("text").to_pylist():
+            if line is None:
+                continue
+            for tok in _tokens_of(line):
+                counter[tok] += 1
+        if counter:
+            yield pa.RecordBatch.from_pydict(
+                {"word": list(counter.keys()),
+                 "partial": list(counter.values())}
+            )

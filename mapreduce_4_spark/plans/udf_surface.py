@@ -111,3 +111,29 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, word
         """
     )
+
+
+@register(
+    "map_in_arrow_wordcount",
+    oracle=f"""
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest({_W}) AS word FROM documents)
+        GROUP BY word
+    """,
+    tags=("udf", "aggregate"),
+    description="the reference's map-side combiner (O7) through "
+                "mapInArrow — the seventh O11 plugin mechanism and the "
+                "lowest-overhead Python escape hatch: each raw Arrow "
+                "batch collapses to PARTIAL (word, count) pairs with "
+                "zero pandas conversion, Spark's final hash aggregate "
+                "sums the partials (O9). Shuffle volume is per-batch "
+                "vocabulary, not per-token — the combiner's point",
+)
+def map_in_arrow_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.functions.udfs import arrow_wordcount_batches
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    partials = docs.mapInArrow(
+        arrow_wordcount_batches, "word string, partial long"
+    )
+    return partials.groupBy("word").agg(F.sum("partial").alias("cnt"))

@@ -22,7 +22,12 @@ from __future__ import annotations
 import hashlib
 from math import ceil
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: modulus for the synthetic bucket column
 N_BUCKETS = 32
@@ -47,6 +52,9 @@ class SynthRowsDataSource(DataSource):
 
     def reader(self, schema) -> "SynthRowsReader":
         return SynthRowsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SynthRowsStreamReader":
+        return SynthRowsStreamReader(self.options)
 
 
 class SynthRowsReader(DataSourceReader):
@@ -74,3 +82,39 @@ def register_synth_source(spark) -> None:
     """Idempotent registration (re-registering the same name is a no-op
     overwrite in the Python data source registry)."""
     spark.dataSource.register(SynthRowsDataSource)
+
+
+def _row(i: int):
+    return (i, i % N_BUCKETS, hashlib.md5(str(i).encode("ascii")).hexdigest())
+
+
+class SynthRowsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of :class:`SynthRowsReader`: the same deterministic
+    id-derived rows arrive as micro-batches of ``batch`` rows until the
+    ``n``-row corpus is exhausted — the reference's partitioned text
+    source (O2) as an unbounded-source contract.
+
+    Offsets are ``{"next": i}`` watermarks into the id space, so the
+    exactly-once replay contract is trivial to honor:
+    ``readBetweenOffsets`` regenerates any [start, end) slice
+    bit-identically (rows are pure functions of the id), which is what
+    makes checkpoint recovery deterministic for this source. A real
+    connector (queue, CDC feed, object-store listing) implements the
+    same three methods; the id space stands in for its log positions.
+    """
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.batch = int(options.get("batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(self.n, lo + self.batch)
+        return iter([_row(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["next"]),
+                                            int(end["next"]))])

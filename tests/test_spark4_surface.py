@@ -120,3 +120,73 @@ def test_sql_udf_inlines_without_python_boundary(spark, sf_oracle):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_python_datasource_stream_equals_batch(spark, tmp_path):
+    """The streaming reader must deliver exactly the batch reader's rows
+    — same ids, same payloads — once drained, including across multiple
+    micro-batches (n=600, batch=130 -> 5 batches)."""
+    from mapreduce_4_spark.sources.pyds import register_synth_source
+
+    register_synth_source(spark)
+    stream = (
+        spark.readStream.format("synthrows")
+        .option("n", 600).option("batch", 130).load()
+    )
+    # The simple stream reader does not support Trigger.AvailableNow
+    # (Spark falls back to ONE batch); drain with the default trigger —
+    # processAllAvailable returns once read() reports an unchanged
+    # offset with no rows.
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["id"], r["bucket"], r["payload"])
+        for r in spark.sql("SELECT * FROM synth_stream_sink").collect()
+    }
+    batch = (
+        spark.read.format("synthrows")
+        .option("n", 600).option("parts", 3).load()
+    )
+    want = {(r["id"], r["bucket"], r["payload"]) for r in batch.collect()}
+    assert got == want and len(got) == 600
+
+
+def test_python_datasource_stream_offset_replay(spark):
+    """readBetweenOffsets must regenerate any slice bit-identically —
+    the checkpoint-recovery contract of the simple stream reader."""
+    from mapreduce_4_spark.sources.pyds import SynthRowsStreamReader
+
+    r = SynthRowsStreamReader({"n": "50", "batch": "20"})
+    first, nxt = r.read(r.initialOffset())
+    first = list(first)
+    assert nxt == {"next": 20} and len(first) == 20
+    replay = list(r.readBetweenOffsets({"next": 0}, {"next": 20}))
+    assert replay == first
+    # final batch clamps at n
+    tail, end = r.read({"next": 40})
+    assert end == {"next": 50} and len(list(tail)) == 10
+    # drained source yields empty batches at a fixed offset
+    empty, same = r.read({"next": 50})
+    assert same == {"next": 50} and list(empty) == []
+
+
+def test_map_in_arrow_wordcount_equals_flagship(spark, sf_oracle):
+    """Arrow-combiner word count == the declarative flagship, and the
+    plan carries a real MapInArrow node feeding the final aggregate."""
+    from mapreduce_4_spark.plans.udf_surface import map_in_arrow_wordcount
+    from mapreduce_4_spark.plans.wordcount import wordcount_global
+
+    df = map_in_arrow_wordcount(spark, sf_oracle)
+    got = {(r["word"], r["cnt"]) for r in df.collect()}
+    want = {(r["word"], r["cnt"]) for r in wordcount_global(spark, sf_oracle).collect()}
+    assert got == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
