@@ -150,6 +150,35 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
     finally:
         shutil.rmtree(tmp2, ignore_errors=True)
 
+    # z-order vs single-column sort for a TWO-dimension predicate: the
+    # same events snapshot written sorted on user_id only and sorted on
+    # the 16-bit Morton interleave of (user_id & 255, props.k). The
+    # single-column sort's parquet min/max stats are selective on
+    # user_id but blind on k; the z-sorted layout bounds BOTH columns
+    # per file, so the conjunctive predicate can skip on either. At 32
+    # files x sf0.1 the absolute deltas are small (same caveat as
+    # ab_scan_clustered) — the arm pins the mechanics; the win grows
+    # with file count.
+    from mapreduce_4_spark.plans.maintenance import zorder_interleave_events
+
+    zev = zorder_interleave_events(spark, SF_DIR).select(
+        "event_id", "u8", "k8", "zval"
+    )
+    tmp3 = tempfile.mkdtemp(prefix="bench_zorder_")
+    try:
+        write_version(zev, f"{tmp3}/bycol", sort_by=["u8"], n_files=32)
+        write_version(zev, f"{tmp3}/byz", sort_by=["zval"], n_files=32)
+        bycol = read_version(spark, f"{tmp3}/bycol")
+        byz = read_version(spark, f"{tmp3}/byz")
+        pred = (
+            (F.col("u8") >= 16) & (F.col("u8") < 32)
+            & (F.col("k8") >= 16) & (F.col("k8") < 32)
+        )
+        _timed(timings, "ab_scan2d_colsort", bycol.filter(pred))
+        _timed(timings, "ab_scan2d_zorder", byz.filter(pred))
+    finally:
+        shutil.rmtree(tmp3, ignore_errors=True)
+
     # skewed fact: 95% of lineitem lands on hot_key=5, and the dim has
     # 128 rows per key, so the hot partition of a plain shuffle join must
     # EMIT 0.95 x |fact| x 128 rows from one task. This is the regime

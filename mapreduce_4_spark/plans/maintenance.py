@@ -327,3 +327,125 @@ def retention_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+_JMV_MOD = 10  # o_orderkey % 10 == 0 -> today's delta batch; rest = base
+
+
+@register(
+    "incremental_join_refresh",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               {sql_dsum("o.o_totalprice")} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("maintenance", "join", "aggregate", "incremental"),
+    description="incremental JOIN-view maintenance (insert-only delta): "
+                "the per-nation revenue MV over orders JOIN customer "
+                "JOIN nation is refreshed as merge(frozen base partials, "
+                "delta-join partials) — the delta joins the BROADCAST "
+                "dimensions, history is never rescanned or re-joined, "
+                "and decimal partials re-aggregate associatively so the "
+                "merged view is bit-identical to the full recompute the "
+                "oracle runs. The star-join complement of "
+                "incremental_revenue_rollup's single-table refresh",
+)
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.functions.money import dec
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dims = F.broadcast(
+        cust.join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.join(dims, df.o_custkey == dims.c_custkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.sum(dec("o_totalprice")).alias("rev_dec"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    # At 100 TB `base` is the stored MV's partial table; here both
+    # derive from one scan split on the delta predicate, which keeps the
+    # query self-contained while exercising the identical merge plan.
+    base = partial(orders.filter(F.col("o_orderkey") % _JMV_MOD != 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % _JMV_MOD == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("nation")
+        .agg(
+            F.sum("rev_dec").cast("double").alias("revenue"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+
+
+_Z_BITS = 8  # bits per dimension in the z-value (16-bit interleave)
+
+
+def _z_terms_sql(u: str, v: str) -> str:
+    """Unrolled bit-interleave, valid SQL in both engines: bit i of each
+    dimension lands at position 2i / 2i+1 of the z-value."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({u} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({v} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_interleave_events",
+    oracle=f"""
+        WITH d AS (
+            SELECT event_id,
+                   user_id & 255 AS u8,
+                   CAST(json_extract(props, '$.k') AS BIGINT) & 255 AS k8
+            FROM events
+        )
+        SELECT event_id, u8, k8,
+               CAST({_z_terms_sql('u8', 'k8')} AS BIGINT) AS zval,
+               CAST(({_z_terms_sql('u8', 'k8')}) >> 8 AS BIGINT) AS zbucket
+        FROM d
+    """,
+    tags=("maintenance", "layout", "scalar"),
+    description="Z-order (Morton) interleave of two event dimensions "
+                "(user_id low byte x props.k): the multi-dimensional "
+                "clustering key that lets ONE sort order serve range "
+                "predicates on BOTH columns via parquet min/max file "
+                "skipping — the 2-dim generalization of the clustered "
+                "snapshot's single sort column. Pure unrolled bit "
+                "arithmetic (16-bit z-value + top-byte bucket), "
+                "bit-identical across engines; locality (bounded "
+                "per-bucket dimension spans) is property-tested",
+)
+def zorder_interleave_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "props")
+    u8 = F.col("user_id").bitwiseAND(255)
+    k8 = F.get_json_object("props", "$.k").cast("bigint").bitwiseAND(255)
+    d = ev.select("event_id", u8.alias("u8"), k8.alias("k8"))
+    zval = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        zval = zval + F.shiftleft(F.shiftright("u8", i).bitwiseAND(1), 2 * i)
+        zval = zval + F.shiftleft(F.shiftright("k8", i).bitwiseAND(1), 2 * i + 1)
+    return d.select(
+        "event_id", "u8", "k8",
+        zval.alias("zval"),
+        F.shiftright(zval, 8).cast("bigint").alias("zbucket"),
+    )

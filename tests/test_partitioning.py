@@ -124,3 +124,46 @@ def test_auto_salted_join_without_skew_is_plain_join(spark):
     assert "_salt" not in auto.columns
     plain = left.join(right, "k")
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_zorder_bucket_locality(spark, sf_oracle):
+    """THE z-order property: within one zbucket (top byte of the 16-bit
+    z-value), BOTH dimensions span at most 16 values (their high
+    nibbles are fixed) — one sort order gives min/max file-skipping
+    selectivity on either column. A single-column sort has this only
+    for its own column."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.plans.maintenance import zorder_interleave_events
+
+    df = zorder_interleave_events(spark, sf_oracle)
+    spans = df.groupBy("zbucket").agg(
+        (F.max("u8") - F.min("u8")).alias("u_span"),
+        (F.max("k8") - F.min("k8")).alias("k_span"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bad = spans.filter((F.col("u_span") > 15) | (F.col("k_span") > 15)).count()
+    assert bad == 0
+    # z-value round-trip: de-interleaving recovers both dimensions
+    row = df.filter(F.col("event_id") == df.select(F.min("event_id"))
+                    .first()[0]).first()
+    z = row["zval"]
+    u = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    k = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (u, k) == (row["u8"], row["k8"])
+
+
+def test_incremental_join_refresh_partials_are_disjoint_complete(spark, sf_oracle):
+    """The delta predicate must partition orders exactly (every order in
+    exactly one of base/delta) — the invariant that makes the merged MV
+    equal the full recompute (equality itself is oracle-checked)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.plans.maintenance import _JMV_MOD
+    from mapreduce_4_spark.sources import load_table
+
+    orders = load_table(spark, sf_oracle, "orders").select("o_orderkey")
+    n = orders.count()
+    nb = orders.filter(F.col("o_orderkey") % _JMV_MOD != 0).count()
+    nd = orders.filter(F.col("o_orderkey") % _JMV_MOD == 0).count()
+    assert nb + nd == n and nb > 0 and nd > 0
