@@ -70,8 +70,12 @@ def main() -> None:
         retry_names = [b.split(":")[0] for b in check_budget(timings)]
         for name in retry_names:
             print(f"# breach retry: {name}", file=sys.stderr)
+            first_raw = bench._RAW[name]
             retry: dict[str, float] = {}
             bench._timed(retry, name, REGISTRY[name].builder(spark, bench.SF_DIR))
+            # raw_runs keeps BOTH passes (first three = the breaching
+            # pass) so the spike stays visible in the published JSON.
+            bench._RAW[name] = first_raw + bench._RAW[name]
             first_pass[name] = timings[name]
             timings[name] = min(timings[name], retry[name])
 

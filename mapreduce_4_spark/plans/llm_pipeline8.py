@@ -153,7 +153,9 @@ _DECON_MAXB = 50
         ),
         bench AS (SELECT * FROM e WHERE vec_id % {_DECON_MOD} = 0
                   AND vec_id < {_DECON_MOD * _DECON_MAXB}),
-        corpus AS (SELECT * FROM e WHERE vec_id % {_DECON_MOD} <> 0),
+        corpus AS (SELECT * FROM e
+                   WHERE vec_id % {_DECON_MOD} <> 0
+                      OR vec_id >= {_DECON_MOD * _DECON_MAXB}),
         sims AS (
             SELECT c.vec_id,
                    b.vec_id AS bench_id,
@@ -193,7 +195,13 @@ def semantic_decontam_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"),
         F.col("vn").alias("bn"),
     )
-    corpus = emb.filter(F.col("vec_id") % _DECON_MOD != 0)
+    # Corpus = everything NOT in the bounded bench slice: a vector past
+    # the id cap is an ordinary corpus member even when its id is a
+    # multiple of the mod (else that slice would be checked by nobody).
+    corpus = emb.filter(
+        (F.col("vec_id") % _DECON_MOD != 0)
+        | (F.col("vec_id") >= _DECON_MOD * _DECON_MAXB)
+    )
     sims = corpus.crossJoin(F.broadcast(bench)).select(
         "vec_id", "bench_id",
         (dot(F.col("v"), F.col("bv"))

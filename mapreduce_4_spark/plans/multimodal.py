@@ -151,12 +151,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: The one path an oracle SQL string cannot receive as a parameter: the
-#: driver's correctness pass runs every oracle at this fixed scale
-#: factor (TESTDATA.md: "t2 correctness (duckdb oracle) uses sf0.01"),
-#: so the read_blob glob pins it. The Spark builder still honors
-#: whatever sf_dir it is handed; only the oracle is sf0.01-specific,
-#: like the conftest ORACLE_DIR default it mirrors.
-_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+#: driver's correctness pass runs every oracle at a fixed scale factor
+#: (TESTDATA.md: "t2 correctness (duckdb oracle) uses sf0.01"), so the
+#: read_blob glob pins it — honoring the same SPARK_GRAFT_ORACLE_DIR
+#: override the test conftest uses, so a relocated fixture keeps the
+#: Spark scan and the oracle glob pointed at the SAME directory.
+import os as _os
+
+_ORACLE_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01"
+)
 
 
 @register(

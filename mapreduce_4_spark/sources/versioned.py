@@ -280,6 +280,42 @@ def read_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
+#: (table_dir, version) -> (manifest mtime_ns, batch_id). The mtime is
+#: the staleness validator: versions are immutable once published, so a
+#: cache hit costs one stat() instead of a JSON read — but a table dir
+#: deleted and RECREATED in the same process gets fresh mtimes, so the
+#: refreshed manifest is re-read rather than served stale (an
+#: exactly-once replay guard must never trust a cache across a table
+#: wipe).
+_BATCH_ID_CACHE: dict[tuple[str, int], tuple[int, object]] = {}
+
+
+def published_batch_ids(table_dir: str) -> set:
+    """The ``batch_id`` recorded in every published manifest — the
+    replay-detection set streaming sinks check before writing. Cost per
+    call: O(versions) stat() + O(new versions) manifest reads, flat on
+    a long-running stream (shared by streaming/ingest.py and
+    streaming/foreach_batch.py)."""
+    try:
+        versions = list_versions(table_dir)
+    except FileNotFoundError:
+        return set()
+    out = set()
+    for v in versions:
+        path = _manifest_path(_strip_scheme(table_dir), v)
+        try:
+            mtime = os.stat(path).st_mtime_ns
+        except FileNotFoundError:
+            continue  # vacuumed between listing and stat
+        key = (table_dir, v)
+        hit = _BATCH_ID_CACHE.get(key)
+        if hit is None or hit[0] != mtime:
+            hit = (mtime, read_manifest(table_dir, v).get("batch_id"))
+            _BATCH_ID_CACHE[key] = hit
+        out.add(hit[1])
+    return out
+
+
 def history(spark: SparkSession, table_dir: str) -> DataFrame:
     """One row per published snapshot (version, parent, row_count)."""
     rows = [
@@ -456,9 +492,15 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
 
     Append-chain aware: a retained manifest may reference OLDER data
     dirs through its ``data_dirs`` list, so a doomed version's manifest
-    always goes, but its data dir is removed only when no retained
+    always goes, but a data dir is removed only when no retained
     manifest still reads it — the same liveness rule a lakehouse
-    format's garbage collection applies to its file lists."""
+    format's garbage collection applies to its file lists. The dir
+    sweep is mark-and-sweep over EVERY ``v=*`` dir on disk, not just
+    the doomed versions' own dirs: a dir kept alive in an earlier
+    vacuum by a since-compacted chain manifest has no manifest of its
+    own anymore, and a doomed-only sweep would orphan it forever
+    (append -> vacuum -> compact -> vacuum leaked exactly that way)."""
+    import re
     import shutil
 
     if keep_last < 1:
@@ -473,8 +515,11 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
             live_dirs.add(d)
     for v in doomed:
         os.remove(_manifest_path(table_dir, v))
-        if f"v={v:06d}" not in live_dirs:
-            shutil.rmtree(_data_dir(table_dir, v), ignore_errors=True)
+    for entry in os.listdir(table_dir):
+        if (re.fullmatch(r"v=\d{6}", entry)
+                and entry not in live_dirs
+                and os.path.isdir(os.path.join(table_dir, entry))):
+            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
     return doomed
 
 

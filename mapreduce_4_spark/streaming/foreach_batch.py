@@ -113,18 +113,18 @@ def versioned_upsert_sink(table_dir: str, key: str,
     from mapreduce_4_spark.sources.versioned import (
         layout_from_manifest,
         list_versions,
+        published_batch_ids,
         read_manifest,
         read_version,
         write_version,
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        versions = list_versions(table_dir)
-        published = {
-            read_manifest(table_dir, v).get("batch_id") for v in versions
-        }
-        if batch_id in published:
+        # Cached replay check shared with streaming/ingest.py — O(new
+        # versions) manifest reads per batch, mtime-validated.
+        if batch_id in published_batch_ids(table_dir):
             return  # redelivered batch: already merged, skip
+        versions = list_versions(table_dir)
         extra: dict = {}
         if expectations:
             # DLT-style streaming expectations, drop mode: gate the

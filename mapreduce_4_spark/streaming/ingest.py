@@ -47,34 +47,10 @@ from mapreduce_4_spark.operators.dedup import (
 )
 from mapreduce_4_spark.sources.versioned import (
     latest_version,
-    list_versions,
-    read_manifest,
+    published_batch_ids as _published_batch_ids,
     read_version,
     write_version,
 )
-
-
-#: (table_dir, version) -> batch_id. Versions are immutable once
-#: published, so each manifest is read at most once per process; the
-#: per-micro-batch replay check stays O(new versions), not
-#: O(total versions) — flat on a long-running stream.
-_MANIFEST_BATCH_CACHE: dict[tuple[str, int], object] = {}
-
-
-def _published_batch_ids(table_dir: str) -> set:
-    try:
-        versions = list_versions(table_dir)
-    except FileNotFoundError:
-        return set()
-    out = set()
-    for v in versions:
-        key = (table_dir, v)
-        if key not in _MANIFEST_BATCH_CACHE:
-            _MANIFEST_BATCH_CACHE[key] = read_manifest(table_dir, v).get(
-                "batch_id"
-            )
-        out.add(_MANIFEST_BATCH_CACHE[key])
-    return out
 
 
 def dedup_ingest_sink(corpus_dir: str, index_dir: str,

@@ -594,3 +594,45 @@ def test_compact_resets_append_chain(spark, sf_smoke, tmp_path):
     vacuum(tdir, keep_last=1)
     import os
     assert not os.path.isdir(os.path.join(tdir, "v=000001"))
+
+
+def test_vacuum_reclaims_orphaned_chain_dirs(spark, sf_smoke, tmp_path):
+    """The append -> vacuum -> compact -> vacuum leak: a chain dir kept
+    alive by a retained manifest in the FIRST vacuum loses its own
+    manifest there; after compact() supersedes the chain, the SECOND
+    vacuum must still find and reclaim it (mark-and-sweep over every
+    v=* dir, not just the doomed versions' own dirs)."""
+    import os
+
+    from mapreduce_4_spark.sources.versioned import compact
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    for m in range(3):
+        write_version(base.filter(F.col("o_orderkey") % 3 == m), tdir,
+                      append=True)
+    vacuum(tdir, keep_last=1)  # drops manifests 1,2; dirs stay (live)
+    assert os.path.isdir(os.path.join(tdir, "v=000001"))
+    compact(spark, tdir, target_files=1)  # v4: full snapshot
+    vacuum(tdir, keep_last=1)  # doomed=[3]; dirs 1,2 have no manifest
+    for v in ("v=000001", "v=000002", "v=000003"):
+        assert not os.path.isdir(os.path.join(tdir, v)), f"{v} leaked"
+    assert read_version(spark, tdir).count() == base.count()
+
+
+def test_published_batch_ids_survive_table_recreation(spark, sf_smoke, tmp_path):
+    """The replay-guard cache must not serve stale batch ids after a
+    table dir is wiped and recreated in the same process (exactly-once
+    would silently break on the recreated table)."""
+    import shutil
+
+    from mapreduce_4_spark.sources.versioned import published_batch_ids
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke).limit(10)
+    write_version(base, tdir, batch_id=0)
+    write_version(base, tdir, batch_id=1)
+    assert published_batch_ids(tdir) == {0, 1}
+    shutil.rmtree(tdir)
+    write_version(base, tdir, batch_id=5)
+    assert published_batch_ids(tdir) == {5}
