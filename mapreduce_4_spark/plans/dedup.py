@@ -418,3 +418,67 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     return exact_dedup(ev, ["user_id", "event_type", "value"], "event_id")
+
+
+_EMB_PAIRS = _REG["embedding_near_dup_pairs"].oracle
+_CASCADE_TAU = 0.5
+
+
+@register(
+    "cascade_embedding_text_verify",
+    oracle=f"""
+        WITH pairs AS ({_EMB_PAIRS}),
+        t AS (
+            SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS sh
+            FROM t WHERE len(w) >= 3
+        )
+        SELECT p.id_a, p.id_b, p.cosine_sim,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh)))
+                   AS text_jaccard,
+               (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh)))
+                   >= {_CASCADE_TAU}) AS confirmed
+        FROM pairs p
+        LEFT JOIN s a ON p.id_a = a.doc_id
+        LEFT JOIN s b ON p.id_b = b.doc_id
+    """,
+    tags=("dedup", "similarity", "pipeline"),
+    description="two-tier near-dup CASCADE: the cheap semantic filter "
+                "(exact embedding-cosine pairs >= 0.4, blocked GEMM "
+                "tier) hands its candidates to an exact 3-gram Jaccard "
+                "TEXT verify (docs joined on the shared id domain, "
+                f"confirmed at >= {_CASCADE_TAU}; NULL when a side is "
+                "too short to shingle — 'no text evidence' stays "
+                "distinct from 'refuted'). The production "
+                "filter-then-verify shape: the expensive text "
+                "comparison runs only on the vector tier's survivors, "
+                "never corpus x corpus",
+)
+def cascade_embedding_text_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.similarity import exact_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = exact_cosine_pairs(emb, threshold=0.4, dim=64, n_blocks=16)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_sets(docs, n=3)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    )
+    return (
+        pairs.join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .select(
+            "id_a", "id_b", "cosine_sim",
+            jac.alias("text_jaccard"),
+            (jac >= _CASCADE_TAU).alias("confirmed"),
+        )
+    )
