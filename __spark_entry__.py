@@ -20,6 +20,12 @@ from mapreduce_4_spark import plans as _plans
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+#: name -> reason for every query WITHOUT an oracle_sql() entry — the
+#: documented exceptions. A driver correctness row with `err: no_oracle`
+#: for one of these names is the known weaker rows-only check, not a
+#: regression; anything else erroring IS a regression.
+ROWS_ONLY: dict[str, str] = _plans.rows_only()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

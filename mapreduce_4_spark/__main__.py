@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
             for name, spec in items:
                 mark = "oracle" if spec.oracle else "rows-only"
                 desc = " ".join(spec.description.split())
+                if spec.rows_only_reason:
+                    desc += (" — WHY rows-only: "
+                             + " ".join(spec.rows_only_reason.split()))
                 print(f"| `{name}` | {mark} | {', '.join(spec.tags)} "
                       f"| {desc} |")
         else:

@@ -1,6 +1,6 @@
 """Registered query plans. Importing this package populates the registry."""
 
-from mapreduce_4_spark.registry import REGISTRY, oracle_sql, queries
+from mapreduce_4_spark.registry import REGISTRY, oracle_sql, queries, rows_only
 
 from . import (  # noqa: F401
     advanced_rel,
@@ -41,4 +41,4 @@ from . import (  # noqa: F401
     wordcount,
 )
 
-__all__ = ["REGISTRY", "queries", "oracle_sql"]
+__all__ = ["REGISTRY", "queries", "oracle_sql", "rows_only"]

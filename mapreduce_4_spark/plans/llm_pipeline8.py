@@ -421,8 +421,10 @@ _KNN_MAXQ = 52
                 "(count desc, label tiebreak) vs its own — the "
                 "label-recovery harness that scores an embedding table "
                 "before it gates dedup/retrieval. Query side BROADCAST; "
-                "per-query top-k is one window over |Q|·k rows, corpus "
-                "never shuffles",
+                "the per-query top-k window ranks the |Q|·N pair rows — "
+                "linear in the corpus because |Q| is id-capped "
+                "(_KNN_MAXQ), and the window shuffles by query_id so no "
+                "single task sees more than N rows",
 )
 def knn_label_vote_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms hoisted out of the |Q| x |corpus| pair space (_pair_sim

@@ -95,30 +95,57 @@ _EDGES_SQL = """
                 "within 30 days of the previous — per streak: root "
                 "order, length, first/last date. The non-recursive "
                 "prefix (row_number + edge list) is materialized once "
-                "(persisted, plan-keyed cache) so the ~6 closure "
+                "(persisted, bounded per-session cache released by "
+                "clear_rcte_cache) so the ~6 closure "
                 "iterations join a 3-column edge table instead of "
                 "recomputing the window per iteration; unbounded-depth "
                 "reachability routes to the pointer-jumping operator",
 )
 def order_streaks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
     orders.createOrReplaceTempView("orders_rcte_v")
-    ord_df = spark.sql(_ORD_SQL.format(tbl="orders_rcte_v"))
-    # Plan-keyed persist (partsupp-cache discipline): repeated builder
-    # calls reuse one entry; the recursion and the three final-join
-    # consumers read the materialized 4-column table, not the window.
-    if ord_df.storageLevel == StorageLevel.NONE:
-        ord_df = ord_df.persist()
+    # Explicit bounded cache (partsupp-cache discipline, incl. dead-app
+    # pruning): repeated builder calls reuse ONE (session, sf_dir) entry;
+    # the recursion and the three final-join consumers read the
+    # materialized 4-column table, not the window. clear_rcte_cache()
+    # releases both persisted tables — the session-scoped-cache hook a
+    # long-lived process (the 202-query sweep, a notebook) calls when the
+    # streak family is done; growth across a sweep is asserted in
+    # tests/test_spark4_surface.py.
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _RCTE_CACHE if k[0] != app_id]:
+        for df in _RCTE_CACHE.pop(k):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    key = (app_id, sf_dir)
+    if key not in _RCTE_CACHE:
+        ord_df = spark.sql(_ORD_SQL.format(tbl="orders_rcte_v")).persist()
+        ord_df.createOrReplaceTempView("ord_rcte_v")
+        edges = spark.sql(_EDGES_SQL.format(ord="ord_rcte_v")).persist()
+        _RCTE_CACHE[key] = (ord_df, edges)
+    ord_df, edges = _RCTE_CACHE[key]
     ord_df.createOrReplaceTempView("ord_rcte_v")
-    edges = spark.sql(_EDGES_SQL.format(ord="ord_rcte_v"))
-    if edges.storageLevel == StorageLevel.NONE:
-        edges = edges.persist()
     edges.createOrReplaceTempView("edges_rcte_v")
     return spark.sql(_CHAIN_SQL.format(ord="ord_rcte_v", edges="edges_rcte_v"))
+
+
+#: (applicationId, sf_dir) -> (persisted ord prefix, persisted edge list)
+_RCTE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def clear_rcte_cache() -> None:
+    """Unpersist and drop every cached recursive-CTE prefix."""
+    for dfs in _RCTE_CACHE.values():
+        for df in dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _RCTE_CACHE.clear()
 
 
 _PYDS_N = 20_000

@@ -108,10 +108,17 @@ def user_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ivf_topk",
-    oracle=None,  # approximate (probed inverted lists); recall tested
-    tags=("similarity", "ivf"),
+    oracle=None,  # see rows_only_reason; recall property-tested
+    tags=("similarity", "ivf", "rows-only"),
     description="IVF ANN: k-means-lite coarse quantizer, nprobe=2 probed "
                 "exact search — the clustered scale path beside LSH",
+    rows_only_reason="UNSEEDED Lloyd k-means trains the coarse quantizer "
+                     "(sampled init, iterative refinement) — no SQL can "
+                     "reproduce the trained centroids, so a driver row "
+                     "logs `err: no_oracle` BY DESIGN. The deterministic "
+                     "twin similarity_ivf_topk_seeded (zero Lloyd rounds) "
+                     "is fully DuckDB-oracled, and recall-vs-brute-force "
+                     "is property-tested in tests/test_similarity.py",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_4_spark.operators.ann_ivf import ivf_topk

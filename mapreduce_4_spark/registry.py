@@ -24,26 +24,46 @@ class QuerySpec:
     oracle: str | None          # DuckDB SQL; None => rows-only check
     tags: tuple[str, ...] = field(default=())
     description: str = ""
+    #: REQUIRED for oracle=None entries: one line saying WHY no SQL twin
+    #: exists, so a driver `err: no_oracle` correctness row is
+    #: self-explaining (surfaced in QUERIES.md and the CLI listing, and
+    #: exported as __spark_entry__.ROWS_ONLY for the verdict to check in
+    #: one glance).
+    rows_only_reason: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
-             description: str = "") -> Callable[[Builder], Builder]:
+             description: str = "",
+             rows_only_reason: str | None = None) -> Callable[[Builder], Builder]:
     """Decorator: register ``builder(spark, sf_dir) -> DataFrame``."""
 
     def deco(builder: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if (oracle is None) != (rows_only_reason is not None):
+            raise ValueError(
+                f"{name}: rows-only queries (oracle=None) must state a "
+                "rows_only_reason, and oracled queries must not"
+            )
         REGISTRY[name] = QuerySpec(
             name=name, builder=builder, oracle=oracle, tags=tags,
             description=description or (builder.__doc__ or "").strip().splitlines()[0]
             if (description or builder.__doc__) else "",
+            rows_only_reason=rows_only_reason,
         )
         return builder
 
     return deco
+
+
+def rows_only() -> dict[str, str]:
+    """name -> reason for every registered query WITHOUT a SQL oracle —
+    the documented exceptions a driver `err: no_oracle` row maps to."""
+    return {name: spec.rows_only_reason for name, spec in REGISTRY.items()
+            if spec.oracle is None}
 
 
 def queries() -> dict[str, Builder]:

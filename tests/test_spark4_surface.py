@@ -190,3 +190,26 @@ def test_map_in_arrow_wordcount_equals_flagship(spark, sf_oracle):
     assert got == want
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan
+
+
+def test_rcte_prefix_cache_is_bounded_and_releasable(spark, sf_oracle):
+    """The persisted recursive-CTE prefix must not grow the storage
+    footprint across repeated builds (a full sweep / long notebook
+    session), and clear_rcte_cache() must release it entirely."""
+    from mapreduce_4_spark.plans import spark4_surface as s4
+
+    def n_cached_rdds() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    s4.clear_rcte_cache()
+    base = n_cached_rdds()
+    s4.order_streaks_recursive(spark, sf_oracle).count()
+    after_first = n_cached_rdds()
+    assert after_first > base  # the two prefix tables materialized
+    for _ in range(3):
+        s4.order_streaks_recursive(spark, sf_oracle).count()
+    assert n_cached_rdds() == after_first  # reused, not re-persisted
+    assert len(s4._RCTE_CACHE) == 1       # one entry per (session, sf)
+    s4.clear_rcte_cache()
+    assert n_cached_rdds() == base        # fully released
+    assert s4._RCTE_CACHE == {}
