@@ -297,6 +297,33 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
     _timed(timings, "ab_simhash_blocks6_10x",
            simhash_near_pairs(docs10, max_hamming=3, banding="blocks6"))
 
+    # I) semantic-decontam routing at 14x bench size: the registered
+    # query's bench slice is <=50 vectors by contract (broadcast-NLJ
+    # argmax is the right plan there); a REAL benchmark suite is
+    # 10^4-10^5 vectors, where the exact mode's |bench|-multiplier on
+    # the corpus scan explodes. Both arms run the same mod-7 slice
+    # (~286 bench vectors at sf0.1 vs the contract 20): exact broadcast
+    # vs 4-plane+multiprobe LSH routing. Expected reading: the exact
+    # arm scales ~linearly with |bench| while the LSH arm holds near
+    # the small-slice cost (each corpus row scores only its bucket's
+    # collisions); recall of the flag is pinned separately in
+    # tests/test_similarity.py and lsh_recall_at_k.
+    from mapreduce_4_spark.functions.vectors import as_double
+    from mapreduce_4_spark.operators.similarity import decontam_max_cosine
+
+    embv = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    bench_b = embv.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv")
+    )
+    corpus_b = embv.filter(F.col("vec_id") % 7 != 0)
+    _timed(timings, "ab_decontam_exact_benchx",
+           decontam_max_cosine(corpus_b, bench_b, tau=0.25))
+    _timed(timings, "ab_decontam_lsh_benchx",
+           decontam_max_cosine(corpus_b, bench_b, tau=0.25,
+                               n_planes=4, dim=64, multiprobe=True))
+
     # H) iterative vs single-pass chain grouping: the SAME order-streak
     # result (test-pinned equal) computed by Spark 4's native recursive
     # CTE (depth iterations of frontier-joins against the cached edge

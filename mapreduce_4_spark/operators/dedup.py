@@ -796,3 +796,52 @@ def exact_dedup(df: DataFrame, content_cols: list[str],
     """Keep the min-``order_col`` row per distinct content — one hash
     aggregate, the canonical 100 TB exact-dedup shape."""
     return df.groupBy(*content_cols).agg(F.min(order_col).alias(order_col))
+
+
+#: Routing threshold for choose_simhash_banding, in PRE-VERIFY candidate
+#: pairs per document under chunk4 banding. Measured brackets (fixture
+#: corpora; tests/test_dedup.py pins the routing): sf0.01 3.8/doc,
+#: sf0.1 38/doc — chunk4 is the right plan (blocks6 pays 5x the band
+#: rows for selectivity nobody needs) — while the 10x near-dup corpus
+#: of the ab_simhash_* arms sits at 380/doc, the regime where chunk4's
+#: 16-bit buckets go quadratic and blocks6's measured 8.9x candidate
+#: cut is mandatory. 64 splits the measured decade gap; sum(df^2)
+#: grows ~quadratically in corpus size so the crossing is sharp, not
+#: threshold-sensitive.
+SIMHASH_ROUTE_MAX_CANDS_PER_DOC = 64.0
+
+
+def choose_simhash_banding(docs: DataFrame, hash_family: str = "portable",
+                           max_cands_per_doc: float =
+                           SIMHASH_ROUTE_MAX_CANDS_PER_DOC) -> str:
+    """Pick the SimHash banding tier from the measured diagnostic, not a
+    human reading it — the ``salted_join(auto=True)`` move applied to
+    the near-dup dial.
+
+    Runs the chunk4 ``simhash_bucket_stats`` pre-flight (4 aggregate
+    rows + one count — bounded driver traffic at any corpus size, same
+    contract as the hot-key sample in operators/partitioning.py) and
+    routes to ``blocks6`` when the pre-verify candidate volume exceeds
+    ``max_cands_per_doc`` candidates per document.
+    """
+    n_docs = docs.count()
+    if n_docs == 0:
+        return "chunk4"
+    total = (
+        simhash_bucket_stats(docs, banding="chunk4", hash_family=hash_family)
+        .agg(F.sum("candidate_pairs").alias("c"))
+        .first()["c"]
+    ) or 0
+    return "blocks6" if total / n_docs > max_cands_per_doc else "chunk4"
+
+
+def simhash_near_pairs_routed(docs: DataFrame, max_hamming: int = 3,
+                              hash_family: str = "portable") -> DataFrame:
+    """``simhash_near_pairs`` with the banding tier chosen by
+    :func:`choose_simhash_banding`. Both tiers emit the identical
+    lossless pair set at ``max_hamming <= 3`` (oracle-pinned), so
+    routing changes the PLAN only — output is tier-invariant, which is
+    what makes the auto-dial safe to leave unattended at 10^9 docs."""
+    banding = choose_simhash_banding(docs, hash_family=hash_family)
+    return simhash_near_pairs(docs, max_hamming=max_hamming,
+                              hash_family=hash_family, banding=banding)

@@ -138,6 +138,85 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     )
 
 
+def decontam_max_cosine(corpus: DataFrame, bench: DataFrame, tau: float,
+                        n_planes: int | None = None, dim: int | None = None,
+                        multiprobe: bool = True) -> DataFrame:
+    """Per-corpus-vector max cosine against a benchmark set, with the
+    contamination verdict — the semantic-decontamination kernel.
+
+    ``corpus`` must carry (vec_id, v); ``bench`` (bench_id, bv); both
+    vectors as array<double> (``functions.vectors.as_double``). Norms
+    are computed here once per ROW and hoisted out of the pair space
+    (the _pair_sim discipline).
+
+    Two routing modes:
+
+    - ``n_planes=None`` (exact): corpus x broadcast(bench) — every pair
+      scored, every corpus row gets a non-NULL verdict. Right when the
+      bench set is small (tens of vectors): 100 TB of corpus streams
+      through one map-side argmax and never shuffles. Cost is a
+      |bench|-multiplier on the corpus scan, which is why this mode
+      must not be used with a 10^4-10^5-vector real benchmark suite.
+    - ``n_planes=k`` (LSH-routed): both sides bucket on k seeded
+      hyperplane signs (the similarity_lsh_topk infrastructure); the
+      BENCH side additionally explodes hamming-1 probe buckets when
+      ``multiprobe`` (bench is the small side — the probe fan-out never
+      touches the corpus). A corpus vector is scored only against bench
+      members in its own bucket, so per-row cost is O(colliding bench)
+      instead of O(|bench|); rows with no collision return NULL
+      max_cos / contaminated=false (routed clear). Recall < 1.0 by
+      construction — measured against the exact mode by the
+      ab_decontam_* bench arms and tests/test_similarity.py.
+
+    Returns (vec_id, nearest_bench_id, max_cos, contaminated).
+    """
+    c = corpus.withColumn("_cn", norm(F.col("v")))
+    b = bench.withColumn("_bn", norm(F.col("bv")))
+    if n_planes is None:
+        joined = c.crossJoin(F.broadcast(b))
+    else:
+        if not isinstance(dim, int) or dim < 1:
+            raise ValueError(f"dim must be a positive int, got {dim!r}")
+        planes = hyperplanes(dim, n_planes)
+        c = lsh_bucket_ids(c, planes, "v")
+        b = lsh_bucket_ids(b, planes, "bv").withColumnRenamed(
+            "bucket", "_bb"
+        )
+        if multiprobe:
+            b = b.withColumn(
+                "_bb",
+                F.explode(F.array(
+                    F.col("_bb"),
+                    *[F.col("_bb").bitwiseXOR(F.lit(1 << j))
+                      for j in range(n_planes)],
+                )),
+            )
+        joined = c.join(F.broadcast(b), F.col("bucket") == F.col("_bb"),
+                        "left")
+    cos = dot(F.col("v"), F.col("bv")) / (F.col("_cn") * F.col("_bn"))
+    sims = joined.select(
+        "vec_id", "bench_id",
+        F.when(F.col("bench_id").isNotNull(), cos).alias("cos"),
+    )
+    # argmax(cos) with bench_id tiebreak as ONE hash aggregate (partial
+    # combine runs map-side); NULL-struct rows (no collision) are
+    # ignored by min(), so an unrouted vector aggregates to NULL.
+    best = sims.groupBy("vec_id").agg(
+        F.min(
+            F.when(
+                F.col("cos").isNotNull(),
+                F.struct((-F.col("cos")).alias("neg"), F.col("bench_id")),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.bench_id").alias("nearest_bench_id"),
+        (-F.col("b.neg")).alias("max_cos"),
+        F.coalesce(-F.col("b.neg") >= tau, F.lit(False)).alias("contaminated"),
+    )
+
+
 def exact_cosine_pairs(corpus: DataFrame, threshold: float, dim: int,
                        n_blocks: int = 16, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

@@ -1,0 +1,145 @@
+"""Round-9 additions: the unbounded-benchmark path for semantic
+decontamination (LSH-routed, the r8 verdict's ask #3) and the
+auto-routed SimHash banding dial (ask #4).
+
+Both queries are SCALE-path twins of already-green exact queries: the
+LSH decontam trades recall for removing the |bench|-multiplier scan
+that the exact broadcast pays (right when the benchmark suite is
+10^4-10^5 vectors), and the routed SimHash picks its banding tier from
+the measured pre-flight diagnostic instead of a human reading it.
+
+Cross-engine float discipline as llm_pipeline8: every double is a
+``list_cosine_similarity``-parity fold or a seeded literal baked into
+the oracle SQL via repr() (functions/vectors.py, plans/similarity.py).
+
+Reference anchor: generalizes the reference's plugin-selected pipeline
+stages (asio_deep/main.cpp:98-149 dlopen dispatch) into data-dependent
+physical-plan routing with pinned logical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.vectors import as_double
+from mapreduce_4_spark.operators.similarity import decontam_max_cosine
+from mapreduce_4_spark.plans.dedup import _SQL_SIMHASH_PAIRS
+from mapreduce_4_spark.plans.llm_pipeline8 import (
+    _DECON_MAXB,
+    _DECON_MOD,
+    _DECON_TAU,
+)
+from mapreduce_4_spark.plans.similarity import _DIM, _sql_bucket_n
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+#: LSH routing config for the decontam scale path: 4 hyperplanes +
+#: hamming-1 multiprobe on the (small) bench side — the
+#: planes4_multiprobe arm of lsh_recall_at_k, i.e. the recall-leaning
+#: end of the dial. The probe fan-out multiplies the BENCH band table
+#: only; the corpus computes its 4 sign bits once and never explodes.
+_DLSH_PLANES = 4
+
+#: bench-side probe buckets: exact bucket + each sign bit flipped once
+_DLSH_PROBE_SQL = " UNION ALL ".join(
+    ["SELECT bench_id, bv, bucket FROM bb0"]
+    + [
+        f"SELECT bench_id, bv, xor(bucket, {1 << j}) FROM bb0"
+        for j in range(_DLSH_PLANES)
+    ]
+)
+
+
+@register(
+    "semantic_decontam_lsh",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bench AS (SELECT * FROM e WHERE vec_id % {_DECON_MOD} = 0
+                  AND vec_id < {_DECON_MOD * _DECON_MAXB}),
+        corpus AS (SELECT * FROM e
+                   WHERE vec_id % {_DECON_MOD} <> 0
+                      OR vec_id >= {_DECON_MOD * _DECON_MAXB}),
+        cb AS (
+            SELECT vec_id, v, {_sql_bucket_n('v', _DLSH_PLANES)} AS bucket
+            FROM corpus
+        ),
+        bb0 AS (
+            SELECT vec_id AS bench_id, v AS bv,
+                   {_sql_bucket_n('v', _DLSH_PLANES)} AS bucket
+            FROM bench
+        ),
+        bb AS ({_DLSH_PROBE_SQL}),
+        sims AS (
+            SELECT cb.vec_id, bb.bench_id,
+                   list_cosine_similarity(cb.v, bb.bv) AS cos
+            FROM cb LEFT JOIN bb ON cb.bucket = bb.bucket
+        ),
+        r AS (
+            SELECT vec_id, bench_id, cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, bench_id
+                   ) AS rn
+            FROM sims
+        )
+        SELECT vec_id, bench_id AS nearest_bench_id, cos AS max_cos,
+               COALESCE(cos >= {_DECON_TAU}, FALSE) AS contaminated
+        FROM r WHERE rn = 1
+    """,
+    tags=("similarity", "pipeline", "dedup", "lsh"),
+    description="semantic decontamination, LSH-routed (the unbounded-"
+                "benchmark path): corpus and bench bucket on "
+                f"{_DLSH_PLANES} seeded hyperplane signs, the bench side "
+                "explodes hamming-1 probe buckets, and each corpus "
+                "vector is scored only against bench members in its own "
+                "bucket — per-row cost O(colliding bench) instead of the "
+                "exact twin's O(|bench|), so a 10^4-10^5-vector real "
+                "benchmark suite stops being a |bench|-multiplier on the "
+                "100 TB corpus scan. Unrouted vectors return NULL "
+                "max_cos / contaminated=false; recall vs the exact twin "
+                "is measured by the ab_decontam_* bench arms and pinned "
+                "in tests/test_similarity.py. Fully oracled: the seeded "
+                "plane literals bake into the SQL (similarity_lsh_topk "
+                "discipline)",
+)
+def semantic_decontam_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    bench = emb.filter(
+        (F.col("vec_id") % _DECON_MOD == 0)
+        & (F.col("vec_id") < _DECON_MOD * _DECON_MAXB)
+    ).select(F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"))
+    corpus = emb.filter(
+        (F.col("vec_id") % _DECON_MOD != 0)
+        | (F.col("vec_id") >= _DECON_MOD * _DECON_MAXB)
+    )
+    return decontam_max_cosine(
+        corpus, bench, tau=_DECON_TAU,
+        n_planes=_DLSH_PLANES, dim=_DIM, multiprobe=True,
+    )
+
+
+@register(
+    "simhash_near_pairs_auto",
+    oracle=_SQL_SIMHASH_PAIRS,
+    tags=("dedup", "lsh", "auto"),
+    description="SimHash hamming<=3 pairs with the banding tier chosen "
+                "by the engine, not a human: the chunk4 pre-flight "
+                "diagnostic (4 aggregate rows + a count — bounded "
+                "driver traffic at any corpus size) routes to blocks6 "
+                "past ~64 pre-verify candidates/doc, chunk4 below — the "
+                "salted_join(auto=True) move applied to the near-dup "
+                "dial. Output is tier-invariant (both tiers lossless, "
+                "oracled against the same SQL as simhash_near_pairs), "
+                "so routing changes the plan only; the routing decision "
+                "itself is property-tested at 1x and 10x corpus in "
+                "tests/test_dedup.py",
+)
+def simhash_near_pairs_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_4_spark.operators.dedup import simhash_near_pairs_routed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_pairs_routed(docs, max_hamming=3)

@@ -363,3 +363,56 @@ def test_simhash_blocks6_buckets_are_more_selective(spark, sf_smoke):
     # not exceed chunk4's by more than the band-count ratio, and on any
     # corpus with real chunk collisions it is far smaller.
     assert b6 <= c4 * 5
+
+
+def test_simhash_auto_routing_picks_tier_from_measured_volume(spark, docs):
+    """choose_simhash_banding must route on the measured pre-verify
+    candidate volume: chunk4 on the spread fixture corpus, blocks6 on a
+    hot corpus (many near-identical docs saturating 16-bit buckets) —
+    and the routed operator's output must be tier-invariant."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.operators.dedup import (
+        choose_simhash_banding,
+        simhash_near_pairs,
+        simhash_near_pairs_routed,
+    )
+
+    assert choose_simhash_banding(docs) == "chunk4"
+
+    # hot corpus: 300 copies of one text -> every chunk bucket df=300,
+    # ~2*(300-1) candidates/doc under chunk4 >> the 64/doc threshold
+    hot = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same near duplicate text repeated").alias("text"),
+    )
+    assert choose_simhash_banding(hot) == "blocks6"
+
+    routed = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_near_pairs_routed(docs).collect()}
+    chunk4 = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_near_pairs(docs, banding="chunk4").collect()}
+    assert routed == chunk4
+
+
+def test_simhash_auto_routing_at_bench_scales(spark):
+    """The ab_simhash_* arm corpora, routed: sf0.1 at 1x measures
+    38 cands/doc -> chunk4; the 10x near-dup corpus measures 380/doc ->
+    blocks6 (the SCALE.md dial, now with no human in the loop)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.operators.dedup import choose_simhash_banding
+    from mapreduce_4_spark.sources import load_table
+
+    d01 = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    assert choose_simhash_banding(d01) == "chunk4"
+    ten = None
+    for i in range(10):
+        c = d01.select(
+            (F.col("doc_id") * 10 + F.lit(i)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copymark{i}")).alias("text"),
+        )
+        ten = c if ten is None else ten.unionAll(c)
+    assert choose_simhash_banding(ten) == "blocks6"

@@ -197,3 +197,35 @@ def test_exact_cosine_plan_construction_is_action_free(spark):
     _ = out.schema  # analysis only — still no job
     after = set(tracker.getJobIdsForGroup(None))
     assert after == before, "plan construction launched a Spark job"
+
+
+def test_decontam_lsh_is_sound_subset_of_exact(spark, sf_smoke):
+    """The LSH-routed decontamination can only MISS contamination, never
+    invent it: every LSH verdict is exact-scored on a pair subset, so
+    (a) lsh max_cos <= exact max_cos per vector, with equality when both
+    picked the same bench neighbor, (b) lsh contaminated set is a subset
+    of the exact set, (c) recall stays above the measured floor for the
+    planes4+multiprobe config (~0.37 on this near-uniform fixture — the
+    hardest case for sign-LSH; see lsh_recall_at_k)."""
+    from mapreduce_4_spark.plans import REGISTRY
+
+    ex = {r["vec_id"]: r for r in
+          REGISTRY["semantic_decontam_embeddings"]
+          .builder(spark, sf_smoke).collect()}
+    ls = {r["vec_id"]: r for r in
+          REGISTRY["semantic_decontam_lsh"]
+          .builder(spark, sf_smoke).collect()}
+    assert set(ls) == set(ex)  # every corpus vector gets a verdict
+    for vid, lr in ls.items():
+        er = ex[vid]
+        if lr["max_cos"] is not None:
+            assert lr["max_cos"] <= er["max_cos"] + 1e-15
+            if lr["nearest_bench_id"] == er["nearest_bench_id"]:
+                assert lr["max_cos"] == er["max_cos"]  # bit-identical pair
+        else:
+            assert lr["contaminated"] is False
+    exact_c = {v for v, r in ex.items() if r["contaminated"]}
+    lsh_c = {v for v, r in ls.items() if r["contaminated"]}
+    assert lsh_c <= exact_c
+    assert exact_c, "fixture should contain contaminated vectors"
+    assert len(lsh_c) / len(exact_c) >= 0.25
