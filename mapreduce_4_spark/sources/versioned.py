@@ -146,9 +146,16 @@ def write_version(df: DataFrame, table_dir: str,
     immutable snapshot; time travel is unchanged. ``compact`` naturally
     resets the chain (it publishes a full snapshot), and ``vacuum``
     only removes a data dir once no retained manifest references it.
-    Appended snapshots are plain parquet (no bucket/cluster/partition
-    layout — a layout is a whole-table property, which is exactly what
-    compaction re-establishes).
+    Appended snapshots carry no bucket/cluster layout (a sort/bucket
+    layout is a whole-table property, which is exactly what compaction
+    re-establishes) — but ``append=True`` MAY be combined with
+    ``partition_by`` when every version in the chain uses the SAME
+    partition columns: hive partitioning is per-directory, so each
+    appended version dir is partitioned independently and a partition
+    filter prunes directories inside every chain dir. This is the
+    standing layout a streaming index wants (see streaming/ingest.py's
+    band_hash-partitioned signature index): O(|batch|) writes AND a
+    probe that touches only the batch's partitions of the whole chain.
     """
     _check_local(table_dir)
     table_dir = _strip_scheme(table_dir)
@@ -156,11 +163,10 @@ def write_version(df: DataFrame, table_dir: str,
         raise ValueError("bucket_by and n_buckets must be given together")
     if partition_by and bucket_by:
         raise ValueError("partition_by cannot be combined with bucket_by")
-    if append and (bucket_by or sort_by or partition_by):
+    if append and (bucket_by or sort_by):
         raise ValueError(
-            "append snapshots are plain parquet; a bucket/cluster/"
-            "partition layout is a whole-table property — compact() to "
-            "re-establish one"
+            "append snapshots carry no bucket/cluster layout — "
+            "compact() to re-establish one"
         )
     parent = latest_version(table_dir)
     version = (parent or 0) + 1
@@ -168,10 +174,16 @@ def write_version(df: DataFrame, table_dir: str,
     parent_rows = 0
     if append and parent is not None:
         pm = read_manifest(table_dir, parent)
-        if pm.get("bucket_by") or pm.get("sort_by") or pm.get("partition_by"):
+        if pm.get("bucket_by") or pm.get("sort_by"):
             raise ValueError(
-                "cannot append to a laid-out snapshot (bucketed/"
-                "clustered/partitioned); compact() first"
+                "cannot append to a bucketed/clustered snapshot; "
+                "compact() first"
+            )
+        if (pm.get("partition_by") or None) != (partition_by or None):
+            raise ValueError(
+                "append partitioning must match the chain: parent has "
+                f"partition_by={pm.get('partition_by')!r}, append got "
+                f"{partition_by!r}"
             )
         parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
         parent_rows = pm["row_count"]
@@ -266,11 +278,22 @@ def read_version(spark: SparkSession, table_dir: str,
             )
         return spark.table(name)
     if manifest.get("data_dirs"):
-        # append chain: the version's content is the union of its listed
-        # dirs; one multi-path parquet read, pushdown/pruning intact
-        return spark.read.parquet(
-            *[os.path.join(table_dir, d) for d in manifest["data_dirs"]]
-        )
+        dirs = [os.path.join(table_dir, d) for d in manifest["data_dirs"]]
+        if manifest.get("partition_by"):
+            # partitioned append chain: hive partition DISCOVERY needs
+            # each dir read from its own root (a multi-path read with a
+            # shared basePath would infer the v=NNNNNN level as a bogus
+            # partition column), so the chain is a union of per-dir
+            # scans — a partition filter still prunes directories inside
+            # EVERY branch, which is the point of the layout.
+            out = None
+            for d in dirs:
+                part = spark.read.parquet(d)
+                out = part if out is None else out.unionByName(part)
+            return out
+        # plain append chain: the version's content is the union of its
+        # listed dirs; one multi-path parquet read, pushdown intact
+        return spark.read.parquet(*dirs)
     return spark.read.parquet(_data_dir(table_dir, version))
 
 

@@ -9,22 +9,32 @@ never re-hashed, and never paired against itself — and (3) only the
 surviving documents are appended, publishing the corpus AND its index
 as lockstep snapshot versions (sources/versioned.py).
 
-Exactly-once across the two tables rides per-table batch_id replay
-keys: corpus publishes first, index second, and a redelivered batch
-(re)publishes only whichever table is missing its batch_id — because
-the probe reads the INDEX (still at the parent state until its own
-publish), the recomputed survivor set is identical and the repair is
-idempotent. This is the streaming composition of
+Exactly-once across the tables rides per-table batch_id replay keys:
+corpus publishes first, index second (bands last in banded mode), and
+a redelivered batch (re)publishes only whichever table is missing its
+batch_id — because the probe reads the INDEX (still at the parent
+state until its own publish), the recomputed survivor set is identical
+and the repair is idempotent. This is the streaming composition of
 ``operators.dedup.minhash_incremental_neardup`` (the batch twin the
 tests pin against) with the ``foreach_batch.versioned_upsert_sink``
 exactly-once contract.
 
-100 TB posture: per batch the work is O(|delta| x bands) band-join rows
-plus true bucket collisions — the corpus is touched only through its
-index (at scale: a snapshot bucketed on (band, band_hash)) and through
-the append rewrite that the snapshot format makes explicit (a
-transaction-log format would turn that rewrite into a file append; the
-dedup data flow is identical).
+100 TB posture — the ``index_layout`` dial:
+
+- ``"plain"`` (default): per batch the work is O(|delta| x bands)
+  band-join rows plus true bucket collisions, but the probe SCANS the
+  whole index chain (re-banding it in-flight) — the measured residual
+  +10% slope over 120 batches (SCALE.md), the right plan to ~10^7 docs.
+- ``"banded"``: the band table itself is persisted as a SEPARATE
+  versioned append chain, hive-partitioned on ``bh_part =
+  pmod(band_hash, _INGEST_NPARTS)`` (sources/versioned.py partitioned
+  append chains), and the shingle index is partitioned on
+  ``id_part = pmod(doc_id, _INGEST_NPARTS)``. Per batch the probe
+  collects the batch's partition sets (two bounded <=_INGEST_NPARTS
+  driver lists) and reads ONLY those directories of every chain dir —
+  probe cost tracks the batch's bucket footprint, not corpus size.
+  This is the 10^9-doc dial SCALE.md names; the replay probe
+  (scripts/ingest_replay_probe.py) measures both slopes.
 
 Reference anchor: generalizes the reference's append-only final sink
 (asio_deep/main.cpp:470-506) into an idempotent, dedup-gated publish.
@@ -52,9 +62,20 @@ from mapreduce_4_spark.sources.versioned import (
     write_version,
 )
 
+#: hive-partition fan-out for the banded index layout. Bounded driver
+#: traffic per batch (two <=_INGEST_NPARTS-value lists) and bounded
+#: directory counts; at 10^9 docs turn it up with the corpus.
+_INGEST_NPARTS = 32
+
+
+def bands_table_dir(index_dir: str) -> str:
+    """The band chain's directory for a given index dir (banded mode)."""
+    return index_dir.rstrip("/") + "_bands"
+
 
 def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                       threshold: float = 0.8, n: int = 3,
+                      index_layout: str = "plain",
                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: near-dup-gated append into a versioned corpus
     plus its signature/shingle index, exactly-once per batch on both.
@@ -64,13 +85,23 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
     banded pipeline and dedup EXACTLY (jaccard of singletons is 1.0 on
     a text match, 0 otherwise) — every document, long or short, is
     probed and indexed; the corpus/index lockstep holds corpus-wide.
+
+    ``index_layout``: "plain" or "banded" — see the module docstring;
+    the survivor set is layout-invariant (pinned by test).
     """
+    if index_layout not in ("plain", "banded"):
+        raise ValueError(f"unknown index_layout: {index_layout!r}")
+    banded = index_layout == "banded"
     id_col = "doc_id"
+    bands_dir = bands_table_dir(index_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         corpus_done = batch_id in _published_batch_ids(corpus_dir)
         index_done = batch_id in _published_batch_ids(index_dir)
-        if corpus_done and index_done:
+        bands_done = (not banded) or (
+            batch_id in _published_batch_ids(bands_dir)
+        )
+        if corpus_done and index_done and bands_done:
             return  # fully committed batch redelivered: no-op
 
         spark = batch_df.sparkSession
@@ -89,6 +120,7 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
             .withColumn("_base", F.transform("shingles", _base31))
             .persist()
         )
+        cand_d = None
         try:
             sigs_d = sh_d.select(
                 id_col,
@@ -120,49 +152,101 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
             # until the index's own publish below, which is what makes
             # crash repair recompute the identical survivor set
             if latest_version(index_dir) is not None:
-                base_idx = read_version(spark, index_dir)
-                base_bands = lsh_band_table(
-                    base_idx.select(id_col, "signature"), id_col=id_col
-                )
-                matched = (
+                if banded:
+                    # routing: the batch's band partitions only. The
+                    # collect is bounded (<=_INGEST_NPARTS ints), and
+                    # the partition filter prunes directories inside
+                    # every chain dir — the probe never touches the
+                    # rest of the index.
+                    bparts = [
+                        r["p"] for r in bands_d.select(
+                            F.pmod("band_hash", F.lit(_INGEST_NPARTS))
+                            .alias("p")
+                        ).distinct().collect()
+                    ]
+                    base_bands = read_version(spark, bands_dir).filter(
+                        F.col("bh_part").isin(bparts)
+                    ).select(F.col(id_col).alias("base_id"),
+                             "band", "band_hash")
+                else:
+                    base_bands = lsh_band_table(
+                        read_version(spark, index_dir)
+                        .select(id_col, "signature"),
+                        id_col=id_col,
+                    ).select(F.col(id_col).alias("base_id"),
+                             "band", "band_hash")
+                cand_d = (
                     bands_d.select(F.col(id_col).alias("delta_id"),
                                    "band", "band_hash")
-                    .join(
-                        base_bands.select(F.col(id_col).alias("base_id"),
-                                          "band", "band_hash"),
-                        ["band", "band_hash"],
-                    )
+                    .join(base_bands, ["band", "band_hash"])
                     .select("delta_id", "base_id")
                     .distinct()
-                    .join(sh_d.select(F.col(id_col).alias("delta_id"),
-                                      F.col("shingles").alias("sh_dd")),
-                          "delta_id")
-                    .join(base_idx.select(F.col(id_col).alias("base_id"),
-                                          F.col("shingles").alias("sh_bb")),
-                          "base_id")
-                    .filter(jaccard(F.col("sh_dd"), F.col("sh_bb"))
-                            >= threshold)
-                    .select(F.col("delta_id").alias(id_col))
-                    .distinct()
                 )
-                survivors = survivors.join(matched, id_col, "left_anti")
-                surviving_idx = surviving_idx.join(matched, id_col,
-                                                   "left_anti")
+                base_idx = read_version(spark, index_dir)
+                if banded:
+                    # verify fetch: only the candidate ids' shingle
+                    # partitions (second bounded collect; empty set =>
+                    # nothing matched, skip the verify join entirely)
+                    cand_d = cand_d.persist()
+                    iparts = [
+                        r["p"] for r in cand_d.select(
+                            F.pmod("base_id", F.lit(_INGEST_NPARTS))
+                            .alias("p")
+                        ).distinct().collect()
+                    ]
+                    base_idx = (
+                        base_idx.filter(F.col("id_part").isin(iparts))
+                        if iparts else None
+                    )
+                if base_idx is not None:
+                    matched = (
+                        cand_d
+                        .join(sh_d.select(F.col(id_col).alias("delta_id"),
+                                          F.col("shingles").alias("sh_dd")),
+                              "delta_id")
+                        .join(base_idx.select(F.col(id_col).alias("base_id"),
+                                              F.col("shingles").alias("sh_bb")),
+                              "base_id")
+                        .filter(jaccard(F.col("sh_dd"), F.col("sh_bb"))
+                                >= threshold)
+                        .select(F.col("delta_id").alias(id_col))
+                        .distinct()
+                    )
+                    survivors = survivors.join(matched, id_col, "left_anti")
+                    surviving_idx = surviving_idx.join(matched, id_col,
+                                                       "left_anti")
 
-            # (3) publish corpus FIRST, index second; each guarded by its
-            # own replay key so a crash between the two repairs cleanly.
-            # append=True: each publish writes ONLY the batch's survivor
-            # rows and chains the manifest's data-dir list — per-batch
-            # write cost is O(|batch|), not O(|corpus so far|), which is
-            # what keeps the 100-batch latency slope flat (SCALE.md's
-            # sustained-replay probe measures it).
+            # (3) publish corpus FIRST, index second, bands last; each
+            # guarded by its own replay key so a crash between any two
+            # repairs cleanly. append=True: each publish writes ONLY the
+            # batch's survivor rows and chains the manifest's data-dir
+            # list — per-batch write cost is O(|batch|), not O(|corpus
+            # so far|), which is what keeps the 100-batch latency slope
+            # flat (SCALE.md's sustained-replay probe measures it).
             if not corpus_done:
                 write_version(survivors, corpus_dir, batch_id=batch_id,
                               append=True)
             if not index_done:
-                write_version(surviving_idx, index_dir, batch_id=batch_id,
-                              append=True)
+                idx_out = surviving_idx
+                kwargs = {}
+                if banded:
+                    idx_out = idx_out.withColumn(
+                        "id_part", F.pmod(id_col, F.lit(_INGEST_NPARTS))
+                    )
+                    kwargs["partition_by"] = ["id_part"]
+                write_version(idx_out, index_dir, batch_id=batch_id,
+                              append=True, **kwargs)
+            if banded and not bands_done:
+                surv_bands = bands_d.join(
+                    surviving_idx.select(id_col), id_col, "left_semi"
+                ).withColumn(
+                    "bh_part", F.pmod("band_hash", F.lit(_INGEST_NPARTS))
+                )
+                write_version(surv_bands, bands_dir, batch_id=batch_id,
+                              append=True, partition_by=["bh_part"])
         finally:
             sh_d.unpersist()
+            if cand_d is not None:
+                cand_d.unpersist()
 
     return write_batch

@@ -364,3 +364,16 @@ def test_packing_report_single_shuffle(spark, sf_oracle):
     what the window already co-located."""
     plan = _plan(spark, sf_oracle, "packing_efficiency_report")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_decontam_lsh_is_single_broadcast_bucket_join(spark, sf_oracle):
+    """The LSH-routed decontam must stay a single broadcast hash join on
+    the bucket key (bench probes broadcast, corpus untouched) + one
+    aggregate exchange — never a nested-loop or corpus shuffle. The
+    exact twin's |bench|-multiplier crossJoin is exactly what this plan
+    shape removes."""
+    plan = _plan(spark, sf_oracle, "semantic_decontam_lsh")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -177,3 +177,57 @@ def test_ingest_short_docs_dedup_exactly_and_stay_indexed(spark, tmp_path):
     assert got == [1, 2, 4, 11, 12]
     idx = sorted(r["doc_id"] for r in read_version(spark, index_dir).collect())
     assert idx == got
+
+
+def test_banded_index_layout_is_survivor_invariant(spark, tmp_path):
+    """index_layout='banded' must admit exactly the same survivor set as
+    the plain layout (routing changes the probe's PLAN — partition-
+    pruned band chain + id-pruned shingle fetch — never its result),
+    publish the band chain in lockstep, and lay the chains out
+    hive-partitioned on disk."""
+    import glob
+
+    from mapreduce_4_spark.streaming.ingest import bands_table_dir
+
+    batches = _mk_batches(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{src}/b{i}")
+    import shutil
+    for i in range(len(batches)):
+        part = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch_{i}.parquet")
+        shutil.rmtree(f"{src}/b{i}")
+
+    plain_corpus = str(tmp_path / "pc")
+    banded_corpus = str(tmp_path / "bc")
+    banded_index = str(tmp_path / "bi")
+    _run_stream(spark, src, str(tmp_path / "ck1"),
+                dedup_ingest_sink(plain_corpus, str(tmp_path / "pi")))
+    _run_stream(spark, src, str(tmp_path / "ck2"),
+                dedup_ingest_sink(banded_corpus, banded_index,
+                                  index_layout="banded"))
+
+    plain_ids = sorted(r["doc_id"] for r in
+                       read_version(spark, plain_corpus).collect())
+    banded_ids = sorted(r["doc_id"] for r in
+                        read_version(spark, banded_corpus).collect())
+    assert plain_ids == banded_ids
+
+    # band chain in lockstep with the index: same surviving doc set
+    bands = read_version(spark, bands_table_dir(banded_index))
+    assert sorted({r["doc_id"] for r in bands.collect()}) == banded_ids
+    # hive layout on disk: bh_part=/id_part= partition dirs inside the
+    # versioned data dirs
+    assert glob.glob(f"{bands_table_dir(banded_index)}/v=*/bh_part=*")
+    assert glob.glob(f"{banded_index}/v=*/id_part=*")
+
+    # replay: no new versions on a full restart
+    v_c = latest_version(banded_corpus)
+    v_b = latest_version(bands_table_dir(banded_index))
+    _run_stream(spark, src, str(tmp_path / "ck2"),
+                dedup_ingest_sink(banded_corpus, banded_index,
+                                  index_layout="banded"))
+    assert latest_version(banded_corpus) == v_c
+    assert latest_version(bands_table_dir(banded_index)) == v_b

@@ -571,7 +571,7 @@ def test_append_vacuum_keeps_dirs_live_manifests_reference(spark, sf_smoke, tmp_
 def test_append_refuses_laid_out_parent_and_layouts(spark, sf_smoke, tmp_path):
     tdir = str(tmp_path / "t")
     base = _orders(spark, sf_smoke)
-    with pytest.raises(ValueError, match="append snapshots are plain"):
+    with pytest.raises(ValueError, match="no bucket/cluster layout"):
         write_version(base, tdir, append=True, sort_by=["o_orderkey"])
     write_version(base, tdir, sort_by=["o_orderkey"])
     with pytest.raises(ValueError, match="compact"):
@@ -636,3 +636,43 @@ def test_published_batch_ids_survive_table_recreation(spark, sf_smoke, tmp_path)
     shutil.rmtree(tdir)
     write_version(base, tdir, batch_id=5)
     assert published_batch_ids(tdir) == {5}
+
+
+def test_partitioned_append_chain_prunes_and_guards(spark, tmp_path):
+    """Appends MAY carry a hive partition layout when the whole chain
+    shares it: content is the union of the chain, a partition filter
+    reaches every chain dir as a PartitionFilter (directory pruning,
+    not a post-scan filter), and a mismatched partitioning raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "pchain")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), F.pmod("id", F.lit(4)).alias("p")
+    )
+    write_version(mk(0, 100), tdir, partition_by=["p"], append=True)
+    write_version(mk(100, 200), tdir, partition_by=["p"], append=True)
+    write_version(mk(200, 300), tdir, partition_by=["p"], append=True)
+
+    full = read_version(spark, tdir)
+    assert full.count() == 300
+    pruned = full.filter(F.col("p") == 1)
+    assert pruned.count() == 75
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in plan
+
+    # time travel still sees each version as one immutable snapshot
+    assert read_version(spark, tdir, version=2).count() == 200
+
+    with pytest.raises(ValueError, match="partitioning must match"):
+        write_version(spark.range(5).select("id"), tdir, append=True)
+    with pytest.raises(ValueError, match="partitioning must match"):
+        write_version(
+            spark.range(5).select("id", F.lit(0).alias("q")),
+            tdir, partition_by=["q"], append=True,
+        )
