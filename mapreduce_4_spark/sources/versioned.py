@@ -297,6 +297,54 @@ def read_version(spark: SparkSession, table_dir: str,
     return spark.read.parquet(_data_dir(table_dir, version))
 
 
+def read_version_pruned(spark: SparkSession, table_dir: str,
+                        partition_values: dict[str, object],
+                        version: int | None = None) -> DataFrame:
+    """Read a hive-partitioned snapshot (or partitioned append CHAIN)
+    restricted to the given partition values — pruning done at the
+    MANIFEST/PATH level, not by the scanner.
+
+    For a chain of B appended versions, ``read_version().filter(...)``
+    plans B unioned scans whose listing/planning cost grows with B even
+    though the filter prunes their data. This helper instead enumerates
+    the matching ``col=value`` subdirectories of every chain dir on the
+    driver (local fs stat — the manifest-level pruning move of
+    Iceberg/Delta) and issues ONE multi-path parquet read over exactly
+    the pruned directories: planning cost tracks the PROBE's partition
+    footprint, not the chain length. The partition columns are not in
+    the returned schema (their values were the pruning key); returns
+    None when no matching directory exists yet.
+
+    Only single-column pruning is needed so far; ``partition_values``
+    maps the partition column to an iterable of wanted values.
+    """
+    _check_local(table_dir)
+    table_dir = _strip_scheme(table_dir)
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published versions in {table_dir}")
+    manifest = read_manifest(table_dir, version)
+    part_cols = manifest.get("partition_by") or []
+    if len(part_cols) != 1 or set(partition_values) != set(part_cols):
+        raise ValueError(
+            f"read_version_pruned needs a single-column partitioned "
+            f"snapshot matching {list(partition_values)}; manifest has "
+            f"partition_by={part_cols!r}"
+        )
+    col = part_cols[0]
+    dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
+    paths = [
+        p
+        for d in dirs
+        for v in partition_values[col]
+        if os.path.isdir(p := os.path.join(table_dir, d, f"{col}={v}"))
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
 def read_manifest(table_dir: str, version: int) -> dict:
     _check_local(table_dir)
     with open(_manifest_path(_strip_scheme(table_dir), version)) as fh:

@@ -27,14 +27,19 @@ exactly-once contract.
   +10% slope over 120 batches (SCALE.md), the right plan to ~10^7 docs.
 - ``"banded"``: the band table itself is persisted as a SEPARATE
   versioned append chain, hive-partitioned on ``bh_part =
-  pmod(band_hash, _INGEST_NPARTS)`` (sources/versioned.py partitioned
-  append chains), and the shingle index is partitioned on
-  ``id_part = pmod(doc_id, _INGEST_NPARTS)``. Per batch the probe
-  collects the batch's partition sets (two bounded <=_INGEST_NPARTS
-  driver lists) and reads ONLY those directories of every chain dir —
-  probe cost tracks the batch's bucket footprint, not corpus size.
-  This is the 10^9-doc dial SCALE.md names; the replay probe
-  (scripts/ingest_replay_probe.py) measures both slopes.
+  pmod(band_hash, nparts)`` (sources/versioned.py partitioned append
+  chains), and the shingle index is partitioned on ``id_part =
+  pmod(doc_id, nparts)``. Per batch the probe collects the batch's
+  partition sets (two bounded <=nparts driver lists) and path-prunes
+  the chain read (``read_version_pruned``) to ONLY those directories.
+  This is the 10^9-doc dial SCALE.md names, and its win condition is
+  QUANTITATIVE (measured, SCALE.md round-9 table): a batch touches
+  ~(1 - exp(-|batch| x bands / nparts)) of the partitions, so pruning
+  pays only when |batch| x bands << nparts AND the corpus dwarfs the
+  batch — trickle micro-batches against a huge corpus. At fixture
+  scale with nparts=32 every batch touches every partition and banded
+  measured WORSE than plain (slope 2.45 vs 1.29) — use plain below
+  ~10^7 docs, and bound the chain's listing term with compact().
 
 Reference anchor: generalizes the reference's append-only final sink
 (asio_deep/main.cpp:470-506) into an idempotent, dedup-gated publish.
@@ -59,6 +64,7 @@ from mapreduce_4_spark.sources.versioned import (
     latest_version,
     published_batch_ids as _published_batch_ids,
     read_version,
+    read_version_pruned,
     write_version,
 )
 
@@ -76,6 +82,7 @@ def bands_table_dir(index_dir: str) -> str:
 def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                       threshold: float = 0.8, n: int = 3,
                       index_layout: str = "plain",
+                      nparts: int = _INGEST_NPARTS,
                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: near-dup-gated append into a versioned corpus
     plus its signature/shingle index, exactly-once per batch on both.
@@ -155,19 +162,32 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                 if banded:
                     # routing: the batch's band partitions only. The
                     # collect is bounded (<=_INGEST_NPARTS ints), and
-                    # the partition filter prunes directories inside
-                    # every chain dir — the probe never touches the
-                    # rest of the index.
+                    # the pruning happens at the PATH level
+                    # (read_version_pruned): one multi-path read over
+                    # exactly the matching col=value subdirs of every
+                    # chain dir, so per-batch planning cost tracks the
+                    # batch's bucket footprint — not the chain length,
+                    # not the corpus size.
                     bparts = [
                         r["p"] for r in bands_d.select(
-                            F.pmod("band_hash", F.lit(_INGEST_NPARTS))
+                            F.pmod("band_hash", F.lit(nparts))
                             .alias("p")
                         ).distinct().collect()
                     ]
-                    base_bands = read_version(spark, bands_dir).filter(
-                        F.col("bh_part").isin(bparts)
-                    ).select(F.col(id_col).alias("base_id"),
-                             "band", "band_hash")
+                    base_bands = (
+                        read_version_pruned(
+                            spark, bands_dir, {"bh_part": bparts}
+                        )
+                        # a crash between the index and bands publishes
+                        # of the FIRST batch leaves the bands table
+                        # unborn; nothing indexed can collide yet
+                        if latest_version(bands_dir) is not None else None
+                    )
+                    base_bands = (
+                        base_bands.select(F.col(id_col).alias("base_id"),
+                                          "band", "band_hash")
+                        if base_bands is not None else None
+                    )
                 else:
                     base_bands = lsh_band_table(
                         read_version(spark, index_dir)
@@ -175,29 +195,34 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                         id_col=id_col,
                     ).select(F.col(id_col).alias("base_id"),
                              "band", "band_hash")
-                cand_d = (
-                    bands_d.select(F.col(id_col).alias("delta_id"),
-                                   "band", "band_hash")
-                    .join(base_bands, ["band", "band_hash"])
-                    .select("delta_id", "base_id")
-                    .distinct()
-                )
-                base_idx = read_version(spark, index_dir)
-                if banded:
-                    # verify fetch: only the candidate ids' shingle
-                    # partitions (second bounded collect; empty set =>
-                    # nothing matched, skip the verify join entirely)
-                    cand_d = cand_d.persist()
-                    iparts = [
-                        r["p"] for r in cand_d.select(
-                            F.pmod("base_id", F.lit(_INGEST_NPARTS))
-                            .alias("p")
-                        ).distinct().collect()
-                    ]
-                    base_idx = (
-                        base_idx.filter(F.col("id_part").isin(iparts))
-                        if iparts else None
+                base_idx = None
+                if base_bands is not None:
+                    cand_d = (
+                        bands_d.select(F.col(id_col).alias("delta_id"),
+                                       "band", "band_hash")
+                        .join(base_bands, ["band", "band_hash"])
+                        .select("delta_id", "base_id")
+                        .distinct()
                     )
+                    if banded:
+                        # verify fetch: only the candidate ids' shingle
+                        # partitions (second bounded collect; empty set
+                        # => nothing matched, skip the verify entirely)
+                        cand_d = cand_d.persist()
+                        iparts = [
+                            r["p"] for r in cand_d.select(
+                                F.pmod("base_id", F.lit(nparts))
+                                .alias("p")
+                            ).distinct().collect()
+                        ]
+                        base_idx = (
+                            read_version_pruned(
+                                spark, index_dir, {"id_part": iparts}
+                            )
+                            if iparts else None
+                        )
+                    else:
+                        base_idx = read_version(spark, index_dir)
                 if base_idx is not None:
                     matched = (
                         cand_d
@@ -230,9 +255,14 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                 idx_out = surviving_idx
                 kwargs = {}
                 if banded:
+                    # repartition ON the partition column first: one
+                    # file per partition value per publish, instead of
+                    # (shuffle tasks x partition values) tiny files —
+                    # file count is what the chain's listing cost
+                    # scales with
                     idx_out = idx_out.withColumn(
-                        "id_part", F.pmod(id_col, F.lit(_INGEST_NPARTS))
-                    )
+                        "id_part", F.pmod(id_col, F.lit(nparts))
+                    ).repartition("id_part")
                     kwargs["partition_by"] = ["id_part"]
                 write_version(idx_out, index_dir, batch_id=batch_id,
                               append=True, **kwargs)
@@ -240,8 +270,8 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                 surv_bands = bands_d.join(
                     surviving_idx.select(id_col), id_col, "left_semi"
                 ).withColumn(
-                    "bh_part", F.pmod("band_hash", F.lit(_INGEST_NPARTS))
-                )
+                    "bh_part", F.pmod("band_hash", F.lit(nparts))
+                ).repartition("bh_part")
                 write_version(surv_bands, bands_dir, batch_id=batch_id,
                               append=True, partition_by=["bh_part"])
         finally:

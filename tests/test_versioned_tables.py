@@ -676,3 +676,38 @@ def test_partitioned_append_chain_prunes_and_guards(spark, tmp_path):
             spark.range(5).select("id", F.lit(0).alias("q")),
             tdir, partition_by=["q"], append=True,
         )
+
+
+def test_read_version_pruned_touches_only_matching_subdirs(spark, tmp_path):
+    """Path-level pruning: read_version_pruned must plan over exactly
+    the requested col=value subdirectories of every chain dir (the
+    manifest-level pruning move) — not scan-then-filter. Pinned by the
+    scan's input-file list."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        read_version_pruned,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "chain")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), F.pmod("id", F.lit(8)).alias("p")
+    )
+    write_version(mk(0, 80).repartition("p"), tdir,
+                  partition_by=["p"], append=True)
+    write_version(mk(80, 160).repartition("p"), tdir,
+                  partition_by=["p"], append=True)
+
+    got = read_version_pruned(spark, tdir, {"p": [2, 5]})
+    rows = got.select("id").collect()
+    assert sorted(r["id"] % 8 for r in rows) == [2] * 20 + [5] * 20
+    files = [r[0] for r in got.select(
+        F.input_file_name()).distinct().collect()]
+    assert files
+    assert all(("/p=2/" in f) or ("/p=5/" in f) for f in files)
+    # both chain dirs contribute
+    assert any("/v=000001/" in f for f in files)
+    assert any("/v=000002/" in f for f in files)
+    # no matching dirs yet -> None, not an empty scan
+    assert read_version_pruned(spark, tdir, {"p": [99]}) is None
