@@ -342,6 +342,35 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
            order_streaks_window(spark, SF_DIR))
 
 
+def _calibration(spark, timings: dict[str, float]) -> None:
+    """Machine-speed calibration arms, excluded from the headline total.
+
+    Round 9 found the whole headline drifting ~1.3-1.4x round-over-round
+    with IDENTICAL plans, an idle machine, 0% CPU steal, and unchanged
+    data — i.e. the HOST got slower, not the engine, but nothing in the
+    bench output could prove it. These two data-independent,
+    plan-trivial arms pin the sandbox's JVM compute and scan throughput
+    each run: when headline queries and calibration drift by the same
+    factor, the round delta is machine, not code; when they diverge,
+    it's code. Compare `queries[x]/calib_jvm_hash` across rounds for a
+    machine-normalized signal.
+    """
+    from pyspark.sql import functions as F
+
+    # pure JVM compute: 200M xxhash64 evaluations, no input data
+    # (bit_xor fold: overflow-free under ANSI, unlike sum of longs)
+    _timed(timings, "calib_jvm_hash",
+           spark.range(200_000_000).select(
+               F.xxhash64("id").alias("h")
+           ).agg(F.expr("bit_xor(h)").alias("s")))
+    # parquet scan + decode of the biggest fixture table, trivial agg
+    from mapreduce_4_spark.sources import load_table
+
+    _timed(timings, "calib_scan_lineitem",
+           load_table(spark, SF_DIR, "lineitem").agg(
+               F.sum("l_quantity").alias("s")))
+
+
 def main() -> None:
     from mapreduce_4_spark.plans import REGISTRY
     from mapreduce_4_spark.session import get_spark
@@ -358,6 +387,7 @@ def main() -> None:
         # amortizes across thousands of queries; the timed run is the
         # steady-state cost of the physical plan itself.
         _timed(timings, name, builder(spark, SF_DIR))
+    _calibration(spark, timings)
     _ab_experiments(spark, timings)
 
     # Breach retry against the known-good reference (see REFERENCE_FILE
