@@ -173,7 +173,12 @@ def decontam_max_cosine(corpus: DataFrame, bench: DataFrame, tau: float,
     c = corpus.withColumn("_cn", norm(F.col("v")))
     b = bench.withColumn("_bn", norm(F.col("bv")))
     if n_planes is None:
-        joined = c.crossJoin(F.broadcast(b))
+        # LEFT join on a true predicate, not crossJoin: with a non-empty
+        # bench the output is identical (every corpus row matches every
+        # bench row), and with an EMPTY bench every corpus row still
+        # gets its contaminated=false verdict instead of vanishing —
+        # the same no-collision contract the LSH mode has.
+        joined = c.join(F.broadcast(b), F.lit(True), "left")
     else:
         if not isinstance(dim, int) or dim < 1:
             raise ValueError(f"dim must be a positive int, got {dim!r}")
@@ -193,7 +198,13 @@ def decontam_max_cosine(corpus: DataFrame, bench: DataFrame, tau: float,
             )
         joined = c.join(F.broadcast(b), F.col("bucket") == F.col("_bb"),
                         "left")
-    cos = dot(F.col("v"), F.col("bv")) / (F.col("_cn") * F.col("_bn"))
+    # zero-norm guard BEFORE the division: under Spark 4's default ANSI
+    # mode x/0.0 raises DIVIDE_BY_ZERO; a zero-norm vector scores -1.0
+    # against everything instead (the exact_cosine_pairs convention,
+    # matching DuckDB list_cosine_similarity on zero-norm input).
+    denom = F.col("_cn") * F.col("_bn")
+    cos = F.when(denom != 0, dot(F.col("v"), F.col("bv")) / denom) \
+        .otherwise(F.lit(-1.0))
     sims = joined.select(
         "vec_id", "bench_id",
         F.when(F.col("bench_id").isNotNull(), cos).alias("cos"),

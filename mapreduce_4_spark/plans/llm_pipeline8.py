@@ -181,20 +181,19 @@ _DECON_MAXB = 50
                 "aggregate, so 100 TB of corpus never shuffles",
 )
 def semantic_decontam_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Norms are hoisted out of the |corpus| x |bench| pair space (the
-    # operators/similarity.py _pair_sim discipline): bit-identical to
-    # cosine() per pair, but 1 interpreted array traversal per pair
-    # instead of 5.
+    # The exact mode of the shared decontam kernel (norms hoisted out
+    # of the pair space, broadcast bench, one map-side argmax
+    # aggregate) — same kernel the LSH twin and the ab_decontam_*
+    # bench arms use, so a fix lands in every mode at once.
+    from mapreduce_4_spark.operators.similarity import decontam_max_cosine
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
-    ).withColumn("vn", norm(F.col("v")))
+    )
     bench = emb.filter(
         (F.col("vec_id") % _DECON_MOD == 0)
         & (F.col("vec_id") < _DECON_MOD * _DECON_MAXB)
-    ).select(
-        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"),
-        F.col("vn").alias("bn"),
-    )
+    ).select(F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"))
     # Corpus = everything NOT in the bounded bench slice: a vector past
     # the id cap is an ordinary corpus member even when its id is a
     # multiple of the mod (else that slice would be checked by nobody).
@@ -202,24 +201,7 @@ def semantic_decontam_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % _DECON_MOD != 0)
         | (F.col("vec_id") >= _DECON_MOD * _DECON_MAXB)
     )
-    sims = corpus.crossJoin(F.broadcast(bench)).select(
-        "vec_id", "bench_id",
-        (dot(F.col("v"), F.col("bv"))
-         / (F.col("vn") * F.col("bn"))).alias("cos"),
-    )
-    # argmax(cos) with bench_id tiebreak as ONE hash aggregate (partial
-    # combine runs map-side; no per-vector window over the corpus):
-    best = sims.groupBy("vec_id").agg(
-        F.min(
-            F.struct((-F.col("cos")).alias("neg"), F.col("bench_id"))
-        ).alias("b")
-    )
-    return best.select(
-        "vec_id",
-        F.col("b.bench_id").alias("nearest_bench_id"),
-        (-F.col("b.neg")).alias("max_cos"),
-        (-F.col("b.neg") >= _DECON_TAU).alias("contaminated"),
-    )
+    return decontam_max_cosine(corpus, bench, tau=_DECON_TAU)
 
 
 #: Seeded topic centroids: the embedding rows with these vec_ids. Any

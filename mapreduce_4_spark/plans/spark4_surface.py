@@ -114,6 +114,12 @@ def order_streaks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-lived process (the 202-query sweep, a notebook) calls when the
     # streak family is done; growth across a sweep is asserted in
     # tests/test_spark4_surface.py.
+    # Key carries the SESSION identity, not just the app: the cached
+    # DataFrames' temp views live in the creating session's catalog, so
+    # a sibling spark.newSession() (same applicationId) must miss and
+    # build its own entry — else its spark.sql() couldn't resolve the
+    # views. app_id stays in the key for the dead-context pruning
+    # (id() alone can be reused after GC; the partsupp-cache hazard).
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _RCTE_CACHE if k[0] != app_id]:
         for df in _RCTE_CACHE.pop(k):
@@ -121,7 +127,7 @@ def order_streaks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 df.unpersist()
             except Exception:
                 pass
-    key = (app_id, sf_dir)
+    key = (app_id, id(spark), sf_dir)
     if key not in _RCTE_CACHE:
         ord_df = spark.sql(_ORD_SQL.format(tbl="orders_rcte_v")).persist()
         ord_df.createOrReplaceTempView("ord_rcte_v")

@@ -74,6 +74,14 @@ def list_versions(table_dir: str) -> list[int]:
     )
 
 
+def _has_parquet(data_dir: str) -> bool:
+    """True if any .parquet file exists under ``data_dir`` (recursive)."""
+    for _root, _dirs, files in os.walk(data_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _footer_row_count(data_dir: str) -> int:
     """Exact row count from parquet footers — O(metadata), no second
     scan of the data (the footers are already on local disk)."""
@@ -286,10 +294,22 @@ def read_version(spark: SparkSession, table_dir: str,
             # partition column), so the chain is a union of per-dir
             # scans — a partition filter still prunes directories inside
             # EVERY branch, which is the point of the layout.
+            # A zero-row append writes NO parquet files under its dir
+            # (partitioned writes keep no schema-only file, unlike plain
+            # ones), so empty dirs are skipped — scanning one raises
+            # UNABLE_TO_INFER_SCHEMA and would brick the whole chain.
             out = None
             for d in dirs:
+                if not _has_parquet(d):
+                    continue
                 part = spark.read.parquet(d)
                 out = part if out is None else out.unionByName(part)
+            if out is None:  # every version so far appended zero rows
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(manifest["schema"])
+                )
             return out
         # plain append chain: the version's content is the union of its
         # listed dirs; one multi-path parquet read, pushdown intact

@@ -127,7 +127,7 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
             .withColumn("_base", F.transform("shingles", _base31))
             .persist()
         )
-        cand_d = None
+        pinned = []  # small id-set DataFrames persisted for the batch
         try:
             sigs_d = sh_d.select(
                 id_col,
@@ -142,12 +142,19 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                              F.col("shingles").alias("sh_a"))
             sb = sh_d.select(F.col(id_col).alias("id_b"),
                              F.col("shingles").alias("sh_b"))
+            # dominated/matched are persisted: they are tiny (dup ids
+            # only) but head the expensive LSH-probe + jaccard-verify
+            # subplan, and the 2-3 publishes below each re-evaluate
+            # their consumers — without the pin the verify would run
+            # once per publish instead of once per batch.
             dominated = (
                 cands.join(sa, "id_a").join(sb, "id_b")
                 .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
                 .select(F.col("id_b").alias(id_col))
                 .distinct()
+                .persist()
             )
+            pinned.append(dominated)
             survivors = batch_df.join(dominated, id_col, "left_anti")
             surviving_idx = (
                 sh_d.select(id_col, "shingles")
@@ -205,10 +212,11 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                         .distinct()
                     )
                     if banded:
+                        cand_d = cand_d.persist()
+                        pinned.append(cand_d)
                         # verify fetch: only the candidate ids' shingle
                         # partitions (second bounded collect; empty set
                         # => nothing matched, skip the verify entirely)
-                        cand_d = cand_d.persist()
                         iparts = [
                             r["p"] for r in cand_d.select(
                                 F.pmod("base_id", F.lit(nparts))
@@ -236,7 +244,9 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                                 >= threshold)
                         .select(F.col("delta_id").alias(id_col))
                         .distinct()
+                        .persist()
                     )
+                    pinned.append(matched)
                     survivors = survivors.join(matched, id_col, "left_anti")
                     surviving_idx = surviving_idx.join(matched, id_col,
                                                        "left_anti")
@@ -276,7 +286,7 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                               append=True, partition_by=["bh_part"])
         finally:
             sh_d.unpersist()
-            if cand_d is not None:
-                cand_d.unpersist()
+            for df in pinned:
+                df.unpersist()
 
     return write_batch

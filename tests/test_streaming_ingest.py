@@ -231,3 +231,25 @@ def test_banded_index_layout_is_survivor_invariant(spark, tmp_path):
                                   index_layout="banded"))
     assert latest_version(banded_corpus) == v_c
     assert latest_version(bands_table_dir(banded_index)) == v_b
+
+
+def test_banded_ingest_survives_all_duplicate_batch(spark, tmp_path):
+    """A batch whose every doc is a near-dup of the corpus publishes
+    zero-row index/bands appends; the chains must stay readable and the
+    next batch must still probe and dedup correctly."""
+    sink = dedup_ingest_sink(str(tmp_path / "c"), str(tmp_path / "i"),
+                             index_layout="banded")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string")
+    sink(mk([(0, _BASE_TEXTS[0]), (1, _BASE_TEXTS[1])]), 0)
+    # batch 1: ALL docs duplicate the corpus -> empty appends everywhere
+    sink(mk([(10, _BASE_TEXTS[0]), (11, _BASE_TEXTS[1])]), 1)
+    # batch 2: one dup, one genuinely new -> probe must still work
+    sink(mk([(20, _BASE_TEXTS[0]), (21, _BASE_TEXTS[2])]), 2)
+
+    ids = sorted(r["doc_id"] for r in
+                 read_version(spark, str(tmp_path / "c")).collect())
+    assert ids == [0, 1, 21]
+    idx_ids = sorted(r["doc_id"] for r in
+                     read_version(spark, str(tmp_path / "i")).collect())
+    assert idx_ids == [0, 1, 21]

@@ -711,3 +711,37 @@ def test_read_version_pruned_touches_only_matching_subdirs(spark, tmp_path):
     assert any("/v=000002/" in f for f in files)
     # no matching dirs yet -> None, not an empty scan
     assert read_version_pruned(spark, tdir, {"p": [99]}) is None
+
+
+def test_partitioned_append_chain_survives_empty_appends(spark, tmp_path):
+    """A zero-row partitioned append writes NO parquet files (only
+    _SUCCESS); the chain read must skip such dirs instead of raising
+    UNABLE_TO_INFER_SCHEMA, and an all-empty chain must come back as an
+    empty DataFrame with the manifest schema (the all-dup-batch case of
+    the banded ingest sink)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), F.pmod("id", F.lit(4)).alias("p")
+    )
+    empty = mk(0, 0)
+
+    tdir = str(tmp_path / "chain")
+    write_version(mk(0, 40), tdir, partition_by=["p"], append=True)
+    write_version(empty, tdir, partition_by=["p"], append=True)
+    write_version(mk(40, 80), tdir, partition_by=["p"], append=True)
+    got = read_version(spark, tdir)
+    assert got.count() == 80
+    assert got.filter(F.col("p") == 1).count() == 20
+
+    tdir2 = str(tmp_path / "allempty")
+    write_version(empty, tdir2, partition_by=["p"], append=True)
+    write_version(empty, tdir2, partition_by=["p"], append=True)
+    got2 = read_version(spark, tdir2)
+    assert got2.count() == 0
+    assert set(got2.columns) == {"id", "p"}
