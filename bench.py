@@ -357,10 +357,12 @@ def _calibration(spark, timings: dict[str, float]) -> None:
     """
     from pyspark.sql import functions as F
 
-    # pure JVM compute: 200M xxhash64 evaluations, no input data
-    # (bit_xor fold: overflow-free under ANSI, unlike sum of longs)
+    # pure JVM compute: 2B xxhash64 evaluations, no input data
+    # (bit_xor fold: overflow-free under ANSI, unlike sum of longs).
+    # Sized to ~1s so the signal clears min-of-3 timing noise (~±40 ms);
+    # 200M ran in 0.1s — inside the noise floor, useless as a ruler.
     _timed(timings, "calib_jvm_hash",
-           spark.range(200_000_000).select(
+           spark.range(2_000_000_000).select(
                F.xxhash64("id").alias("h")
            ).agg(F.expr("bit_xor(h)").alias("s")))
     # parquet scan + decode of the biggest fixture table, trivial agg

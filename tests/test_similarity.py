@@ -229,3 +229,35 @@ def test_decontam_lsh_is_sound_subset_of_exact(spark, sf_smoke):
     assert lsh_c <= exact_c
     assert exact_c, "fixture should contain contaminated vectors"
     assert len(lsh_c) / len(exact_c) >= 0.25
+
+
+def test_decontam_kernel_empty_bench_and_zero_norm_contracts(spark, emb):
+    """The shared decontam kernel's edge contracts: an EMPTY bench
+    yields a contaminated=false verdict for EVERY corpus row in both
+    modes (never silently drops the corpus), and a zero-norm vector
+    scores -1.0 (the DuckDB list_cosine_similarity convention) instead
+    of raising DIVIDE_BY_ZERO under ANSI mode."""
+    from mapreduce_4_spark.functions.vectors import as_double
+    from mapreduce_4_spark.operators.similarity import decontam_max_cosine
+
+    corpus = emb.select("vec_id", as_double("embedding").alias("v"))
+    n = corpus.count()
+    empty = corpus.filter(F.lit(False)).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv")
+    )
+    for kwargs in ({}, {"n_planes": 4, "dim": 64}):
+        out = decontam_max_cosine(corpus, empty, tau=0.25, **kwargs).collect()
+        assert len(out) == n
+        assert all(r["contaminated"] is False and r["max_cos"] is None
+                   for r in out)
+
+    zc = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] + [0.0] * 63)],
+        "vec_id long, v array<double>",
+    )
+    zb = spark.createDataFrame(
+        [(9, [1.0] + [0.0] * 63)], "bench_id long, bv array<double>"
+    )
+    got = {r["vec_id"]: (r["max_cos"], r["contaminated"])
+           for r in decontam_max_cosine(zc, zb, tau=0.25).collect()}
+    assert got == {1: (-1.0, False), 2: (1.0, True)}
