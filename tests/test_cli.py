@@ -93,3 +93,61 @@ def test_coverage_md_counts_in_sync():
         f"COVERAGE.md header says {m.groups()}, registry has "
         f"({n_total}, {n_oracle}, {n_rows_only}) — update the header"
     )
+
+
+def test_coverage_rotation_counts_green_not_sampled(tmp_path):
+    """The driver samples the first 50 of queries(); the rotation must
+    prioritize by GREEN driver rows, not mere presence in a CORRECTNESS
+    file — an errored sample must count zero so a since-fixed query
+    regains priority (round-9 verdict ask #1/#8). Ordering contract:
+    zero-green first, ties by name; rows-only queries are green when
+    their row logs the expected `no_oracle` + a row count."""
+    import json
+
+    from __spark_entry__ import _coverage_rotation
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    red = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": "Traceback ..."}
+    rows_only_ok = {"rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": 94,
+                    "oracle_rows": None, "err": "no_oracle"}
+    rows_only_err = {"rows_match": None, "schema_match": None,
+                     "hash_match": None, "spark_rows": None,
+                     "oracle_rows": None, "err": "Traceback ..."}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a_green_once": green,
+        "b_sampled_but_red": red,
+        "d_rows_only_green": rows_only_ok,
+        "e_rows_only_red": rows_only_err,
+        "f_green_twice": green,
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "f_green_twice": green,
+    }))
+
+    names = ["a_green_once", "b_sampled_but_red", "c_never_sampled",
+             "d_rows_only_green", "e_rows_only_red", "f_green_twice"]
+    order = _coverage_rotation(
+        names, correctness_dir=str(tmp_path),
+        rows_only={"d_rows_only_green": "x", "e_rows_only_red": "y"},
+    )
+    # zero-green (red sample == never sampled) first, ties by name;
+    # then count-1 greens by name; then the count-2 green.
+    assert order == ["b_sampled_but_red", "c_never_sampled",
+                     "e_rows_only_red", "a_green_once",
+                     "d_rows_only_green", "f_green_twice"]
+
+
+def test_coverage_rotation_stale_red_rows_lead_live_registry():
+    """Against the repo's real CORRECTNESS history, the four r1/r2-red
+    queries (fixed locally since r2-r8 but never driver-re-sampled) must
+    occupy the head of the rotation so the driver's 50-query sample
+    re-checks them this round (round-9 verdict ask #1 'done' criterion)."""
+    from __spark_entry__ import queries
+
+    head = list(queries())[:50]
+    for name in ("map_functions_events", "sample_documents",
+                 "multimodal_decode_features", "binary_files_meta"):
+        assert name in head, f"{name} not in the driver's first-50 sample"
