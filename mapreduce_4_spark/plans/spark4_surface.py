@@ -24,6 +24,8 @@ asio_deep/main.cpp:98-149) and §3.3 (the spark.sql entry path).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduce_4_spark.functions.text import CLEAN_CLASS
@@ -95,7 +97,8 @@ _EDGES_SQL = """
                 "within 30 days of the previous — per streak: root "
                 "order, length, first/last date. The non-recursive "
                 "prefix (row_number + edge list) is materialized once "
-                "(persisted, bounded per-session cache released by "
+                "(persisted, bounded per-app cache shared across "
+                "sibling sessions via global temp views, released by "
                 "clear_rcte_cache) so the ~6 closure "
                 "iterations join a 3-column edge table instead of "
                 "recomputing the window per iteration; unbounded-depth "
@@ -107,48 +110,75 @@ def order_streaks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders.createOrReplaceTempView("orders_rcte_v")
     # Explicit bounded cache (partsupp-cache discipline, incl. dead-app
-    # pruning): repeated builder calls reuse ONE (session, sf_dir) entry;
+    # pruning): repeated builder calls reuse ONE (app, sf_dir) entry;
     # the recursion and the three final-join consumers read the
     # materialized 4-column table, not the window. clear_rcte_cache()
-    # releases both persisted tables — the session-scoped-cache hook a
-    # long-lived process (the 202-query sweep, a notebook) calls when the
-    # streak family is done; growth across a sweep is asserted in
+    # releases both persisted tables — the hook a long-lived process
+    # (the 204-query sweep, a notebook) calls when the streak family is
+    # done; growth across a sweep is asserted in
     # tests/test_spark4_surface.py.
-    # Key carries the SESSION identity, not just the app: the cached
-    # DataFrames' temp views live in the creating session's catalog, so
-    # a sibling spark.newSession() (same applicationId) must miss and
-    # build its own entry — else its spark.sql() couldn't resolve the
-    # views. app_id stays in the key for the dead-context pruning
-    # (id() alone can be reused after GC; the partsupp-cache hazard).
+    # The entry is APP-scoped, not session-scoped: the prefix views are
+    # GLOBAL temp views (global_temp database — visible to every
+    # spark.newSession() sibling), so sibling sessions share one
+    # persisted prefix instead of each materializing its own. That is
+    # also the only sound scoping: sibling sessions share one JVM
+    # CacheManager, which dedupes identical persisted plans — so
+    # per-session entries ALIAS one cache slot and unpersisting a dead
+    # sibling's entry would evict a live session's data (measured: the
+    # r9 advice's weakref-prune design did exactly that). App-scoping
+    # removes the session-churn leak by construction — a
+    # newSession()-per-query app touches the same single entry forever.
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in _RCTE_CACHE if k[0] != app_id]:
-        for df in _RCTE_CACHE.pop(k):
+    for k, (tag, *jdfs) in list(_RCTE_CACHE.items()):
+        if k[0] == app_id:
+            continue
+        del _RCTE_CACHE[k]  # dead app: its JVM state is already gone
+        for jdf in jdfs:
             try:
-                df.unpersist()
+                jdf.unpersist()
             except Exception:
                 pass
-    key = (app_id, id(spark), sf_dir)
+    key = (app_id, sf_dir)
     if key not in _RCTE_CACHE:
+        # one view name per sf_dir so two scale factors never collide
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         ord_df = spark.sql(_ORD_SQL.format(tbl="orders_rcte_v")).persist()
-        ord_df.createOrReplaceTempView("ord_rcte_v")
-        edges = spark.sql(_EDGES_SQL.format(ord="ord_rcte_v")).persist()
-        _RCTE_CACHE[key] = (ord_df, edges)
-    ord_df, edges = _RCTE_CACHE[key]
-    ord_df.createOrReplaceTempView("ord_rcte_v")
-    edges.createOrReplaceTempView("edges_rcte_v")
-    return spark.sql(_CHAIN_SQL.format(ord="ord_rcte_v", edges="edges_rcte_v"))
+        ord_df.createOrReplaceGlobalTempView(f"ord_rcte_{tag}")
+        edges = spark.sql(
+            _EDGES_SQL.format(ord=f"global_temp.ord_rcte_{tag}")
+        ).persist()
+        edges.createOrReplaceGlobalTempView(f"edges_rcte_{tag}")
+        _RCTE_CACHE[key] = (tag, ord_df._jdf, edges._jdf)
+    tag = _RCTE_CACHE[key][0]
+    return spark.sql(_CHAIN_SQL.format(
+        ord=f"global_temp.ord_rcte_{tag}",
+        edges=f"global_temp.edges_rcte_{tag}",
+    ))
 
 
-#: (applicationId, sf_dir) -> (persisted ord prefix, persisted edge list)
-_RCTE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+#: (applicationId, sf_dir) -> (global-temp-view tag, persisted
+#: ord-prefix JVM Dataset, persisted edge-list JVM Dataset). JVM
+#: handles rather than Python DataFrames so an entry never pins a
+#: Python SparkSession object (sessions come and go; the entry is
+#: app-scoped — see the builder comment).
+_RCTE_CACHE: dict[tuple[str, str], tuple[str, object, object]] = {}
 
 
 def clear_rcte_cache() -> None:
-    """Unpersist and drop every cached recursive-CTE prefix."""
-    for dfs in _RCTE_CACHE.values():
-        for df in dfs:
+    """Unpersist and drop every cached recursive-CTE prefix (including
+    its global temp views, best-effort — a dead app's views are already
+    gone)."""
+    for tag, *jdfs in _RCTE_CACHE.values():
+        for jdf in jdfs:
             try:
-                df.unpersist()
+                jdf.sparkSession().catalog().dropGlobalTempView(
+                    f"ord_rcte_{tag}")
+                jdf.sparkSession().catalog().dropGlobalTempView(
+                    f"edges_rcte_{tag}")
+            except Exception:
+                pass
+            try:
+                jdf.unpersist()
             except Exception:
                 pass
     _RCTE_CACHE.clear()

@@ -209,7 +209,37 @@ def test_rcte_prefix_cache_is_bounded_and_releasable(spark, sf_oracle):
     for _ in range(3):
         s4.order_streaks_recursive(spark, sf_oracle).count()
     assert n_cached_rdds() == after_first  # reused, not re-persisted
-    assert len(s4._RCTE_CACHE) == 1       # one entry per (session, sf)
+    assert len(s4._RCTE_CACHE) == 1       # one entry per (app, sf)
     s4.clear_rcte_cache()
     assert n_cached_rdds() == base        # fully released
     assert s4._RCTE_CACHE == {}
+
+
+def test_rcte_prefix_cache_survives_session_churn(spark, sf_oracle):
+    """A newSession()-per-query app (the r9-advice churn scenario) must
+    neither grow the cache dict nor the persisted-RDD footprint: sibling
+    sessions share the one app-scoped entry through its global temp
+    views (per-session entries would alias one shared CacheManager slot
+    and an eviction of a 'dead' sibling would evict live data)."""
+    import gc
+
+    from mapreduce_4_spark.plans import spark4_surface as s4
+
+    def n_cached_rdds() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    s4.clear_rcte_cache()
+    want = s4.order_streaks_recursive(spark, sf_oracle).count()
+    footprint = n_cached_rdds()
+    for _ in range(3):
+        sib = spark.newSession()
+        assert s4.order_streaks_recursive(sib, sf_oracle).count() == want
+        del sib
+        gc.collect()
+    assert len(s4._RCTE_CACHE) == 1
+    assert n_cached_rdds() == footprint
+    # the original session still reads the shared persisted prefix
+    assert s4.order_streaks_recursive(spark, sf_oracle).count() == want
+    assert n_cached_rdds() == footprint
+    s4.clear_rcte_cache()
+    assert n_cached_rdds() == 0
