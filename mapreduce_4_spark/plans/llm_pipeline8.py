@@ -157,6 +157,11 @@ _DECON_MAXB = 50
                    WHERE vec_id % {_DECON_MOD} <> 0
                       OR vec_id >= {_DECON_MOD * _DECON_MAXB}),
         sims AS (
+            -- LEFT JOIN, not an inner cross join: the kernel's contract
+            -- (tests/test_similarity.py) gives EVERY corpus vector a
+            -- contaminated=false row when the bench slice is empty, so
+            -- the oracle must encode the same — an inner join would
+            -- yield zero rows on an empty-bench fixture and diverge.
             SELECT c.vec_id,
                    b.vec_id AS bench_id,
                    list_cosine_similarity(c.v, b.v) AS cos,
@@ -165,10 +170,10 @@ _DECON_MAXB = 50
                        ORDER BY list_cosine_similarity(c.v, b.v) DESC,
                                 b.vec_id
                    ) AS rn
-            FROM corpus c, bench b
+            FROM corpus c LEFT JOIN bench b ON TRUE
         )
         SELECT vec_id, bench_id AS nearest_bench_id, cos AS max_cos,
-               (cos >= {_DECON_TAU}) AS contaminated
+               COALESCE(cos >= {_DECON_TAU}, FALSE) AS contaminated
         FROM sims WHERE rn = 1
     """,
     tags=("similarity", "pipeline", "dedup"),
