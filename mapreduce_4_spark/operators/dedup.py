@@ -811,9 +811,23 @@ def exact_dedup(df: DataFrame, content_cols: list[str],
 SIMHASH_ROUTE_MAX_CANDS_PER_DOC = 64.0
 
 
+#: (applicationId, corpus-plan semanticHash, hash_family, threshold) ->
+#: chosen banding tier. The pre-flight is a full corpus-wide
+#: shingle+simhash pass; without this cache every plan REbuild over the
+#: same corpus pays it again at plan-construction time (the r9-advice
+#: finding). Keyed by the ANALYZED plan's semantic hash, so two
+#: DataFrames reading the same table route once. Staleness (same plan,
+#: parquet rewritten underneath) can only mis-tune the PLAN, never the
+#: answer — both tiers are lossless and oracle-pinned — so a bounded
+#: plan-keyed cache is safe where one keyed on data content would need
+#: invalidation machinery.
+_SIMHASH_ROUTE_CACHE: dict[tuple[str, int, str, float], str] = {}
+
+
 def choose_simhash_banding(docs: DataFrame, hash_family: str = "portable",
                            max_cands_per_doc: float =
-                           SIMHASH_ROUTE_MAX_CANDS_PER_DOC) -> str:
+                           SIMHASH_ROUTE_MAX_CANDS_PER_DOC,
+                           use_cache: bool = True) -> str:
     """Pick the SimHash banding tier from the measured diagnostic, not a
     human reading it — the ``salted_join(auto=True)`` move applied to
     the near-dup dial.
@@ -823,16 +837,43 @@ def choose_simhash_banding(docs: DataFrame, hash_family: str = "portable",
     contract as the hot-key sample in operators/partitioning.py) and
     routes to ``blocks6`` when the pre-verify candidate volume exceeds
     ``max_cands_per_doc`` candidates per document.
+
+    The decision is cached per (app, corpus plan) — see
+    ``_SIMHASH_ROUTE_CACHE`` — so only the FIRST routed build over a
+    corpus pays the pre-flight pass; ``use_cache=False`` forces a
+    re-measure (e.g. after rewriting the corpus in place).
+
+    Timing caveat for benchmark readers: the pre-flight is an ACTION at
+    plan-construction time, so bench.py/bench_sweep.py's ``_timed`` —
+    which times materializations of an already-built plan — excludes it
+    (first build per app; cached afterwards). A routed query's reported
+    wall-clock is the executed tier's cost, not tier-choice + execution.
     """
+    app_id = docs.sparkSession.sparkContext.applicationId
+    # OPTIMIZED-plan hash (still no action — optimization is driver-side
+    # and cached on the QueryExecution): collapses no-op projections so
+    # re-built-but-equivalent corpus plans share one entry.
+    key = (app_id, docs._jdf.queryExecution().optimizedPlan().semanticHash(),
+           hash_family, max_cands_per_doc)
+    if use_cache and key in _SIMHASH_ROUTE_CACHE:
+        return _SIMHASH_ROUTE_CACHE[key]
+    # drop dead-app entries so a long-lived process stays bounded
+    for k in [k for k in _SIMHASH_ROUTE_CACHE if k[0] != app_id]:
+        del _SIMHASH_ROUTE_CACHE[k]
     n_docs = docs.count()
     if n_docs == 0:
-        return "chunk4"
-    total = (
-        simhash_bucket_stats(docs, banding="chunk4", hash_family=hash_family)
-        .agg(F.sum("candidate_pairs").alias("c"))
-        .first()["c"]
-    ) or 0
-    return "blocks6" if total / n_docs > max_cands_per_doc else "chunk4"
+        banding = "chunk4"
+    else:
+        total = (
+            simhash_bucket_stats(docs, banding="chunk4",
+                                 hash_family=hash_family)
+            .agg(F.sum("candidate_pairs").alias("c"))
+            .first()["c"]
+        ) or 0
+        banding = "blocks6" if total / n_docs > max_cands_per_doc \
+            else "chunk4"
+    _SIMHASH_ROUTE_CACHE[key] = banding
+    return banding
 
 
 def simhash_near_pairs_routed(docs: DataFrame, max_hamming: int = 3,

@@ -416,3 +416,32 @@ def test_simhash_auto_routing_at_bench_scales(spark):
         )
         ten = c if ten is None else ten.unionAll(c)
     assert choose_simhash_banding(ten) == "blocks6"
+
+
+def test_simhash_routing_decision_is_cached_per_corpus_plan(
+        spark, docs, sf_smoke):
+    """The routing pre-flight re-shingles the whole corpus — repeated
+    plan builds over the same corpus must pay it ONCE per app (r9-advice
+    fix): the second call with an equivalent plan must come from
+    _SIMHASH_ROUTE_CACHE without touching simhash_bucket_stats, and
+    use_cache=False must force a re-measure."""
+    from unittest import mock
+
+    from mapreduce_4_spark.operators import dedup as d
+
+    d._SIMHASH_ROUTE_CACHE.clear()
+    assert d.choose_simhash_banding(docs) == "chunk4"
+    assert len(d._SIMHASH_ROUTE_CACHE) == 1
+
+    # an equivalent RE-BUILT plan over the same corpus (what a repeated
+    # registry builder call produces) hits the cache
+    from mapreduce_4_spark.sources import load_table
+
+    docs_again = load_table(docs.sparkSession, sf_smoke, "documents") \
+        .select("doc_id", "lang", "text")
+    with mock.patch.object(d, "simhash_bucket_stats",
+                           side_effect=AssertionError("pre-flight re-ran")):
+        assert d.choose_simhash_banding(docs_again) == "chunk4"
+    # an opt-out re-measures (and repopulates the same key)
+    assert d.choose_simhash_banding(docs, use_cache=False) == "chunk4"
+    assert len(d._SIMHASH_ROUTE_CACHE) == 1
