@@ -39,6 +39,15 @@ REFERENCE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_REFERENCE.json")
 RETRY_FACTOR = 1.3
 
+#: breach factor for the MACHINE-NORMALIZED comparison (per-query min /
+#: calib_jvm_hash min, vs the reference's normalized values). Tighter
+#: than RETRY_FACTOR because normalization removes the host-speed term
+#: that the raw bound must tolerate (the round-9 drift lesson).
+NORM_RETRY_FACTOR = 1.25
+
+#: the calibration arm used as the machine-speed ruler
+CALIB = "calib_jvm_hash"
+
 #: headline set: one representative per operator family, weighted toward
 #: the scale-critical paths (fact aggregation, star join, text explode,
 #: LSH dedup, window, time bucketing).
@@ -82,8 +91,15 @@ def refresh_reference(bench_json_path: str) -> None:
         run = json.load(f)
     payload = {
         "reference_sec": {n: run["queries"][n] for n in HEADLINE},
+        "reference_normalized": {
+            n: round(run["queries"][n] / run["queries"][CALIB], 4)
+            for n in HEADLINE
+        } if CALIB in run.get("queries", {}) else {},
+        "reference_calib_sec": run.get("queries", {}).get(CALIB),
         "rule": "best confirmed min-of-3 per headline query on a quiet "
-                "sandbox; a run above RETRY_FACTOR x reference gets one "
+                "sandbox; a run above RETRY_FACTOR x reference (raw) or "
+                "NORM_RETRY_FACTOR x reference_normalized (per-query min "
+                f"/ {CALIB} min — machine-speed-independent) gets one "
                 "end-of-run retry (bench.py). Refresh after intentional "
                 "perf improvements via bench.refresh_reference.",
         "source": f"{os.path.basename(bench_json_path)} "
@@ -323,6 +339,20 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
     _timed(timings, "ab_decontam_lsh_benchx",
            decontam_max_cosine(corpus_b, bench_b, tau=0.25,
                                n_planes=4, dim=64, multiprobe=True))
+    # OR-amplification cost curve (recall curve lives in BASELINE.md +
+    # tests/test_similarity.py: 0.38 / 0.79 / 0.87 at t=1/2/4 on the
+    # near-uniform fixture): t independent plane tables union-routed on
+    # the combined key — expected reading is ~t x the single-table arm,
+    # still far under the exact arm at this bench size, and the gap vs
+    # exact widens with |bench| while the amplified cost doesn't.
+    _timed(timings, "ab_decontam_lsh_benchx_t2",
+           decontam_max_cosine(corpus_b, bench_b, tau=0.25,
+                               n_planes=4, dim=64, multiprobe=True,
+                               n_tables=2))
+    _timed(timings, "ab_decontam_lsh_benchx_t4",
+           decontam_max_cosine(corpus_b, bench_b, tau=0.25,
+                               n_planes=4, dim=64, multiprobe=True,
+                               n_tables=4))
 
     # H) iterative vs single-pass chain grouping: the SAME order-streak
     # result (test-pinned equal) computed by Spark 4's native recursive
@@ -395,24 +425,45 @@ def main() -> None:
     # Breach retry against the known-good reference (see REFERENCE_FILE
     # note). Headline queries only: the ab_* arms build on temp dirs torn
     # down inside _ab_experiments and are excluded from the headline
-    # total anyway. Only applies at the reference's scale factor.
+    # total anyway. Only applies at the reference's scale factor. Two
+    # triggers: the raw bound (RETRY_FACTOR x reference_sec) and the
+    # machine-normalized bound (NORM_RETRY_FACTOR x reference_normalized,
+    # where both sides divide by their run's calib_jvm_hash min) — the
+    # normalized one still fires when the host slowdown masks a real
+    # plan regression in the raw numbers.
     first_pass: dict[str, float] = {}
     try:
         with open(REFERENCE_FILE) as f:
-            ref = json.load(f)["reference_sec"]
+            _ref_doc = json.load(f)
+        ref = _ref_doc["reference_sec"]
+        ref_norm = _ref_doc.get("reference_normalized", {})
     except (OSError, ValueError, KeyError):
-        ref = {}
+        ref, ref_norm = {}, {}
+    calib = min(_RAW[CALIB]) if CALIB in _RAW else None
     if SF_DIR.rstrip("/").endswith("sf0.1"):
         for name in HEADLINE:
             cap = ref.get(name)
-            if cap is None or timings[name] <= cap * RETRY_FACTOR:
+            ncap = ref_norm.get(name)
+            raw_breach = cap is not None and timings[name] > cap * RETRY_FACTOR
+            norm_breach = (
+                ncap is not None and calib
+                and timings[name] / calib > ncap * NORM_RETRY_FACTOR
+            )
+            if not raw_breach and not norm_breach:
                 continue
-            print(f"# reference retry: {name} {timings[name]:.3f}s > "
-                  f"{RETRY_FACTOR} x {cap:.3f}s", file=sys.stderr)
+            why = (f"{timings[name]:.3f}s > {RETRY_FACTOR} x {cap:.3f}s"
+                   if raw_breach else
+                   f"{timings[name] / calib:.2f}norm > {NORM_RETRY_FACTOR} "
+                   f"x {ncap:.2f}norm")
+            print(f"# reference retry: {name} {why}", file=sys.stderr)
             first_raw = _RAW[name]
             retry: dict[str, float] = {}
             _timed(retry, name, REGISTRY[name].builder(spark, SF_DIR))
-            _RAW[name] = first_raw + _RAW[name]
+            # retry raws live under their own `<name>:retry` key so
+            # value_median (and any raw-run consumer) keeps the same
+            # N-sample first-pass shape for every query, retried or not.
+            _RAW[name + ":retry"] = _RAW[name]
+            _RAW[name] = first_raw
             first_pass[name] = timings[name]
             timings[name] = min(timings[name], retry[name])
 
@@ -427,6 +478,13 @@ def main() -> None:
     def _total(pick) -> float:
         return round(sum(pick(_RAW[n]) for n in HEADLINE), 3)
 
+    # machine-normalized view: per-query min / calib_jvm_hash min. The
+    # calibration arm is data-independent pure-JVM compute, so this
+    # column is comparable across rounds even when the host speed moves
+    # (the round-9 drift lesson — BASELINE.md reads this column).
+    normalized = (
+        {n: round(timings[n] / calib, 4) for n in HEADLINE} if calib else {}
+    )
     print(
         json.dumps(
             {
@@ -434,8 +492,12 @@ def main() -> None:
                 "value": round(sum(timings[n] for n in HEADLINE), 3),
                 "value_first_run": _total(lambda r: r[0]),
                 "value_median": _total(lambda r: sorted(r)[len(r) // 2]),
+                "value_normalized": round(sum(normalized.values()), 3)
+                if normalized else None,
+                "calib_sec": calib,
                 "unit": "sec",
                 "queries": timings,
+                "normalized": normalized,
                 "first_pass": first_pass,
                 "runs": N_RUNS,
                 "raw_runs": _RAW,
