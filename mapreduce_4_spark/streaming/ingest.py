@@ -61,8 +61,10 @@ from mapreduce_4_spark.operators.dedup import (
     minhash_signature_from_base,
 )
 from mapreduce_4_spark.sources.versioned import (
+    compact,
     latest_version,
     published_batch_ids as _published_batch_ids,
+    read_manifest,
     read_version,
     read_version_pruned,
     write_version,
@@ -79,10 +81,30 @@ def bands_table_dir(index_dir: str) -> str:
     return index_dir.rstrip("/") + "_bands"
 
 
+def _maybe_compact(spark, table_dir: str, every: int,
+                   target_files: int) -> None:
+    """Fold ``table_dir``'s append chain into a full snapshot once its
+    data-dir list reaches ``every`` entries. Self-healing by design: the
+    trigger reads the LATEST manifest's chain length, so no side state
+    exists to corrupt — a crash before/inside/after any compact() call
+    just leaves a chain that re-triggers (or a fresh snapshot) on the
+    next cadence check, and compaction itself publishes an ordinary
+    immutable version (readers of the chain are untouched; vacuum
+    reclaims it later)."""
+    v = latest_version(table_dir)
+    if v is None:
+        return
+    dirs = read_manifest(table_dir, v).get("data_dirs")
+    if dirs is not None and len(dirs) >= every:
+        compact(spark, table_dir, target_files=target_files)
+
+
 def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                       threshold: float = 0.8, n: int = 3,
                       index_layout: str = "plain",
                       nparts: int = _INGEST_NPARTS,
+                      compact_every: int | None = None,
+                      compact_target_files: int = 1,
                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: near-dup-gated append into a versioned corpus
     plus its signature/shingle index, exactly-once per batch on both.
@@ -95,9 +117,27 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
 
     ``index_layout``: "plain" or "banded" — see the module docstring;
     the survivor set is layout-invariant (pinned by test).
+
+    ``compact_every=K`` (opt-in) folds each table's append chain into a
+    full snapshot whenever the chain reaches K data dirs — the cadence
+    that BOUNDS the chain-listing term an unattended 10^9-doc trickle
+    would otherwise grow without limit (SCALE.md). Compaction runs
+    AFTER the batch's publishes and is decoupled from the exactly-once
+    protocol: its trigger is derived from the latest manifest (no side
+    state), its publish is an ordinary immutable version with no
+    batch_id, and a crash at ANY point mid-cadence leaves either the
+    old chain (re-triggers next batch) or the folded snapshot — the
+    survivor set is invariant either way (test-pinned across a
+    mid-compaction crash). ``compact_target_files`` sizes the folded
+    snapshot for unpartitioned tables (partitioned chains keep their
+    directory scheme); at real scale set it ~ corpus_bytes / 1 GB.
     """
     if index_layout not in ("plain", "banded"):
         raise ValueError(f"unknown index_layout: {index_layout!r}")
+    if compact_every is not None and compact_every < 2:
+        raise ValueError("compact_every must be >= 2 (1 would fold every "
+                         "batch — that's a full rewrite per publish, the "
+                         "exact cost append chains exist to avoid)")
     banded = index_layout == "banded"
     id_col = "doc_id"
     bands_dir = bands_table_dir(index_dir)
@@ -181,19 +221,17 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                             .alias("p")
                         ).distinct().collect()
                     ]
+                    # a crash between the index and bands publishes of
+                    # the FIRST batch leaves the bands table unborn;
+                    # nothing indexed can collide yet. Otherwise the
+                    # pruned read is ALWAYS a DataFrame (empty with the
+                    # manifest schema when no partition matched).
                     base_bands = (
                         read_version_pruned(
                             spark, bands_dir, {"bh_part": bparts}
-                        )
-                        # a crash between the index and bands publishes
-                        # of the FIRST batch leaves the bands table
-                        # unborn; nothing indexed can collide yet
+                        ).select(F.col(id_col).alias("base_id"),
+                                 "band", "band_hash")
                         if latest_version(bands_dir) is not None else None
-                    )
-                    base_bands = (
-                        base_bands.select(F.col(id_col).alias("base_id"),
-                                          "band", "band_hash")
-                        if base_bands is not None else None
                     )
                 else:
                     base_bands = lsh_band_table(
@@ -223,6 +261,8 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                                 .alias("p")
                             ).distinct().collect()
                         ]
+                        # iparts empty => no candidates matched; skip
+                        # the verify instead of planning an empty read
                         base_idx = (
                             read_version_pruned(
                                 spark, index_dir, {"id_part": iparts}
@@ -284,6 +324,13 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                 ).repartition("bh_part")
                 write_version(surv_bands, bands_dir, batch_id=batch_id,
                               append=True, partition_by=["bh_part"])
+            if compact_every is not None:
+                # cadence check AFTER the batch commit; see the
+                # docstring's crash-safety argument
+                for tdir in ([corpus_dir, index_dir, bands_dir] if banded
+                             else [corpus_dir, index_dir]):
+                    _maybe_compact(spark, tdir, compact_every,
+                                   compact_target_files)
         finally:
             sh_d.unpersist()
             for df in pinned:

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_4_spark.operators.dedup import (
@@ -123,20 +124,24 @@ def test_streaming_ingest_equals_sequential_batch_twin(spark, tmp_path):
     assert latest_version(index_dir) == v_index
 
 
-def test_ingest_sink_repairs_missing_index_publish(spark, tmp_path):
+@pytest.mark.parametrize("scheme", ["", "file://"])
+def test_ingest_sink_repairs_missing_index_publish(spark, tmp_path, scheme):
     """Crash between the corpus and index publishes: redelivery must
     skip the corpus (batch_id already recorded) and publish ONLY the
     index, with the identical survivor set (the probe reads the index,
-    still at the parent state)."""
+    still at the parent state). Parametrized over the file:// scheme so
+    the whole exactly-once repair protocol also runs through the Hadoop
+    FileSystem manifest path — the code an object-store deployment
+    uses (r9 verdict ask #3)."""
     batches = _mk_batches(spark)
-    corpus_dir = str(tmp_path / "corpus")
-    index_dir = str(tmp_path / "index")
+    corpus_dir = scheme + str(tmp_path / "corpus")
+    index_dir = scheme + str(tmp_path / "index")
     sink = dedup_ingest_sink(corpus_dir, index_dir)
 
     sink(batches[0], 0)
     # simulate the crash: wipe the index publish of batch 0
     import shutil
-    shutil.rmtree(index_dir)
+    shutil.rmtree(str(tmp_path / "index"))
     assert latest_version(corpus_dir) == 1 and latest_version(index_dir) is None
 
     sink(batches[0], 0)  # redelivery
@@ -253,3 +258,82 @@ def test_banded_ingest_survives_all_duplicate_batch(spark, tmp_path):
     idx_ids = sorted(r["doc_id"] for r in
                      read_version(spark, str(tmp_path / "i")).collect())
     assert idx_ids == [0, 1, 21]
+
+
+def _chain_len(tdir):
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+    )
+
+    m = read_manifest(tdir, latest_version(tdir))
+    return len(m.get("data_dirs") or [f"v={latest_version(tdir):06d}"])
+
+
+def test_compaction_cadence_bounds_chain_and_keeps_survivors(spark, tmp_path):
+    """compact_every=K must keep every table's data-dir count < K + 1
+    across an unattended many-batch ingest (the bound an unattended
+    10^9-doc trickle needs — r9 verdict ask #5), with the survivor set
+    identical to the cadence-off run."""
+    n_batches = 9
+    batches = [
+        spark.createDataFrame(
+            [(100 * i + j,
+              f"wholly distinct document number {100 * i + j} "
+              f"with its own words {100 * i + j}")
+             for j in range(3)] +
+            ([(999_000 + i, _BASE_TEXTS[0])] if i % 2 else []),  # dup feed
+            "doc_id long, text string",
+        )
+        for i in range(n_batches)
+    ]
+
+    plain_c, plain_i = str(tmp_path / "pc"), str(tmp_path / "pi")
+    sink = dedup_ingest_sink(plain_c, plain_i)
+    for i, b in enumerate(batches):
+        sink(b, i)
+
+    cad_c, cad_i = str(tmp_path / "cc"), str(tmp_path / "ci")
+    K = 4
+    csink = dedup_ingest_sink(cad_c, cad_i, compact_every=K)
+    for i, b in enumerate(batches):
+        csink(b, i)
+        assert _chain_len(cad_c) <= K and _chain_len(cad_i) <= K
+
+    want = sorted(r["doc_id"]
+                  for r in read_version(spark, plain_c).collect())
+    got = sorted(r["doc_id"] for r in read_version(spark, cad_c).collect())
+    idx = sorted(r["doc_id"] for r in read_version(spark, cad_i).collect())
+    assert got == want        # survivor set invariant under compaction
+    assert idx == got         # corpus/index lockstep preserved
+    # the cadence actually fired: the plain run's chain kept growing
+    assert _chain_len(plain_c) == n_batches > K
+
+
+def test_compaction_cadence_survives_mid_compaction_crash(spark, tmp_path):
+    """A crash BETWEEN the per-table compact() calls (corpus folded,
+    index not) must leave the next batch's repair/ingest untouched: the
+    trigger re-derives from each table's latest manifest, so the index
+    folds at its own next cadence point and the survivor set never
+    moves."""
+    from mapreduce_4_spark.sources.versioned import compact, read_manifest
+
+    batches = _mk_batches(spark)
+    c_dir, i_dir = str(tmp_path / "c"), str(tmp_path / "i")
+    sink = dedup_ingest_sink(c_dir, i_dir, compact_every=3)
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    # simulate the torn cadence: corpus compacted by hand (as if the
+    # process died after corpus compact, before index compact)
+    compact(spark, c_dir)
+    assert read_manifest(c_dir, latest_version(c_dir)).get("data_dirs") is None
+    assert _chain_len(i_dir) == 2
+
+    sink(batches[2], 2)  # next batch: ingest + cadence check proceed
+    want = sorted(r["doc_id"] for r in _expected_sequential(
+        spark, batches).collect())
+    got = sorted(r["doc_id"] for r in read_version(spark, c_dir).collect())
+    idx = sorted(r["doc_id"] for r in read_version(spark, i_dir).collect())
+    assert got == want and idx == want
+    # the index folded at ITS cadence point despite the torn state
+    assert _chain_len(i_dir) == 1

@@ -83,19 +83,37 @@ def test_vacuum_keeps_newest_and_time_travel_fails_cleanly(
     assert read_version(spark, tdir).count() == base.count()
 
 
-def test_remote_schemes_rejected_loudly(spark, sf_smoke, tmp_path):
-    # manifest I/O is driver-local; a remote table_dir would silently
-    # break atomic publish, so it must fail up front instead
-    with pytest.raises(ValueError, match="local paths only"):
-        write_version(_orders(spark, sf_smoke), "s3a://bucket/table")
-    with pytest.raises(ValueError, match="local paths only"):
-        read_version(spark, "hdfs://nn/table")
-    # file:// is local and fine
-    tdir = str(tmp_path / "t")
-    assert write_version(_orders(spark, sf_smoke), "file://" + tdir) == 1
-    assert read_version(spark, "file://" + tdir).count() == _orders(
-        spark, sf_smoke
-    ).count()
+def test_scheme_paths_route_manifest_io_through_hadoop_fs(
+        spark, sf_smoke, tmp_path, monkeypatch):
+    """A scheme'd table_dir (file://, and by the same code path hdfs://,
+    s3a://, ...) must do ALL manifest I/O through the session's Hadoop
+    FileSystem — never driver-local open()/os — so manifests live on
+    the same store as the data on any deployment (r9 verdict ask #3;
+    file:// is the in-repo proof scheme for the exact code remote
+    schemes run)."""
+    from mapreduce_4_spark.sources import fsio
+
+    hadoop_calls = {"n": 0}
+    real_fs = fsio._fs
+
+    def counting_fs(path):
+        hadoop_calls["n"] += 1
+        return real_fs(path)
+
+    monkeypatch.setattr(fsio, "_fs", counting_fs)
+    base = _orders(spark, sf_smoke)
+    tdir = "file://" + str(tmp_path / "t")
+    assert write_version(base, tdir) == 1
+    assert hadoop_calls["n"] > 0, "manifest I/O bypassed the Hadoop FS"
+    assert read_version(spark, tdir).count() == base.count()
+    m = read_manifest(tdir, 1)
+    assert m["row_count"] == base.count()
+    # the manifest physically exists where a local reader expects it
+    import os
+
+    assert os.path.exists(str(tmp_path / "t/_versions/000001.json"))
+    # scheme-less access to the same dir sees the same version history
+    assert read_manifest(str(tmp_path / "t"), 1)["nonce"] == m["nonce"]
 
 
 def test_bucketed_snapshot_roundtrip_and_manifest(spark, sf_smoke, tmp_path):
@@ -532,10 +550,14 @@ def test_publish_checked_empty_input_publishes_zero_counts(spark, sf_smoke,
     assert read_version(spark, str(tmp_path / "b")).count() == 0
 
 
-def test_append_chain_reads_union_and_counts(spark, sf_smoke, tmp_path):
+@pytest.mark.parametrize("scheme", ["", "file://"])
+def test_append_chain_reads_union_and_counts(spark, sf_smoke, tmp_path,
+                                             scheme):
     """append=True publishes only the new rows but every version reads
-    as the full table; manifest row_count is the chain total."""
-    tdir = str(tmp_path / "t")
+    as the full table; manifest row_count is the chain total. Runs both
+    scheme-less (os manifest I/O) and file:// (Hadoop FS manifest I/O —
+    the object-store code path, r9 verdict ask #3)."""
+    tdir = scheme + str(tmp_path / "t")
     base = _orders(spark, sf_smoke)
     a = base.filter(F.col("o_orderkey") % 3 == 0)
     b = base.filter(F.col("o_orderkey") % 3 == 1)
@@ -686,6 +708,7 @@ def test_read_version_pruned_touches_only_matching_subdirs(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from mapreduce_4_spark.sources.versioned import (
+        read_version,
         read_version_pruned,
         write_version,
     )
@@ -709,8 +732,18 @@ def test_read_version_pruned_touches_only_matching_subdirs(spark, tmp_path):
     # both chain dirs contribute
     assert any("/v=000001/" in f for f in files)
     assert any("/v=000002/" in f for f in files)
-    # no matching dirs yet -> None, not an empty scan
-    assert read_version_pruned(spark, tdir, {"p": [99]}) is None
+    # schema contract shared with read_version: the partition column is
+    # IN the result (restored from the dir names), same types both ways
+    full = read_version(spark, tdir)
+    assert got.schema == full.select(*got.columns).schema
+    assert {(r["id"], r["p"]) for r in got.collect()} == {
+        (r["id"], r["p"]) for r in full.filter(F.col("p").isin(2, 5)).collect()
+    }
+    # no matching dirs yet -> EMPTY DataFrame with the manifest schema,
+    # never None (callers compose filters/joins without a null-check)
+    miss = read_version_pruned(spark, tdir, {"p": [99]})
+    assert miss.count() == 0
+    assert miss.schema == got.schema
 
 
 def test_partitioned_append_chain_survives_empty_appends(spark, tmp_path):
