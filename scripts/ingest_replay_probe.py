@@ -10,12 +10,24 @@ regime where the probe path, not the within-batch dedup, dominates.
 
 Usage:
     python scripts/ingest_replay_probe.py [--layout plain|banded]
-        [--batches 120] [--docs 400]
+        [--batches 120] [--docs 400] [--nparts 32] [--seed-docs 0]
+        [--compact-every K]
+
+``--seed-docs S`` pre-loads batch 0 with S documents before the timed
+trickle — the "huge corpus, tiny batch" shape of the banded dial's win
+condition (|batch| x bands << nparts AND corpus >> batch), which the
+uniform-batch probe can't reach because its corpus only accumulates to
+batches x docs. The seed batch is excluded from the slope windows.
+``--compact-every`` exercises the auto-compaction cadence
+(dedup_ingest_sink(compact_every=K)); the output's ``chain_dirs``
+records each table's final data-dir count, which the cadence must
+bound.
 
 Prints one JSON line:
-    {"layout": ..., "batches": N, "docs_per_batch": B,
+    {"layout": ..., "batches": N, "docs_per_batch": B, "nparts": ...,
+     "seed_docs": S, "seed_sec": ..., "compact_every": K,
      "early_mean_sec": ..., "late_mean_sec": ..., "slope_ratio": ...,
-     "per_batch_sec": [...]}
+     "survivors": ..., "chain_dirs": {...}, "per_batch_sec": [...]}
 
 early = batches 5-25 (post-warmup), late = the final 20 batches —
 the same windows as the round-8 SCALE.md table, so slopes compare
@@ -42,18 +54,29 @@ def main() -> None:
     ap.add_argument("--layout", choices=["plain", "banded"], default="plain")
     ap.add_argument("--batches", type=int, default=120)
     ap.add_argument("--docs", type=int, default=400)
+    ap.add_argument("--nparts", type=int, default=32)
+    ap.add_argument("--seed-docs", type=int, default=0)
+    ap.add_argument("--compact-every", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from mapreduce_4_spark.session import get_spark
     from mapreduce_4_spark.sources import load_table
-    from mapreduce_4_spark.streaming.ingest import dedup_ingest_sink
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+    )
+    from mapreduce_4_spark.streaming.ingest import (
+        bands_table_dir,
+        dedup_ingest_sink,
+    )
 
     spark = get_spark(f"ingest-replay-{args.layout}")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     n_base = docs.count()
-    replicas = (args.batches * args.docs + n_base - 1) // n_base
+    total_docs = args.seed_docs + args.batches * args.docs
+    replicas = (total_docs + n_base - 1) // n_base
     rep = None
     for i in range(replicas):
         c = docs.select(
@@ -68,23 +91,35 @@ def main() -> None:
     try:
         from pyspark.sql import Window
 
-        rep.limit(args.batches * args.docs).withColumn(
+        rep.limit(total_docs).withColumn(
             "seq",
             F.row_number().over(Window.orderBy("doc_id")) - F.lit(1),
         ).write.parquet(f"{feed_dir}/feed")
         feed = spark.read.parquet(f"{feed_dir}/feed")
+        corpus_dir, index_dir = f"{work_dir}/corpus", f"{work_dir}/index"
         sink = dedup_ingest_sink(
-            f"{work_dir}/corpus", f"{work_dir}/index",
+            corpus_dir, index_dir,
             index_layout=args.layout,
+            nparts=args.nparts,
+            compact_every=args.compact_every,
         )
+        seed_sec = None
+        if args.seed_docs:
+            seed = feed.filter(F.col("seq") < args.seed_docs) \
+                .select("doc_id", "text")
+            t0 = time.perf_counter()
+            sink(seed, 0)
+            seed_sec = round(time.perf_counter() - t0, 3)
+            print(f"# seed ({args.seed_docs} docs): {seed_sec:.1f}s",
+                  file=sys.stderr)
         per_batch: list[float] = []
         for b in range(args.batches):
+            lo = args.seed_docs + b * args.docs
             batch = feed.filter(
-                (F.col("seq") >= b * args.docs)
-                & (F.col("seq") < (b + 1) * args.docs)
+                (F.col("seq") >= lo) & (F.col("seq") < lo + args.docs)
             ).select("doc_id", "text")
             t0 = time.perf_counter()
-            sink(batch, b)
+            sink(batch, b + (1 if args.seed_docs else 0))
             per_batch.append(round(time.perf_counter() - t0, 3))
             if b % 20 == 0:
                 print(f"# batch {b}: {per_batch[-1]:.2f}s", file=sys.stderr)
@@ -92,13 +127,33 @@ def main() -> None:
         late = per_batch[-20:]
         e_mean = sum(early) / len(early)
         l_mean = sum(late) / len(late)
+
+        def chain_len(tdir: str) -> int | None:
+            v = latest_version(tdir)
+            if v is None:
+                return None
+            return len(read_manifest(tdir, v).get("data_dirs")
+                       or [f"v={v:06d}"])
+
+        chain_dirs = {"corpus": chain_len(corpus_dir),
+                      "index": chain_len(index_dir)}
+        if args.layout == "banded":
+            chain_dirs["bands"] = chain_len(bands_table_dir(index_dir))
+        survivors = read_manifest(
+            corpus_dir, latest_version(corpus_dir))["row_count"]
         print(json.dumps({
             "layout": args.layout,
             "batches": args.batches,
             "docs_per_batch": args.docs,
+            "nparts": args.nparts,
+            "seed_docs": args.seed_docs,
+            "seed_sec": seed_sec,
+            "compact_every": args.compact_every,
             "early_mean_sec": round(e_mean, 3),
             "late_mean_sec": round(l_mean, 3),
             "slope_ratio": round(l_mean / e_mean, 3),
+            "survivors": survivors,
+            "chain_dirs": chain_dirs,
             "per_batch_sec": per_batch,
         }))
     finally:
