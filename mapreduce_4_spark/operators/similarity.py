@@ -72,13 +72,10 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
-def lsh_bucket_ids(df: DataFrame, planes: np.ndarray,
-                   vec_col: str = "embedding") -> DataFrame:
-    """Add a ``bucket`` column: p-bit signature of hyperplane signs.
-
-    The projection is a pure column expression per plane (dot with a
-    literal array) — broadcast-free, codegen'd, no Python.
-    """
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
+    """The p-bit hyperplane-sign signature as a pure column expression
+    (dot with a literal array per plane) — broadcast-free, codegen'd,
+    no Python."""
     from mapreduce_4_spark.functions.vectors import dot
 
     bucket = F.lit(0).cast("long")
@@ -86,7 +83,13 @@ def lsh_bucket_ids(df: DataFrame, planes: np.ndarray,
     for j, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
         bucket = bucket + F.when(dot(v, lit_plane) > 0, F.lit(1 << j)).otherwise(0)
-    return df.withColumn("bucket", bucket)
+    return bucket
+
+
+def lsh_bucket_ids(df: DataFrame, planes: np.ndarray,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Add a ``bucket`` column: p-bit signature of hyperplane signs."""
+    return df.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
@@ -140,7 +143,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 
 def decontam_max_cosine(corpus: DataFrame, bench: DataFrame, tau: float,
                         n_planes: int | None = None, dim: int | None = None,
-                        multiprobe: bool = True) -> DataFrame:
+                        multiprobe: bool = True,
+                        n_tables: int = 1) -> DataFrame:
     """Per-corpus-vector max cosine against a benchmark set, with the
     contamination verdict — the semantic-decontamination kernel.
 
@@ -168,6 +172,20 @@ def decontam_max_cosine(corpus: DataFrame, bench: DataFrame, tau: float,
       construction — measured against the exact mode by the
       ab_decontam_* bench arms and tests/test_similarity.py.
 
+    ``n_tables`` is the OR-amplification recall dial for the LSH mode
+    (r9 verdict ask #2): t independent seeded plane sets (seed 42+t, so
+    n_tables=1 is bit-identical to the single-table config) each
+    contribute a band table; a pair collides when it collides in ANY
+    table, so flag recall rises ~1-(1-r)^t at ~t x probe cost. The
+    COMBINED bucket key is ``t * 2^n_planes + bucket_t`` — one long, so
+    the plan stays exactly ONE BroadcastHashJoin on one key no matter
+    how many tables (plan-pinned). Only the bench side fans out by
+    t x (1+n_planes) probe rows; the corpus computes t keys per row
+    (an explode of t cheap struct-free longs, no shuffle). Duplicate
+    (corpus, bench) collisions across tables are NOT deduped — the
+    argmax aggregate is duplicate-insensitive, and a dedup would cost
+    the shuffle this plan exists to avoid.
+
     Returns (vec_id, nearest_bench_id, max_cos, contaminated).
     """
     c = corpus.withColumn("_cn", norm(F.col("v")))
@@ -182,13 +200,30 @@ def decontam_max_cosine(corpus: DataFrame, bench: DataFrame, tau: float,
     else:
         if not isinstance(dim, int) or dim < 1:
             raise ValueError(f"dim must be a positive int, got {dim!r}")
-        planes = hyperplanes(dim, n_planes)
-        c = lsh_bucket_ids(c, planes, "v")
-        b = lsh_bucket_ids(b, planes, "bv").withColumnRenamed(
-            "bucket", "_bb"
+        if not isinstance(n_tables, int) or n_tables < 1:
+            raise ValueError(
+                f"n_tables must be a positive int, got {n_tables!r}"
+            )
+        tables = [hyperplanes(dim, n_planes, seed=42 + t)
+                  for t in range(n_tables)]
+        keys = [
+            F.lit(t << n_planes) + lsh_bucket_expr("v", planes)
+            for t, planes in enumerate(tables)
+        ]
+        c = c.withColumn(
+            "bucket", keys[0] if n_tables == 1
+            else F.explode(F.array(*keys))
         )
+        bu = None
+        for t, planes in enumerate(tables):
+            bt = b.withColumn(
+                "_bb", F.lit(t << n_planes) + lsh_bucket_expr("bv", planes)
+            )
+            bu = bt if bu is None else bu.unionByName(bt)
         if multiprobe:
-            b = b.withColumn(
+            # hamming-1 probes flip only the low n_planes bits, so a
+            # probe never crosses into another table's key subspace
+            bu = bu.withColumn(
                 "_bb",
                 F.explode(F.array(
                     F.col("_bb"),
@@ -196,7 +231,7 @@ def decontam_max_cosine(corpus: DataFrame, bench: DataFrame, tau: float,
                       for j in range(n_planes)],
                 )),
             )
-        joined = c.join(F.broadcast(b), F.col("bucket") == F.col("_bb"),
+        joined = c.join(F.broadcast(bu), F.col("bucket") == F.col("_bb"),
                         "left")
     # zero-norm guard BEFORE the division: under Spark 4's default ANSI
     # mode x/0.0 raises DIVIDE_BY_ZERO; a zero-norm vector scores -1.0

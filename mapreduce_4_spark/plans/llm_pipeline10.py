@@ -1,0 +1,139 @@
+"""Round-10 additions: the OR-amplified semantic-decontamination recall
+dial (r9 verdict ask #2).
+
+``semantic_decontam_lsh`` runs ONE 4-plane table — flag recall ~0.38 on
+the adversarial near-uniform fixture (tests/test_similarity.py), honest
+but a single operating point. This module registers the amplified twin:
+``n_tables`` independent seeded plane sets, union-routed, so a corpus
+vector is scored against every bench member it collides with in ANY
+table — recall rises ~1-(1-r)^t (measured on the fixture: 0.38 -> 0.79
+-> 0.87 at t=1/2/4) at ~t x probe cost, and ONLY the tiny bench side
+fans out. The combined bucket key ``t * 2^n_planes + bucket_t`` keeps
+the plan at exactly one BroadcastHashJoin on one long key
+(plan-pinned), so the 100 TB shape is unchanged: corpus streams through
+t cheap sign computations + one broadcast hash probe + one map-side
+argmax — never a shuffle, never a |bench| multiplier.
+
+Cross-engine float discipline as llm_pipeline8/9: seeded plane literals
+for EVERY table bake into the oracle SQL via repr().
+
+Reference anchor: generalizes the reference's plugin-selected pipeline
+stages (asio_deep/main.cpp:98-149 dlopen dispatch) — the dial chooses
+how much compute to spend per stage without changing stage semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.functions.vectors import as_double
+from mapreduce_4_spark.operators.similarity import decontam_max_cosine
+from mapreduce_4_spark.plans.llm_pipeline8 import (
+    _DECON_MAXB,
+    _DECON_MOD,
+    _DECON_TAU,
+)
+from mapreduce_4_spark.plans.llm_pipeline9 import _DLSH_PLANES
+from mapreduce_4_spark.plans.similarity import _DIM, _sql_bucket_n
+from mapreduce_4_spark.registry import register
+from mapreduce_4_spark.sources import load_table
+
+#: amplification factor of the registered query — the measured knee of
+#: the fixture's recall curve (0.87 at t=4 vs 0.79 at t=2 vs 0.38 at
+#: t=1); BASELINE.md carries the full curve with costs.
+_DLSH_TABLES = 4
+
+
+def _amp_key_sql(vec_expr: str, t: int) -> str:
+    """The combined bucket key for table ``t``: t*2^p + bucket_t, with
+    table t's seeded (seed 42+t) plane literals baked in."""
+    return (f"({t << _DLSH_PLANES} + "
+            f"{_sql_bucket_n(vec_expr, _DLSH_PLANES, seed=42 + t)})")
+
+
+#: corpus side: one row per (vector, table) with that table's key
+_AMP_CORPUS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, v, {_amp_key_sql('v', t)} AS bucket FROM corpus"
+    for t in range(_DLSH_TABLES)
+)
+
+#: bench side before probes: one row per (bench vector, table)
+_AMP_BENCH_SQL = " UNION ALL ".join(
+    f"SELECT vec_id AS bench_id, v AS bv, {_amp_key_sql('v', t)} AS bucket "
+    f"FROM bench"
+    for t in range(_DLSH_TABLES)
+)
+
+#: hamming-1 multiprobe on the bench side only; probes flip low bits so
+#: they never cross a table's key subspace
+_AMP_PROBE_SQL = " UNION ALL ".join(
+    ["SELECT bench_id, bv, bucket FROM bb0"]
+    + [
+        f"SELECT bench_id, bv, xor(bucket, {1 << j}) FROM bb0"
+        for j in range(_DLSH_PLANES)
+    ]
+)
+
+
+@register(
+    "semantic_decontam_lsh_amplified",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bench AS (SELECT * FROM e WHERE vec_id % {_DECON_MOD} = 0
+                  AND vec_id < {_DECON_MOD * _DECON_MAXB}),
+        corpus AS (SELECT * FROM e
+                   WHERE vec_id % {_DECON_MOD} <> 0
+                      OR vec_id >= {_DECON_MOD * _DECON_MAXB}),
+        cb AS ({_AMP_CORPUS_SQL}),
+        bb0 AS ({_AMP_BENCH_SQL}),
+        bb AS ({_AMP_PROBE_SQL}),
+        sims AS (
+            SELECT cb.vec_id, bb.bench_id,
+                   list_cosine_similarity(cb.v, bb.bv) AS cos
+            FROM cb LEFT JOIN bb ON cb.bucket = bb.bucket
+        ),
+        r AS (
+            SELECT vec_id, bench_id, cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, bench_id
+                   ) AS rn
+            FROM sims
+        )
+        SELECT vec_id, bench_id AS nearest_bench_id, cos AS max_cos,
+               COALESCE(cos >= {_DECON_TAU}, FALSE) AS contaminated
+        FROM r WHERE rn = 1
+    """,
+    tags=("similarity", "pipeline", "dedup", "lsh"),
+    description="semantic decontamination, OR-amplified LSH "
+                f"({_DLSH_TABLES} independent seeded plane tables, "
+                "union-routed on a combined t*2^p+bucket key): the "
+                "recall dial for the unbounded-benchmark path — flag "
+                "recall rises ~1-(1-r)^t (measured 0.38 -> 0.87 at t=4 "
+                "on the adversarial near-uniform fixture, "
+                "tests/test_similarity.py) at ~t x probe cost, with "
+                "ONLY the tiny bench side fanning out (t x (1+p) band "
+                "rows) and the plan still exactly one BroadcastHashJoin "
+                "+ one map-side argmax (plan-pinned). Fully oracled: "
+                "every table's seeded plane literals bake into the SQL",
+)
+def semantic_decontam_lsh_amplified(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    bench = emb.filter(
+        (F.col("vec_id") % _DECON_MOD == 0)
+        & (F.col("vec_id") < _DECON_MOD * _DECON_MAXB)
+    ).select(F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"))
+    corpus = emb.filter(
+        (F.col("vec_id") % _DECON_MOD != 0)
+        | (F.col("vec_id") >= _DECON_MOD * _DECON_MAXB)
+    )
+    return decontam_max_cosine(
+        corpus, bench, tau=_DECON_TAU,
+        n_planes=_DLSH_PLANES, dim=_DIM, multiprobe=True,
+        n_tables=_DLSH_TABLES,
+    )

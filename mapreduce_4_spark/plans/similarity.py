@@ -228,9 +228,10 @@ _LSH_SQL = _REG["similarity_lsh_topk"].oracle
 _MP_PLANES = 4
 
 
-def _sql_bucket_n(vec_expr: str, n_planes: int) -> str:
-    """Like _sql_bucket but for an arbitrary plane count."""
-    planes = hyperplanes(_DIM, n_planes)
+def _sql_bucket_n(vec_expr: str, n_planes: int, seed: int = 42) -> str:
+    """Like _sql_bucket but for an arbitrary plane count (and seed —
+    the OR-amplified decontam tables use seed 42+t per table)."""
+    planes = hyperplanes(_DIM, n_planes, seed=seed)
     terms = []
     for j, plane in enumerate(planes):
         lits = ", ".join(repr(float(x)) for x in plane)

@@ -377,3 +377,16 @@ def test_decontam_lsh_is_single_broadcast_bucket_join(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontam_lsh_amplified_keeps_single_join_plan(spark, sf_oracle):
+    """OR-amplification (n_tables=4) must not change the plan SHAPE:
+    the combined t*2^p+bucket key keeps it one BroadcastHashJoin on one
+    long key + one aggregate exchange — the recall dial buys collisions
+    with bench-side fan-out, never with extra joins or corpus
+    shuffles."""
+    plan = _plan(spark, sf_oracle, "semantic_decontam_lsh_amplified")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

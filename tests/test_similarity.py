@@ -231,6 +231,76 @@ def test_decontam_lsh_is_sound_subset_of_exact(spark, sf_smoke):
     assert len(lsh_c) / len(exact_c) >= 0.25
 
 
+def test_decontam_or_amplification_buys_recall_soundly(spark, sf_smoke):
+    """The n_tables dial (r9 verdict ask #2): each amplification step
+    must stay SOUND (flags subset of exact; per-pair scores exact-valued
+    as in the single-table test) while recall rises monotonically —
+    measured 0.38 -> 0.79 -> 0.87 at t=1/2/4 on this near-uniform
+    fixture; the floors below leave slack for fixture regeneration.
+    n_tables=1 must be bit-identical to the registered single-table
+    query (same seed-42 table)."""
+    from mapreduce_4_spark.plans import REGISTRY
+
+    ex = {r["vec_id"]: r for r in
+          REGISTRY["semantic_decontam_embeddings"]
+          .builder(spark, sf_smoke).collect()}
+    exact_c = {v for v, r in ex.items() if r["contaminated"]}
+    assert exact_c
+
+    single = sorted(map(tuple, REGISTRY["semantic_decontam_lsh"]
+                        .builder(spark, sf_smoke).collect()))
+    amp = {r["vec_id"]: r for r in
+           REGISTRY["semantic_decontam_lsh_amplified"]
+           .builder(spark, sf_smoke).collect()}
+
+    # t=1 through the n_tables code path == the registered single-table
+    # query, row for row
+    from mapreduce_4_spark.plans.llm_pipeline10 import (
+        semantic_decontam_lsh_amplified as _amp_builder,  # noqa: F401
+    )
+    from mapreduce_4_spark.plans.llm_pipeline8 import (
+        _DECON_MAXB,
+        _DECON_MOD,
+        _DECON_TAU,
+    )
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.functions.vectors import as_double
+    from mapreduce_4_spark.operators.similarity import decontam_max_cosine
+    from mapreduce_4_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v"))
+    bench = emb.filter(
+        (F.col("vec_id") % _DECON_MOD == 0)
+        & (F.col("vec_id") < _DECON_MOD * _DECON_MAXB)
+    ).select(F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"))
+    corpus = emb.filter(
+        (F.col("vec_id") % _DECON_MOD != 0)
+        | (F.col("vec_id") >= _DECON_MOD * _DECON_MAXB)
+    )
+    t1 = sorted(map(tuple, decontam_max_cosine(
+        corpus, bench, tau=_DECON_TAU, n_planes=4, dim=64,
+        multiprobe=True, n_tables=1).collect()))
+    assert t1 == single
+
+    # soundness + per-pair exactness of the amplified verdicts
+    assert set(amp) == set(ex)
+    for vid, ar in amp.items():
+        if ar["max_cos"] is not None:
+            assert ar["max_cos"] <= ex[vid]["max_cos"] + 1e-15
+        else:
+            assert ar["contaminated"] is False
+    amp_c = {v for v, r in amp.items() if r["contaminated"]}
+    assert amp_c <= exact_c
+
+    single_c = {r[0] for r in single if r[3]}
+    r1 = len(single_c) / len(exact_c)
+    r4 = len(amp_c) / len(exact_c)
+    assert r4 >= r1, "amplification must never lose recall"
+    assert r4 >= 0.7, f"t=4 recall {r4:.2f} below the measured floor"
+
+
 def test_decontam_kernel_empty_bench_and_zero_norm_contracts(spark, emb):
     """The shared decontam kernel's edge contracts: an EMPTY bench
     yields a contaminated=false verdict for EVERY corpus row in both
