@@ -225,21 +225,28 @@ def test_rcte_prefix_cache_survives_session_churn(spark, sf_oracle):
 
     from mapreduce_4_spark.plans import spark4_surface as s4
 
-    def n_cached_rdds() -> int:
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def rdd_ids() -> set:
+        # track id SETS, not counts: unrelated tests' cached RDDs can be
+        # unpersisted asynchronously (ContextCleaner) mid-test, so only
+        # the ids THIS test creates are a stable signal
+        return {i.id() for i in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()}
 
     s4.clear_rcte_cache()
+    base_ids = rdd_ids()
     want = s4.order_streaks_recursive(spark, sf_oracle).count()
-    footprint = n_cached_rdds()
+    ours = rdd_ids() - base_ids
+    assert ours  # the two prefix tables materialized
     for _ in range(3):
         sib = spark.newSession()
         assert s4.order_streaks_recursive(sib, sf_oracle).count() == want
         del sib
         gc.collect()
+        # siblings share the one entry: nothing new persisted
+        assert rdd_ids() - base_ids == ours
     assert len(s4._RCTE_CACHE) == 1
-    assert n_cached_rdds() == footprint
     # the original session still reads the shared persisted prefix
     assert s4.order_streaks_recursive(spark, sf_oracle).count() == want
-    assert n_cached_rdds() == footprint
+    assert rdd_ids() - base_ids == ours
     s4.clear_rcte_cache()
-    assert n_cached_rdds() == 0
+    assert not (rdd_ids() & ours)  # our entries fully released
