@@ -590,6 +590,83 @@ def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
     return write_version(latest.coalesce(target_files), table_dir, **layout)
 
 
+def compact_tail(spark: SparkSession, table_dir: str,
+                 keep_base: int = 1, target_files: int = 1) -> int | None:
+    """Tiered (LSM-style) compaction for append chains: fold every
+    chain dir AFTER the first ``keep_base`` into ONE new dir, leaving
+    the base dirs — typically the bulk-seeded snapshot that dwarfs the
+    trickle — untouched. Cost is O(rows accumulated by the tail), not
+    O(corpus): the full ``compact()`` at a 10^9-doc corpus rewrites
+    10^9 rows to fold a 10^3-dir chain of 10-row appends, which is why
+    SCALE.md's round-10 probe found full-fold cadence amortizing WORSE
+    than no compaction at 200k docs (~85 s corpus-proportional spike
+    every K batches) — this fold costs only the trickle it removes.
+
+    The result is a normal immutable version whose ``data_dirs`` is
+    ``base_dirs + [the folded dir]`` — chain length drops to
+    ``keep_base + 1`` — with the parent's partitioning preserved (the
+    folded dir is hive-partitioned the same way, so
+    ``read_version_pruned`` keeps pruning it). Publish order is the
+    table format's invariant one: folded data first, manifest last; a
+    crash in between leaves the old chain live and an orphaned
+    ``v=*`` dir that ``vacuum``'s mark-and-sweep reclaims.
+
+    Returns the new version, or None when there is nothing to fold
+    (full snapshot, or fewer than two tail dirs — folding one dir
+    would be pure write churn).
+    """
+    from pyspark.sql import functions as F
+
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    if keep_base < 0:
+        raise ValueError("keep_base must be >= 0")
+    manifest = read_manifest(table_dir, version)
+    dirs = manifest.get("data_dirs")
+    if not dirs or len(dirs) < keep_base + 2:
+        return None
+    base, tail = dirs[:keep_base], dirs[keep_base:]
+    part_by = manifest.get("partition_by") or None
+    tail_paths = [p for d in tail
+                  if fsio.has_parquet(p := os.path.join(table_dir, d))]
+    rows = None
+    if tail_paths:
+        if part_by:
+            # per-dir scans, as in read_version: partition discovery
+            # needs each chain dir read from its own root
+            for p in tail_paths:
+                part = spark.read.parquet(p)
+                rows = part if rows is None else rows.unionByName(part)
+            rows = _align_partition_types(rows, manifest)
+            # one file per partition value in the folded dir (not
+            # shuffle-tasks x values tiny files) — file count is what
+            # the chain's listing cost scales with
+            rows = rows.repartition(*part_by)
+        else:
+            rows = spark.read.parquet(*tail_paths).coalesce(target_files)
+    new_version = version + 1
+    data_dir = _data_dir(table_dir, new_version)
+    if rows is not None:
+        writer = rows.write.mode("errorifexists")
+        if part_by:
+            writer = writer.partitionBy(*part_by)
+        writer.parquet(data_dir)
+    folded_manifest = {
+        **manifest,
+        "version": new_version,
+        "parent": version,
+        # same logical content as the parent — count carries over
+        "batch_id": None,
+        "nonce": uuid.uuid4().hex[:12],
+        "data_dirs": base + [f"v={new_version:06d}"],
+    }
+    fsio.mkdirs(_versions_dir(table_dir))
+    fsio.write_text(_manifest_path(table_dir, new_version),
+                    json.dumps(folded_manifest))
+    return new_version
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (data + manifest,
     manifest FIRST so concurrent readers never see a published version

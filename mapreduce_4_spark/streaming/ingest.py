@@ -62,6 +62,7 @@ from mapreduce_4_spark.operators.dedup import (
 )
 from mapreduce_4_spark.sources.versioned import (
     compact,
+    compact_tail,
     latest_version,
     published_batch_ids as _published_batch_ids,
     read_manifest,
@@ -82,13 +83,16 @@ def bands_table_dir(index_dir: str) -> str:
 
 
 def _maybe_compact(spark, table_dir: str, every: int,
-                   target_files: int) -> None:
-    """Fold ``table_dir``'s append chain into a full snapshot once its
-    data-dir list reaches ``every`` entries. Self-healing by design: the
-    trigger reads the LATEST manifest's chain length, so no side state
-    exists to corrupt — a crash before/inside/after any compact() call
-    just leaves a chain that re-triggers (or a fresh snapshot) on the
-    next cadence check, and compaction itself publishes an ordinary
+                   target_files: int, mode: str = "full") -> None:
+    """Fold ``table_dir``'s append chain once its data-dir list reaches
+    ``every`` entries — a full-snapshot rewrite (``mode="full"``) or an
+    LSM-style tail fold that leaves the base dir in place
+    (``mode="tail"``, cost O(trickle) instead of O(corpus) — SCALE.md's
+    round-10 probe measured why that matters). Self-healing by design:
+    the trigger reads the LATEST manifest's chain length, so no side
+    state exists to corrupt — a crash before/inside/after any compact
+    call just leaves a chain that re-triggers (or a fresh snapshot) on
+    the next cadence check, and compaction itself publishes an ordinary
     immutable version (readers of the chain are untouched; vacuum
     reclaims it later)."""
     v = latest_version(table_dir)
@@ -96,7 +100,10 @@ def _maybe_compact(spark, table_dir: str, every: int,
         return
     dirs = read_manifest(table_dir, v).get("data_dirs")
     if dirs is not None and len(dirs) >= every:
-        compact(spark, table_dir, target_files=target_files)
+        if mode == "tail":
+            compact_tail(spark, table_dir, target_files=target_files)
+        else:
+            compact(spark, table_dir, target_files=target_files)
 
 
 def dedup_ingest_sink(corpus_dir: str, index_dir: str,
@@ -105,6 +112,7 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                       nparts: int = _INGEST_NPARTS,
                       compact_every: int | None = None,
                       compact_target_files: int = 1,
+                      compact_mode: str = "full",
                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: near-dup-gated append into a versioned corpus
     plus its signature/shingle index, exactly-once per batch on both.
@@ -131,9 +139,19 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
     mid-compaction crash). ``compact_target_files`` sizes the folded
     snapshot for unpartitioned tables (partitioned chains keep their
     directory scheme); at real scale set it ~ corpus_bytes / 1 GB.
+
+    ``compact_mode`` picks the fold: ``"full"`` rewrites the whole
+    snapshot (re-establishing a global layout, but corpus-proportional
+    — the round-10 probe measured ~85 s per fold at just 200k docs),
+    ``"tail"`` folds only the chain dirs AFTER the first one
+    (``compact_tail``): the bulk-seeded base dir stays in place and
+    each fold costs only the trickle it absorbs, which is the cadence
+    a 10^9-doc corpus can actually afford.
     """
     if index_layout not in ("plain", "banded"):
         raise ValueError(f"unknown index_layout: {index_layout!r}")
+    if compact_mode not in ("full", "tail"):
+        raise ValueError(f"unknown compact_mode: {compact_mode!r}")
     if compact_every is not None and compact_every < 2:
         raise ValueError("compact_every must be >= 2 (1 would fold every "
                          "batch — that's a full rewrite per publish, the "
@@ -330,7 +348,7 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                 for tdir in ([corpus_dir, index_dir, bands_dir] if banded
                              else [corpus_dir, index_dir]):
                     _maybe_compact(spark, tdir, compact_every,
-                                   compact_target_files)
+                                   compact_target_files, compact_mode)
         finally:
             sh_d.unpersist()
             for df in pinned:

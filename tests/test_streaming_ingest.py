@@ -337,3 +337,64 @@ def test_compaction_cadence_survives_mid_compaction_crash(spark, tmp_path):
     assert got == want and idx == want
     # the index folded at ITS cadence point despite the torn state
     assert _chain_len(i_dir) == 1
+
+
+def test_tail_compaction_cadence_bounds_chain_without_base_rewrite(
+        spark, tmp_path):
+    """compact_mode="tail" bounds every chain like the full fold does,
+    but never rewrites the first (bulk) chain dir — the O(trickle)
+    cadence SCALE.md's round-10 probe showed a huge corpus needs. The
+    survivor set must match the cadence-off banded run, and the banded
+    probe must keep working across folds (the folded bands dir stays
+    bh_part-partitioned, so read_version_pruned keeps pruning it)."""
+    import os
+
+    n_batches = 9
+    batches = [
+        spark.createDataFrame(
+            [(100 * i + j,
+              f"wholly distinct document number {100 * i + j} "
+              f"with its own words {100 * i + j}")
+             for j in range(3)] +
+            ([(999_000 + i, _BASE_TEXTS[0])] if i % 2 else []),
+            "doc_id long, text string",
+        )
+        for i in range(n_batches)
+    ]
+
+    plain_c, plain_i = str(tmp_path / "pc"), str(tmp_path / "pi")
+    sink = dedup_ingest_sink(plain_c, plain_i, index_layout="banded",
+                             nparts=8)
+    for i, b in enumerate(batches):
+        sink(b, i)
+
+    cad_c, cad_i = str(tmp_path / "cc"), str(tmp_path / "ci")
+    K = 4
+    csink = dedup_ingest_sink(cad_c, cad_i, index_layout="banded",
+                              nparts=8, compact_every=K,
+                              compact_mode="tail")
+    base_dir = os.path.join(cad_c, "v=000001")
+    base_files = None
+    for i, b in enumerate(batches):
+        csink(b, i)
+        if base_files is None:
+            base_files = sorted(os.listdir(base_dir))
+        from mapreduce_4_spark.streaming.ingest import bands_table_dir
+        for tdir in (cad_c, cad_i, bands_table_dir(cad_i)):
+            assert _chain_len(tdir) <= K
+
+    # the bulk base dir was never rewritten by any fold
+    assert sorted(os.listdir(base_dir)) == base_files
+    want = sorted(r["doc_id"]
+                  for r in read_version(spark, plain_c).collect())
+    got = sorted(r["doc_id"] for r in read_version(spark, cad_c).collect())
+    idx = sorted(r["doc_id"] for r in read_version(spark, cad_i).collect())
+    assert got == want and idx == want
+
+
+def test_dedup_ingest_sink_rejects_unknown_compact_mode(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="compact_mode"):
+        dedup_ingest_sink(str(tmp_path / "c"), str(tmp_path / "i"),
+                          compact_mode="sideways")

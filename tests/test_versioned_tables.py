@@ -778,3 +778,102 @@ def test_partitioned_append_chain_survives_empty_appends(spark, tmp_path):
     got2 = read_version(spark, tdir2)
     assert got2.count() == 0
     assert set(got2.columns) == {"id", "p"}
+
+
+def test_compact_tail_folds_only_the_trickle(spark, sf_smoke, tmp_path):
+    """compact_tail folds every chain dir after the first into ONE new
+    dir without touching the base dir — the O(trickle) fold an
+    unattended huge-corpus ingest needs (SCALE.md round 10: full
+    compact() is corpus-proportional, ~85 s per fold at 200k docs)."""
+    import os
+
+    from mapreduce_4_spark.sources.versioned import compact_tail
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    write_version(base, tdir, append=True)  # v1: the bulk base dir
+    for m in range(3):                       # v2..v4: the trickle
+        write_version(
+            base.filter(F.col("o_orderkey") % 7 == m).limit(5),
+            tdir, append=True,
+        )
+    want = sorted(map(tuple, read_version(spark, tdir).collect()))
+    total = read_manifest(tdir, 4)["row_count"]
+    base_dir = os.path.join(tdir, "v=000001")
+    base_files = sorted(os.listdir(base_dir))
+
+    v = compact_tail(spark, tdir)
+    assert v == 5
+    m5 = read_manifest(tdir, v)
+    assert m5["data_dirs"] == ["v=000001", "v=000005"]
+    assert m5["row_count"] == total
+    # the base dir was NOT rewritten
+    assert sorted(os.listdir(base_dir)) == base_files
+    got = sorted(map(tuple, read_version(spark, tdir).collect()))
+    assert got == want
+    # nothing left to fold: one base + one folded dir is already tight
+    assert compact_tail(spark, tdir) is None
+    # the chain keeps appending off the folded head
+    write_version(base.limit(2), tdir, append=True)
+    assert read_manifest(tdir, 6)["data_dirs"] == [
+        "v=000001", "v=000005", "v=000006"
+    ]
+
+
+def test_compact_tail_no_op_on_full_snapshot(spark, sf_smoke, tmp_path):
+    from mapreduce_4_spark.sources.versioned import compact_tail
+
+    tdir = str(tmp_path / "t")
+    write_version(_orders(spark, sf_smoke), tdir)
+    assert compact_tail(spark, tdir) is None
+
+
+def test_compact_tail_partitioned_chain_keeps_pruning(spark, tmp_path):
+    """Folding a hive-partitioned append chain keeps the partition
+    layout (one folded dir, partitioned the same way), so both chain
+    read paths — union scan and read_version_pruned — stay correct."""
+    from mapreduce_4_spark.sources.versioned import (
+        compact_tail,
+        read_version_pruned,
+    )
+
+    tdir = str(tmp_path / "pchain")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), F.pmod("id", F.lit(4)).alias("p")
+    )
+    write_version(mk(0, 100), tdir, partition_by=["p"], append=True)
+    write_version(mk(100, 160), tdir, partition_by=["p"], append=True)
+    write_version(mk(160, 200), tdir, partition_by=["p"], append=True)
+
+    v = compact_tail(spark, tdir)
+    assert v == 4
+    assert read_manifest(tdir, v)["data_dirs"] == ["v=000001", "v=000004"]
+    full = read_version(spark, tdir)
+    assert full.count() == 200
+    assert dict(full.groupBy("p").count().collect())[1] == 50
+    pruned = read_version_pruned(spark, tdir, {"p": [1, 2]})
+    assert pruned.count() == 100
+    assert pruned.schema == full.schema
+
+
+def test_compact_tail_crash_leaves_old_chain_and_vacuumable_orphan(
+        spark, sf_smoke, tmp_path):
+    """A crash between the folded-dir write and the manifest publish
+    must leave the previous chain live (manifest-last publish) and an
+    orphan v=* dir that vacuum's mark-and-sweep reclaims."""
+    import os
+
+    tdir = str(tmp_path / "t")
+    base = _orders(spark, sf_smoke)
+    write_version(base, tdir, append=True)
+    write_version(base.limit(5), tdir, append=True)
+    write_version(base.limit(3), tdir, append=True)
+    # simulate the torn fold: data dir exists, manifest never written
+    orphan = os.path.join(tdir, "v=000004")
+    base.limit(2).write.parquet(orphan)
+    assert latest_version(tdir) == 3
+    assert read_version(spark, tdir).count() == base.count() + 8
+    removed = vacuum(tdir, keep_last=1)
+    assert removed == [1, 2]
+    assert not os.path.exists(orphan)
+    assert read_version(spark, tdir).count() == base.count() + 8
