@@ -18,6 +18,13 @@ trickle — the "huge corpus, tiny batch" shape of the banded dial's win
 condition (|batch| x bands << nparts AND corpus >> batch), which the
 uniform-batch probe can't reach because its corpus only accumulates to
 batches x docs. The seed batch is excluded from the slope windows.
+``--seed-synthetic`` makes the seed docs fully DISTINCT (md5-word
+texts derived from the doc id, built JVM-side) so they SURVIVE dedup:
+the replicated-feed seed collapses to ~4.8k survivors however large S
+is (the near-dup replicas are deduped away), which caps the persisted
+index at ~76k band rows and keeps the probe out of the win regime's
+"corpus >> batch" arm. Synthetic seeding is what actually grows the
+survivor index to S, which is the quantity the banded dial prunes.
 ``--compact-every`` exercises the auto-compaction cadence
 (dedup_ingest_sink(compact_every=K)); the output's ``chain_dirs``
 records each table's final data-dir count, which the cadence must
@@ -56,7 +63,10 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=400)
     ap.add_argument("--nparts", type=int, default=32)
     ap.add_argument("--seed-docs", type=int, default=0)
+    ap.add_argument("--seed-synthetic", action="store_true")
     ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument("--compact-mode", choices=["full", "tail"],
+                    default="full")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -75,7 +85,8 @@ def main() -> None:
     spark = get_spark(f"ingest-replay-{args.layout}")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     n_base = docs.count()
-    total_docs = args.seed_docs + args.batches * args.docs
+    feed_seed_docs = 0 if args.seed_synthetic else args.seed_docs
+    total_docs = feed_seed_docs + args.batches * args.docs
     replicas = (total_docs + n_base - 1) // n_base
     rep = None
     for i in range(replicas):
@@ -102,11 +113,31 @@ def main() -> None:
             index_layout=args.layout,
             nparts=args.nparts,
             compact_every=args.compact_every,
+            compact_mode=args.compact_mode,
         )
         seed_sec = None
         if args.seed_docs:
-            seed = feed.filter(F.col("seq") < args.seed_docs) \
-                .select("doc_id", "text")
+            if args.seed_synthetic:
+                # S distinct docs: 30 md5 "words" keyed off the doc id
+                # (JVM-side, no Python loop over rows). Ids live above
+                # 10^9 so they can never collide with feed doc_ids.
+                # Materialized to parquet and read back so Catalyst
+                # sizes the batch from file stats — straight off
+                # spark.range the estimate is ~8 bytes/row, which
+                # makes the planner broadcast the (runtime ~1 GB)
+                # batch side of the dedup anti-join at S=10^6.
+                spark.range(args.seed_docs).select(
+                    (F.col("id") + F.lit(10**9)).alias("doc_id"),
+                    F.concat_ws(" ", F.array(*[
+                        F.md5(F.concat(F.col("id").cast("string"),
+                                       F.lit(f"w{j}")))
+                        for j in range(30)
+                    ])).alias("text"),
+                ).write.parquet(f"{feed_dir}/seed")
+                seed = spark.read.parquet(f"{feed_dir}/seed")
+            else:
+                seed = feed.filter(F.col("seq") < args.seed_docs) \
+                    .select("doc_id", "text")
             t0 = time.perf_counter()
             sink(seed, 0)
             seed_sec = round(time.perf_counter() - t0, 3)
@@ -114,7 +145,7 @@ def main() -> None:
                   file=sys.stderr)
         per_batch: list[float] = []
         for b in range(args.batches):
-            lo = args.seed_docs + b * args.docs
+            lo = feed_seed_docs + b * args.docs
             batch = feed.filter(
                 (F.col("seq") >= lo) & (F.col("seq") < lo + args.docs)
             ).select("doc_id", "text")
@@ -147,8 +178,10 @@ def main() -> None:
             "docs_per_batch": args.docs,
             "nparts": args.nparts,
             "seed_docs": args.seed_docs,
+            "seed_synthetic": args.seed_synthetic,
             "seed_sec": seed_sec,
             "compact_every": args.compact_every,
+            "compact_mode": args.compact_mode,
             "early_mean_sec": round(e_mean, 3),
             "late_mean_sec": round(l_mean, 3),
             "slope_ratio": round(l_mean / e_mean, 3),
