@@ -9,9 +9,15 @@ generalized counterpart over the whole registry:
     python -m mapreduce_4_spark explain minhash_lsh_neardup
     python -m mapreduce_4_spark oracle q1_pricing_summary
     python -m mapreduce_4_spark bench q5_revenue_by_nation [--runs 3]
+    python -m mapreduce_4_spark table history DIR
+    python -m mapreduce_4_spark table compact DIR [--target-files 1]
+    python -m mapreduce_4_spark table compact-tail DIR [--keep-base 1]
+    python -m mapreduce_4_spark table vacuum DIR [--keep-last 1]
 
 ``--sf`` defaults to $SPARK_GRAFT_SF_DIR, else /root/testdata/sf0.1 —
-the same contract as bench.py.
+the same contract as bench.py. ``table`` is the maintenance front door
+for versioned table dirs (sources/versioned.py) — the OPTIMIZE/VACUUM
+verbs a lakehouse CLI exposes, over this repo's table format.
 """
 
 from __future__ import annotations
@@ -55,7 +61,45 @@ def main(argv: list[str] | None = None) -> int:
         if cmd == "bench":
             sp.add_argument("--runs", type=int, default=3)
 
+    sp = sub.add_parser(
+        "table", help="versioned-table maintenance (history/compact/"
+                      "compact-tail/vacuum)")
+    sp.add_argument("verb", choices=["history", "compact", "compact-tail",
+                                     "vacuum"])
+    sp.add_argument("table_dir")
+    sp.add_argument("--target-files", type=int, default=1)
+    sp.add_argument("--keep-base", type=int, default=1)
+    sp.add_argument("--keep-last", type=int, default=1)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "table":
+        from mapreduce_4_spark.sources import versioned as vt
+
+        if args.verb == "vacuum":  # driver-side only: no session needed
+            removed = vt.vacuum(args.table_dir, keep_last=args.keep_last)
+            print(f"removed versions: {removed or 'none'}")
+            return 0
+        if args.verb == "history":
+            from mapreduce_4_spark.session import get_spark
+
+            vt.history(get_spark("mapreduce_4_spark-cli-table"),
+                       args.table_dir).show(truncate=False)
+            return 0
+        from mapreduce_4_spark.session import get_spark
+
+        spark = get_spark("mapreduce_4_spark-cli-table")
+        if args.verb == "compact":
+            v = vt.compact(spark, args.table_dir,
+                           target_files=args.target_files)
+            print(f"compacted -> v{v}")
+        else:
+            v = vt.compact_tail(spark, args.table_dir,
+                                keep_base=args.keep_base,
+                                target_files=args.target_files)
+            print(f"tail-folded -> v{v}" if v is not None
+                  else "nothing to fold")
+        return 0
 
     from mapreduce_4_spark.plans import REGISTRY
 

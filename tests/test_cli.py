@@ -151,3 +151,47 @@ def test_coverage_rotation_stale_red_rows_lead_live_registry():
     for name in ("map_functions_events", "sample_documents",
                  "multimodal_decode_features", "binary_files_meta"):
         assert name in head, f"{name} not in the driver's first-50 sample"
+
+
+def test_cli_table_maintenance_verbs(spark, sf_smoke, tmp_path, capsys):
+    """table history/compact/compact-tail/vacuum drive the versioned
+    table format from the shell — the lakehouse OPTIMIZE/VACUUM verbs
+    over this repo's format."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources import load_table
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+        read_version,
+    )
+    from mapreduce_4_spark.sources.versioned import write_version
+
+    tdir = str(tmp_path / "t")
+    base = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_totalprice")
+    write_version(base, tdir, append=True)
+    for m in range(2):
+        write_version(base.filter(F.col("o_orderkey") % 5 == m).limit(4),
+                      tdir, append=True)
+
+    assert main(["table", "history", tdir]) == 0
+    out = capsys.readouterr().out
+    assert "row_count" in out or "3" in out
+
+    assert main(["table", "compact-tail", tdir]) == 0
+    assert "tail-folded -> v4" in capsys.readouterr().out
+    assert read_manifest(tdir, 4)["data_dirs"] == ["v=000001", "v=000004"]
+    # nothing left to fold: the CLI reports it rather than churning
+    assert main(["table", "compact-tail", tdir]) == 0
+    assert "nothing to fold" in capsys.readouterr().out
+
+    assert main(["table", "compact", tdir, "--target-files", "1"]) == 0
+    assert "compacted -> v5" in capsys.readouterr().out
+    assert read_manifest(tdir, 5).get("data_dirs") is None
+
+    n = read_version(spark, tdir).count()
+    assert main(["table", "vacuum", tdir, "--keep-last", "1"]) == 0
+    assert "removed versions: [1, 2, 3, 4]" in capsys.readouterr().out
+    assert latest_version(tdir) == 5
+    assert read_version(spark, tdir).count() == n
