@@ -614,6 +614,14 @@ def compact_tail(spark: SparkSession, table_dir: str,
     Returns the new version, or None when there is nothing to fold
     (full snapshot, or fewer than two tail dirs — folding one dir
     would be pure write churn).
+
+    Each fold re-reads the PREVIOUS folded dir (the tail accumulates),
+    so over a month-long trickle the per-fold cost grows with total
+    ingested trickle. The two-level schedule keeps it bounded: tail
+    folds at the 10^2-batch cadence for the chain-listing term, plus
+    an occasional full ``compact()`` (10^4-batch mark, or off-peak)
+    that absorbs the accumulated tail into the base and resets the
+    fold cost to zero.
     """
     from pyspark.sql import functions as F
 
