@@ -76,7 +76,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "table":
         from mapreduce_4_spark.sources import versioned as vt
 
-        if args.verb == "vacuum":  # driver-side only: no session needed
+        if args.verb == "vacuum":
+            # driver-side (no Spark jobs), but scheme'd paths route
+            # their manifest I/O through an active session's Hadoop
+            # FileSystem — spin one up for those
+            if "://" in args.table_dir:
+                from mapreduce_4_spark.session import get_spark
+
+                get_spark("mapreduce_4_spark-cli-table")
             removed = vt.vacuum(args.table_dir, keep_last=args.keep_last)
             print(f"removed versions: {removed or 'none'}")
             return 0

@@ -165,6 +165,7 @@ def write_version(df: DataFrame, table_dir: str,
         parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
         parent_rows = pm["row_count"]
     data_dir = _data_dir(table_dir, version)
+    _reclaim_torn_write(table_dir, version)
     nonce = uuid.uuid4().hex[:12]
     if bucket_by:
         sort_cols = sort_by or bucket_by
@@ -233,6 +234,38 @@ def _scan_schema(manifest: dict):
     )
 
 
+def _scan_partitioned_chain(spark: SparkSession, dirs: list[str],
+                            manifest: dict) -> DataFrame | None:
+    """Union the non-empty dirs of a hive-partitioned append chain,
+    partition types aligned to the manifest; None when every dir is
+    empty. Shared by read_version and compact_tail so the chain-scan
+    rules (per-root reads for partition discovery, empty-dir skipping
+    to dodge UNABLE_TO_INFER_SCHEMA, manifest-type alignment) live in
+    exactly one place. ``dirs`` are absolute paths."""
+    out = None
+    for d in dirs:
+        if not fsio.has_parquet(d):
+            continue
+        part = spark.read.parquet(d)
+        out = part if out is None else out.unionByName(part)
+    return None if out is None else _align_partition_types(out, manifest)
+
+
+def _reclaim_torn_write(table_dir: str, version: int) -> None:
+    """Delete ``version``'s data dir if it exists WITHOUT a manifest —
+    the torn leftover of a writer that died between its data write and
+    its manifest publish. Versions are manifest-defined, so an
+    unmanifested data dir is provably garbage (under the format's
+    single-writer contract), and leaving it would brick the next
+    publish of the same version number on mode("errorifexists").
+    Called by every publish path right after allocating its version,
+    which makes a crashed publish self-healing instead of fatal."""
+    data_dir = _data_dir(table_dir, version)
+    if fsio.exists(data_dir) and not fsio.exists(
+            _manifest_path(table_dir, version)):
+        fsio.delete(data_dir, recursive=True)
+
+
 def _align_partition_types(df: DataFrame, manifest: dict) -> DataFrame:
     """Cast hive-DISCOVERED partition columns back to the manifest's
     declared types (discovery infers e.g. int where the writer declared
@@ -296,15 +329,10 @@ def read_version(spark: SparkSession, table_dir: str,
             # (partitioned writes keep no schema-only file, unlike plain
             # ones), so empty dirs are skipped — scanning one raises
             # UNABLE_TO_INFER_SCHEMA and would brick the whole chain.
-            out = None
-            for d in dirs:
-                if not fsio.has_parquet(d):
-                    continue
-                part = spark.read.parquet(d)
-                out = part if out is None else out.unionByName(part)
+            out = _scan_partitioned_chain(spark, dirs, manifest)
             if out is None:  # every version so far appended zero rows
                 return spark.createDataFrame([], _scan_schema(manifest))
-            return _align_partition_types(out, manifest)
+            return out
         # plain append chain: the version's content is the union of its
         # listed dirs; one multi-path parquet read, pushdown intact
         return spark.read.parquet(*dirs)
@@ -623,8 +651,6 @@ def compact_tail(spark: SparkSession, table_dir: str,
     that absorbs the accumulated tail into the base and resets the
     fold cost to zero.
     """
-    from pyspark.sql import functions as F
-
     version = latest_version(table_dir)
     if version is None:
         raise FileNotFoundError(f"no published versions in {table_dir}")
@@ -636,30 +662,33 @@ def compact_tail(spark: SparkSession, table_dir: str,
         return None
     base, tail = dirs[:keep_base], dirs[keep_base:]
     part_by = manifest.get("partition_by") or None
-    tail_paths = [p for d in tail
-                  if fsio.has_parquet(p := os.path.join(table_dir, d))]
+    tail_abs = [os.path.join(table_dir, d) for d in tail]
     rows = None
-    if tail_paths:
-        if part_by:
-            # per-dir scans, as in read_version: partition discovery
-            # needs each chain dir read from its own root
-            for p in tail_paths:
-                part = spark.read.parquet(p)
-                rows = part if rows is None else rows.unionByName(part)
-            rows = _align_partition_types(rows, manifest)
+    if part_by:
+        rows = _scan_partitioned_chain(spark, tail_abs, manifest)
+        if rows is not None:
             # one file per partition value in the folded dir (not
             # shuffle-tasks x values tiny files) — file count is what
             # the chain's listing cost scales with
             rows = rows.repartition(*part_by)
-        else:
+    else:
+        tail_paths = [p for p in tail_abs if fsio.has_parquet(p)]
+        if tail_paths:
             rows = spark.read.parquet(*tail_paths).coalesce(target_files)
     new_version = version + 1
     data_dir = _data_dir(table_dir, new_version)
+    _reclaim_torn_write(table_dir, new_version)
     if rows is not None:
         writer = rows.write.mode("errorifexists")
         if part_by:
             writer = writer.partitionBy(*part_by)
         writer.parquet(data_dir)
+    # a zero-row tail (partitioned appends keep no schema-only file)
+    # writes no folded dir and must not LIST one: the manifest's
+    # data_dirs only ever names dirs that exist on disk
+    new_dirs = base + ([f"v={new_version:06d}"] if rows is not None else [])
+    if not new_dirs:
+        return None  # keep_base=0 over an all-empty chain: nothing real
     folded_manifest = {
         **manifest,
         "version": new_version,
@@ -667,7 +696,7 @@ def compact_tail(spark: SparkSession, table_dir: str,
         # same logical content as the parent — count carries over
         "batch_id": None,
         "nonce": uuid.uuid4().hex[:12],
-        "data_dirs": base + [f"v={new_version:06d}"],
+        "data_dirs": new_dirs,
     }
     fsio.mkdirs(_versions_dir(table_dir))
     fsio.write_text(_manifest_path(table_dir, new_version),

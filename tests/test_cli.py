@@ -177,7 +177,9 @@ def test_cli_table_maintenance_verbs(spark, sf_smoke, tmp_path, capsys):
 
     assert main(["table", "history", tdir]) == 0
     out = capsys.readouterr().out
-    assert "row_count" in out or "3" in out
+    # one row per published version, with the chain's running totals
+    n = base.count()
+    assert f"|3|2|{n + 8}|" in out.replace(" ", "")
 
     assert main(["table", "compact-tail", tdir]) == 0
     assert "tail-folded -> v4" in capsys.readouterr().out

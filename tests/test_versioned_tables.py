@@ -873,7 +873,59 @@ def test_compact_tail_crash_leaves_old_chain_and_vacuumable_orphan(
     base.limit(2).write.parquet(orphan)
     assert latest_version(tdir) == 3
     assert read_version(spark, tdir).count() == base.count() + 8
+    # the NEXT publish allocates the same version number; the torn
+    # leftover must be reclaimed, not brick every later write on
+    # errorifexists (publishes are self-healing, not fatal)
+    v = write_version(base.limit(1), tdir, append=True)
+    assert v == 4
+    assert read_version(spark, tdir).count() == base.count() + 9
     removed = vacuum(tdir, keep_last=1)
-    assert removed == [1, 2]
-    assert not os.path.exists(orphan)
-    assert read_version(spark, tdir).count() == base.count() + 8
+    assert removed == [1, 2, 3]
+    assert read_version(spark, tdir).count() == base.count() + 9
+
+
+def test_compact_tail_recovers_from_its_own_torn_fold(spark, tmp_path):
+    """A fold that died between its data write and manifest publish
+    leaves an unmanifested v=* dir; the RE-RUN fold (same version
+    number) must reclaim it and succeed."""
+    import os
+
+    from mapreduce_4_spark.sources.versioned import compact_tail
+
+    tdir = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), F.pmod("id", F.lit(3)).alias("p")
+    )
+    write_version(mk(0, 30), tdir, partition_by=["p"], append=True)
+    write_version(mk(30, 40), tdir, partition_by=["p"], append=True)
+    write_version(mk(40, 50), tdir, partition_by=["p"], append=True)
+    # torn fold: the folded dir exists, its manifest never landed
+    mk(30, 50).write.partitionBy("p").parquet(os.path.join(tdir, "v=000004"))
+    v = compact_tail(spark, tdir)
+    assert v == 4
+    assert read_manifest(tdir, 4)["data_dirs"] == ["v=000001", "v=000004"]
+    assert read_version(spark, tdir).count() == 50
+
+
+def test_compact_tail_all_empty_tail_lists_no_phantom_dir(spark, tmp_path):
+    """Folding a partitioned chain whose tail appended zero rows writes
+    no folded dir and must not LIST one — data_dirs only ever names
+    dirs that exist (the chain still shrinks to the base)."""
+    import os
+
+    from mapreduce_4_spark.sources.versioned import compact_tail
+
+    tdir = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), F.pmod("id", F.lit(3)).alias("p")
+    )
+    empty = mk(0, 0)
+    write_version(mk(0, 20), tdir, partition_by=["p"], append=True)
+    write_version(empty, tdir, partition_by=["p"], append=True)
+    write_version(empty, tdir, partition_by=["p"], append=True)
+    v = compact_tail(spark, tdir)
+    assert v == 4
+    m = read_manifest(tdir, 4)
+    assert m["data_dirs"] == ["v=000001"]
+    assert not os.path.exists(os.path.join(tdir, "v=000004"))
+    assert read_version(spark, tdir).count() == 20
