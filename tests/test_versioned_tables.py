@@ -929,3 +929,46 @@ def test_compact_tail_all_empty_tail_lists_no_phantom_dir(spark, tmp_path):
     assert m["data_dirs"] == ["v=000001"]
     assert not os.path.exists(os.path.join(tdir, "v=000004"))
     assert read_version(spark, tdir).count() == 20
+
+
+def test_compact_tail_fuzz_content_invariant(spark, tmp_path):
+    """Property: for ANY append chain (partitioned or not, with empty
+    appends sprinkled in) and ANY interleaving of tail folds, the
+    table's content, row_count, and listed-dirs-exist invariant hold.
+
+    Deterministic derangement fuzz (seeded stdlib Random, no wall-clock
+    dependence): 6 scenarios x up to 7 appends with folds interleaved —
+    cheap enough for every run, broad enough to catch fold/read
+    disagreements the example tests miss."""
+    import os
+    import random
+
+    from mapreduce_4_spark.sources.versioned import compact_tail
+
+    rng = random.Random(20260815)
+    for case in range(6):
+        partitioned = case % 2 == 0
+        tdir = str(tmp_path / f"t{case}")
+        expected: list[tuple] = []
+        next_id = 0
+        n_appends = rng.randint(3, 7)
+        for step in range(n_appends):
+            n = rng.choice([0, 0, 1, 3, 5]) if step else rng.randint(1, 5)
+            rows = [(next_id + i, (next_id + i) % 3) for i in range(n)]
+            next_id += n
+            expected.extend(rows)
+            df = spark.createDataFrame(rows, "id long, p long") if rows \
+                else spark.createDataFrame([], "id long, p long")
+            write_version(
+                df, tdir, append=True,
+                partition_by=["p"] if partitioned else None,
+            )
+            if rng.random() < 0.4:
+                compact_tail(spark, tdir)
+            got = sorted(map(tuple, read_version(spark, tdir).collect()))
+            assert got == sorted(expected), (case, step)
+            v = latest_version(tdir)
+            m = read_manifest(tdir, v)
+            assert m["row_count"] == len(expected), (case, step)
+            for d in m.get("data_dirs") or []:
+                assert os.path.exists(os.path.join(tdir, d)), (case, step, d)
