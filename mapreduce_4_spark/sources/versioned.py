@@ -387,11 +387,18 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
     schema = _scan_schema(manifest)
     col_type = schema[col].dataType
     dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
+    # ONE listing per chain dir, intersected with the wanted values —
+    # O(chain) FS round trips, not O(chain x values) per-path stats.
+    # A probe carrying hundreds of band values against an object store
+    # pays ~one LIST RPC per chain dir this way; the stat-per-pair
+    # alternative is chain x values RPCs (minutes per batch at the
+    # win-regime footprint, SCALE.md round 10).
+    wanted = {f"{col}={v}" for v in partition_values[col]}
     paths = [
-        p
+        os.path.join(table_dir, d, e)
         for d in dirs
-        for v in partition_values[col]
-        if fsio.is_dir(p := os.path.join(table_dir, d, f"{col}={v}"))
+        for e in fsio.listdir(os.path.join(table_dir, d))
+        if e in wanted
     ]
     if not paths:
         return spark.createDataFrame([], schema)

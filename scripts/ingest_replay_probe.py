@@ -154,7 +154,9 @@ def main() -> None:
             per_batch.append(round(time.perf_counter() - t0, 3))
             if b % 20 == 0:
                 print(f"# batch {b}: {per_batch[-1]:.2f}s", file=sys.stderr)
-        early = per_batch[5:26]
+        # short smoke runs don't reach the standard windows — fall back
+        # to halves so the probe still reports a slope
+        early = per_batch[5:26] or per_batch[:max(1, len(per_batch) // 2)]
         late = per_batch[-20:]
         e_mean = sum(early) / len(early)
         l_mean = sum(late) / len(late)
