@@ -144,6 +144,63 @@ def write_text(path: str, text: str) -> None:
         out.close()
 
 
+def create_text_exclusive(path: str, text: str) -> bool:
+    """Create-if-absent — the compare-and-swap a concurrent manifest
+    publish linearizes on. Returns True when this call created the
+    file, False when it already existed (the CAS losing case).
+
+    Atomicity is the filesystem's: POSIX ``O_EXCL`` locally, Hadoop
+    ``create(path, overwrite=false)`` for scheme'd paths — atomic on
+    HDFS and on object stores with conditional-write support (S3
+    since 2024 via If-None-Match, GCS, ABFS); on stores without it the
+    check-then-create window is the same one every lakehouse format
+    documents (Delta needs a LogStore/locking service there). The
+    losing writer's partial stream is cleaned up before returning."""
+    if not _has_scheme(path):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(text)
+        return True
+    fs, P, _ = _fs(path)
+    try:
+        out = fs.create(P(path), False)
+    except Exception as exc:  # py4j surfaces FileAlreadyExistsException
+        if "AlreadyExists" in str(exc):
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def list_child_ages_s(path: str) -> dict[str, float]:
+    """name -> seconds since last modification for every child of
+    ``path`` (one listing call). Units are normalized to seconds on
+    both routes — this is the TTL input for vacuum's staged-dir sweep,
+    unlike ``list_manifest_mtimes`` whose raw per-route units only
+    feed an equality check."""
+    import time
+
+    now = time.time()
+    if not _has_scheme(path):
+        if not os.path.isdir(path):
+            return {}
+        with os.scandir(path) as it:
+            return {e.name: now - e.stat().st_mtime for e in it}
+    fs, P, _ = _fs(path)
+    if not fs.exists(P(path)):
+        return {}
+    return {
+        st.getPath().getName(): now - st.getModificationTime() / 1000.0
+        for st in fs.listStatus(P(path))
+    }
+
+
 def delete(path: str, recursive: bool = False) -> None:
     if not _has_scheme(path):
         import shutil

@@ -9,14 +9,17 @@ Layout:
       _versions/000001.json   {"version", "row_count", "schema", "parent"}
       v=000001/  ...parquet...
 
-Commit protocol: data lands under ``v=N/`` FIRST, the manifest is
-written LAST (rename-free single-file publish) — a reader only sees a
-version once its manifest exists, so a crashed writer leaves garbage
-data but never a readable half-snapshot. That is exactly the
-object-store-safe publish order real table formats use; what they add
-beyond this (optimistic concurrency on the manifest swap, column stats
-for file skipping, compaction) is orthogonal to the read/write surface
-exposed here.
+Commit protocol: data lands FIRST (under ``v=N/``, or under a nonce'd
+``_staged/`` dir for concurrent writers), the manifest is written LAST
+as a create-if-absent — a reader only sees a version once its manifest
+exists, so a crashed writer leaves garbage data but never a readable
+half-snapshot, and two writers can never both believe they published
+the same version. ``write_version`` keeps the simple single-writer
+shape (its CAS losing is a loud VersionConflictError, since under the
+contract it can only mean the contract was broken);
+``write_version_concurrent`` is the multi-writer path — staged data +
+an optimistic manifest-CAS retry loop, the same commit protocol
+Iceberg/Delta run on an object store.
 
 Scale: manifests are O(1) metadata; snapshots are plain parquet
 directories, so reads keep pushdown/pruning, and time travel costs
@@ -45,8 +48,23 @@ from pyspark.sql import DataFrame, SparkSession
 from mapreduce_4_spark.sources import fsio
 
 
+class VersionConflictError(RuntimeError):
+    """Another writer published the version this writer was about to.
+
+    Raised by the single-writer publish paths (write_version,
+    compact_tail) when their manifest CAS loses — under the documented
+    single-writer contract that can only mean the contract was broken,
+    and a loud error beats the silent manifest overwrite (= data loss)
+    it replaces. ``write_version_concurrent`` catches the same losing
+    CAS internally and retries against the new parent instead."""
+
+
 def _versions_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_versions")
+
+
+def _staged_rel(nonce: str) -> str:
+    return os.path.join("_staged", nonce)
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -214,9 +232,120 @@ def write_version(df: DataFrame, table_dir: str,
         "data_dirs": data_dirs,
         **(manifest_extra or {}),
     }
-    # manifest written last = the publish point
-    fsio.write_text(_manifest_path(table_dir, version), json.dumps(manifest))
+    # manifest written last = the publish point; create-exclusive so a
+    # broken single-writer contract fails loudly instead of silently
+    # overwriting another writer's already-published version
+    if not fsio.create_text_exclusive(
+            _manifest_path(table_dir, version), json.dumps(manifest)):
+        raise VersionConflictError(
+            f"version {version} of {table_dir} was published concurrently "
+            "— this table has more than one writer; use "
+            "write_version_concurrent for contending writers"
+        )
     return version
+
+
+def write_version_concurrent(df: DataFrame, table_dir: str,
+                             partition_by: list[str] | None = None,
+                             append: bool = False,
+                             batch_id: int | None = None,
+                             manifest_extra: dict | None = None,
+                             max_retries: int = 20) -> int:
+    """Optimistic-concurrency publish: many uncoordinated writers, no
+    lost updates. Returns the version this writer's snapshot became.
+
+    ``write_version`` is single-writer by contract — two concurrent
+    callers allocate the same version number and the loser now dies on
+    the manifest CAS. This is the multi-writer path the big table
+    formats add on top of the same data-first/manifest-last protocol:
+
+    1. The data is staged ONCE under a nonce'd dir (``_staged/<nonce>``)
+       that no version number depends on — concurrent writers can never
+       collide on a data path, and the expensive part (the cluster
+       write) happens exactly once regardless of contention.
+    2. The commit is a pure-metadata CAS loop: re-read the latest
+       version, build a manifest whose ``data_dirs`` references the
+       staged dir (plus the parent chain for ``append=True``), and
+       publish it with create-if-absent. Losing the CAS costs one
+       manifest-file round trip; the winner's snapshot is re-read and
+       the commit retried against it — Iceberg/Delta's optimistic
+       commit, minus their conflict matrix because the two operations
+       offered here are always mergeable: ``append=True`` commutes with
+       any interleaving (each retry re-chains onto the new head), and
+       full replaces linearize by version order (last writer wins, the
+       loser's snapshot stays readable via time travel).
+
+    Read-modify-write operations (upsert_version, delete_version,
+    compact) stay single-writer: a blind retry there would silently
+    drop the interleaved writer's rows, so their publish fails loudly
+    with VersionConflictError instead and the caller re-runs the whole
+    transform against the new head. Layout writes (bucket_by/sort_by)
+    are whole-table properties and likewise remain maintenance-pass
+    territory — this path publishes plain or hive-partitioned snapshots
+    only.
+
+    Atomicity of the CAS is the filesystem's create-if-absent (see
+    fsio.create_text_exclusive): exact on local FS and HDFS, exact on
+    object stores with conditional writes (S3 If-None-Match, GCS, ABFS).
+
+    A writer that dies after staging but before winning leaves an
+    orphan staged dir that no manifest references; ``vacuum`` sweeps
+    those once they outlive ``staged_ttl_s`` (TTL, not immediacy,
+    because an in-flight writer's staged dir looks identical until its
+    commit lands)."""
+    nonce = uuid.uuid4().hex[:12]
+    staged_rel = _staged_rel(nonce)
+    staged_dir = os.path.join(table_dir, staged_rel)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged_dir)
+    new_rows = fsio.parquet_row_count(staged_dir)
+    fsio.mkdirs(_versions_dir(table_dir))
+    for _attempt in range(max_retries + 1):
+        parent = latest_version(table_dir)
+        version = (parent or 0) + 1
+        parent_dirs: list[str] = []
+        parent_rows = 0
+        if append and parent is not None:
+            pm = read_manifest(table_dir, parent)
+            if pm.get("bucket_by") or pm.get("sort_by"):
+                raise ValueError(
+                    "cannot append to a bucketed/clustered snapshot; "
+                    "compact() first"
+                )
+            if (pm.get("partition_by") or None) != (partition_by or None):
+                raise ValueError(
+                    "append partitioning must match the chain: parent "
+                    f"has partition_by={pm.get('partition_by')!r}, "
+                    f"append got {partition_by!r}"
+                )
+            parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
+            parent_rows = pm["row_count"]
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "row_count": new_rows + (parent_rows if append else 0),
+            "schema": df.schema.jsonValue(),
+            "bucket_by": None,
+            "n_buckets": None,
+            "sort_by": None,
+            "partition_by": partition_by,
+            "batch_id": batch_id,
+            "nonce": nonce,
+            "data_dirs": (parent_dirs + [staged_rel]) if append
+            else [staged_rel],
+            **(manifest_extra or {}),
+        }
+        if fsio.create_text_exclusive(
+                _manifest_path(table_dir, version), json.dumps(manifest)):
+            return version
+        # lost the CAS: someone else published this version — re-read
+        # the new head and retry (metadata-only; the staged data stands)
+    raise VersionConflictError(
+        f"lost the manifest CAS {max_retries + 1} times on {table_dir} — "
+        "contention this hot needs a coordination layer, not more retries"
+    )
 
 
 def _scan_schema(manifest: dict):
@@ -706,12 +835,19 @@ def compact_tail(spark: SparkSession, table_dir: str,
         "data_dirs": new_dirs,
     }
     fsio.mkdirs(_versions_dir(table_dir))
-    fsio.write_text(_manifest_path(table_dir, new_version),
-                    json.dumps(folded_manifest))
+    if not fsio.create_text_exclusive(
+            _manifest_path(table_dir, new_version),
+            json.dumps(folded_manifest)):
+        raise VersionConflictError(
+            f"version {new_version} of {table_dir} was published "
+            "concurrently during compact_tail — fold again from the "
+            "new chain head"
+        )
     return new_version
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
+def vacuum(table_dir: str, keep_last: int = 1,
+           staged_ttl_s: float = 24 * 3600.0) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (data + manifest,
     manifest FIRST so concurrent readers never see a published version
     whose data is disappearing). Returns removed versions.
@@ -725,7 +861,16 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
     the doomed versions' own dirs: a dir kept alive in an earlier
     vacuum by a since-compacted chain manifest has no manifest of its
     own anymore, and a doomed-only sweep would orphan it forever
-    (append -> vacuum -> compact -> vacuum leaked exactly that way)."""
+    (append -> vacuum -> compact -> vacuum leaked exactly that way).
+
+    Staged dirs (write_version_concurrent's nonce'd data) get the same
+    liveness rule plus a TTL: an unreferenced ``_staged/<nonce>`` is
+    either a crashed concurrent writer's garbage or an IN-FLIGHT
+    writer that staged but has not committed yet — the two are
+    indistinguishable from the filesystem, so only dirs older than
+    ``staged_ttl_s`` are swept (the retention-window compromise every
+    lakehouse vacuum makes; set it well above the longest plausible
+    stage-to-commit latency)."""
     import re
 
     if keep_last < 1:
@@ -745,6 +890,11 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[int]:
                 and entry not in live_dirs
                 and fsio.is_dir(os.path.join(table_dir, entry))):
             fsio.delete(os.path.join(table_dir, entry), recursive=True)
+    staged_root = os.path.join(table_dir, "_staged")
+    for name, age in fsio.list_child_ages_s(staged_root).items():
+        if (os.path.join("_staged", name) not in live_dirs
+                and age > staged_ttl_s):
+            fsio.delete(os.path.join(staged_root, name), recursive=True)
     return doomed
 
 
