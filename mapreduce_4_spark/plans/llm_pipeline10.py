@@ -24,9 +24,10 @@ how much compute to spend per stage without changing stage semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce_4_spark.functions.text import sql_words, words
 from mapreduce_4_spark.functions.vectors import as_double
 from mapreduce_4_spark.operators.similarity import decontam_max_cosine
 from mapreduce_4_spark.plans.llm_pipeline8 import (
@@ -74,6 +75,130 @@ _AMP_PROBE_SQL = " UNION ALL ".join(
         for j in range(_DLSH_PLANES)
     ]
 )
+
+
+_SPAN_W = sql_words("text")
+
+#: gram order for span anchoring. 4 measured non-degenerate at every
+#: fixture SF (sf0.01: 1,542 duplicated positions across 233 docs;
+#: 3 floods — 9,907 positions — and 5 collapses onto the ~30 exact-dup
+#: docs). Production pipelines anchor on 40-60-token grams; the plan
+#: shape is n-independent.
+_SPAN_N = 4
+
+
+@register(
+    "exact_span_dedup_docs",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_SPAN_W} AS w FROM documents),
+        pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(list_slice(w, i, i + {_SPAN_N - 1}), ' ')
+                       AS gram
+            FROM t, unnest(range(1, len(w) - {_SPAN_N} + 2)) AS u(i)
+            WHERE len(w) >= {_SPAN_N}
+        ),
+        own AS (
+            SELECT gram, MIN(doc_id) AS owner FROM pos GROUP BY gram
+        ),
+        dup AS (
+            SELECT pos.doc_id, pos.pos, pos.pos + {_SPAN_N - 1} AS e
+            FROM pos JOIN own USING (gram)
+            WHERE pos.doc_id <> own.owner
+        ),
+        flg AS (
+            SELECT doc_id, pos, e,
+                   CASE WHEN pos > COALESCE(MAX(e) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), -2) + 1 THEN 1 ELSE 0 END AS new_span
+            FROM dup
+        ),
+        sp AS (
+            SELECT doc_id, pos, e,
+                   SUM(new_span) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS span_id
+            FROM flg
+        )
+        SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
+               MAX(e) - MIN(pos) + 1 AS span_tokens
+        FROM sp GROUP BY doc_id, span_id
+    """,
+    tags=("pipeline", "text", "dedup"),
+    description="cross-document exact-substring dedup (Lee et al. 2022 "
+                "'Deduplicating Training Data Makes Language Models "
+                "Better', arXiv:2107.06499, at gram granularity): every "
+                f"{_SPAN_N}-token gram occurring in >= 2 distinct docs "
+                "keeps its occurrences only in the min-doc_id owner; all "
+                "other occurrences are REMOVAL intervals, merged per doc "
+                "into maximal token spans (gaps-and-islands over a "
+                "running max-end window). Output is one row per maximal "
+                "duplicated span (doc_id, span_start, span_end, "
+                "span_tokens) — the positional complement of "
+                "dup_ngram_fraction_docs' per-doc fraction, and the "
+                "input a span-trimming rewrite pass consumes",
+)
+def exact_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the same two gram-keyed shuffles as
+    dup_ngram_fraction_docs (gram -> min-doc_id owner agg; positions
+    join back on gram — both key on high-cardinality grams, map-side
+    combine applies, no broadcast of a corpus-sized side), then the
+    interval merge is one doc_id-partitioned window over ONLY the
+    duplicated positions (sf0.01: 1.5k rows from 31k gram positions) —
+    islands via running MAX(end) over preceding rows, so overlapping
+    AND adjacent removal intervals fuse into maximal spans. Nothing is
+    all-pairs; the suffix-array machinery of the paper collapses to
+    hash aggregation because gram anchoring fixes the match length.
+
+    Reference anchor: Map (gram positions) -> Shuffle (gram key) ->
+    Reduce (ownership + merge), asio_deep/main.cpp:216-516 generalized.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    ).filter(F.size("w") >= _SPAN_N)
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (_SPAN_N - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice("w", i, _SPAN_N)).alias("gram"),
+        ),
+    )
+    pos = docs.select(
+        "doc_id", F.explode(gram_structs).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    # "this doc is not the gram's min-doc_id owner" already implies the
+    # gram spans >= 2 distinct docs — no COUNT(DISTINCT) expansion needed
+    own = pos.groupBy("gram").agg(F.min("doc_id").alias("owner"))
+    dup = (
+        pos.join(own, "gram")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos", (F.col("pos") + _SPAN_N - 1).alias("e"))
+    )
+    prev_end = F.max("e").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1, 1)
+        .otherwise(0),
+    )
+    span_id = F.sum("new_span").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("span_id", span_id)
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("e").alias("span_end"),
+            (F.max("e") - F.min("pos") + 1).alias("span_tokens"),
+        )
+        .drop("span_id")
+    )
 
 
 @register(

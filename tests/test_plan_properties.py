@@ -390,3 +390,17 @@ def test_decontam_lsh_amplified_keeps_single_join_plan(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_span_dedup_no_distinct_expand_no_pair_blowup(spark, sf_oracle):
+    """exact_span_dedup_docs' ownership test is a plain MIN aggregate —
+    a COUNT(DISTINCT doc_id) would add an Expand node and double the
+    gram shuffle width for a predicate MIN already implies (doc_id !=
+    owner => >= 2 distinct docs). The join must stay a gram-keyed hash
+    join: no cartesian, no nested loop, no doc x doc pair explosion."""
+    plan = _plan(spark, sf_oracle, "exact_span_dedup_docs")
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # ownership agg combines map-side before its exchange
+    assert re.search(r"HashAggregate.*partial_min", plan), plan
