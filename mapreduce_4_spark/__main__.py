@@ -63,13 +63,16 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "table", help="versioned-table maintenance (history/compact/"
-                      "compact-tail/vacuum)")
+                      "compact-tail/vacuum/stats)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
-                                     "vacuum"])
+                                     "vacuum", "stats"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
     sp.add_argument("--keep-last", type=int, default=1)
+    sp.add_argument("--staged-ttl", type=float, default=24 * 3600.0,
+                    help="seconds before an unreferenced _staged/ dir "
+                         "(crashed concurrent writer) is swept by vacuum")
 
     args = p.parse_args(argv)
 
@@ -84,8 +87,27 @@ def main(argv: list[str] | None = None) -> int:
                 from mapreduce_4_spark.session import get_spark
 
                 get_spark("mapreduce_4_spark-cli-table")
-            removed = vt.vacuum(args.table_dir, keep_last=args.keep_last)
+            removed = vt.vacuum(args.table_dir, keep_last=args.keep_last,
+                                staged_ttl_s=args.staged_ttl)
             print(f"removed versions: {removed or 'none'}")
+            return 0
+        if args.verb == "stats":
+            # metadata-only: the skipping decision a stats-pruned read
+            # makes, shown as the manifest records it
+            if "://" in args.table_dir:
+                from mapreduce_4_spark.session import get_spark
+
+                get_spark("mapreduce_4_spark-cli-table")
+            v = vt.latest_version(args.table_dir)
+            if v is None:
+                print("no published versions")
+                return 1
+            m = vt.read_manifest(args.table_dir, v)
+            print(f"version {v}  stats_for={m.get('stats_for')}")
+            for d, cols in sorted((m.get("col_stats") or {}).items()):
+                spans = ", ".join(f"{c}=[{s[0]!r}, {s[1]!r}]"
+                                  for c, s in sorted(cols.items()))
+                print(f"  {d}: {spans}")
             return 0
         if args.verb == "history":
             from mapreduce_4_spark.session import get_spark

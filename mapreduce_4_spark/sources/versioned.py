@@ -24,7 +24,11 @@ Iceberg/Delta run on an object store.
 Scale: manifests are O(1) metadata; snapshots are plain parquet
 directories, so reads keep pushdown/pruning, and time travel costs
 nothing at write time (old snapshots are simply not deleted until
-``vacuum``).
+``vacuum``). Manifests optionally carry per-data-dir column min/max
+(``stats_for=[...]``) and ``read_version_stats_pruned`` skips whole
+chain dirs from metadata alone — the Iceberg-style skipping layer
+above parquet's row-group stats, carried through maintenance rewrites
+like any other layout contract.
 
 Filesystem routing: every metadata operation goes through
 ``sources/fsio.py`` — plain ``os`` for scheme-less local paths, the
@@ -101,6 +105,64 @@ def _catalog_name(table_dir: str, version: int, nonce: str = "") -> str:
     return f"mr4s_bucketed_{digest}_v{version:06d}"
 
 
+#: column types whose min/max serialize to JSON with ORDER-PRESERVING
+#: comparison semantics: numerics compare as numbers; date/timestamp
+#: cast to their canonical strings, whose lexicographic order equals
+#: time order. DECIMAL is deliberately absent (its string order is not
+#: numeric order, and rounding it to float could round a true min UP —
+#: an unsound skip); cast to double first if approximate stats suffice.
+_STATS_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double",
+                "string", "date", "timestamp", "timestamp_ntz"}
+
+
+def _column_stats(df: DataFrame, cols: list[str]) -> dict:
+    """{col: [min, max]} for ``cols``, from ONE aggregate job over
+    ``df`` — the O(batch) metadata cost a stats-carrying publish pays.
+    All-null/empty input yields [None, None], which readers treat as
+    'unknown' (scan, never skip)."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    exprs = []
+    for c in cols:
+        t = dtypes.get(c)
+        if t not in _STATS_TYPES:
+            raise ValueError(
+                f"col_stats on {c!r}: type {t!r} has no order-preserving "
+                f"JSON form (supported: {sorted(_STATS_TYPES)}) — cast "
+                "first"
+            )
+        mn, mx = F.min(c), F.max(c)
+        if t in ("date", "timestamp", "timestamp_ntz"):
+            mn, mx = mn.cast("string"), mx.cast("string")
+        exprs += [mn.alias(f"mn_{c}"), mx.alias(f"mx_{c}")]
+    row = df.agg(*exprs).first()
+    return {c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in cols}
+
+
+def _check_append_schema(pm: dict, df: DataFrame, table_dir: str) -> None:
+    """Appending into a chain whose manifest schema differs from the
+    new rows' schema is refused LOUDLY: the chain read is one
+    multi-path parquet scan, which silently resolves mixed file
+    schemas from whichever file it samples first — evolved columns
+    would vanish or null out with no error. Schema evolution on this
+    format is a full snapshot (append=False), exactly like the CDC
+    feed's typed-null padding treats it. Nullability is ignored (a
+    parquet scan never yields non-nullable columns); names and types
+    compare positionally."""
+    from pyspark.sql.types import StructType
+
+    want = [(f.name, f.dataType.simpleString())
+            for f in StructType.fromJson(pm["schema"]).fields]
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    if want != got:
+        raise ValueError(
+            f"append schema must match the chain in {table_dir}: parent "
+            f"manifest has {want}, append got {got} — publish a full "
+            "snapshot (append=False) to evolve the schema"
+        )
+
+
 def write_version(df: DataFrame, table_dir: str,
                   bucket_by: list[str] | None = None,
                   n_buckets: int | None = None,
@@ -109,7 +171,8 @@ def write_version(df: DataFrame, table_dir: str,
                   partition_by: list[str] | None = None,
                   batch_id: int | None = None,
                   manifest_extra: dict | None = None,
-                  append: bool = False) -> int:
+                  append: bool = False,
+                  stats_for: list[str] | None = None) -> int:
     """Publish a new immutable snapshot; returns its version number.
 
     With ``bucket_by``/``n_buckets``, the snapshot is hash-bucketed (and
@@ -153,6 +216,17 @@ def write_version(df: DataFrame, table_dir: str,
     standing layout a streaming index wants (see streaming/ingest.py's
     band_hash-partitioned signature index): O(|batch|) writes AND a
     probe that touches only the batch's partitions of the whole chain.
+
+    With ``stats_for=[cols]``, the manifest records per-data-dir
+    min/max for those columns (ONE extra aggregate job over ``df`` —
+    O(batch) on appends) and ``read_version_stats_pruned`` skips whole
+    chain dirs whose range provably misses a predicate — the
+    Iceberg-style metadata-skipping layer above parquet's own
+    row-group stats. Appends INHERIT the chain's stats columns when
+    ``stats_for`` is not given, so a stats-carrying chain keeps
+    collecting without every caller replumbing it; maintenance
+    rewrites carry stats through ``layout_from_manifest`` like any
+    other layout contract.
     """
     if (bucket_by is None) != (n_buckets is None):
         raise ValueError("bucket_by and n_buckets must be given together")
@@ -180,8 +254,17 @@ def write_version(df: DataFrame, table_dir: str,
                 f"partition_by={pm.get('partition_by')!r}, append got "
                 f"{partition_by!r}"
             )
+        _check_append_schema(pm, df, table_dir)
         parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
         parent_rows = pm["row_count"]
+        if stats_for is None:  # a stats-carrying chain keeps collecting
+            stats_for = pm.get("stats_for")
+        parent_stats = {
+            d: s for d, s in (pm.get("col_stats") or {}).items()
+            if d in set(parent_dirs)
+        }
+    else:
+        parent_stats = {}
     data_dir = _data_dir(table_dir, version)
     _reclaim_torn_write(table_dir, version)
     nonce = uuid.uuid4().hex[:12]
@@ -211,6 +294,9 @@ def write_version(df: DataFrame, table_dir: str,
     # (append: parent's manifest count + the new dir's footers)
     row_count = fsio.parquet_row_count(data_dir) + parent_rows
     data_dirs = parent_dirs + [f"v={version:06d}"] if append else None
+    col_stats = dict(parent_stats)
+    if stats_for:
+        col_stats[f"v={version:06d}"] = _column_stats(df, stats_for)
     fsio.mkdirs(_versions_dir(table_dir))
     manifest = {
         "version": version,
@@ -230,6 +316,9 @@ def write_version(df: DataFrame, table_dir: str,
         # append chains: every data dir (relative) this version reads;
         # absent/None for full snapshots
         "data_dirs": data_dirs,
+        # metadata skipping: per-dir min/max for stats_for columns
+        "stats_for": stats_for,
+        "col_stats": col_stats or None,
         **(manifest_extra or {}),
     }
     # manifest written last = the publish point; create-exclusive so a
@@ -250,7 +339,8 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                              append: bool = False,
                              batch_id: int | None = None,
                              manifest_extra: dict | None = None,
-                             max_retries: int = 20) -> int:
+                             max_retries: int = 20,
+                             stats_for: list[str] | None = None) -> int:
     """Optimistic-concurrency publish: many uncoordinated writers, no
     lost updates. Returns the version this writer's snapshot became.
 
@@ -302,11 +392,14 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
     writer.parquet(staged_dir)
     new_rows = fsio.parquet_row_count(staged_dir)
     fsio.mkdirs(_versions_dir(table_dir))
+    my_stats: dict | None = None  # this writer's agg, computed at most once
     for _attempt in range(max_retries + 1):
         parent = latest_version(table_dir)
         version = (parent or 0) + 1
         parent_dirs: list[str] = []
         parent_rows = 0
+        parent_stats: dict = {}
+        eff_stats_for = stats_for
         if append and parent is not None:
             pm = read_manifest(table_dir, parent)
             if pm.get("bucket_by") or pm.get("sort_by"):
@@ -320,8 +413,20 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                     f"has partition_by={pm.get('partition_by')!r}, "
                     f"append got {partition_by!r}"
                 )
+            _check_append_schema(pm, df, table_dir)
             parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
             parent_rows = pm["row_count"]
+            if eff_stats_for is None:  # chains keep collecting stats
+                eff_stats_for = pm.get("stats_for")
+            parent_stats = {
+                d: s for d, s in (pm.get("col_stats") or {}).items()
+                if d in set(parent_dirs)
+            }
+        col_stats = dict(parent_stats)
+        if eff_stats_for:
+            if my_stats is None or set(my_stats) != set(eff_stats_for):
+                my_stats = _column_stats(df, eff_stats_for)
+            col_stats[staged_rel] = my_stats
         manifest = {
             "version": version,
             "parent": parent,
@@ -335,6 +440,8 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
             "nonce": nonce,
             "data_dirs": (parent_dirs + [staged_rel]) if append
             else [staged_rel],
+            "stats_for": eff_stats_for,
+            "col_stats": col_stats or None,
             **(manifest_extra or {}),
         }
         if fsio.create_text_exclusive(
@@ -548,6 +655,83 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
     return scan.select(*[f.name for f in schema.fields])
 
 
+def read_version_stats_pruned(spark: SparkSession, table_dir: str,
+                              col: str, lower=None, upper=None,
+                              version: int | None = None) -> DataFrame:
+    """Range read with manifest-stats DIRECTORY skipping: scan only the
+    chain dirs whose recorded [min, max] for ``col`` intersects
+    [lower, upper] (either bound optional), then apply the exact
+    predicate as a residual filter. Dirs with no stats for ``col``
+    (older appends, all-null batches) are scanned — unknown means
+    conservative, never wrong.
+
+    This is the metadata-skipping layer real table formats put ABOVE
+    parquet's row-group stats: a month-partitioned-by-arrival append
+    chain of 10^3 dirs serves a one-day range query by touching the
+    handful of dirs whose range overlaps it — zero file listings, zero
+    footer reads for the rest, because the decision reads ONLY the one
+    manifest already in hand. Inside the surviving dirs, pushdown
+    continues to parquet footers as usual (the residual filter reaches
+    the scan). Output schema is manifest-pinned like every other read
+    path. Time-ordered data is the textbook fit; for multi-column
+    skipping, write the chain with a z-order key (zorder_interleave)
+    and collect stats on that.
+    """
+    from pyspark.sql import functions as F
+
+    if lower is None and upper is None:
+        raise ValueError("read_version_stats_pruned needs lower or upper")
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published versions in {table_dir}")
+    manifest = read_manifest(table_dir, version)
+
+    def residual(df: DataFrame) -> DataFrame:
+        out = df
+        if lower is not None:
+            out = out.filter(F.col(col) >= F.lit(lower))
+        if upper is not None:
+            out = out.filter(F.col(col) <= F.lit(upper))
+        return out
+
+    if manifest.get("bucket_by"):
+        # one catalog table = one dir; nothing to skip at dir level
+        return residual(read_version(spark, table_dir, version))
+    dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
+    stats = manifest.get("col_stats") or {}
+
+    def touches(d: str) -> bool:
+        ent = (stats.get(d) or {}).get(col)
+        if not ent or ent[0] is None or ent[1] is None:
+            return True
+        mn, mx = ent
+        # date/timestamp stats serialize as canonical strings whose
+        # lexicographic order is time order; normalize bounds likewise
+        lo = (str(lower) if isinstance(mn, str)
+              and not isinstance(lower, (str, type(None))) else lower)
+        hi = (str(upper) if isinstance(mx, str)
+              and not isinstance(upper, (str, type(None))) else upper)
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+        return True
+
+    kept = [os.path.join(table_dir, d) for d in dirs if touches(d)]
+    schema = _scan_schema(manifest)
+    if manifest.get("partition_by"):
+        out = _scan_partitioned_chain(spark, kept, manifest)
+        if out is None:
+            return residual(spark.createDataFrame([], schema))
+    else:
+        paths = [p for p in kept if fsio.has_parquet(p)]
+        if not paths:
+            return residual(spark.createDataFrame([], schema))
+        out = spark.read.parquet(*paths)
+    return residual(out.select(*[f.name for f in schema.fields]))
+
+
 def read_manifest(table_dir: str, version: int) -> dict:
     return json.loads(fsio.read_text(_manifest_path(table_dir, version)))
 
@@ -613,6 +797,10 @@ def layout_from_manifest(manifest: dict) -> dict:
         "n_buckets": manifest.get("n_buckets"),
         "sort_by": sort_by,
         "partition_by": manifest.get("partition_by"),
+        # stats columns are a standing contract like the layout: a
+        # rewrite that dropped them would silently stop metadata
+        # skipping for every downstream stats-pruned read
+        "stats_for": manifest.get("stats_for"),
     }
 
 
@@ -825,6 +1013,18 @@ def compact_tail(spark: SparkSession, table_dir: str,
     new_dirs = base + ([f"v={new_version:06d}"] if rows is not None else [])
     if not new_dirs:
         return None  # keep_base=0 over an all-empty chain: nothing real
+    # stats carry through the fold: base dirs keep their entries, the
+    # folded dir gets a recomputed one (same content as the tail it
+    # replaced, but recomputed rather than min/max-merged so the fold
+    # can only tighten after deletes ever land in a chain)
+    col_stats = {
+        d: s for d, s in (manifest.get("col_stats") or {}).items()
+        if d in set(base)
+    }
+    if manifest.get("stats_for") and rows is not None:
+        col_stats[f"v={new_version:06d}"] = _column_stats(
+            rows, manifest["stats_for"]
+        )
     folded_manifest = {
         **manifest,
         "version": new_version,
@@ -833,6 +1033,7 @@ def compact_tail(spark: SparkSession, table_dir: str,
         "batch_id": None,
         "nonce": uuid.uuid4().hex[:12],
         "data_dirs": new_dirs,
+        "col_stats": col_stats or None,
     }
     fsio.mkdirs(_versions_dir(table_dir))
     if not fsio.create_text_exclusive(

@@ -197,3 +197,38 @@ def test_cli_table_maintenance_verbs(spark, sf_smoke, tmp_path, capsys):
     assert "removed versions: [1, 2, 3, 4]" in capsys.readouterr().out
     assert latest_version(tdir) == 5
     assert read_version(spark, tdir).count() == n
+
+
+def test_cli_table_stats_verb_and_staged_ttl(spark, tmp_path, capsys):
+    """table stats shows the manifest's per-dir skipping metadata;
+    vacuum --staged-ttl 0 sweeps a crashed concurrent writer's orphan
+    immediately (the default TTL would keep it)."""
+    import os
+
+    from mapreduce_4_spark.sources.versioned import (
+        write_version,
+        write_version_concurrent,
+    )
+
+    tdir = str(tmp_path / "t")
+    for s in (0, 100):
+        write_version(spark.range(s, s + 5).withColumnRenamed("id", "k"),
+                      tdir, append=True, stats_for=["k"])
+    assert main(["table", "stats", tdir]) == 0
+    out = capsys.readouterr().out
+    assert "stats_for=['k']" in out
+    assert "v=000001: k=[0, 4]" in out and "v=000002: k=[100, 104]" in out
+
+    orphan = os.path.join(tdir, "_staged", "deadbeef0000")
+    spark.range(3).write.parquet(orphan)
+    assert main(["table", "vacuum", tdir, "--keep-last", "1"]) == 0
+    capsys.readouterr()
+    assert os.path.isdir(orphan)  # default TTL keeps the fresh orphan
+    assert main(["table", "vacuum", tdir, "--keep-last", "1",
+                 "--staged-ttl", "0"]) == 0
+    assert not os.path.exists(orphan)
+    # a stats-less table reports cleanly too
+    t2 = str(tmp_path / "t2")
+    write_version_concurrent(spark.range(2).withColumnRenamed("id", "k"), t2)
+    assert main(["table", "stats", t2]) == 0
+    assert "stats_for=None" in capsys.readouterr().out

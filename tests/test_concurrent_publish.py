@@ -197,3 +197,35 @@ def test_concurrent_append_refuses_laid_out_parent(spark, tmp_path):
             _ks(spark, 10, 2).withColumn("band", F.lit(0)), tdir,
             partition_by=["band"], append=True,
         )
+
+
+def test_threaded_writers_all_land_without_lost_updates(spark, tmp_path):
+    """Six genuinely concurrent threads (real CAS races, nothing
+    injected) each append a disjoint key range; every batch must land
+    exactly once — the no-lost-updates guarantee under contention."""
+    import threading
+
+    tdir = str(tmp_path / "t")
+    errors: list[Exception] = []
+
+    def writer(start):
+        try:
+            write_version_concurrent(_ks(spark, start, 3), tdir,
+                                     append=True)
+        except Exception as exc:  # surface in the main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(s,))
+               for s in range(0, 600, 100)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert latest_version(tdir) == 6
+    got = sorted(r["k"] for r in read_version(spark, tdir).collect())
+    assert got == sorted(
+        k for s in range(0, 600, 100) for k in range(s, s + 3)
+    )
+    # every intermediate version is itself a consistent snapshot
+    assert read_manifest(tdir, 6)["row_count"] == 18

@@ -1,0 +1,158 @@
+"""Manifest column stats + stats-pruned reads: per-dir min/max recorded
+at publish time, whole chain dirs skipped when their range provably
+misses a predicate — the metadata-skipping layer above parquet's own
+row-group stats. Skipping is proven on the returned scan's actual
+input-file list, correctness against the unpruned filter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_4_spark.sources.versioned import (
+    compact_tail,
+    read_manifest,
+    read_version,
+    read_version_stats_pruned,
+    upsert_version,
+    write_version,
+    write_version_concurrent,
+)
+
+
+def _ks(spark, start, n):
+    return spark.range(start, start + n).withColumnRenamed("id", "k")
+
+
+def _dirs_touched(df) -> set[str]:
+    return {f.rsplit("/", 2)[-2] if "/band=" in f else f.rsplit("/", 2)[-2]
+            for f in df.inputFiles()}
+
+
+def _chain(spark, tdir, stats=True):
+    for start in (0, 100, 200):
+        write_version(_ks(spark, start, 10), tdir, append=True,
+                      stats_for=["k"] if (stats and start == 0) else None)
+
+
+def test_stats_skip_dirs_and_match_unpruned_filter(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)
+    # appends INHERIT the chain's stats columns — every dir has an entry
+    m = read_manifest(tdir, 3)
+    assert m["stats_for"] == ["k"]
+    assert set(m["col_stats"]) == {"v=000001", "v=000002", "v=000003"}
+    assert m["col_stats"]["v=000002"]["k"] == [100, 109]
+
+    got = read_version_stats_pruned(spark, tdir, "k", lower=100, upper=105)
+    files = got.inputFiles()
+    assert files and all("v=000002" in f for f in files), files
+    want = read_version(spark, tdir).filter("k between 100 and 105")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    # single-bound reads prune too
+    hi = read_version_stats_pruned(spark, tdir, "k", lower=200)
+    assert all("v=000003" in f for f in hi.inputFiles())
+    assert hi.count() == 10
+
+
+def test_empty_intersection_returns_manifest_schema(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)
+    got = read_version_stats_pruned(spark, tdir, "k", lower=500, upper=600)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k"]
+
+
+def test_dirs_without_stats_are_scanned_not_skipped(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    # v1 published before anyone asked for stats; v2 starts collecting
+    write_version(_ks(spark, 0, 10), tdir, append=True)
+    write_version(_ks(spark, 100, 10), tdir, append=True, stats_for=["k"])
+    m = read_manifest(tdir, 2)
+    assert set(m["col_stats"]) == {"v=000002"}
+    got = read_version_stats_pruned(spark, tdir, "k", lower=0, upper=5)
+    # v1 has no stats -> conservatively scanned; v2 provably misses
+    assert all("v=000001" in f for f in got.inputFiles())
+    assert got.count() == 6
+
+
+def test_date_stats_prune_with_string_order(spark, tmp_path):
+    import datetime
+
+    tdir = str(tmp_path / "t")
+    for start in (0, 100):
+        df = _ks(spark, start, 10).withColumn(
+            "d", F.date_add(F.to_date(F.lit("2026-01-01")),
+                            F.col("k").cast("int"))
+        )
+        write_version(df, tdir, append=True, stats_for=["d"])
+    m = read_manifest(tdir, 2)
+    assert m["col_stats"]["v=000002"]["d"] == ["2026-04-11", "2026-04-20"]
+    got = read_version_stats_pruned(
+        spark, tdir, "d",
+        lower=datetime.date(2026, 4, 12), upper=datetime.date(2026, 4, 14),
+    )
+    assert all("v=000002" in f for f in got.inputFiles())
+    assert got.count() == 3
+
+
+def test_partitioned_chain_stats_prune_compose(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    for start in (0, 100):
+        df = _ks(spark, start, 10).withColumn("band", F.col("k") % 2)
+        write_version(df, tdir, append=True, partition_by=["band"],
+                      stats_for=["k"])
+    got = read_version_stats_pruned(spark, tdir, "k", lower=0, upper=50)
+    assert got.count() == 10
+    assert all("v=000001" in f for f in got.inputFiles())
+    assert dict(got.dtypes)["band"] == "bigint"  # manifest-pinned type
+
+
+def test_maintenance_rewrites_carry_stats(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    write_version(_ks(spark, 0, 10), tdir, stats_for=["k"])
+    v2 = upsert_version(spark, tdir, _ks(spark, 5, 10), key="k")
+    m = read_manifest(tdir, v2)
+    assert m["stats_for"] == ["k"]
+    assert m["col_stats"][f"v={v2:06d}"]["k"] == [0, 14]
+
+
+def test_compact_tail_refreshes_folded_stats(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    for start in (0, 100, 200, 300):
+        write_version(_ks(spark, start, 10), tdir, append=True,
+                      stats_for=["k"] if start == 0 else None)
+    v = compact_tail(spark, tdir, keep_base=1)
+    m = read_manifest(tdir, v)
+    assert set(m["col_stats"]) == {"v=000001", f"v={v:06d}"}
+    assert m["col_stats"][f"v={v:06d}"]["k"] == [100, 309]
+    got = read_version_stats_pruned(spark, tdir, "k", lower=0, upper=9)
+    assert all("v=000001" in f for f in got.inputFiles())
+    assert got.count() == 10
+
+
+def test_concurrent_publish_collects_and_prunes_stats(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    write_version_concurrent(_ks(spark, 0, 10), tdir, append=True,
+                             stats_for=["k"])
+    write_version_concurrent(_ks(spark, 100, 10), tdir, append=True)
+    m = read_manifest(tdir, 2)
+    assert m["stats_for"] == ["k"]
+    assert len(m["col_stats"]) == 2
+    got = read_version_stats_pruned(spark, tdir, "k", lower=100)
+    assert got.count() == 10
+    assert all("_staged" in f for f in got.inputFiles())
+    touched = {f.rsplit("/", 2)[-2] for f in got.inputFiles()}
+    assert len(touched) == 1
+
+
+def test_unorderable_type_refused_and_bounds_required(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    df = _ks(spark, 0, 3).withColumn("dec", F.col("k").cast("decimal(10,2)"))
+    with pytest.raises(ValueError, match="order-preserving"):
+        write_version(df, tdir, stats_for=["dec"])
+    write_version(df, tdir, stats_for=["k"])
+    with pytest.raises(ValueError, match="lower or upper"):
+        read_version_stats_pruned(spark, tdir, "k")

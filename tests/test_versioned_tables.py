@@ -972,3 +972,30 @@ def test_compact_tail_fuzz_content_invariant(spark, tmp_path):
             assert m["row_count"] == len(expected), (case, step)
             for d in m.get("data_dirs") or []:
                 assert os.path.exists(os.path.join(tdir, d)), (case, step, d)
+
+
+def test_append_refuses_schema_drift(spark, tmp_path):
+    """A drifted append would silently corrupt the chain's multi-path
+    read (parquet resolves mixed file schemas from whichever file it
+    samples), so both publish paths refuse it loudly; schema evolution
+    is a full snapshot."""
+    from mapreduce_4_spark.sources.versioned import write_version_concurrent
+
+    tdir = str(tmp_path / "t")
+    base = spark.range(5).withColumnRenamed("id", "k")
+    write_version(base, tdir, append=True)
+    with pytest.raises(ValueError, match="append schema must match"):
+        write_version(base.withColumn("extra", F.lit(1)), tdir, append=True)
+    with pytest.raises(ValueError, match="append schema must match"):
+        write_version(base.withColumn("k", F.col("k").cast("int")), tdir,
+                      append=True)
+    with pytest.raises(ValueError, match="append schema must match"):
+        write_version_concurrent(base.withColumn("extra", F.lit(1)), tdir,
+                                 append=True)
+    # same names+types (nullability-insensitive) still appends fine,
+    # and a FULL snapshot evolves the schema + restarts the chain
+    write_version(base.filter("k >= 3"), tdir, append=True)
+    v = write_version(base.withColumn("extra", F.lit(1)), tdir)
+    from mapreduce_4_spark.sources.versioned import read_version as rv
+
+    assert "extra" in rv(spark, tdir, version=v).columns
