@@ -656,14 +656,19 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
 
 
 def read_version_stats_pruned(spark: SparkSession, table_dir: str,
-                              col: str, lower=None, upper=None,
-                              version: int | None = None) -> DataFrame:
+                              col: str | None = None, lower=None, upper=None,
+                              version: int | None = None,
+                              where: dict | None = None) -> DataFrame:
     """Range read with manifest-stats DIRECTORY skipping: scan only the
-    chain dirs whose recorded [min, max] for ``col`` intersects
-    [lower, upper] (either bound optional), then apply the exact
-    predicate as a residual filter. Dirs with no stats for ``col``
-    (older appends, all-null batches) are scanned — unknown means
-    conservative, never wrong.
+    chain dirs whose recorded [min, max] intersects the requested
+    range(s), then apply the exact predicate as a residual filter.
+    Single-column form: ``col`` + ``lower``/``upper`` (either bound
+    optional). Multi-column form: ``where={col: (lower, upper), ...}``
+    — the ranges AND together, so a dir is skipped when ANY column's
+    recorded range provably misses its bound (the conjunctive-skipping
+    rule Iceberg/Delta apply). Dirs with no stats for a column (older
+    appends, all-null batches) pass that column's check — unknown
+    means conservative, never wrong.
 
     This is the metadata-skipping layer real table formats put ABOVE
     parquet's row-group stats: a month-partitioned-by-arrival append
@@ -673,13 +678,21 @@ def read_version_stats_pruned(spark: SparkSession, table_dir: str,
     manifest already in hand. Inside the surviving dirs, pushdown
     continues to parquet footers as usual (the residual filter reaches
     the scan). Output schema is manifest-pinned like every other read
-    path. Time-ordered data is the textbook fit; for multi-column
-    skipping, write the chain with a z-order key (zorder_interleave)
-    and collect stats on that.
+    path. Time-ordered data is the textbook fit for one column;
+    multi-column boxes want the chain written in a z-order layout
+    (zorder_interleave) so both columns' per-dir ranges stay narrow —
+    pinned by the compose test in tests/test_stats_pruning.py.
     """
     from pyspark.sql import functions as F
 
-    if lower is None and upper is None:
+    if (col is None) == (where is None):
+        raise ValueError(
+            "read_version_stats_pruned takes either col (+ lower/upper) "
+            "or where={col: (lower, upper)}, not both"
+        )
+    if col is not None:
+        where = {col: (lower, upper)}
+    if all(lo is None and hi is None for lo, hi in where.values()):
         raise ValueError("read_version_stats_pruned needs lower or upper")
     if version is None:
         version = latest_version(table_dir)
@@ -689,10 +702,11 @@ def read_version_stats_pruned(spark: SparkSession, table_dir: str,
 
     def residual(df: DataFrame) -> DataFrame:
         out = df
-        if lower is not None:
-            out = out.filter(F.col(col) >= F.lit(lower))
-        if upper is not None:
-            out = out.filter(F.col(col) <= F.lit(upper))
+        for c, (lo, hi) in where.items():
+            if lo is not None:
+                out = out.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(c) <= F.lit(hi))
         return out
 
     if manifest.get("bucket_by"):
@@ -702,20 +716,23 @@ def read_version_stats_pruned(spark: SparkSession, table_dir: str,
     stats = manifest.get("col_stats") or {}
 
     def touches(d: str) -> bool:
-        ent = (stats.get(d) or {}).get(col)
-        if not ent or ent[0] is None or ent[1] is None:
-            return True
-        mn, mx = ent
-        # date/timestamp stats serialize as canonical strings whose
-        # lexicographic order is time order; normalize bounds likewise
-        lo = (str(lower) if isinstance(mn, str)
-              and not isinstance(lower, (str, type(None))) else lower)
-        hi = (str(upper) if isinstance(mx, str)
-              and not isinstance(upper, (str, type(None))) else upper)
-        if lo is not None and mx < lo:
-            return False
-        if hi is not None and mn > hi:
-            return False
+        for c, (lower_c, upper_c) in where.items():
+            ent = (stats.get(d) or {}).get(c)
+            if not ent or ent[0] is None or ent[1] is None:
+                continue  # unknown stats pass this column's check
+            mn, mx = ent
+            # date/timestamp stats serialize as canonical strings whose
+            # lexicographic order is time order; normalize bounds too
+            lo = (str(lower_c) if isinstance(mn, str)
+                  and not isinstance(lower_c, (str, type(None)))
+                  else lower_c)
+            hi = (str(upper_c) if isinstance(mx, str)
+                  and not isinstance(upper_c, (str, type(None)))
+                  else upper_c)
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
         return True
 
     kept = [os.path.join(table_dir, d) for d in dirs if touches(d)]

@@ -156,3 +156,62 @@ def test_unorderable_type_refused_and_bounds_required(spark, tmp_path):
     write_version(df, tdir, stats_for=["k"])
     with pytest.raises(ValueError, match="lower or upper"):
         read_version_stats_pruned(spark, tdir, "k")
+
+
+def _morton4(xc, yc):
+    z = F.lit(0).cast("bigint")
+    for i in range(4):
+        z = z + F.shiftleft(F.shiftright(xc, i).bitwiseAND(1), 2 * i)
+        z = z + F.shiftleft(F.shiftright(yc, i).bitwiseAND(1), 2 * i + 1)
+    return z
+
+
+def test_multi_column_where_ands_and_zorder_layout_composes(spark, tmp_path):
+    """where={a: .., b: ..} skips a dir when ANY column's range provably
+    misses (conjunctive skipping), and a z-ordered chain keeps BOTH
+    columns' per-dir ranges narrow where an arrival-ordered chain keeps
+    only its sort column's — the multi-column skipping story SCALE.md
+    claims, pinned on actual touched-dir counts."""
+    pts = spark.range(256).select(
+        (F.col("id") % 16).alias("x"),
+        (F.col("id") / 16).cast("bigint").alias("y"),
+    ).withColumn("z", _morton4(F.col("x"), F.col("y")))
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    for q in range(4):
+        # chain A: arrival-ordered by x — each dir spans ALL of y
+        write_version(
+            pts.filter((F.col("x") >= q * 4) & (F.col("x") < (q + 1) * 4)),
+            a_dir, append=True, stats_for=["x", "y"],
+        )
+        # chain B: z-ordered — each dir is one Morton quadrant, so both
+        # x and y ranges are half the domain
+        write_version(
+            pts.filter((F.col("z") >= q * 64) & (F.col("z") < (q + 1) * 64)),
+            b_dir, append=True, stats_for=["x", "y"],
+        )
+
+    def dirs_touched(df):
+        return {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
+
+    # a 2-D box: the AND rule isolates ONE Morton quadrant
+    box = {"x": (1, 2), "y": (9, 10)}
+    got = read_version_stats_pruned(spark, b_dir, where=box)
+    assert len(dirs_touched(got)) == 1
+    want = read_version(spark, b_dir).filter(
+        "x between 1 and 2 and y between 9 and 10")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
+
+    # a y-only band: the x-ordered chain cannot skip anything (every
+    # dir spans all of y); the z-ordered chain halves the work
+    band = {"y": (1, 2)}
+    a_touch = dirs_touched(read_version_stats_pruned(spark, a_dir,
+                                                     where=band))
+    b_touch = dirs_touched(read_version_stats_pruned(spark, b_dir,
+                                                     where=band))
+    assert len(a_touch) == 4 and len(b_touch) == 2
+
+    with pytest.raises(ValueError, match="not both"):
+        read_version_stats_pruned(spark, b_dir, "x", lower=0,
+                                  where={"y": (0, 1)})
