@@ -79,6 +79,135 @@ _AMP_PROBE_SQL = " UNION ALL ".join(
 
 _SPAN_W = sql_words("text")
 
+#: TextRank fixed-point scale and iteration count. Integer arithmetic
+#: makes every iteration bit-exact across engines (float PageRank would
+#: drift in the last ulp through order-dependent double sums); 6
+#: iterations is past the fixture graph's convergence knee, and the
+#: unrolled-plan cost is linear in it.
+_TR_SCALE = 10 ** 12
+_TR_ITERS = 6
+
+
+def _textrank_oracle() -> str:
+    """Unrolled-iteration DuckDB twin: the same fixed-point PageRank,
+    one CTE per iteration, generated so engine and oracle can never
+    disagree on the iteration count or the damping arithmetic
+    (d=0.85 as the exact rationals 17/20 and 3/20)."""
+    head = f"""
+        t AS (SELECT doc_id, {_SPAN_W} AS w FROM documents),
+        adj AS (
+            SELECT least(w[i], w[i+1]) AS a, greatest(w[i], w[i+1]) AS b
+            FROM t, unnest(range(1, len(w))) AS u(i)
+            WHERE len(w) >= 2 AND w[i] <> w[i+1]
+        ),
+        und AS (SELECT a, b, COUNT(*) AS w FROM adj GROUP BY a, b),
+        edges0 AS (
+            SELECT a AS src, b AS dst, w FROM und
+            UNION ALL
+            SELECT b AS src, a AS dst, w FROM und
+        ),
+        deg AS (SELECT src, SUM(w) AS wdeg FROM edges0 GROUP BY src),
+        edges AS (SELECT e.src, e.dst, e.w, d.wdeg
+                  FROM edges0 e JOIN deg d USING (src)),
+        nodes AS (SELECT DISTINCT src AS node FROM edges0),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, CAST({_TR_SCALE} // (SELECT n FROM nn)
+                            AS BIGINT) AS rank FROM nodes)
+    """
+    iters = "".join(f""",
+        r{i} AS (
+            SELECT e.dst AS node,
+                   CAST((3 * {_TR_SCALE}) // (20 * (SELECT n FROM nn))
+                        + (17 * SUM((r.rank * e.w) // e.wdeg)) // 20
+                        AS BIGINT) AS rank
+            FROM edges e JOIN r{i - 1} r ON r.node = e.src
+            GROUP BY e.dst
+        )""" for i in range(1, _TR_ITERS + 1))
+    return (f"WITH {head}{iters} "
+            f"SELECT node AS token, rank AS rank_fp FROM r{_TR_ITERS} "
+            f"ORDER BY rank_fp DESC, token LIMIT 15")
+
+
+@register(
+    "textrank_keywords_docs",
+    oracle=_textrank_oracle(),
+    tags=("pipeline", "text", "graph"),
+    description="TextRank keyword extraction (Mihalcea & Tarau 2004): "
+                f"PageRank (d=0.85, {_TR_ITERS} iterations) over the "
+                "corpus token co-occurrence graph (undirected adjacent-"
+                "pair edges, co-occurrence-count weights), run in FIXED-"
+                "POINT integer arithmetic (scale 10^12, damping as the "
+                "exact rationals 17/20 + 3/20, per-edge integer floor "
+                "division) so every iteration is bit-exact across "
+                "engines where float PageRank would drift through order-"
+                "dependent double sums. Top 15 tokens by final rank — "
+                "the iterative-graph-algorithm surface beyond the "
+                "recursive-CTE family, fully oracled via generated "
+                "unrolled-iteration SQL",
+)
+def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the corpus pass (adjacent-pair explode + count
+    aggregate) is the only data-sized stage and it is one gram-keyed
+    shuffle; everything after runs on the VOCABULARY graph, which is
+    bounded by token diversity, not corpus size — at 100 TB the
+    iterations cost the same as at 100 MB. Each unrolled iteration is
+    the canonical distributed PageRank step (ranks join edges on src,
+    integer contributions aggregate by dst); the whole run is ONE
+    declarative Catalyst plan, no driver loop state, no actions at
+    plan-construction time. Spark arrays index from 0 (DuckDB lists
+    from 1) — both sides pair positions (i, i+1) over the same range.
+
+    Reference anchor: iterates the reference's Map -> Shuffle -> Reduce
+    contract (asio_deep/main.cpp:216-516) to a fixpoint, the step its
+    single-pass pipeline cannot express.
+
+    Fixture-scale wall-clock (~3.5s at sf0.1, the registry's slowest)
+    is stage-SCHEDULING-bound — ~30 tiny shuffles across 6 unrolled
+    iterations over a 31-node graph — not data-bound: the corpus-sized
+    work is one adjacent-pair aggregate (~0.3s alone). At production
+    scale the same plan amortizes: iteration cost stays
+    vocabulary-sized while the corpus pass grows, so the overhead
+    ratio inverts.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        words("text").alias("w")
+    ).filter(F.size("w") >= 2)
+    pairs = docs.select(F.explode(F.expr(
+        "transform(sequence(0, size(w) - 2), "
+        "i -> struct(least(w[i], w[i+1]) AS a, "
+        "greatest(w[i], w[i+1]) AS b))"
+    )).alias("p")).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
+    und = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    edges0 = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    deg = edges0.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    edges = edges0.join(deg, "src")
+    nodes = edges0.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"CAST({_TR_SCALE} div n AS BIGINT)").alias("rank")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = edges.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("(rank * w) div wdeg").alias("c"))
+        ranks = (
+            contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"CAST((3 * {_TR_SCALE}) div (20 * n) "
+                       f"+ (17 * s) div 20 AS BIGINT)").alias("rank"),
+            )
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), "node").limit(15)
+        .select(F.col("node").alias("token"), F.col("rank").alias("rank_fp"))
+    )
+
 #: gram order for span anchoring. 4 measured non-degenerate at every
 #: fixture SF (sf0.01: 1,542 duplicated positions across 233 docs;
 #: 3 floods — 9,907 positions — and 5 collapses onto the ~30 exact-dup
