@@ -201,6 +201,42 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
     finally:
         shutil.rmtree(tmp2, ignore_errors=True)
 
+    # manifest-stats dir skipping on an append chain: the same narrow
+    # o_orderkey range read as a full chain scan + filter (every dir's
+    # files listed and footer-read) and through
+    # read_version_stats_pruned (whole dirs skipped from the manifest
+    # alone). 24 dirs at local-FS latency keeps the absolute delta
+    # modest — the term that scales is touched dirs (24 -> 1, one LIST
+    # + footer GETs per dir on an object store); the arm pins the
+    # mechanics and re-measures them every round.
+    from mapreduce_4_spark.sources.versioned import read_version_stats_pruned
+
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice")
+    tmp2b = tempfile.mkdtemp(prefix="bench_statschain_")
+    try:
+        okmax = 6_000_000  # sf0.1 orderkey space; slices stay disjoint
+        step = okmax // 24
+        for i in range(24):
+            write_version(
+                od.filter((F.col("o_orderkey") >= i * step)
+                          & (F.col("o_orderkey") < (i + 1) * step))
+                .coalesce(2),
+                f"{tmp2b}/chain", append=True,
+                stats_for=["o_orderkey"] if i == 0 else None,
+            )
+        lo2 = 12 * step + 100
+        _timed(timings, "ab_chain_scan_full",
+               read_version(spark, f"{tmp2b}/chain").filter(
+                   (F.col("o_orderkey") >= lo2)
+                   & (F.col("o_orderkey") <= lo2 + 2000)))
+        _timed(timings, "ab_chain_stats_pruned",
+               read_version_stats_pruned(
+                   spark, f"{tmp2b}/chain", "o_orderkey",
+                   lower=lo2, upper=lo2 + 2000))
+    finally:
+        shutil.rmtree(tmp2b, ignore_errors=True)
+
     # z-order vs single-column sort for a TWO-dimension predicate: the
     # same events snapshot written sorted on user_id only and sorted on
     # the 16-bit Morton interleave of (user_id & 255, props.k). The

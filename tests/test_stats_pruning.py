@@ -24,11 +24,6 @@ def _ks(spark, start, n):
     return spark.range(start, start + n).withColumnRenamed("id", "k")
 
 
-def _dirs_touched(df) -> set[str]:
-    return {f.rsplit("/", 2)[-2] if "/band=" in f else f.rsplit("/", 2)[-2]
-            for f in df.inputFiles()}
-
-
 def _chain(spark, tdir, stats=True):
     for start in (0, 100, 200):
         write_version(_ks(spark, start, 10), tdir, append=True,
@@ -215,3 +210,35 @@ def test_multi_column_where_ands_and_zorder_layout_composes(spark, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         read_version_stats_pruned(spark, b_dir, "x", lower=0,
                                   where={"y": (0, 1)})
+
+
+def test_fuzz_pruned_read_equals_full_filter(spark, tmp_path):
+    """Seeded fuzz: random overlapping chains, random (or open) bounds —
+    the stats-pruned read must equal the full-scan filter exactly, no
+    matter how the dir ranges and the probe interact. Skipping may only
+    ever remove work, never rows."""
+    import random
+
+    rng = random.Random(100)
+    for case in range(4):
+        tdir = str(tmp_path / f"t{case}")
+        lo_all = []
+        for _ in range(rng.randint(2, 4)):
+            start = rng.randint(0, 80)
+            n = rng.randint(1, 25)
+            lo_all += list(range(start, start + n))
+            write_version(_ks(spark, start, n), tdir, append=True,
+                          stats_for=["k"])
+        for _ in range(3):
+            lo = rng.choice([None, rng.randint(-5, 90)])
+            hi = rng.choice([None, rng.randint(-5, 110)])
+            if lo is None and hi is None:
+                lo = 0
+            got = sorted(
+                r["k"] for r in read_version_stats_pruned(
+                    spark, tdir, "k", lower=lo, upper=hi).collect()
+            )
+            want = sorted(k for k in lo_all
+                          if (lo is None or k >= lo)
+                          and (hi is None or k <= hi))
+            assert got == want, (case, lo, hi)
