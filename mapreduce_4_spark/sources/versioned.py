@@ -729,10 +729,17 @@ def read_version_stats_pruned(spark: SparkSession, table_dir: str,
             hi = (str(upper_c) if isinstance(mx, str)
                   and not isinstance(upper_c, (str, type(None)))
                   else upper_c)
-            if lo is not None and mx < lo:
-                return False
-            if hi is not None and mn > hi:
-                return False
+            try:
+                if lo is not None and mx < lo:
+                    return False
+                if hi is not None and mn > hi:
+                    return False
+            except TypeError:
+                # incomparable bound (e.g. a string bound against
+                # numeric stats): skipping would be a guess — scan.
+                # The residual Spark filter still applies the
+                # predicate with SQL cast semantics.
+                continue
         return True
 
     kept = [os.path.join(table_dir, d) for d in dirs if touches(d)]

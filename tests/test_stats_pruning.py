@@ -242,3 +242,14 @@ def test_fuzz_pruned_read_equals_full_filter(spark, tmp_path):
                           if (lo is None or k >= lo)
                           and (hi is None or k <= hi))
             assert got == want, (case, lo, hi)
+
+
+def test_incomparable_bound_scans_instead_of_crashing(spark, tmp_path):
+    """A bound the stored stats can't be compared against (string vs
+    numeric) must degrade to a scan with the residual filter's SQL cast
+    semantics, never a driver TypeError."""
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)
+    got = read_version_stats_pruned(spark, tdir, "k",
+                                    lower="100", upper="105")
+    assert sorted(r["k"] for r in got.collect()) == list(range(100, 106))
