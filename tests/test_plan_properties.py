@@ -404,3 +404,21 @@ def test_span_dedup_no_distinct_expand_no_pair_blowup(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
     # ownership agg combines map-side before its exchange
     assert re.search(r"HashAggregate.*partial_min", plan), plan
+
+
+def test_textrank_iterations_stay_hash_joins(spark, sf_oracle):
+    """The unrolled PageRank iterations must stay vocabulary-keyed hash
+    joins with the one-row node count BROADCAST — a cartesian or
+    nested-loop anywhere in the 6-iteration DAG would blow up with the
+    graph, and a shuffled 1-row count would add 6 pointless
+    exchanges."""
+    plan = _plan(spark, sf_oracle, "textrank_keywords_docs")
+    assert "CartesianProduct" not in plan
+    # the one BNLJ family present is the deliberate 1-row count
+    # broadcast (same bounded-side precedent as the exact decontam
+    # tier); rank ⋈ edges itself must never appear as a nested loop,
+    # which the 1-row bound guarantees: every BNLJ here has the
+    # broadcast(nn) aggregate as its build side
+    assert plan.count("BroadcastNestedLoopJoin") >= 1
+    # top-15 is a TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
