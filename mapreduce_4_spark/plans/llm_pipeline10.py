@@ -330,6 +330,171 @@ def exact_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed-point k-means knobs. Quantizing each coordinate to
+#: floor((x + 1) * 10^6) makes every distance, sum, and floor-division
+#: centroid update exact integer arithmetic — bit-identical across
+#: engines regardless of summation order, where float Lloyd would drift
+#: through order-dependent double accumulation. The +1 offset keeps all
+#: quantized coordinates positive (fixture range is (-0.53, 0.46)), so
+#: Spark's `div` and DuckDB's `//` (both truncate toward zero) can never
+#: disagree on a negative centroid sum.
+_KM_K = 8
+_KM_ITERS = 3
+_KM_SCALE = 10 ** 6
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-iteration DuckDB twin of the seeded fixed-point Lloyd
+    run: one assignment CTE + one update CTE per iteration, generated
+    from the same constants as the Spark plan so the two can never
+    disagree on K, the iteration count, or the quantization."""
+    head = f"""
+        e AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR((x + 1.0) * {_KM_SCALE}) AS BIGINT))
+                       AS q
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT k, q AS c FROM (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                            AS BIGINT) AS k, q
+                FROM e
+            ) WHERE k < {_KM_K}
+        )
+    """
+    dist2 = ("CAST(list_sum(list_transform(range(1, {dim} + 1), "
+             "i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS BIGINT)"
+             ).format(dim=_DIM)
+    step = """,
+        a{i} AS (
+            SELECT vec_id, q, k, dist2 FROM (
+                SELECT vec_id, q, k, dist2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist2, k) AS rn
+                FROM (SELECT e.vec_id, e.q, c.k, {dist2} AS dist2
+                      FROM e CROSS JOIN c{prev} c)
+            ) WHERE rn = 1
+        ),
+        u{i} AS (
+            SELECT k, u.d AS d,
+                   CAST(SUM(q[u.d]) // COUNT(*) AS BIGINT) AS cd
+            FROM a{i}, unnest(range(1, {dim} + 1)) AS u(d)
+            GROUP BY k, u.d
+        ),
+        c{i} AS (
+            SELECT c{prev}.k, COALESCE(n.c, c{prev}.c) AS c
+            FROM c{prev} LEFT JOIN (
+                SELECT k, list(cd ORDER BY d) AS c FROM u{i} GROUP BY k
+            ) n USING (k)
+        )"""
+    iters = "".join(
+        step.format(i=i, prev=i - 1, dist2=dist2, dim=_DIM)
+        for i in range(1, _KM_ITERS + 1)
+    )
+    return f"""
+        WITH {head}{iters}
+        SELECT vec_id, k AS cluster, dist2 FROM (
+            SELECT e.vec_id, c.k, {dist2} AS dist2,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist2}, c.k) AS rn
+            FROM e CROSS JOIN c{_KM_ITERS} c
+        ) WHERE rn = 1
+    """
+
+
+@register(
+    "kmeans_fixedpoint_embeddings",
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "pipeline", "clustering"),
+    description=f"seeded fixed-point Lloyd k-means (K={_KM_K}, "
+                f"{_KM_ITERS} iterations) over the embeddings table: "
+                f"coordinates quantized to floor((x+1)*10^{6}) BIGINTs, "
+                "centroids seeded from the K smallest vec_ids, integer "
+                "squared-L2 assignment (ties to the lowest cluster id), "
+                "integer floor-division centroid updates, empty clusters "
+                "keep their previous centroid. Output is the final "
+                "(vec_id, cluster, dist2) assignment. The ORACLED twin "
+                "of the iterative-training surface that "
+                "similarity_ivf_topk's unseeded Lloyd leaves rows-only: "
+                "fixed-point arithmetic makes every iteration bit-exact "
+                "across engines, so the full training loop hash-matches "
+                "a generated unrolled-iteration DuckDB oracle",
+)
+def kmeans_fixedpoint_embeddings(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Scale shape per iteration: assignment is a map-only pass — the K
+    centroids collapse to ONE broadcast row (array of K structs) and
+    the argmin is a per-row JVM expression (array_sort over K computed
+    struct(dist2, k), no shuffle, no |corpus| x K row blowup); the
+    update is one (k, dim)-keyed hash aggregate (map-side combine,
+    K x 64 result rows) plus a K-row rebuild. So T iterations cost T
+    corpus scans + T tiny shuffles — the canonical distributed Lloyd —
+    and the whole run is ONE declarative Catalyst plan with no actions
+    or driver loop state at plan-construction time. The only
+    BroadcastNestedLoopJoin is the 1-row centroid-array side (the same
+    bounded-broadcast contract as the decontam exact tier, PLANS.md).
+
+    Reference anchor: like textrank_keywords_docs, iterates the
+    reference's single-pass Map -> Shuffle -> Reduce contract
+    (asio_deep/main.cpp:216-516) to a fixpoint — here the fixpoint of
+    cluster centroids rather than graph rank.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            as_double("embedding"),
+            lambda x: F.floor((x + F.lit(1.0)) * _KM_SCALE).cast("bigint"),
+        ).alias("q"),
+    )
+    seeds = emb.orderBy("vec_id").limit(_KM_K)
+    cent = seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("bigint").alias("k"),
+        F.col("q").alias("c"),
+    )
+    dist2 = ("aggregate(zip_with(q, s.c, (x, y) -> (x - y) * (x - y)), "
+             "0L, (acc, v) -> acc + v)")
+    best = (f"array_sort(transform(cents, "
+            f"s -> struct({dist2} AS dist2, s.k AS k)))[0]")
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        cents_arr = centroids.agg(
+            F.array_sort(F.collect_list(F.struct("k", "c"))).alias("cents")
+        )
+        return emb.crossJoin(F.broadcast(cents_arr)).select(
+            "vec_id", "q",
+            F.expr(best).alias("best"),
+        ).select(
+            "vec_id", "q",
+            F.col("best.k").alias("k"),
+            F.col("best.dist2").alias("dist2"),
+        )
+
+    for _ in range(_KM_ITERS):
+        assigned = assign(cent)
+        upd_kd = (
+            assigned.select("k", F.posexplode("q").alias("d", "val"))
+            .groupBy("k", "d")
+            .agg(F.expr("sum(val) div count(1)").alias("cd"))
+        )
+        upd = upd_kd.groupBy("k").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                lambda s: s["cd"],
+            ).alias("c")
+        )
+        cent = (
+            cent.alias("o")
+            .join(upd.alias("n"), "k", "left")
+            .select("k", F.coalesce(F.col("n.c"), F.col("o.c")).alias("c"))
+        )
+    return assign(cent).select(
+        "vec_id", F.col("k").alias("cluster"), "dist2"
+    )
+
+
 @register(
     "semantic_decontam_lsh_amplified",
     oracle=f"""

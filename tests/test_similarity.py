@@ -331,3 +331,26 @@ def test_decontam_kernel_empty_bench_and_zero_norm_contracts(spark, emb):
     got = {r["vec_id"]: (r["max_cos"], r["contaminated"])
            for r in decontam_max_cosine(zc, zb, tau=0.25).collect()}
     assert got == {1: (-1.0, False), 2: (1.0, True)}
+
+
+def test_kmeans_fixedpoint_partitions_corpus_nondegenerate(spark, sf_smoke):
+    """The seeded fixed-point Lloyd run is a genuine clustering, not a
+    degenerate one: every corpus vector gets exactly one cluster in
+    [0, K), every cluster is non-empty at fixture scale, dist2 is a
+    non-negative integer, and the run is deterministic (bit-equal
+    re-execution) — the property the generated unrolled oracle then
+    holds bit-exact cross-engine in test_oracle_parity."""
+    from mapreduce_4_spark.plans.llm_pipeline10 import (
+        _KM_K,
+        kmeans_fixedpoint_embeddings,
+    )
+
+    rows = kmeans_fixedpoint_embeddings(spark, sf_smoke).collect()
+    n = len(rows)
+    assert n > 0
+    assert len({r["vec_id"] for r in rows}) == n, "one row per vector"
+    clusters = {r["cluster"] for r in rows}
+    assert clusters == set(range(_KM_K)), f"degenerate clustering: {clusters}"
+    assert all(isinstance(r["dist2"], int) and r["dist2"] >= 0 for r in rows)
+    again = kmeans_fixedpoint_embeddings(spark, sf_smoke).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
