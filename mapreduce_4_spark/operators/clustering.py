@@ -118,3 +118,114 @@ def dedup_cluster_assignments(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         )
     )
+
+
+# --- seeded fixed-point Lloyd k-means -------------------------------------
+#
+# Training loop over ALREADY-QUANTIZED integer vectors (array<bigint>):
+# integer squared-L2 assignment with ties to the lowest cluster id,
+# integer floor-division centroid updates, empty clusters keep their
+# previous centroid. All-integer arithmetic makes every iteration
+# bit-exact regardless of summation order or engine — the property that
+# lets plans/llm_pipeline10.py oracle the FULL training loop against
+# generated unrolled SQL, where float Lloyd would drift in the last ulp
+# through order-dependent double accumulation.
+#
+# Scale shape per iteration: the assignment is MAP-ONLY — the K
+# centroids collapse to one broadcast row (sorted array of K structs)
+# and the argmin is a per-row JVM expression, so there is no
+# |corpus| x K row blowup and no corpus-side shuffle; the update is one
+# (k, dim)-keyed hash aggregate (map-side combine, K x dim result rows)
+# plus a K-row rebuild/left-join. T iterations = T corpus scans + T tiny
+# shuffles, the canonical distributed Lloyd, composed as ONE declarative
+# plan with no actions or driver state at plan-construction time.
+
+_KM_DIST2 = ("aggregate(zip_with({v}, s.c, (x, y) -> (x - y) * (x - y)), "
+             "0L, (acc, v) -> acc + v)")
+
+
+def kmeans_seed_centroids(points: DataFrame, k: int,
+                          id_col: str = "id",
+                          vec_col: str = "q") -> DataFrame:
+    """Deterministic seeds: the k smallest ids become centroids 0..k-1.
+
+    Returns (k: bigint, c: array<bigint>). The single-partition window
+    runs over k rows only (post-limit), so the WindowExec warning it
+    triggers is bounded by k, never by the corpus.
+    """
+    from pyspark.sql import Window
+
+    seeds = points.orderBy(id_col).limit(k)
+    return seeds.select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1)
+        .cast("bigint").alias("k"),
+        F.col(vec_col).alias("c"),
+    )
+
+
+def kmeans_assign_fixedpoint(points: DataFrame, centroids: DataFrame,
+                             id_col: str = "id",
+                             vec_col: str = "q") -> DataFrame:
+    """Nearest-centroid assignment: (id, cluster, dist2), exact integer
+    squared-L2, ties to the lowest cluster id. Map-only over one
+    broadcast centroid-array row."""
+    cents_arr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("k", "c"))).alias("cents")
+    )
+    best = (f"array_sort(transform(cents, s -> "
+            f"struct({_KM_DIST2.format(v=vec_col)} AS dist2, s.k AS k)))[0]")
+    return points.crossJoin(F.broadcast(cents_arr)).select(
+        F.col(id_col), F.col(vec_col), F.expr(best).alias("best")
+    ).select(
+        id_col, vec_col,
+        F.col("best.k").alias("cluster"),
+        F.col("best.dist2").alias("dist2"),
+    )
+
+
+def kmeans_fit_fixedpoint(points: DataFrame, k: int, iters: int,
+                          id_col: str = "id",
+                          vec_col: str = "q") -> DataFrame:
+    """Run ``iters`` Lloyd iterations from the deterministic seeds;
+    returns the final centroids (k, c). Empty clusters keep their
+    previous centroid (K-row left join + coalesce), so the centroid
+    count is invariant across iterations."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got {k}, {iters}")
+    cent = kmeans_seed_centroids(points, k, id_col=id_col, vec_col=vec_col)
+    for _ in range(iters):
+        assigned = kmeans_assign_fixedpoint(
+            points, cent, id_col=id_col, vec_col=vec_col
+        )
+        upd_kd = (
+            assigned.select(
+                F.col("cluster").alias("k"),
+                F.posexplode(vec_col).alias("d", "val"),
+            )
+            .groupBy("k", "d")
+            .agg(F.expr("sum(val) div count(1)").alias("cd"))
+        )
+        upd = upd_kd.groupBy("k").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                lambda s: s["cd"],
+            ).alias("c")
+        )
+        cent = (
+            cent.alias("o")
+            .join(upd.alias("n"), "k", "left")
+            .select("k", F.coalesce(F.col("n.c"), F.col("o.c")).alias("c"))
+        )
+    return cent
+
+
+def kmeans_fixedpoint(points: DataFrame, k: int, iters: int,
+                      id_col: str = "id",
+                      vec_col: str = "q") -> DataFrame:
+    """fit + final assignment: (id, cluster, dist2)."""
+    cent = kmeans_fit_fixedpoint(
+        points, k, iters, id_col=id_col, vec_col=vec_col
+    )
+    return kmeans_assign_fixedpoint(
+        points, cent, id_col=id_col, vec_col=vec_col
+    ).drop(vec_col)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_4_spark.functions.text import sql_words, words
 from mapreduce_4_spark.functions.vectors import as_double
+from mapreduce_4_spark.operators.clustering import kmeans_fixedpoint
 from mapreduce_4_spark.operators.similarity import decontam_max_cosine
 from mapreduce_4_spark.plans.llm_pipeline8 import (
     _DECON_MAXB,
@@ -448,50 +449,8 @@ def kmeans_fixedpoint_embeddings(spark: SparkSession,
             lambda x: F.floor((x + F.lit(1.0)) * _KM_SCALE).cast("bigint"),
         ).alias("q"),
     )
-    seeds = emb.orderBy("vec_id").limit(_KM_K)
-    cent = seeds.select(
-        (F.row_number().over(Window.orderBy("vec_id")) - 1)
-        .cast("bigint").alias("k"),
-        F.col("q").alias("c"),
-    )
-    dist2 = ("aggregate(zip_with(q, s.c, (x, y) -> (x - y) * (x - y)), "
-             "0L, (acc, v) -> acc + v)")
-    best = (f"array_sort(transform(cents, "
-            f"s -> struct({dist2} AS dist2, s.k AS k)))[0]")
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        cents_arr = centroids.agg(
-            F.array_sort(F.collect_list(F.struct("k", "c"))).alias("cents")
-        )
-        return emb.crossJoin(F.broadcast(cents_arr)).select(
-            "vec_id", "q",
-            F.expr(best).alias("best"),
-        ).select(
-            "vec_id", "q",
-            F.col("best.k").alias("k"),
-            F.col("best.dist2").alias("dist2"),
-        )
-
-    for _ in range(_KM_ITERS):
-        assigned = assign(cent)
-        upd_kd = (
-            assigned.select("k", F.posexplode("q").alias("d", "val"))
-            .groupBy("k", "d")
-            .agg(F.expr("sum(val) div count(1)").alias("cd"))
-        )
-        upd = upd_kd.groupBy("k").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "cd"))),
-                lambda s: s["cd"],
-            ).alias("c")
-        )
-        cent = (
-            cent.alias("o")
-            .join(upd.alias("n"), "k", "left")
-            .select("k", F.coalesce(F.col("n.c"), F.col("o.c")).alias("c"))
-        )
-    return assign(cent).select(
-        "vec_id", F.col("k").alias("cluster"), "dist2"
+    return kmeans_fixedpoint(
+        emb, k=_KM_K, iters=_KM_ITERS, id_col="vec_id", vec_col="q"
     )
 
 
