@@ -63,9 +63,9 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "table", help="versioned-table maintenance (history/compact/"
-                      "compact-tail/vacuum/stats)")
+                      "compact-tail/vacuum/stats/count)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
-                                     "vacuum", "stats"])
+                                     "vacuum", "stats", "count"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -73,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--staged-ttl", type=float, default=24 * 3600.0,
                     help="seconds before an unreferenced _staged/ dir "
                          "(crashed concurrent writer) is swept by vacuum")
+    sp.add_argument("--col", help="count: range column")
+    sp.add_argument("--lower", help="count: inclusive lower bound")
+    sp.add_argument("--upper", help="count: inclusive upper bound")
 
     args = p.parse_args(argv)
 
@@ -108,6 +111,37 @@ def main(argv: list[str] | None = None) -> int:
                 spans = ", ".join(f"{c}=[{s[0]!r}, {s[1]!r}]"
                                   for c, s in sorted(cols.items()))
                 print(f"  {d}: {spans}")
+            return 0
+        if args.verb == "count":
+            def _bound(s):
+                if s is None:
+                    return None
+                for cast in (int, float):
+                    try:
+                        return cast(s)
+                    except ValueError:
+                        pass
+                return s
+
+            kw = {}
+            if args.col:
+                kw = {"col": args.col, "lower": _bound(args.lower),
+                      "upper": _bound(args.upper)}
+            if "://" in args.table_dir:
+                from mapreduce_4_spark.session import get_spark
+
+                get_spark("mapreduce_4_spark-cli-table")
+            try:  # metadata-only first — no Spark session unless needed
+                n, info = vt.count_version(None, args.table_dir,
+                                           detail=True, **kw)
+            except ValueError:
+                from mapreduce_4_spark.session import get_spark
+
+                n, info = vt.count_version(
+                    get_spark("mapreduce_4_spark-cli-table"),
+                    args.table_dir, detail=True, **kw)
+            print(f"{n}  (dirs: {info['counted']} from metadata, "
+                  f"{info['missed']} skipped, {info['scanned']} scanned)")
             return 0
         if args.verb == "history":
             from mapreduce_4_spark.session import get_spark

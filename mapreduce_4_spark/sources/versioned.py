@@ -24,11 +24,15 @@ Iceberg/Delta run on an object store.
 Scale: manifests are O(1) metadata; snapshots are plain parquet
 directories, so reads keep pushdown/pruning, and time travel costs
 nothing at write time (old snapshots are simply not deleted until
-``vacuum``). Manifests optionally carry per-data-dir column min/max
-(``stats_for=[...]``) and ``read_version_stats_pruned`` skips whole
-chain dirs from metadata alone — the Iceberg-style skipping layer
-above parquet's row-group stats, carried through maintenance rewrites
-like any other layout contract.
+``vacuum``). Manifests optionally carry per-data-dir column
+min/max/null-count (``stats_for=[...]``) plus exact per-dir row counts
+(``dir_rows``, recorded from the footer read every publish already
+does): ``read_version_stats_pruned`` skips whole chain dirs from
+metadata alone — the Iceberg-style skipping layer above parquet's
+row-group stats, carried through maintenance rewrites like any other
+layout contract — and ``count_version`` answers COUNT(*) (optionally
+range-bounded) from the manifest wherever coverage is provable,
+scanning only boundary-straddling dirs.
 
 Filesystem routing: every metadata operation goes through
 ``sources/fsio.py`` — plain ``os`` for scheme-less local paths, the
@@ -116,10 +120,17 @@ _STATS_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double",
 
 
 def _column_stats(df: DataFrame, cols: list[str]) -> dict:
-    """{col: [min, max]} for ``cols``, from ONE aggregate job over
-    ``df`` — the O(batch) metadata cost a stats-carrying publish pays.
-    All-null/empty input yields [None, None], which readers treat as
-    'unknown' (scan, never skip)."""
+    """{col: [min, max, null_count]} for ``cols``, from ONE aggregate
+    job over ``df`` — the O(batch) metadata cost a stats-carrying
+    publish pays. All-null/empty input yields [None, None, n], which
+    range readers treat as 'unknown' (scan, never skip). The null count
+    is what lets ``count_version`` answer a range COUNT from metadata
+    alone: min/max ignore nulls, so a dir whose recorded range sits
+    fully inside the requested bounds still is not fully COUNTABLE
+    unless it provably holds zero nulls in that column. Manifests
+    written before this field carry 2-element entries; readers treat a
+    missing null count as unknown (never fully countable, still
+    skippable/scannable as before)."""
     from pyspark.sql import functions as F
 
     dtypes = dict(df.dtypes)
@@ -135,9 +146,14 @@ def _column_stats(df: DataFrame, cols: list[str]) -> dict:
         mn, mx = F.min(c), F.max(c)
         if t in ("date", "timestamp", "timestamp_ntz"):
             mn, mx = mn.cast("string"), mx.cast("string")
-        exprs += [mn.alias(f"mn_{c}"), mx.alias(f"mx_{c}")]
+        nulls = F.sum(F.col(c).isNull().cast("long"))
+        exprs += [mn.alias(f"mn_{c}"), mx.alias(f"mx_{c}"),
+                  nulls.alias(f"nu_{c}")]
     row = df.agg(*exprs).first()
-    return {c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in cols}
+    return {
+        c: [row[f"mn_{c}"], row[f"mx_{c}"], int(row[f"nu_{c}"] or 0)]
+        for c in cols
+    }
 
 
 def _check_append_schema(pm: dict, df: DataFrame, table_dir: str) -> None:
@@ -263,8 +279,13 @@ def write_version(df: DataFrame, table_dir: str,
             d: s for d, s in (pm.get("col_stats") or {}).items()
             if d in set(parent_dirs)
         }
+        parent_dir_rows = {
+            d: n for d, n in (pm.get("dir_rows") or {}).items()
+            if d in set(parent_dirs)
+        }
     else:
         parent_stats = {}
+        parent_dir_rows = {}
     data_dir = _data_dir(table_dir, version)
     _reclaim_torn_write(table_dir, version)
     nonce = uuid.uuid4().hex[:12]
@@ -292,11 +313,17 @@ def write_version(df: DataFrame, table_dir: str,
         writer.parquet(data_dir)
     # exact count from the footers just written — no second data scan
     # (append: parent's manifest count + the new dir's footers)
-    row_count = fsio.parquet_row_count(data_dir) + parent_rows
+    new_rows = fsio.parquet_row_count(data_dir)
+    row_count = new_rows + parent_rows
     data_dirs = parent_dirs + [f"v={version:06d}"] if append else None
     col_stats = dict(parent_stats)
     if stats_for:
         col_stats[f"v={version:06d}"] = _column_stats(df, stats_for)
+    # per-dir exact counts (from the same footer read) — what lets
+    # count_version answer COUNTs over fully-covered dirs from the
+    # manifest alone; inherited down chains like col_stats
+    dir_rows = dict(parent_dir_rows)
+    dir_rows[f"v={version:06d}"] = new_rows
     fsio.mkdirs(_versions_dir(table_dir))
     manifest = {
         "version": version,
@@ -319,6 +346,8 @@ def write_version(df: DataFrame, table_dir: str,
         # metadata skipping: per-dir min/max for stats_for columns
         "stats_for": stats_for,
         "col_stats": col_stats or None,
+        # per-dir exact row counts (count_version's metadata source)
+        "dir_rows": dir_rows,
         **(manifest_extra or {}),
     }
     # manifest written last = the publish point; create-exclusive so a
@@ -399,6 +428,7 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
         parent_dirs: list[str] = []
         parent_rows = 0
         parent_stats: dict = {}
+        parent_dir_rows: dict = {}
         eff_stats_for = stats_for
         if append and parent is not None:
             pm = read_manifest(table_dir, parent)
@@ -422,6 +452,10 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                 d: s for d, s in (pm.get("col_stats") or {}).items()
                 if d in set(parent_dirs)
             }
+            parent_dir_rows = {
+                d: n for d, n in (pm.get("dir_rows") or {}).items()
+                if d in set(parent_dirs)
+            }
         col_stats = dict(parent_stats)
         if eff_stats_for:
             if my_stats is None or set(my_stats) != set(eff_stats_for):
@@ -442,6 +476,8 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
             else [staged_rel],
             "stats_for": eff_stats_for,
             "col_stats": col_stats or None,
+            "dir_rows": {**(parent_dir_rows if append else {}),
+                         staged_rel: new_rows},
             **(manifest_extra or {}),
         }
         if fsio.create_text_exclusive(
@@ -655,6 +691,57 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
     return scan.select(*[f.name for f in schema.fields])
 
 
+def _range_relation(dir_stats: dict | None, dir_row_count,
+                    where: dict) -> str:
+    """Classify one chain dir against conjunctive range bounds using
+    its recorded stats: ``"miss"`` (provably no row matches — skip),
+    ``"full"`` (provably EVERY row matches — metadata-countable), or
+    ``"partial"`` (must scan). Shared by ``read_version_stats_pruned``
+    (which keeps everything != miss) and ``count_version`` (which
+    counts full dirs from the manifest and scans only partials).
+
+    Soundness rules, identical to the pruned read's: unknown stats pass
+    as partial (never a guess), date/timestamp bounds normalize to the
+    stats' canonical-string order, and an incomparable bound (TypeError)
+    degrades that column to partial — the residual Spark filter still
+    applies the predicate with SQL cast semantics. "full" additionally
+    requires a recorded null count of ZERO for every bounded column
+    (min/max ignore nulls; a null never satisfies a range predicate)
+    and a known per-dir row count — 2-element legacy stats entries or a
+    missing dir_rows entry therefore cap the dir at partial.
+    """
+    rel = "full"
+    if dir_row_count is None:
+        rel = "partial"
+    for c, (lower_c, upper_c) in where.items():
+        ent = (dir_stats or {}).get(c)
+        if not ent or ent[0] is None or ent[1] is None:
+            rel = "partial"  # unknown: scan, never skip — keep checking
+            continue         # other columns, which may still prove miss
+        mn, mx = ent[0], ent[1]
+        # date/timestamp stats serialize as canonical strings whose
+        # lexicographic order is time order; normalize bounds too
+        lo = (str(lower_c) if isinstance(mn, str)
+              and not isinstance(lower_c, (str, type(None)))
+              else lower_c)
+        hi = (str(upper_c) if isinstance(mx, str)
+              and not isinstance(upper_c, (str, type(None)))
+              else upper_c)
+        try:
+            if lo is not None and mx < lo:
+                return "miss"
+            if hi is not None and mn > hi:
+                return "miss"
+            nulls = ent[2] if len(ent) > 2 else None
+            if (nulls != 0
+                    or (lo is not None and mn < lo)
+                    or (hi is not None and mx > hi)):
+                rel = "partial"
+        except TypeError:
+            rel = "partial"
+    return rel
+
+
 def read_version_stats_pruned(spark: SparkSession, table_dir: str,
                               col: str | None = None, lower=None, upper=None,
                               version: int | None = None,
@@ -699,61 +786,128 @@ def read_version_stats_pruned(spark: SparkSession, table_dir: str,
         if version is None:
             raise FileNotFoundError(f"no published versions in {table_dir}")
     manifest = read_manifest(table_dir, version)
-
-    def residual(df: DataFrame) -> DataFrame:
-        out = df
-        for c, (lo, hi) in where.items():
-            if lo is not None:
-                out = out.filter(F.col(c) >= F.lit(lo))
-            if hi is not None:
-                out = out.filter(F.col(c) <= F.lit(hi))
-        return out
-
     if manifest.get("bucket_by"):
         # one catalog table = one dir; nothing to skip at dir level
-        return residual(read_version(spark, table_dir, version))
+        return _apply_range_filter(
+            read_version(spark, table_dir, version), where
+        )
     dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
     stats = manifest.get("col_stats") or {}
+    kept = [
+        os.path.join(table_dir, d) for d in dirs
+        if _range_relation(stats.get(d), None, where) != "miss"
+    ]
+    return _apply_range_filter(_scan_dirs(spark, manifest, kept), where)
 
-    def touches(d: str) -> bool:
-        for c, (lower_c, upper_c) in where.items():
-            ent = (stats.get(d) or {}).get(c)
-            if not ent or ent[0] is None or ent[1] is None:
-                continue  # unknown stats pass this column's check
-            mn, mx = ent
-            # date/timestamp stats serialize as canonical strings whose
-            # lexicographic order is time order; normalize bounds too
-            lo = (str(lower_c) if isinstance(mn, str)
-                  and not isinstance(lower_c, (str, type(None)))
-                  else lower_c)
-            hi = (str(upper_c) if isinstance(mx, str)
-                  and not isinstance(upper_c, (str, type(None)))
-                  else upper_c)
-            try:
-                if lo is not None and mx < lo:
-                    return False
-                if hi is not None and mn > hi:
-                    return False
-            except TypeError:
-                # incomparable bound (e.g. a string bound against
-                # numeric stats): skipping would be a guess — scan.
-                # The residual Spark filter still applies the
-                # predicate with SQL cast semantics.
-                continue
-        return True
 
-    kept = [os.path.join(table_dir, d) for d in dirs if touches(d)]
+def _apply_range_filter(df: DataFrame, where: dict) -> DataFrame:
+    """The exact residual predicate a stats-pruned read/count applies
+    inside surviving dirs (conjunctive closed ranges, SQL semantics)."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for c, (lo, hi) in where.items():
+        if lo is not None:
+            out = out.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(c) <= F.lit(hi))
+    return out
+
+
+def _scan_dirs(spark: SparkSession, manifest: dict,
+               dirs_abs: list[str]) -> DataFrame:
+    """One manifest-pinned-schema scan over the given chain dirs
+    (possibly none -> empty DataFrame); partition columns restored for
+    partitioned chains. The shared tail of the stats-pruned read and
+    the metadata count's partial-dir fallback."""
     schema = _scan_schema(manifest)
     if manifest.get("partition_by"):
-        out = _scan_partitioned_chain(spark, kept, manifest)
+        out = _scan_partitioned_chain(spark, dirs_abs, manifest)
         if out is None:
-            return residual(spark.createDataFrame([], schema))
+            return spark.createDataFrame([], schema)
     else:
-        paths = [p for p in kept if fsio.has_parquet(p)]
+        paths = [p for p in dirs_abs if fsio.has_parquet(p)]
         if not paths:
-            return residual(spark.createDataFrame([], schema))
+            return spark.createDataFrame([], schema)
         out = spark.read.parquet(*paths)
-    return residual(out.select(*[f.name for f in schema.fields]))
+    return out.select(*[f.name for f in schema.fields])
+
+
+def count_version(spark: SparkSession | None, table_dir: str,
+                  col: str | None = None, lower=None, upper=None,
+                  version: int | None = None, where: dict | None = None,
+                  detail: bool = False):
+    """COUNT(*) with optional conjunctive range bounds, answered from
+    manifest METADATA wherever provably possible — the aggregate
+    twin of ``read_version_stats_pruned``'s directory skipping, and the
+    lakehouse move (Iceberg/Delta metadata-only aggregates) that makes
+    row-count monitoring O(1) instead of a 100 TB scan.
+
+    Unbounded (no ``col``/``where``): returns the manifest's exact
+    ``row_count`` — no filesystem traffic beyond the one manifest JSON,
+    no Spark job, works with ``spark=None``. Bounded: each chain dir is
+    classified by its recorded stats (``_range_relation``) — dirs whose
+    range provably misses contribute 0, dirs that provably lie FULLY
+    inside the bounds (min/max inside, zero recorded nulls) contribute
+    their recorded ``dir_rows`` count straight from the manifest, and
+    only the boundary-straddling remainder is scanned (one job over
+    those dirs with the exact residual filter). A month-long append
+    chain asked "how many rows in [day X, day Y]" therefore scans at
+    most the two dirs containing the endpoints.
+
+    ``spark`` may be ``None`` to ASSERT the metadata-only path: if any
+    dir would need scanning, raises instead of guessing — the
+    test-visible proof that a given count touched no data. With
+    ``detail=True`` returns ``(count, {"missed", "counted",
+    "scanned"})`` dir tallies. Legacy manifests (no ``dir_rows``,
+    2-element stats without null counts) stay correct by degrading
+    full dirs to scanned ones.
+    """
+    if (col is not None) and (where is not None):
+        raise ValueError(
+            "count_version takes either col (+ lower/upper) or "
+            "where={col: (lower, upper)}, not both"
+        )
+    if col is not None:
+        where = {col: (lower, upper)}
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published versions in {table_dir}")
+    manifest = read_manifest(table_dir, version)
+    dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
+    bounded = bool(where) and any(
+        lo is not None or hi is not None for lo, hi in where.values()
+    )
+    if not bounded:
+        info = {"missed": 0, "counted": len(dirs), "scanned": 0}
+        return (manifest["row_count"], info) if detail else manifest["row_count"]
+    stats = manifest.get("col_stats") or {}
+    dir_rows = manifest.get("dir_rows") or {}
+    rels = {
+        d: _range_relation(stats.get(d), dir_rows.get(d), where)
+        for d in dirs
+    }
+    total = sum(dir_rows[d] for d, r in rels.items() if r == "full")
+    partial = [d for d, r in rels.items() if r == "partial"]
+    if partial:
+        if spark is None:
+            raise ValueError(
+                f"count_version({table_dir}): {len(partial)} chain dir(s) "
+                "cannot be answered from manifest metadata (partial range "
+                "overlap, missing stats/null counts, or a pre-dir_rows "
+                "manifest) — pass a SparkSession to scan them"
+            )
+        kept = [os.path.join(table_dir, d) for d in partial]
+        total += _apply_range_filter(
+            _scan_dirs(spark, manifest, kept), where
+        ).count()
+    info = {
+        "missed": sum(r == "miss" for r in rels.values()),
+        "counted": sum(r == "full" for r in rels.values()),
+        "scanned": len(partial),
+    }
+    return (total, info) if detail else total
 
 
 def read_manifest(table_dir: str, version: int) -> dict:
@@ -1049,6 +1203,15 @@ def compact_tail(spark: SparkSession, table_dir: str,
         col_stats[f"v={new_version:06d}"] = _column_stats(
             rows, manifest["stats_for"]
         )
+    # per-dir counts follow the same carry rule as col_stats: base dirs
+    # keep theirs, the folded dir gets an exact footer count (O(files)
+    # of the dir just written, never a data scan)
+    dir_rows = {
+        d: n for d, n in (manifest.get("dir_rows") or {}).items()
+        if d in set(base)
+    }
+    if rows is not None:
+        dir_rows[f"v={new_version:06d}"] = fsio.parquet_row_count(data_dir)
     folded_manifest = {
         **manifest,
         "version": new_version,
@@ -1058,6 +1221,7 @@ def compact_tail(spark: SparkSession, table_dir: str,
         "nonce": uuid.uuid4().hex[:12],
         "data_dirs": new_dirs,
         "col_stats": col_stats or None,
+        "dir_rows": dir_rows,
     }
     fsio.mkdirs(_versions_dir(table_dir))
     if not fsio.create_text_exclusive(

@@ -37,7 +37,7 @@ def test_stats_skip_dirs_and_match_unpruned_filter(spark, tmp_path):
     m = read_manifest(tdir, 3)
     assert m["stats_for"] == ["k"]
     assert set(m["col_stats"]) == {"v=000001", "v=000002", "v=000003"}
-    assert m["col_stats"]["v=000002"]["k"] == [100, 109]
+    assert m["col_stats"]["v=000002"]["k"] == [100, 109, 0]
 
     got = read_version_stats_pruned(spark, tdir, "k", lower=100, upper=105)
     files = got.inputFiles()
@@ -84,7 +84,7 @@ def test_date_stats_prune_with_string_order(spark, tmp_path):
         )
         write_version(df, tdir, append=True, stats_for=["d"])
     m = read_manifest(tdir, 2)
-    assert m["col_stats"]["v=000002"]["d"] == ["2026-04-11", "2026-04-20"]
+    assert m["col_stats"]["v=000002"]["d"] == ["2026-04-11", "2026-04-20", 0]
     got = read_version_stats_pruned(
         spark, tdir, "d",
         lower=datetime.date(2026, 4, 12), upper=datetime.date(2026, 4, 14),
@@ -111,7 +111,7 @@ def test_maintenance_rewrites_carry_stats(spark, tmp_path):
     v2 = upsert_version(spark, tdir, _ks(spark, 5, 10), key="k")
     m = read_manifest(tdir, v2)
     assert m["stats_for"] == ["k"]
-    assert m["col_stats"][f"v={v2:06d}"]["k"] == [0, 14]
+    assert m["col_stats"][f"v={v2:06d}"]["k"] == [0, 14, 0]
 
 
 def test_compact_tail_refreshes_folded_stats(spark, tmp_path):
@@ -122,7 +122,7 @@ def test_compact_tail_refreshes_folded_stats(spark, tmp_path):
     v = compact_tail(spark, tdir, keep_base=1)
     m = read_manifest(tdir, v)
     assert set(m["col_stats"]) == {"v=000001", f"v={v:06d}"}
-    assert m["col_stats"][f"v={v:06d}"]["k"] == [100, 309]
+    assert m["col_stats"][f"v={v:06d}"]["k"] == [100, 309, 0]
     got = read_version_stats_pruned(spark, tdir, "k", lower=0, upper=9)
     assert all("v=000001" in f for f in got.inputFiles())
     assert got.count() == 10
@@ -253,3 +253,130 @@ def test_incomparable_bound_scans_instead_of_crashing(spark, tmp_path):
     got = read_version_stats_pruned(spark, tdir, "k",
                                     lower="100", upper="105")
     assert sorted(r["k"] for r in got.collect()) == list(range(100, 106))
+
+
+# --- count_version: metadata-only COUNTs ----------------------------------
+
+
+def test_count_version_unbounded_is_manifest_only(spark, tmp_path):
+    """No predicate -> the manifest's exact row_count, provably without
+    a SparkSession (spark=None) — no job, no file listing."""
+    from mapreduce_4_spark.sources.versioned import count_version
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)
+    assert count_version(None, tdir) == 30
+    n, info = count_version(None, tdir, detail=True)
+    assert n == 30 and info == {"missed": 0, "counted": 3, "scanned": 0}
+
+
+def test_count_version_dir_aligned_range_needs_no_scan(spark, tmp_path):
+    """Bounds that fully cover some dirs and provably miss the rest are
+    answered from dir_rows alone — spark=None is the proof."""
+    from mapreduce_4_spark.sources.versioned import count_version
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)
+    n, info = count_version(None, tdir, "k", lower=100, upper=109,
+                            detail=True)
+    assert n == 10
+    assert info == {"missed": 2, "counted": 1, "scanned": 0}
+    # open-ended bound covering the whole tail
+    assert count_version(None, tdir, "k", lower=100) == 20
+
+
+def test_count_version_straddling_range_scans_only_boundary_dirs(
+        spark, tmp_path):
+    from mapreduce_4_spark.sources.versioned import count_version
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)
+    # [105, 205]: v1 provably misses, v2 and v3 straddle -> scan exactly 2
+    with pytest.raises(ValueError, match="pass a SparkSession"):
+        count_version(None, tdir, "k", lower=105, upper=205)
+    n, info = count_version(spark, tdir, "k", lower=105, upper=205,
+                            detail=True)
+    want = read_version(spark, tdir).filter("k between 105 and 205").count()
+    assert n == want == 11
+    assert info == {"missed": 1, "counted": 0, "scanned": 2}
+
+
+def test_count_version_nulls_block_metadata_counting(spark, tmp_path):
+    """min/max ignore nulls, so a dir holding nulls is never 'fully
+    inside' a range — it must be scanned and its nulls excluded."""
+    from mapreduce_4_spark.sources.versioned import count_version
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.when(F.col("id") < 7, F.col("id")).alias("k")
+    )
+    write_version(df, tdir, append=True, stats_for=["k"])
+    m = read_manifest(tdir, 1)
+    assert m["col_stats"]["v=000001"]["k"] == [0, 6, 3]
+    assert m["dir_rows"] == {"v=000001": 10}
+    with pytest.raises(ValueError, match="pass a SparkSession"):
+        count_version(None, tdir, "k", lower=0, upper=6)
+    n, info = count_version(spark, tdir, "k", lower=0, upper=6, detail=True)
+    assert n == 7 and info["scanned"] == 1
+    # unbounded count still metadata-only (nulls are rows too)
+    assert count_version(None, tdir) == 10
+
+
+def test_count_version_legacy_manifest_degrades_to_scan(spark, tmp_path):
+    """Manifests written before dir_rows / null counts stay correct:
+    full coverage can't be proven, so the dir scans."""
+    import json
+    import os
+
+    from mapreduce_4_spark.sources.versioned import count_version
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)
+    # rewrite v3's manifest to the legacy shape
+    mpath = os.path.join(tdir, "_versions", "000003.json")
+    m = json.loads(open(mpath).read())
+    del m["dir_rows"]
+    m["col_stats"] = {
+        d: {c: ent[:2] for c, ent in s.items()}
+        for d, s in m["col_stats"].items()
+    }
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="pass a SparkSession"):
+        count_version(None, tdir, "k", lower=100, upper=109)
+    n, info = count_version(spark, tdir, "k", lower=100, upper=109,
+                            detail=True)
+    assert n == 10
+    assert info["missed"] == 2 and info["scanned"] == 1
+    assert count_version(None, tdir) == 30  # row_count needs no dir_rows
+
+
+def test_count_version_partitioned_concurrent_and_compacted(spark, tmp_path):
+    """dir_rows flows through every publish path: partitioned appends,
+    the concurrent CAS writer, and tail compaction."""
+    from mapreduce_4_spark.sources.versioned import count_version
+
+    pdir = str(tmp_path / "p")
+    for start in (0, 100):
+        df = _ks(spark, start, 10).withColumn("band", F.col("k") % 2)
+        write_version(df, pdir, append=True, partition_by=["band"],
+                      stats_for=["k"])
+    assert count_version(None, pdir, "k", lower=100, upper=109) == 10
+    n = count_version(spark, pdir, "k", lower=5, upper=104)
+    assert n == 10  # straddles both dirs, partition cols restored
+
+    cdir = str(tmp_path / "c")
+    write_version_concurrent(_ks(spark, 0, 10), cdir, append=True,
+                             stats_for=["k"])
+    write_version_concurrent(_ks(spark, 100, 10), cdir, append=True)
+    assert count_version(None, cdir, "k", lower=100, upper=109) == 10
+
+    tdir = str(tmp_path / "t")
+    for start in (0, 100, 200, 300):
+        write_version(_ks(spark, start, 10), tdir, append=True,
+                      stats_for=["k"] if start == 0 else None)
+    v = compact_tail(spark, tdir, keep_base=1)
+    m = read_manifest(tdir, v)
+    assert m["dir_rows"] == {"v=000001": 10, f"v={v:06d}": 30}
+    assert count_version(None, tdir, "k", lower=100) == 30
+    assert count_version(None, tdir) == 40
