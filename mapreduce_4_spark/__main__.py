@@ -63,9 +63,9 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "table", help="versioned-table maintenance (history/compact/"
-                      "compact-tail/vacuum/stats/count)")
+                      "compact-tail/vacuum/stats/count/minmax)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
-                                     "vacuum", "stats", "count"])
+                                     "vacuum", "stats", "count", "minmax"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -73,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--staged-ttl", type=float, default=24 * 3600.0,
                     help="seconds before an unreferenced _staged/ dir "
                          "(crashed concurrent writer) is swept by vacuum")
-    sp.add_argument("--col", help="count: range column")
+    sp.add_argument("--col", help="count/minmax: the column")
     sp.add_argument("--lower", help="count: inclusive lower bound")
     sp.add_argument("--upper", help="count: inclusive upper bound")
 
@@ -142,6 +142,25 @@ def main(argv: list[str] | None = None) -> int:
                     args.table_dir, detail=True, **kw)
             print(f"{n}  (dirs: {info['counted']} from metadata, "
                   f"{info['missed']} skipped, {info['scanned']} scanned)")
+            return 0
+        if args.verb == "minmax":
+            if not args.col:
+                p.error("minmax needs --col")
+            if "://" in args.table_dir:
+                from mapreduce_4_spark.session import get_spark
+
+                get_spark("mapreduce_4_spark-cli-table")
+            try:  # metadata-only first
+                mn, mx = vt.minmax_version(None, args.table_dir, args.col)
+                src = "metadata"
+            except ValueError:
+                from mapreduce_4_spark.session import get_spark
+
+                mn, mx = vt.minmax_version(
+                    get_spark("mapreduce_4_spark-cli-table"),
+                    args.table_dir, args.col)
+                src = "metadata + scan of unstatted dirs"
+            print(f"min={mn!r} max={mx!r}  ({src})")
             return 0
         if args.verb == "history":
             from mapreduce_4_spark.session import get_spark

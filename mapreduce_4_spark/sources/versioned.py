@@ -910,6 +910,63 @@ def count_version(spark: SparkSession | None, table_dir: str,
     return (total, info) if detail else total
 
 
+def minmax_version(spark: SparkSession | None, table_dir: str, col: str,
+                   version: int | None = None) -> tuple:
+    """MIN/MAX of a stats column from the manifest alone: the global
+    min is the min over per-dir recorded minima (max symmetric) —
+    sound with NO null-count caveat because SQL MIN/MAX themselves
+    ignore nulls, so an all-null or empty dir's [None, None] entry
+    contributes nothing on either path. Dirs lacking a stats entry for
+    ``col`` (published before stats collection started) are scanned
+    and folded in; ``spark=None`` asserts the metadata-only path by
+    raising instead. Returns ``(min, max)`` — ``(None, None)`` for a
+    table with no non-null values. Date/timestamp stats come back as
+    their canonical strings (the manifest's serialized form, same
+    order), exactly as ``read_version_stats_pruned`` compares them.
+    """
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published versions in {table_dir}")
+    manifest = read_manifest(table_dir, version)
+    dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
+    stats = manifest.get("col_stats") or {}
+    mins: list = []
+    maxs: list = []
+    unstatted = []
+    for d in dirs:
+        ent = (stats.get(d) or {}).get(col)
+        if ent is None:
+            unstatted.append(d)
+            continue
+        if ent[0] is not None:
+            mins.append(ent[0])
+            maxs.append(ent[1])
+    if unstatted:
+        if spark is None:
+            raise ValueError(
+                f"minmax_version({table_dir}): {len(unstatted)} chain "
+                f"dir(s) have no recorded stats for {col!r} — pass a "
+                "SparkSession to scan them"
+            )
+        from pyspark.sql import functions as F
+
+        kept = [os.path.join(table_dir, d) for d in unstatted]
+        scan = _scan_dirs(spark, manifest, kept)
+        mn, mx = F.min(col), F.max(col)
+        if dict(scan.dtypes).get(col) in ("date", "timestamp",
+                                          "timestamp_ntz"):
+            # stats serialize these as canonical strings — fold the
+            # scanned values in the same form so min()/max() compare
+            # within one type (string order == time order here)
+            mn, mx = mn.cast("string"), mx.cast("string")
+        row = scan.agg(mn.alias("mn"), mx.alias("mx")).first()
+        if row["mn"] is not None:
+            mins.append(row["mn"])
+            maxs.append(row["mx"])
+    return (min(mins) if mins else None, max(maxs) if maxs else None)
+
+
 def read_manifest(table_dir: str, version: int) -> dict:
     return json.loads(fsio.read_text(_manifest_path(table_dir, version)))
 

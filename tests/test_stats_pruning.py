@@ -380,3 +380,59 @@ def test_count_version_partitioned_concurrent_and_compacted(spark, tmp_path):
     assert m["dir_rows"] == {"v=000001": 10, f"v={v:06d}": 30}
     assert count_version(None, tdir, "k", lower=100) == 30
     assert count_version(None, tdir) == 40
+
+
+def test_minmax_version_metadata_only_and_scan_fallback(spark, tmp_path):
+    """MIN/MAX fold per-dir recorded minima/maxima — no null-count
+    caveat (SQL MIN/MAX ignore nulls, and all-null dirs record
+    [None, None] which contributes nothing); dirs published before
+    stats collection scan and fold in."""
+    from mapreduce_4_spark.sources.versioned import minmax_version
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)  # all three dirs carry stats
+    assert minmax_version(None, tdir, "k") == (0, 209)
+
+    # a dir with nulls: min/max unaffected, still metadata-only
+    ndir = str(tmp_path / "n")
+    write_version(
+        spark.range(10).select(
+            F.when(F.col("id") < 7, F.col("id")).alias("k")),
+        ndir, append=True, stats_for=["k"])
+    write_version(
+        spark.range(100, 110).select(F.col("id").alias("k")),
+        ndir, append=True)
+    assert minmax_version(None, ndir, "k") == (0, 109)
+
+    # all-null table -> (None, None), still metadata-only
+    adir = str(tmp_path / "a")
+    write_version(
+        spark.range(3).select(F.lit(None).cast("bigint").alias("k")),
+        adir, stats_for=["k"])
+    assert minmax_version(None, adir, "k") == (None, None)
+
+    # pre-stats dir forces a scan of exactly that dir
+    ldir = str(tmp_path / "l")
+    write_version(_ks(spark, 500, 10), ldir, append=True)  # no stats yet
+    write_version(_ks(spark, 0, 10), ldir, append=True, stats_for=["k"])
+    with pytest.raises(ValueError, match="no recorded stats"):
+        minmax_version(None, ldir, "k")
+    assert minmax_version(spark, ldir, "k") == (0, 509)
+
+
+def test_minmax_version_date_stats_stay_string_canonical(spark, tmp_path):
+    """Date columns fold scanned values into the stats' canonical
+    string form so mixed statted/unstatted chains compare in one
+    total order."""
+    from mapreduce_4_spark.sources.versioned import minmax_version
+
+    tdir = str(tmp_path / "t")
+    df1 = _ks(spark, 0, 5).withColumn(
+        "d", F.date_add(F.to_date(F.lit("2026-01-01")),
+                        F.col("k").cast("int")))
+    df2 = _ks(spark, 100, 5).withColumn(
+        "d", F.date_add(F.to_date(F.lit("2026-01-01")),
+                        F.col("k").cast("int")))
+    write_version(df1, tdir, append=True)            # unstatted
+    write_version(df2, tdir, append=True, stats_for=["d"])
+    assert minmax_version(spark, tdir, "d") == ("2026-01-01", "2026-04-15")
