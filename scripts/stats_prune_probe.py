@@ -63,6 +63,19 @@ def main() -> None:
             r["k"] for r in full_df.collect())
         full_s = timed(lambda: full_df.count())
         pruned_s = timed(lambda: pruned_df.count())
+        # the metadata COUNT tier: a dir-aligned range (two whole middle
+        # dirs) answered with spark=None — zero jobs, zero listings —
+        # vs the same count through a pruned scan
+        from mapreduce_4_spark.sources.versioned import count_version
+
+        alo, ahi = (n_dirs // 2) * rows, (n_dirs // 2 + 2) * rows - 1
+        n_meta, info = count_version(None, tdir, "k", lower=alo,
+                                     upper=ahi, detail=True)
+        assert info["scanned"] == 0 and n_meta == 2 * rows
+        meta_count_s = timed(lambda: count_version(None, tdir, "k",
+                                                   lower=alo, upper=ahi))
+        scan_count_s = timed(lambda: read_version_stats_pruned(
+            spark, tdir, "k", lower=alo, upper=ahi).count())
         print(json.dumps({
             "n_dirs": n_dirs,
             "rows_per_dir": rows,
@@ -74,6 +87,10 @@ def main() -> None:
             "full_scan_s": round(full_s, 4),
             "stats_pruned_s": round(pruned_s, 4),
             "speedup": round(full_s / pruned_s, 2) if pruned_s else None,
+            "meta_count_s": round(meta_count_s, 6),
+            "pruned_scan_count_s": round(scan_count_s, 4),
+            "count_speedup": round(scan_count_s / meta_count_s, 1)
+            if meta_count_s else None,
         }))
 
 
