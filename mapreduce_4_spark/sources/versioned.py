@@ -283,9 +283,14 @@ def write_version(df: DataFrame, table_dir: str,
             d: n for d, n in (pm.get("dir_rows") or {}).items()
             if d in set(parent_dirs)
         }
+        parent_dir_parts = {
+            d: e for d, e in (pm.get("dir_parts") or {}).items()
+            if d in set(parent_dirs)
+        }
     else:
         parent_stats = {}
         parent_dir_rows = {}
+        parent_dir_parts = {}
     data_dir = _data_dir(table_dir, version)
     _reclaim_torn_write(table_dir, version)
     nonce = uuid.uuid4().hex[:12]
@@ -324,6 +329,15 @@ def write_version(df: DataFrame, table_dir: str,
     # manifest alone; inherited down chains like col_stats
     dir_rows = dict(parent_dir_rows)
     dir_rows[f"v={version:06d}"] = new_rows
+    # partitioned publishes index their partition subdirs in the
+    # manifest (ONE listing of the dir just written, O(new dir)) so
+    # read_version_pruned probes pay zero FS listings per chain dir
+    dir_parts = None
+    if partition_by:
+        dir_parts = dict(parent_dir_parts)
+        dir_parts[f"v={version:06d}"] = sorted(
+            e for e in fsio.listdir(data_dir) if "=" in e
+        )
     fsio.mkdirs(_versions_dir(table_dir))
     manifest = {
         "version": version,
@@ -348,6 +362,9 @@ def write_version(df: DataFrame, table_dir: str,
         "col_stats": col_stats or None,
         # per-dir exact row counts (count_version's metadata source)
         "dir_rows": dir_rows,
+        # partition-subdir index per dir (read_version_pruned's
+        # listing-free probe source); None for unpartitioned tables
+        "dir_parts": dir_parts,
         **(manifest_extra or {}),
     }
     # manifest written last = the publish point; create-exclusive so a
@@ -420,6 +437,8 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staged_dir)
     new_rows = fsio.parquet_row_count(staged_dir)
+    my_parts = (sorted(e for e in fsio.listdir(staged_dir) if "=" in e)
+                if partition_by else None)
     fsio.mkdirs(_versions_dir(table_dir))
     my_stats: dict | None = None  # this writer's agg, computed at most once
     for _attempt in range(max_retries + 1):
@@ -429,6 +448,7 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
         parent_rows = 0
         parent_stats: dict = {}
         parent_dir_rows: dict = {}
+        parent_dir_parts: dict = {}
         eff_stats_for = stats_for
         if append and parent is not None:
             pm = read_manifest(table_dir, parent)
@@ -456,6 +476,10 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                 d: n for d, n in (pm.get("dir_rows") or {}).items()
                 if d in set(parent_dirs)
             }
+            parent_dir_parts = {
+                d: e for d, e in (pm.get("dir_parts") or {}).items()
+                if d in set(parent_dirs)
+            }
         col_stats = dict(parent_stats)
         if eff_stats_for:
             if my_stats is None or set(my_stats) != set(eff_stats_for):
@@ -478,6 +502,11 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
             "col_stats": col_stats or None,
             "dir_rows": {**(parent_dir_rows if append else {}),
                          staged_rel: new_rows},
+            "dir_parts": (
+                {**(parent_dir_parts if append else {}),
+                 staged_rel: my_parts}
+                if partition_by else None
+            ),
             **(manifest_extra or {}),
         }
         if fsio.create_text_exclusive(
@@ -659,19 +688,22 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
     schema = _scan_schema(manifest)
     col_type = schema[col].dataType
     dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
-    # ONE listing per chain dir, intersected with the wanted values —
-    # O(chain) FS round trips, not O(chain x values) per-path stats.
-    # A probe carrying hundreds of band values against an object store
-    # pays ~one LIST RPC per chain dir this way; the stat-per-pair
-    # alternative is chain x values RPCs (minutes per batch at the
-    # win-regime footprint, SCALE.md round 10).
+    # The partition-subdir index recorded at publish (dir_parts) makes
+    # the probe LISTING-FREE: matching col=value subdirs come straight
+    # from the manifest already in hand — zero FS round trips however
+    # long the chain, the term an object-store trickle ingest pays per
+    # batch (SCALE.md round 10). Dirs without an entry (pre-index
+    # manifests) fall back to ONE listing each — O(chain), never
+    # O(chain x values) per-path stats.
+    recorded = manifest.get("dir_parts") or {}
     wanted = {f"{col}={v}" for v in partition_values[col]}
-    paths = [
-        os.path.join(table_dir, d, e)
-        for d in dirs
-        for e in fsio.listdir(os.path.join(table_dir, d))
-        if e in wanted
-    ]
+    paths = []
+    for d in dirs:
+        entries = recorded.get(d)
+        if entries is None:
+            entries = fsio.listdir(os.path.join(table_dir, d))
+        paths += [os.path.join(table_dir, d, e)
+                  for e in entries if e in wanted]
     if not paths:
         return spark.createDataFrame([], schema)
     # ONE multi-path read over every pruned leaf (planning cost = one
@@ -1267,8 +1299,16 @@ def compact_tail(spark: SparkSession, table_dir: str,
         d: n for d, n in (manifest.get("dir_rows") or {}).items()
         if d in set(base)
     }
+    dir_parts = {
+        d: e for d, e in (manifest.get("dir_parts") or {}).items()
+        if d in set(base)
+    }
     if rows is not None:
         dir_rows[f"v={new_version:06d}"] = fsio.parquet_row_count(data_dir)
+        if part_by:
+            dir_parts[f"v={new_version:06d}"] = sorted(
+                e for e in fsio.listdir(data_dir) if "=" in e
+            )
     folded_manifest = {
         **manifest,
         "version": new_version,
@@ -1279,6 +1319,7 @@ def compact_tail(spark: SparkSession, table_dir: str,
         "data_dirs": new_dirs,
         "col_stats": col_stats or None,
         "dir_rows": dir_rows,
+        "dir_parts": (dir_parts or None) if part_by else None,
     }
     fsio.mkdirs(_versions_dir(table_dir))
     if not fsio.create_text_exclusive(

@@ -999,3 +999,68 @@ def test_append_refuses_schema_drift(spark, tmp_path):
     from mapreduce_4_spark.sources.versioned import read_version as rv
 
     assert "extra" in rv(spark, tdir, version=v).columns
+
+
+def test_read_version_pruned_is_listing_free_with_manifest_index(
+        spark, tmp_path, monkeypatch):
+    """Partitioned publishes index their col=value subdirs in the
+    manifest (dir_parts), so a pruned probe touches NO filesystem
+    listing at all — proven by making fsio.listdir explode; legacy
+    manifests without the index fall back to one listing per dir."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources import fsio
+    from mapreduce_4_spark.sources import versioned as vt
+
+    tdir = str(tmp_path / "chain")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), F.pmod("id", F.lit(4)).alias("p")
+    )
+    vt.write_version(mk(0, 40).repartition("p"), tdir,
+                     partition_by=["p"], append=True)
+    vt.write_version(mk(40, 80).repartition("p"), tdir,
+                     partition_by=["p"], append=True)
+    # empty append: no parquet written, dir_parts records []
+    vt.write_version(mk(0, 0).repartition("p"), tdir,
+                     partition_by=["p"], append=True)
+    m = vt.read_manifest(tdir, 3)
+    assert m["dir_parts"]["v=000001"] == [f"p={i}" for i in range(4)]
+    assert m["dir_parts"]["v=000003"] == []
+
+    real_listdir = fsio.listdir
+
+    def boom(path):
+        # resolving the head version legitimately lists _versions/ —
+        # the claim is zero listings of DATA dirs
+        if path.rstrip("/").endswith("_versions"):
+            return real_listdir(path)
+        raise AssertionError(f"listdir({path}) called on indexed probe")
+
+    monkeypatch.setattr(fsio, "listdir", boom)
+    got = vt.read_version_pruned(spark, tdir, {"p": [1]})
+    assert sorted(r["id"] % 4 for r in got.collect()) == [1] * 20
+    monkeypatch.undo()
+
+    # the index carries through tail compaction (folded dir re-listed)
+    vt.write_version(mk(80, 120).repartition("p"), tdir,
+                     partition_by=["p"], append=True)
+    v = vt.compact_tail(spark, tdir, keep_base=1)
+    m = vt.read_manifest(tdir, v)
+    assert set(m["dir_parts"]) == {"v=000001", f"v={v:06d}"}
+    assert m["dir_parts"][f"v={v:06d}"] == [f"p={i}" for i in range(4)]
+    monkeypatch.setattr(fsio, "listdir", boom)
+    got = vt.read_version_pruned(spark, tdir, {"p": [2]})
+    assert sorted(r["id"] % 4 for r in got.collect()) == [2] * 30
+    monkeypatch.undo()
+
+    # legacy manifest: strip the index -> probe lists, still correct
+    mpath = os.path.join(tdir, "_versions", f"{v:06d}.json")
+    legacy = json.loads(open(mpath).read())
+    legacy.pop("dir_parts")
+    with open(mpath, "w") as fh:
+        json.dump(legacy, fh)
+    got = vt.read_version_pruned(spark, tdir, {"p": [2]})
+    assert sorted(r["id"] % 4 for r in got.collect()) == [2] * 30
