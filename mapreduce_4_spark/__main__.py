@@ -63,9 +63,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "table", help="versioned-table maintenance (history/compact/"
-                      "compact-tail/vacuum/stats/count/minmax)")
+                      "compact-tail/vacuum/stats/count/minmax/sum)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
-                                     "vacuum", "stats", "count", "minmax"])
+                                     "vacuum", "stats", "count", "minmax",
+                                     "sum"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -141,6 +142,38 @@ def main(argv: list[str] | None = None) -> int:
                     get_spark("mapreduce_4_spark-cli-table"),
                     args.table_dir, detail=True, **kw)
             print(f"{n}  (dirs: {info['counted']} from metadata, "
+                  f"{info['missed']} skipped, {info['scanned']} scanned)")
+            return 0
+        if args.verb == "sum":
+            if not args.col:
+                p.error("sum needs --col")
+
+            def _b(s):
+                if s is None:
+                    return None
+                for cast in (int, float):
+                    try:
+                        return cast(s)
+                    except ValueError:
+                        pass
+                return s
+
+            if "://" in args.table_dir:
+                from mapreduce_4_spark.session import get_spark
+
+                get_spark("mapreduce_4_spark-cli-table")
+            try:  # metadata-only first
+                n, info = vt.sum_version(
+                    None, args.table_dir, args.col, detail=True,
+                    lower=_b(args.lower), upper=_b(args.upper))
+            except ValueError:
+                from mapreduce_4_spark.session import get_spark
+
+                n, info = vt.sum_version(
+                    get_spark("mapreduce_4_spark-cli-table"),
+                    args.table_dir, args.col, detail=True,
+                    lower=_b(args.lower), upper=_b(args.upper))
+            print(f"{n}  (dirs: {info['summed']} from metadata, "
                   f"{info['missed']} skipped, {info['scanned']} scanned)")
             return 0
         if args.verb == "minmax":

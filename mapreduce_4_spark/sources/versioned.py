@@ -119,18 +119,28 @@ _STATS_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double",
                 "string", "date", "timestamp", "timestamp_ntz"}
 
 
+#: stats column types whose per-dir SUM is recorded too (4th entry):
+#: integer sums re-associate exactly, so folding dir sums equals the
+#: full-scan sum bit-for-bit. Float/string/date columns stay 3-element
+#: — a pre-aggregated double sum would differ from a direct scan in
+#: association order, which the format refuses to paper over.
+_SUMMABLE_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
 def _column_stats(df: DataFrame, cols: list[str]) -> dict:
-    """{col: [min, max, null_count]} for ``cols``, from ONE aggregate
-    job over ``df`` — the O(batch) metadata cost a stats-carrying
-    publish pays. All-null/empty input yields [None, None, n], which
-    range readers treat as 'unknown' (scan, never skip). The null count
-    is what lets ``count_version`` answer a range COUNT from metadata
-    alone: min/max ignore nulls, so a dir whose recorded range sits
-    fully inside the requested bounds still is not fully COUNTABLE
-    unless it provably holds zero nulls in that column. Manifests
-    written before this field carry 2-element entries; readers treat a
-    missing null count as unknown (never fully countable, still
-    skippable/scannable as before)."""
+    """{col: [min, max, null_count(, sum)]} for ``cols``, from ONE
+    aggregate job over ``df`` — the O(batch) metadata cost a
+    stats-carrying publish pays. All-null/empty input yields
+    [None, None, n(, None)], which range readers treat as 'unknown'
+    (scan, never skip). The null count is what lets ``count_version``
+    answer a range COUNT from metadata alone (min/max ignore nulls, so
+    a dir whose recorded range sits fully inside the requested bounds
+    still is not fully COUNTABLE unless it provably holds zero nulls);
+    the sum — recorded for integral columns only, where re-association
+    is exact — is ``sum_version``'s source the same way. Manifests
+    written before these fields carry 2-element entries; readers treat
+    the missing fields as unknown (never fully countable/summable,
+    still skippable/scannable as before)."""
     from pyspark.sql import functions as F
 
     dtypes = dict(df.dtypes)
@@ -149,11 +159,17 @@ def _column_stats(df: DataFrame, cols: list[str]) -> dict:
         nulls = F.sum(F.col(c).isNull().cast("long"))
         exprs += [mn.alias(f"mn_{c}"), mx.alias(f"mx_{c}"),
                   nulls.alias(f"nu_{c}")]
+        if t in _SUMMABLE_TYPES:
+            exprs.append(F.sum(F.col(c).cast("bigint")).alias(f"su_{c}"))
     row = df.agg(*exprs).first()
-    return {
-        c: [row[f"mn_{c}"], row[f"mx_{c}"], int(row[f"nu_{c}"] or 0)]
-        for c in cols
-    }
+    out = {}
+    for c in cols:
+        ent = [row[f"mn_{c}"], row[f"mx_{c}"], int(row[f"nu_{c}"] or 0)]
+        if dtypes.get(c) in _SUMMABLE_TYPES:
+            s = row[f"su_{c}"]
+            ent.append(int(s) if s is not None else None)
+        out[c] = ent
+    return out
 
 
 def _check_append_schema(pm: dict, df: DataFrame, table_dir: str) -> None:
@@ -937,6 +953,84 @@ def count_version(spark: SparkSession | None, table_dir: str,
     info = {
         "missed": sum(r == "miss" for r in rels.values()),
         "counted": sum(r == "full" for r in rels.values()),
+        "scanned": len(partial),
+    }
+    return (total, info) if detail else total
+
+
+def sum_version(spark: SparkSession | None, table_dir: str, col: str,
+                version: int | None = None, lower=None, upper=None,
+                where: dict | None = None, detail: bool = False):
+    """SUM of an integral stats column from the manifest wherever
+    provably possible — completing the metadata-aggregate set
+    (COUNT/MIN/MAX/SUM, the same four Spark's DSv2 aggregate pushdown
+    targets). Per-dir exact BIGINT sums are recorded at publish for
+    integral stats columns only, where re-association is exact, so
+    folding dir sums equals the full-scan sum bit-for-bit; float
+    columns never record sums (pre-aggregation would change the
+    association order) and always scan.
+
+    Unbounded: every dir with a recorded sum contributes it (an
+    all-null dir records None = contributes nothing, still metadata).
+    Bounded (``lower``/``upper`` on ``col``, or ``where={...}`` on any
+    columns): provably-missing dirs contribute 0, provably-covered
+    dirs (the same ``_range_relation`` proof ``count_version`` uses)
+    contribute their recorded sum, boundary-straddling dirs scan with
+    the exact residual filter. ``spark=None`` asserts the
+    metadata-only path by raising instead of scanning. Returns the sum
+    (None when no non-null values exist, matching SQL SUM), or
+    ``(sum, {"missed", "summed", "scanned"})`` with ``detail=True``.
+    """
+    if where is not None and (lower is not None or upper is not None):
+        raise ValueError(
+            "sum_version takes either lower/upper (bounds on col) or "
+            "where={col: (lower, upper)}, not both"
+        )
+    if where is None:
+        where = ({col: (lower, upper)}
+                 if (lower is not None or upper is not None) else {})
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published versions in {table_dir}")
+    manifest = read_manifest(table_dir, version)
+    dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
+    stats = manifest.get("col_stats") or {}
+    dir_rows = manifest.get("dir_rows") or {}
+    bounded = bool(where) and any(
+        lo is not None or hi is not None for lo, hi in where.values()
+    )
+    rels = {}
+    for d in dirs:
+        rel = (_range_relation(stats.get(d), dir_rows.get(d), where)
+               if bounded else "full")
+        if rel == "full":
+            ent = (stats.get(d) or {}).get(col)
+            if ent is None or len(ent) < 4:
+                rel = "partial"  # no recorded sum (float col / legacy)
+        rels[d] = rel
+    vals = [stats[d][col][3] for d, r in rels.items() if r == "full"]
+    known = [v for v in vals if v is not None]
+    partial = [d for d, r in rels.items() if r == "partial"]
+    if partial:
+        if spark is None:
+            raise ValueError(
+                f"sum_version({table_dir}): {len(partial)} chain dir(s) "
+                "cannot be answered from manifest metadata (partial "
+                "range overlap, non-integral column, or a pre-sum "
+                "manifest) — pass a SparkSession to scan them"
+            )
+        from pyspark.sql import functions as F
+
+        kept = [os.path.join(table_dir, d) for d in partial]
+        scan = _apply_range_filter(_scan_dirs(spark, manifest, kept), where)
+        s = scan.agg(F.sum(col).alias("s")).first()["s"]
+        if s is not None:
+            known.append(s)
+    total = sum(known) if known else None
+    info = {
+        "missed": sum(r == "miss" for r in rels.values()),
+        "summed": sum(r == "full" for r in rels.values()),
         "scanned": len(partial),
     }
     return (total, info) if detail else total

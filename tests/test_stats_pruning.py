@@ -37,7 +37,7 @@ def test_stats_skip_dirs_and_match_unpruned_filter(spark, tmp_path):
     m = read_manifest(tdir, 3)
     assert m["stats_for"] == ["k"]
     assert set(m["col_stats"]) == {"v=000001", "v=000002", "v=000003"}
-    assert m["col_stats"]["v=000002"]["k"] == [100, 109, 0]
+    assert m["col_stats"]["v=000002"]["k"] == [100, 109, 0, 1045]
 
     got = read_version_stats_pruned(spark, tdir, "k", lower=100, upper=105)
     files = got.inputFiles()
@@ -111,7 +111,7 @@ def test_maintenance_rewrites_carry_stats(spark, tmp_path):
     v2 = upsert_version(spark, tdir, _ks(spark, 5, 10), key="k")
     m = read_manifest(tdir, v2)
     assert m["stats_for"] == ["k"]
-    assert m["col_stats"][f"v={v2:06d}"]["k"] == [0, 14, 0]
+    assert m["col_stats"][f"v={v2:06d}"]["k"] == [0, 14, 0, 105]
 
 
 def test_compact_tail_refreshes_folded_stats(spark, tmp_path):
@@ -122,7 +122,7 @@ def test_compact_tail_refreshes_folded_stats(spark, tmp_path):
     v = compact_tail(spark, tdir, keep_base=1)
     m = read_manifest(tdir, v)
     assert set(m["col_stats"]) == {"v=000001", f"v={v:06d}"}
-    assert m["col_stats"][f"v={v:06d}"]["k"] == [100, 309, 0]
+    assert m["col_stats"][f"v={v:06d}"]["k"] == [100, 309, 0, 6135]
     got = read_version_stats_pruned(spark, tdir, "k", lower=0, upper=9)
     assert all("v=000001" in f for f in got.inputFiles())
     assert got.count() == 10
@@ -312,7 +312,7 @@ def test_count_version_nulls_block_metadata_counting(spark, tmp_path):
     )
     write_version(df, tdir, append=True, stats_for=["k"])
     m = read_manifest(tdir, 1)
-    assert m["col_stats"]["v=000001"]["k"] == [0, 6, 3]
+    assert m["col_stats"]["v=000001"]["k"] == [0, 6, 3, 21]
     assert m["dir_rows"] == {"v=000001": 10}
     with pytest.raises(ValueError, match="pass a SparkSession"):
         count_version(None, tdir, "k", lower=0, upper=6)
@@ -436,3 +436,47 @@ def test_minmax_version_date_stats_stay_string_canonical(spark, tmp_path):
     write_version(df1, tdir, append=True)            # unstatted
     write_version(df2, tdir, append=True, stats_for=["d"])
     assert minmax_version(spark, tdir, "d") == ("2026-01-01", "2026-04-15")
+
+
+def test_sum_version_metadata_bounded_and_float_refusal(spark, tmp_path):
+    """Integral stats columns record exact per-dir BIGINT sums, so
+    unbounded and dir-aligned range SUMs are metadata-only; float
+    columns never record sums (re-association would change the value)
+    and always scan; straddling ranges scan only boundary dirs."""
+    from mapreduce_4_spark.sources.versioned import sum_version
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)  # dirs: k in [0,10), [100,110), [200,210)
+    # unbounded: pure metadata
+    want_all = sum(range(10)) + sum(range(100, 110)) + sum(range(200, 210))
+    assert sum_version(None, tdir, "k") == want_all
+    # dir-aligned range: pure metadata
+    n, info = sum_version(None, tdir, "k", lower=100, upper=109,
+                          detail=True)
+    assert n == sum(range(100, 110))
+    assert info == {"missed": 2, "summed": 1, "scanned": 0}
+    # straddling: scans exactly the two boundary dirs
+    with pytest.raises(ValueError, match="pass a SparkSession"):
+        sum_version(None, tdir, "k", lower=105, upper=205)
+    n, info = sum_version(spark, tdir, "k", lower=105, upper=205,
+                          detail=True)
+    assert n == sum(range(105, 110)) + sum(range(200, 206))
+    assert info == {"missed": 1, "summed": 0, "scanned": 2}
+
+    # float column: stats stay 3-element, sums always scan
+    fdir = str(tmp_path / "f")
+    write_version(
+        _ks(spark, 0, 10).withColumn("x", F.col("k") * 0.5),
+        fdir, stats_for=["x"])
+    m = read_manifest(fdir, 1)
+    assert len(m["col_stats"]["v=000001"]["x"]) == 3
+    with pytest.raises(ValueError, match="pass a SparkSession"):
+        sum_version(None, fdir, "x")
+    assert sum_version(spark, fdir, "x") == pytest.approx(22.5)
+
+    # all-null integral column: recorded sum None -> metadata, SQL NULL
+    adir = str(tmp_path / "a")
+    write_version(
+        spark.range(3).select(F.lit(None).cast("bigint").alias("k")),
+        adir, stats_for=["k"])
+    assert sum_version(None, adir, "k") is None
