@@ -81,6 +81,21 @@ def _timed(timings: dict[str, float], name: str, df) -> None:
     print(f"# {name}: {timings[name]:.3f}s (runs: {runs})", file=sys.stderr)
 
 
+def _timed_fn(timings: dict[str, float], name: str, fn) -> None:
+    """_timed for a driver-side callable (e.g. a metadata-only
+    aggregate with no DataFrame to noop-sink): one warm-up call, then
+    N_RUNS timed calls, min recorded, raws kept — same discipline."""
+    fn()
+    runs = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(round(time.perf_counter() - t0, 6))
+    _RAW[name] = runs
+    timings[name] = min(runs)
+    print(f"# {name}: {timings[name]:.3f}s (runs: {runs})", file=sys.stderr)
+
+
 def refresh_reference(bench_json_path: str) -> None:
     """Rewrite BENCH_REFERENCE.json from a confirmed-good bench run.
 
@@ -215,7 +230,12 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
         "o_orderkey", "o_totalprice")
     tmp2b = tempfile.mkdtemp(prefix="bench_statschain_")
     try:
-        okmax = 6_000_000  # sf0.1 orderkey space; slices stay disjoint
+        # sf0.1 orderkeys are DENSE in [0, 150000) — the previous
+        # 6_000_000 bound left 23 of 24 slices EMPTY, so both chain
+        # arms were timing near-empty scans (0.035s vs 0.033s parity in
+        # BENCH_r<=10 is that artifact, not a real skipping read)
+        okmax = 150_000
+
         step = okmax // 24
         for i in range(24):
             write_version(
@@ -234,6 +254,25 @@ def _ab_experiments(spark, timings: dict[str, float]) -> None:
                read_version_stats_pruned(
                    spark, f"{tmp2b}/chain", "o_orderkey",
                    lower=lo2, upper=lo2 + 2000))
+        # the metadata-aggregate tier on the same chain: a dir-aligned
+        # 2-dir range COUNT answered from the manifest alone (spark
+        # deliberately None — zero jobs, zero listings) vs the same
+        # count through the pruned scan. The metadata side is flat in
+        # corpus size AND chain length; the ratio here (~10^3x, see
+        # SCALE.md probe) is the floor, not the ceiling.
+        from mapreduce_4_spark.sources.versioned import count_version
+
+        alo, ahi = 10 * step, 12 * step - 1
+        n_meta = count_version(None, f"{tmp2b}/chain", "o_orderkey",
+                               lower=alo, upper=ahi, detail=True)
+        assert n_meta[1]["scanned"] == 0, n_meta
+        _timed_fn(timings, "ab_chain_count_meta",
+                  lambda: count_version(None, f"{tmp2b}/chain",
+                                        "o_orderkey", lower=alo, upper=ahi))
+        _timed_fn(timings, "ab_chain_count_scan",
+                  lambda: read_version_stats_pruned(
+                      spark, f"{tmp2b}/chain", "o_orderkey",
+                      lower=alo, upper=ahi).count())
     finally:
         shutil.rmtree(tmp2b, ignore_errors=True)
 

@@ -759,6 +759,8 @@ def _range_relation(dir_stats: dict | None, dir_row_count,
     missing dir_rows entry therefore cap the dir at partial.
     """
     rel = "full"
+    if dir_row_count == 0:
+        return "miss"  # a provably-empty dir contributes nothing
     if dir_row_count is None:
         rel = "partial"
     for c, (lower_c, upper_c) in where.items():

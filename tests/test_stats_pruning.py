@@ -480,3 +480,41 @@ def test_sum_version_metadata_bounded_and_float_refusal(spark, tmp_path):
         spark.range(3).select(F.lit(None).cast("bigint").alias("k")),
         adir, stats_for=["k"])
     assert sum_version(None, adir, "k") is None
+
+
+def test_metadata_aggregates_with_overlapping_dir_ranges(spark, tmp_path):
+    """Arrival-ordered data has overlapping key ranges across dirs
+    (late arrivals). Classification must stay sound: overlapping dirs
+    are partial (scanned) unless provably covered, and count/sum/minmax
+    all match the brute-force scan on every query shape."""
+    import random
+
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        minmax_version,
+        sum_version,
+    )
+
+    rng = random.Random(7)
+    tdir = str(tmp_path / "t")
+    all_rows = []
+    for _ in range(6):
+        lo = rng.randrange(0, 150)
+        n = rng.randrange(0, 60)  # some dirs may be empty
+        vals = [lo + rng.randrange(0, 80) for _ in range(n)]
+        all_rows.extend(vals)
+        write_version(
+            spark.createDataFrame([(v,) for v in vals] or [], "k bigint"),
+            tdir, append=True, stats_for=["k"])
+
+    assert count_version(None, tdir) == len(all_rows)
+    assert minmax_version(None, tdir, "k") == (
+        (min(all_rows), max(all_rows)) if all_rows else (None, None))
+    assert sum_version(None, tdir, "k") == (
+        sum(all_rows) if all_rows else None)
+    for lo, hi in [(0, 300), (40, 90), (100, 101), (299, 300), (75, 75)]:
+        want = [v for v in all_rows if lo <= v <= hi]
+        assert count_version(spark, tdir, "k", lower=lo, upper=hi) \
+            == len(want), (lo, hi)
+        got_sum = sum_version(spark, tdir, "k", lower=lo, upper=hi)
+        assert got_sum == (sum(want) if want else None), (lo, hi)
