@@ -32,6 +32,33 @@ def _default_sf() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _bound(s):
+    """CLI range bound: int, else float, else the raw string."""
+    if s is None:
+        return None
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    return s
+
+
+def _meta_first(fn, *args, **kwargs):
+    """Call a metadata-first versioned-table aggregate with spark=None;
+    only when it reports dirs needing a scan does a session spin up.
+    Any other ValueError (bad arguments) propagates."""
+    try:
+        return fn(None, *args, **kwargs)
+    except ValueError as e:
+        if "pass a SparkSession" not in str(e):
+            raise
+        from mapreduce_4_spark.session import get_spark
+
+        return fn(get_spark("mapreduce_4_spark-cli-table"),
+                  *args, **kwargs)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mapreduce_4_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -108,92 +135,42 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
             m = vt.read_manifest(args.table_dir, v)
             print(f"version {v}  stats_for={m.get('stats_for')}")
+            dir_rows = m.get("dir_rows") or {}
             for d, cols in sorted((m.get("col_stats") or {}).items()):
-                spans = ", ".join(f"{c}=[{s[0]!r}, {s[1]!r}]"
-                                  for c, s in sorted(cols.items()))
-                print(f"  {d}: {spans}")
+                spans = ", ".join(
+                    f"{c}=[{s[0]!r}, {s[1]!r}]"
+                    + (f" nulls={s[2]}" if len(s) > 2 else "")
+                    + (f" sum={s[3]}" if len(s) > 3 else "")
+                    for c, s in sorted(cols.items())
+                )
+                rows = dir_rows.get(d)
+                rows_note = f"rows={rows} " if rows is not None else ""
+                print(f"  {d}: {rows_note}{spans}")
             return 0
-        if args.verb == "count":
-            def _bound(s):
-                if s is None:
-                    return None
-                for cast in (int, float):
-                    try:
-                        return cast(s)
-                    except ValueError:
-                        pass
-                return s
+        if args.verb in ("count", "sum", "minmax"):
+            if args.verb != "count" and not args.col:
+                p.error(f"{args.verb} needs --col")
+            if not args.col and (args.lower or args.upper):
+                p.error("count bounds need --col (which column "
+                        "do --lower/--upper constrain?)")
+            if "://" in args.table_dir:
+                from mapreduce_4_spark.session import get_spark
 
-            kw = {}
+                get_spark("mapreduce_4_spark-cli-table")
+            if args.verb == "minmax":
+                mn, mx = _meta_first(vt.minmax_version, args.table_dir,
+                                     args.col)
+                print(f"min={mn!r} max={mx!r}")
+                return 0
+            kw = {"detail": True}
             if args.col:
-                kw = {"col": args.col, "lower": _bound(args.lower),
-                      "upper": _bound(args.upper)}
-            if "://" in args.table_dir:
-                from mapreduce_4_spark.session import get_spark
-
-                get_spark("mapreduce_4_spark-cli-table")
-            try:  # metadata-only first — no Spark session unless needed
-                n, info = vt.count_version(None, args.table_dir,
-                                           detail=True, **kw)
-            except ValueError:
-                from mapreduce_4_spark.session import get_spark
-
-                n, info = vt.count_version(
-                    get_spark("mapreduce_4_spark-cli-table"),
-                    args.table_dir, detail=True, **kw)
-            print(f"{n}  (dirs: {info['counted']} from metadata, "
+                kw.update(col=args.col, lower=_bound(args.lower),
+                          upper=_bound(args.upper))
+            fn = vt.count_version if args.verb == "count" else vt.sum_version
+            n, info = _meta_first(fn, args.table_dir, **kw)
+            meta = info["counted" if args.verb == "count" else "summed"]
+            print(f"{n}  (dirs: {meta} from metadata, "
                   f"{info['missed']} skipped, {info['scanned']} scanned)")
-            return 0
-        if args.verb == "sum":
-            if not args.col:
-                p.error("sum needs --col")
-
-            def _b(s):
-                if s is None:
-                    return None
-                for cast in (int, float):
-                    try:
-                        return cast(s)
-                    except ValueError:
-                        pass
-                return s
-
-            if "://" in args.table_dir:
-                from mapreduce_4_spark.session import get_spark
-
-                get_spark("mapreduce_4_spark-cli-table")
-            try:  # metadata-only first
-                n, info = vt.sum_version(
-                    None, args.table_dir, args.col, detail=True,
-                    lower=_b(args.lower), upper=_b(args.upper))
-            except ValueError:
-                from mapreduce_4_spark.session import get_spark
-
-                n, info = vt.sum_version(
-                    get_spark("mapreduce_4_spark-cli-table"),
-                    args.table_dir, args.col, detail=True,
-                    lower=_b(args.lower), upper=_b(args.upper))
-            print(f"{n}  (dirs: {info['summed']} from metadata, "
-                  f"{info['missed']} skipped, {info['scanned']} scanned)")
-            return 0
-        if args.verb == "minmax":
-            if not args.col:
-                p.error("minmax needs --col")
-            if "://" in args.table_dir:
-                from mapreduce_4_spark.session import get_spark
-
-                get_spark("mapreduce_4_spark-cli-table")
-            try:  # metadata-only first
-                mn, mx = vt.minmax_version(None, args.table_dir, args.col)
-                src = "metadata"
-            except ValueError:
-                from mapreduce_4_spark.session import get_spark
-
-                mn, mx = vt.minmax_version(
-                    get_spark("mapreduce_4_spark-cli-table"),
-                    args.table_dir, args.col)
-                src = "metadata + scan of unstatted dirs"
-            print(f"min={mn!r} max={mx!r}  ({src})")
             return 0
         if args.verb == "history":
             from mapreduce_4_spark.session import get_spark

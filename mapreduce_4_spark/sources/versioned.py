@@ -291,17 +291,18 @@ def write_version(df: DataFrame, table_dir: str,
         parent_rows = pm["row_count"]
         if stats_for is None:  # a stats-carrying chain keeps collecting
             stats_for = pm.get("stats_for")
+        pset = set(parent_dirs)
         parent_stats = {
             d: s for d, s in (pm.get("col_stats") or {}).items()
-            if d in set(parent_dirs)
+            if d in pset
         }
         parent_dir_rows = {
             d: n for d, n in (pm.get("dir_rows") or {}).items()
-            if d in set(parent_dirs)
+            if d in pset
         }
         parent_dir_parts = {
             d: e for d, e in (pm.get("dir_parts") or {}).items()
-            if d in set(parent_dirs)
+            if d in pset
         }
     else:
         parent_stats = {}
@@ -484,17 +485,18 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
             parent_rows = pm["row_count"]
             if eff_stats_for is None:  # chains keep collecting stats
                 eff_stats_for = pm.get("stats_for")
+            pset = set(parent_dirs)
             parent_stats = {
                 d: s for d, s in (pm.get("col_stats") or {}).items()
-                if d in set(parent_dirs)
+                if d in pset
             }
             parent_dir_rows = {
                 d: n for d, n in (pm.get("dir_rows") or {}).items()
-                if d in set(parent_dirs)
+                if d in pset
             }
             parent_dir_parts = {
                 d: e for d, e in (pm.get("dir_parts") or {}).items()
-                if d in set(parent_dirs)
+                if d in pset
             }
         col_stats = dict(parent_stats)
         if eff_stats_for:
@@ -769,6 +771,15 @@ def _range_relation(dir_stats: dict | None, dir_row_count,
             rel = "partial"  # unknown: scan, never skip — keep checking
             continue         # other columns, which may still prove miss
         mn, mx = ent[0], ent[1]
+        if (isinstance(mn, float) and mn != mn) \
+                or (isinstance(mx, float) and mx != mx):
+            # NaN stats (Spark min/max of a NaN-bearing float column):
+            # every comparison below would be False, which can never
+            # prove "miss" but WOULD fall through to "full" — and a NaN
+            # row fails any range predicate in a scan, so a metadata
+            # count would overcount. NaN means unknown: scan.
+            rel = "partial"
+            continue
         # date/timestamp stats serialize as canonical strings whose
         # lexicographic order is time order; normalize bounds too
         lo = (str(lower_c) if isinstance(mn, str)
@@ -1092,7 +1103,16 @@ def minmax_version(spark: SparkSession | None, table_dir: str, col: str,
         if row["mn"] is not None:
             mins.append(row["mn"])
             maxs.append(row["mx"])
-    return (min(mins) if mins else None, max(maxs) if maxs else None)
+
+    # fold with SPARK's total order, where NaN sorts LARGER than every
+    # other double (so a NaN stat loses every min and wins every max) —
+    # plain Python min()/max() are order-dependent around NaN because
+    # each NaN comparison is False, silently disagreeing with the scan
+    def _key(v):
+        return (isinstance(v, float) and v != v, v)
+
+    return (min(mins, key=_key) if mins else None,
+            max(maxs, key=_key) if maxs else None)
 
 
 def read_manifest(table_dir: str, version: int) -> dict:
@@ -1380,9 +1400,10 @@ def compact_tail(spark: SparkSession, table_dir: str,
     # folded dir gets a recomputed one (same content as the tail it
     # replaced, but recomputed rather than min/max-merged so the fold
     # can only tighten after deletes ever land in a chain)
+    bset = set(base)
     col_stats = {
         d: s for d, s in (manifest.get("col_stats") or {}).items()
-        if d in set(base)
+        if d in bset
     }
     if manifest.get("stats_for") and rows is not None:
         col_stats[f"v={new_version:06d}"] = _column_stats(
@@ -1393,11 +1414,11 @@ def compact_tail(spark: SparkSession, table_dir: str,
     # of the dir just written, never a data scan)
     dir_rows = {
         d: n for d, n in (manifest.get("dir_rows") or {}).items()
-        if d in set(base)
+        if d in bset
     }
     dir_parts = {
         d: e for d, e in (manifest.get("dir_parts") or {}).items()
-        if d in set(base)
+        if d in bset
     }
     if rows is not None:
         dir_rows[f"v={new_version:06d}"] = fsio.parquet_row_count(data_dir)

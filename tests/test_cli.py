@@ -217,7 +217,8 @@ def test_cli_table_stats_verb_and_staged_ttl(spark, tmp_path, capsys):
     assert main(["table", "stats", tdir]) == 0
     out = capsys.readouterr().out
     assert "stats_for=['k']" in out
-    assert "v=000001: k=[0, 4]" in out and "v=000002: k=[100, 104]" in out
+    assert "v=000001: rows=5 k=[0, 4] nulls=0 sum=10" in out \
+        and "v=000002: rows=5 k=[100, 104] nulls=0 sum=510" in out
 
     orphan = os.path.join(tdir, "_staged", "deadbeef0000")
     spark.range(3).write.parquet(orphan)

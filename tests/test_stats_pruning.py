@@ -518,3 +518,42 @@ def test_metadata_aggregates_with_overlapping_dir_ranges(spark, tmp_path):
             == len(want), (lo, hi)
         got_sum = sum_version(spark, tdir, "k", lower=lo, upper=hi)
         assert got_sum == (sum(want) if want else None), (lo, hi)
+
+
+def test_nan_stats_never_prove_coverage(spark, tmp_path):
+    """NaN min/max stats (Spark min/max of a NaN-bearing float column)
+    must classify as UNKNOWN: every NaN comparison is False, which can
+    never prove 'miss' but would fall through to 'full' — and a NaN row
+    fails any range predicate in a scan, so a metadata count would
+    overcount. minmax must also fold NaN with Spark's ordering (NaN
+    sorts larger than everything) instead of Python's order-dependent
+    min()/max()."""
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        minmax_version,
+        sum_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(1.0,), (2.0,), (float("nan"),)], "x double"),
+        tdir, append=True, stats_for=["x"])
+    write_version(
+        spark.createDataFrame([(5.0,), (6.0,)], "x double"),
+        tdir, append=True)
+    # the NaN dir can never be metadata-counted for a range
+    with pytest.raises(ValueError, match="pass a SparkSession"):
+        count_version(None, tdir, "x", lower=0.0, upper=10.0)
+    n, info = count_version(spark, tdir, "x", lower=0.0, upper=10.0,
+                            detail=True)
+    assert n == 4  # NaN fails the range predicate, exactly like a scan
+    assert info["scanned"] == 1 and info["counted"] == 1
+    # minmax: NaN loses every min, wins every max (Spark's ordering),
+    # independent of chain dir order
+    mn, mx = minmax_version(None, tdir, "x")
+    assert mn == 1.0
+    assert mx != mx  # NaN
+    # float sums are never recorded — scans regardless of NaN
+    with pytest.raises(ValueError, match="pass a SparkSession"):
+        sum_version(None, tdir, "x")
