@@ -557,3 +557,61 @@ def test_nan_stats_never_prove_coverage(spark, tmp_path):
     # float sums are never recorded — scans regardless of NaN
     with pytest.raises(ValueError, match="pass a SparkSession"):
         sum_version(None, tdir, "x")
+
+
+def test_range_relation_soundness_fuzz():
+    """Pure-function fuzz of the classification keystone: for random
+    dir contents (ints, nulls, NaN) and random bounds, 'miss' must
+    imply NO row matches and 'full' must imply EVERY row matches —
+    the two directions whose failure silently corrupts pruned reads
+    and metadata counts respectively. 'partial' is always sound (it
+    scans). Stats are computed exactly as _column_stats records them
+    (min/max/null-count over non-null values, NaN as Spark orders it:
+    larger than every number)."""
+    import math
+    import random
+
+    from mapreduce_4_spark.sources.versioned import _range_relation
+
+    rng = random.Random(20260815)
+    for _ in range(3000):
+        n = rng.randrange(0, 8)
+        rows = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.15:
+                rows.append(None)
+            elif r < 0.25:
+                rows.append(float("nan"))
+            elif r < 0.45:
+                rows.append(rng.uniform(-20, 20))
+            else:
+                rows.append(rng.randrange(-20, 20))
+        nonnull = [v for v in rows if v is not None]
+        if nonnull:
+            # Spark ordering: NaN greater than everything
+            key = lambda v: (isinstance(v, float) and math.isnan(v), v)  # noqa: E731
+            mn, mx = min(nonnull, key=key), max(nonnull, key=key)
+        else:
+            mn = mx = None
+        ent = [mn, mx, len(rows) - len(nonnull)]
+        if rng.random() < 0.2:
+            ent = ent[:2]  # legacy 2-element entry
+        lo = None if rng.random() < 0.3 else rng.randrange(-25, 25)
+        hi = None if rng.random() < 0.3 else rng.randrange(-25, 25)
+        if lo is None and hi is None:
+            lo = 0
+        dir_rows = None if rng.random() < 0.2 else len(rows)
+        rel = _range_relation({"k": ent}, dir_rows, {"k": (lo, hi)})
+
+        def matches(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return False
+            return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+        matching = [v for v in rows if matches(v)]
+        if rel == "miss":
+            assert not matching, (rows, ent, lo, hi, dir_rows)
+        elif rel == "full":
+            assert dir_rows is not None
+            assert len(matching) == len(rows), (rows, ent, lo, hi)
