@@ -449,3 +449,96 @@ def zorder_interleave_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         zval.alias("zval"),
         F.shiftright(zval, 8).cast("bigint").alias("zbucket"),
     )
+
+
+@register(
+    "metadata_agg_orders",
+    oracle="""
+        SELECT 'cnt_total' AS metric,
+               CAST(COUNT(*) AS BIGINT) AS value FROM orders
+        UNION ALL
+        SELECT 'cnt_aligned', CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey BETWEEN 0 AND 4999
+        UNION ALL
+        SELECT 'cnt_straddle', CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey BETWEEN 2500 AND 7499
+        UNION ALL
+        SELECT 'cnt_open', CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey >= 5000
+        UNION ALL
+        SELECT 'sum_aligned', CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        WHERE o_orderkey BETWEEN 0 AND 4999
+        UNION ALL
+        SELECT 'min_key', CAST(MIN(o_orderkey) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'max_key', CAST(MAX(o_orderkey) AS BIGINT) FROM orders
+    """,
+    tags=("maintenance", "aggregate"),
+    description="the metadata-aggregate layer end-to-end as an oracled "
+                "query: orders is published as a 3-slice stats-carrying "
+                "append chain (sources/versioned.py), then COUNT (total, "
+                "dir-aligned, straddling, open-ended), SUM, and MIN/MAX "
+                "over o_orderkey are answered via count_version / "
+                "sum_version / minmax_version — the Iceberg/Delta-style "
+                "manifest aggregates — and checked against DuckDB "
+                "computing the same numbers straight from the parquet. "
+                "Whatever each range resolves to at a given SF "
+                "(manifest-only or boundary-dir scan), the values must "
+                "equal the brute-force answers",
+)
+def metadata_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: the aggregates this query checks are the O(1)
+    monitoring path a 100 TB ingest runs hourly — unbounded counts are
+    one manifest JSON, dir-aligned ranges add nothing, and only
+    boundary-straddling dirs ever scan (SCALE.md 'COUNTs are answered
+    from the manifest'). The chain build here is the fixture-sized
+    harness for that contract; the output rows are plain BIGINTs so
+    the oracle comparison is exact.
+
+    Reference anchor: the reference's final Reduce writes per-file
+    aggregate counts (asio_deep/main.cpp:434-516); this is the same
+    aggregate contract answered from table metadata instead of a scan.
+
+    Timing caveat (the dedup_clusters / bpe_train_merges shape): the
+    chain publish and the aggregates run at BUILD time — driver-
+    orchestrated by design, since metadata aggregates return ints, not
+    plans — so sweep/bench timings of the returned DataFrame measure
+    only the 7 literal rows. The real cost lives in the builder
+    (~3 write_versions + the boundary-dir scans, ~7 s cold at sf0.1).
+    """
+    import shutil
+    import tempfile
+
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        minmax_version,
+        sum_version,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    td = tempfile.mkdtemp(prefix="mr4s_metadata_agg_")
+    try:
+        tdir = f"{td}/orders_chain"
+        for lo, hi in ((0, 5000), (5000, 10000), (10000, None)):
+            part = orders.filter(F.col("o_orderkey") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("o_orderkey") < hi)
+            write_version(part.coalesce(2), tdir, append=True,
+                          stats_for=["o_orderkey"] if lo == 0 else None)
+        rows = [
+            ("cnt_total", count_version(spark, tdir)),
+            ("cnt_aligned", count_version(spark, tdir, "o_orderkey",
+                                          lower=0, upper=4999)),
+            ("cnt_straddle", count_version(spark, tdir, "o_orderkey",
+                                           lower=2500, upper=7499)),
+            ("cnt_open", count_version(spark, tdir, "o_orderkey",
+                                       lower=5000)),
+            ("sum_aligned", sum_version(spark, tdir, "o_orderkey",
+                                        lower=0, upper=4999)),
+        ]
+        mn, mx = minmax_version(spark, tdir, "o_orderkey")
+        rows += [("min_key", mn), ("max_key", mx)]
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, value bigint")
