@@ -57,6 +57,19 @@ def _coverage_rotation(names, correctness_dir: str | None = None,
     ordering unit test (tests/test_cli.py); production callers use the
     defaults (repo root, the registry's rows-only map).
     """
+    counts = _green_counts(correctness_dir, rows_only)
+    return sorted(names, key=lambda n: (counts.get(n, 0), n))
+
+
+def _green_counts(correctness_dir: str | None = None,
+                  rows_only: dict | None = None) -> dict[str, int]:
+    """Per-query count of GREEN driver rows across CORRECTNESS_r*.json.
+
+    Shared by the rotation and the permanent invariant test
+    (tests/test_cli.py): every registered name with zero greens must fit
+    in the driver's head-50 sample, which caps how many brand-new
+    queries a round may add.
+    """
     import glob
     import json
     import os
@@ -85,7 +98,7 @@ def _coverage_rotation(names, correctness_dir: str | None = None,
                     and bool(row.get("hash_match"))
             if green:
                 counts[name] = counts.get(name, 0) + 1
-    return sorted(names, key=lambda n: (counts.get(n, 0), n))
+    return counts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

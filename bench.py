@@ -560,26 +560,46 @@ def main() -> None:
     normalized = (
         {n: round(timings[n] / calib, 4) for n in HEADLINE} if calib else {}
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": round(sum(timings[n] for n in HEADLINE), 3),
-                "value_first_run": _total(lambda r: r[0]),
-                "value_median": _total(lambda r: sorted(r)[len(r) // 2]),
-                "value_normalized": round(sum(normalized.values()), 3)
-                if normalized else None,
-                "calib_sec": calib,
-                "unit": "sec",
-                "queries": timings,
-                "normalized": normalized,
-                "first_pass": first_pass,
-                "runs": N_RUNS,
-                "raw_runs": _RAW,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings[n] for n in HEADLINE), 3),
+        "value_first_run": _total(lambda r: r[0]),
+        "value_median": _total(lambda r: sorted(r)[len(r) // 2]),
+        "value_normalized": round(sum(normalized.values()), 3)
+        if normalized else None,
+        "calib_sec": calib,
+        "unit": "sec",
+        # headline + calib arms only (~1 KB): the ~25 ab_* arms would
+        # push this line past the driver's 2 KB stdout tail — they ride
+        # the full record below instead
+        "queries": {n: timings[n]
+                    for n in HEADLINE + [CALIB, "calib_scan_lineitem"]
+                    if n in timings},
+        "normalized": normalized,
+        "first_pass": first_pass,
+        "runs": N_RUNS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # stdout layout contract (round-10 verdict ask #2): the driver keeps
+    # only a ~2 KB stdout TAIL, and BENCH_r09/r10 both came back
+    # `parsed: null` because the single output line — raw_runs included —
+    # overflowed it, losing the official per-query record two rounds
+    # running. So: the bulky full record (summary + every raw run) goes
+    # FIRST on its own line and to a local side file; the LAST line is
+    # the compact self-contained summary (per-query mins, normalized,
+    # value* totals, calib, first_pass — everything but raw_runs),
+    # compact separators, so the tail always parses.
+    full = dict(summary, queries=timings, raw_runs=_RAW)
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LOCAL.json")
+    try:
+        with open(side, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout: stdout copy still has it
+        print(f"# raw_runs side file unwritable: {exc}", file=sys.stderr)
+    print(json.dumps(full, separators=(",", ":")))
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -124,7 +124,11 @@ def dedup_cluster_assignments(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 #
 # Training loop over ALREADY-QUANTIZED integer vectors (array<bigint>):
 # integer squared-L2 assignment with ties to the lowest cluster id,
-# integer floor-division centroid updates, empty clusters keep their
+# truncating-integer-division centroid updates (Spark `div` truncates
+# toward zero, as does DuckDB's `//` on integers; truncation equals
+# floor only on the NON-NEGATIVE domain the +1 quantization offset in
+# plans/llm_pipeline10.py guarantees — the fuzz model's documented
+# contract too), empty clusters keep their
 # previous centroid. All-integer arithmetic makes every iteration
 # bit-exact regardless of summation order or engine — the property that
 # lets plans/llm_pipeline10.py oracle the FULL training loop against

@@ -414,7 +414,9 @@ def _kmeans_oracle() -> str:
                 f"coordinates quantized to floor((x+1)*10^{6}) BIGINTs, "
                 "centroids seeded from the K smallest vec_ids, integer "
                 "squared-L2 assignment (ties to the lowest cluster id), "
-                "integer floor-division centroid updates, empty clusters "
+                "truncating-integer-division centroid updates (toward "
+                "zero; equals floor on the non-negative quantized "
+                "domain), empty clusters "
                 "keep their previous centroid. Output is the final "
                 "(vec_id, cluster, dist2) assignment. The ORACLED twin "
                 "of the iterative-training surface that "

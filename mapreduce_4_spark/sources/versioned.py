@@ -766,6 +766,21 @@ def _range_relation(dir_stats: dict | None, dir_row_count,
     if dir_row_count is None:
         rel = "partial"
     for c, (lower_c, upper_c) in where.items():
+        if lower_c is None and upper_c is None:
+            # an unbounded column is satisfied by EVERY row, nulls
+            # included — running the nulls/containment check below would
+            # needlessly degrade a null-bearing dir to a scan
+            continue
+        if (isinstance(lower_c, float) and lower_c != lower_c) \
+                or (isinstance(upper_c, float) and upper_c != upper_c):
+            # NaN BOUNDS (reachable from the CLI: _bound('nan') parses):
+            # every comparison is False, so a zero-null dir would fall
+            # through to 'full' and be metadata-counted while the
+            # residual scan filter (col >= NaN) matches zero rows —
+            # metadata and scan would disagree. Same rule as NaN stats:
+            # NaN means unknown, scan.
+            rel = "partial"
+            continue
         ent = (dir_stats or {}).get(c)
         if not ent or ent[0] is None or ent[1] is None:
             rel = "partial"  # unknown: scan, never skip — keep checking

@@ -198,20 +198,26 @@ def test_rcte_prefix_cache_is_bounded_and_releasable(spark, sf_oracle):
     session), and clear_rcte_cache() must release it entirely."""
     from mapreduce_4_spark.plans import spark4_surface as s4
 
-    def n_cached_rdds() -> int:
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def rdd_ids() -> set:
+        # track id SETS, not counts: unrelated suites' cached RDDs are
+        # unpersisted asynchronously (ContextCleaner) mid-test, so the
+        # global count races — only the ids THIS test creates are a
+        # stable signal (round-10 verdict ask #1b; the count form
+        # failed `34 > 35` in full-suite runs, green alone)
+        return {i.id() for i in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()}
 
     s4.clear_rcte_cache()
-    base = n_cached_rdds()
+    base_ids = rdd_ids()
     s4.order_streaks_recursive(spark, sf_oracle).count()
-    after_first = n_cached_rdds()
-    assert after_first > base  # the two prefix tables materialized
+    ours = rdd_ids() - base_ids
+    assert ours  # the two prefix tables materialized
     for _ in range(3):
         s4.order_streaks_recursive(spark, sf_oracle).count()
-    assert n_cached_rdds() == after_first  # reused, not re-persisted
-    assert len(s4._RCTE_CACHE) == 1       # one entry per (app, sf)
+        assert rdd_ids() - base_ids == ours  # reused, not re-persisted
+    assert len(s4._RCTE_CACHE) == 1          # one entry per (app, sf)
     s4.clear_rcte_cache()
-    assert n_cached_rdds() == base        # fully released
+    assert not (rdd_ids() & ours)            # fully released
     assert s4._RCTE_CACHE == {}
 
 

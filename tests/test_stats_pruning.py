@@ -559,6 +559,31 @@ def test_nan_stats_never_prove_coverage(spark, tmp_path):
         sum_version(None, tdir, "x")
 
 
+def test_range_relation_nan_and_unbounded_bounds():
+    """The two round-10 ADVICE holes, pinned directly. (1) A NaN BOUND
+    (reachable from the CLI: _bound('nan') parses to float NaN) makes
+    every comparison False — a zero-null dir used to fall through to
+    'full' and be metadata-counted while the residual scan filter
+    (col >= NaN) matches zero rows, so metadata and scan disagreed. NaN
+    bounds now degrade to 'partial' exactly like NaN stats. (2) A
+    where entry with BOTH bounds None is satisfied by every row
+    including nulls — it must not drag a null-bearing dir down to a
+    scan when the other columns prove 'full'."""
+    from math import nan
+
+    from mapreduce_4_spark.sources.versioned import _range_relation
+
+    for bounds in ((nan, None), (None, nan), (nan, nan)):
+        assert _range_relation({"k": [1.0, 10.0, 0]}, 10,
+                               {"k": bounds}) == "partial"
+    # unbounded column with nulls alongside a fully-covered bounded one
+    assert _range_relation({"a": [1, 10, 0], "b": [1, 5, 3]}, 10,
+                           {"a": (1, 10), "b": (None, None)}) == "full"
+    # all-unbounded where: every row qualifies — full when dir_rows known
+    assert _range_relation({"b": [1, 5, 3]}, 10,
+                           {"b": (None, None)}) == "full"
+
+
 def test_range_relation_soundness_fuzz():
     """Pure-function fuzz of the classification keystone: for random
     dir contents (ints, nulls, NaN) and random bounds, 'miss' must
@@ -597,16 +622,25 @@ def test_range_relation_soundness_fuzz():
         ent = [mn, mx, len(rows) - len(nonnull)]
         if rng.random() < 0.2:
             ent = ent[:2]  # legacy 2-element entry
-        lo = None if rng.random() < 0.3 else rng.randrange(-25, 25)
-        hi = None if rng.random() < 0.3 else rng.randrange(-25, 25)
-        if lo is None and hi is None:
-            lo = 0
+        def bound():
+            r = rng.random()
+            if r < 0.3:
+                return None
+            if r < 0.38:
+                return float("nan")  # CLI-reachable NaN bound
+            return rng.randrange(-25, 25)
+
+        lo, hi = bound(), bound()
         dir_rows = None if rng.random() < 0.2 else len(rows)
         rel = _range_relation({"k": ent}, dir_rows, {"k": (lo, hi)})
 
         def matches(v):
+            if lo is None and hi is None:
+                # no predicate at all: every row qualifies, nulls too
+                return True
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 return False
+            # a NaN bound compares False against everything, like SQL
             return (lo is None or v >= lo) and (hi is None or v <= hi)
 
         matching = [v for v in rows if matches(v)]
