@@ -49,6 +49,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -359,6 +360,9 @@ def write_version(df: DataFrame, table_dir: str,
     manifest = {
         "version": version,
         "parent": parent,
+        # publish wall-clock (UTC epoch seconds) — what timestamp
+        # AS-OF time travel resolves against (version_at)
+        "committed_at": time.time(),
         "row_count": row_count,
         "schema": df.schema.jsonValue(),
         "bucket_by": bucket_by,
@@ -506,6 +510,9 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
         manifest = {
             "version": version,
             "parent": parent,
+            # re-stamped per CAS attempt: the time this commit actually
+            # landed, not the time the writer first tried
+            "committed_at": time.time(),
             "row_count": new_rows + (parent_rows if append else 0),
             "schema": df.schema.jsonValue(),
             "bucket_by": None,
@@ -602,14 +609,100 @@ def _align_partition_types(df: DataFrame, manifest: dict) -> DataFrame:
     ])
 
 
+def _as_of_epoch(as_of) -> float:
+    """Normalize an AS-OF timestamp to UTC epoch seconds. Accepts epoch
+    int/float, datetime/date, or an ISO-8601 string; tz-naive inputs are
+    UTC (the repo-wide convention — the session timezone is pinned UTC
+    in session.py, and manifests record UTC epochs)."""
+    from datetime import date, datetime, timezone
+
+    if isinstance(as_of, bool):
+        raise TypeError("as_of must be a timestamp, not a bool")
+    if isinstance(as_of, (int, float)):
+        return float(as_of)
+    if isinstance(as_of, datetime):
+        dt = as_of if as_of.tzinfo else as_of.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+    if isinstance(as_of, date):
+        return datetime(as_of.year, as_of.month, as_of.day,
+                        tzinfo=timezone.utc).timestamp()
+    if isinstance(as_of, str):
+        dt = datetime.fromisoformat(as_of)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+    raise TypeError(f"as_of must be epoch seconds, datetime/date, or an "
+                    f"ISO-8601 string; got {type(as_of).__name__}")
+
+
+def version_at(table_dir: str, as_of) -> int:
+    """The latest published version committed at or before ``as_of`` —
+    the resolver behind timestamp time travel (``read_version(...,
+    as_of=...)`` / Delta's ``timestampAsOf`` / Iceberg's
+    ``as-of-timestamp``).
+
+    Commit times come from each manifest's ``committed_at`` (UTC epoch,
+    stamped at publish). Clock skew between uncoordinated concurrent
+    writers can record a later version with a slightly earlier stamp;
+    resolution applies Delta's monotonic adjustment — each version's
+    effective time is the running max of commit times up to it — so the
+    answer is always a legal version (never an older version than one
+    already visible at ``as_of``).
+
+    Loud failures instead of wrong answers: an ``as_of`` earlier than
+    the oldest RETAINED commit raises — distinguishing "before the
+    table's first commit" (the oldest manifest has no parent) from
+    "past the vacuum horizon" (it has one, so earlier versions existed
+    and were vacuumed). Manifests published before commit-time stamping
+    carry no ``committed_at``; they genuinely predate every timestamp a
+    caller can name with this feature, so they count as arbitrarily
+    old (eligible at any ``as_of``).
+    """
+    ts = _as_of_epoch(as_of)
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    best = None
+    running: float | None = None  # monotonic-adjusted commit time
+    for v in versions:
+        ca = read_manifest(table_dir, v).get("committed_at")
+        if ca is not None:
+            running = ca if running is None else max(running, ca)
+        if running is None or running <= ts:
+            best = v
+        else:
+            break  # adjusted times are monotone: later versions too new
+    if best is None:
+        first = read_manifest(table_dir, versions[0])
+        if first.get("parent") is not None:
+            raise ValueError(
+                f"as_of={as_of!r} predates the oldest retained version of "
+                f"{table_dir} (v{versions[0]}, parent v{first['parent']} "
+                "was vacuumed) — the requested snapshot is past the "
+                "vacuum horizon"
+            )
+        raise ValueError(
+            f"as_of={as_of!r} predates the first commit of {table_dir} "
+            f"(v{versions[0]})"
+        )
+    return best
+
+
 def read_version(spark: SparkSession, table_dir: str,
-                 version: int | None = None) -> DataFrame:
-    """Latest snapshot, or time-travel to an explicit ``version``.
+                 version: int | None = None, as_of=None) -> DataFrame:
+    """Latest snapshot, time-travel to an explicit ``version``, or
+    timestamp time-travel via ``as_of`` (epoch seconds, datetime, or
+    ISO string — resolved by ``version_at`` to the latest version
+    committed at or before it).
 
     Bucketed snapshots come back as catalog tables (re-registered from
     the manifest's bucket spec if the session is fresh), so the planner
     sees the bucketing and drops the Exchange on bucket-key joins/aggs.
     """
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = version_at(table_dir, as_of)
     if version is None:
         version = latest_version(table_dir)
         if version is None:
@@ -1168,13 +1261,26 @@ def published_batch_ids(table_dir: str) -> set:
 
 
 def history(spark: SparkSession, table_dir: str) -> DataFrame:
-    """One row per published snapshot (version, parent, row_count)."""
+    """One row per published snapshot (version, parent, row_count,
+    committed_at) — committed_at as an ISO-8601 UTC string (the
+    manifest's publish stamp; null for pre-stamping manifests), the
+    anchor a user copies back into ``read_version(as_of=...)``."""
+    from datetime import datetime, timezone
+
+    def _iso(epoch):
+        if epoch is None:
+            return None
+        return datetime.fromtimestamp(epoch, tz=timezone.utc).isoformat(
+            timespec="seconds")
+
     rows = [
-        (m["version"], m["parent"], m["row_count"])
+        (m["version"], m["parent"], m["row_count"],
+         _iso(m.get("committed_at")))
         for m in (read_manifest(table_dir, v) for v in list_versions(table_dir))
     ]
     return spark.createDataFrame(
-        rows, "version long, parent long, row_count long"
+        rows, "version long, parent long, row_count long, "
+              "committed_at string"
     )
 
 
@@ -1445,6 +1551,7 @@ def compact_tail(spark: SparkSession, table_dir: str,
         **manifest,
         "version": new_version,
         "parent": version,
+        "committed_at": time.time(),
         # same logical content as the parent — count carries over
         "batch_id": None,
         "nonce": uuid.uuid4().hex[:12],
@@ -1518,8 +1625,10 @@ def vacuum(table_dir: str, keep_last: int = 1,
 
 
 def table_changes(spark: SparkSession, table_dir: str, key: str,
-                  from_version: int, to_version: int | None = None,
-                  compare: list[str] | None = None) -> DataFrame:
+                  from_version: int | None = None,
+                  to_version: int | None = None,
+                  compare: list[str] | None = None,
+                  since=None) -> DataFrame:
     """Change data feed between two published versions (CDC read):
     Delta's ``table_changes`` / Iceberg changelog scan over this table
     format, computed as one full-outer join of the two snapshots
@@ -1527,9 +1636,21 @@ def table_changes(spark: SparkSession, table_dir: str, key: str,
     to the union of both snapshots' non-key columns, with typed-null
     padding when the schema evolved between the versions — the same
     alignment the streaming feed uses, so batch and feed agree on
-    evolved schemas by construction."""
+    evolved schemas by construction.
+
+    The base is named by ``from_version`` OR by ``since`` (a timestamp —
+    epoch seconds, datetime, or ISO string): ``since`` resolves through
+    ``version_at`` to the latest version committed at or before it, so
+    "what changed since yesterday 09:00" is one call, with the same
+    loud first-commit / vacuum-horizon errors as ``read_version``."""
     from mapreduce_4_spark.operators.maintenance import snapshot_diff_aligned
 
+    if (from_version is None) == (since is None):
+        raise ValueError(
+            "table_changes needs exactly one of from_version or since"
+        )
+    if since is not None:
+        from_version = version_at(table_dir, since)
     if to_version is None:
         to_version = latest_version(table_dir)
     old = read_version(spark, table_dir, from_version)

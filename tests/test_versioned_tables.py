@@ -1064,3 +1064,103 @@ def test_read_version_pruned_is_listing_free_with_manifest_index(
         json.dump(legacy, fh)
     got = vt.read_version_pruned(spark, tdir, {"p": [2]})
     assert sorted(r["id"] % 4 for r in got.collect()) == [2] * 30
+
+
+# --- timestamp AS-OF time travel (round-11) --------------------------------
+
+
+def test_timestamp_as_of_round_trip(spark, tmp_path):
+    """read_version(as_of=ts) resolves to the latest version committed
+    at or before ts, for epoch/datetime/ISO inputs alike; history()
+    exposes the commit stamps a user copies back in."""
+    import time
+    from datetime import datetime, timezone
+
+    from mapreduce_4_spark.sources.versioned import (
+        table_changes,
+        version_at,
+    )
+
+    tdir = str(tmp_path / "t")
+    stamps = []
+    for s in (0, 100, 200):
+        write_version(spark.range(s, s + 10).withColumnRenamed("id", "k"),
+                      tdir, append=True)
+        stamps.append(time.time())
+
+    assert version_at(tdir, stamps[0]) == 1
+    assert version_at(tdir, stamps[1]) == 2
+    assert version_at(tdir, stamps[2]) == 3
+    got = read_version(spark, tdir, as_of=stamps[1])
+    assert got.count() == 20  # v2's content, not v3's
+    # datetime and ISO forms resolve identically to the epoch form
+    dt = datetime.fromtimestamp(stamps[1], tz=timezone.utc)
+    assert version_at(tdir, dt) == 2
+    assert version_at(tdir, dt.isoformat()) == 2
+
+    with pytest.raises(ValueError, match="not both"):
+        read_version(spark, tdir, version=1, as_of=stamps[0])
+    with pytest.raises(ValueError, match="predates the first commit"):
+        version_at(tdir, stamps[0] - 3600)
+
+    h = history(spark, tdir).orderBy("version").collect()
+    assert all(r["committed_at"] is not None for r in h)
+    assert [r["committed_at"] for r in h] == sorted(
+        r["committed_at"] for r in h)
+
+    # table_changes(since=ts) == table_changes(from_version=resolved)
+    by_ts = {(r["k"], r["op"]) for r in
+             table_changes(spark, tdir, "k", since=stamps[0]).collect()}
+    by_v = {(r["k"], r["op"]) for r in
+            table_changes(spark, tdir, "k", from_version=1).collect()}
+    assert by_ts == by_v and len(by_ts) == 20  # v2+v3 appends as inserts
+    with pytest.raises(ValueError, match="exactly one"):
+        table_changes(spark, tdir, "k")
+    with pytest.raises(ValueError, match="exactly one"):
+        table_changes(spark, tdir, "k", from_version=1, since=stamps[0])
+
+
+def test_as_of_vacuum_horizon_legacy_and_skew(spark, tmp_path):
+    """The three resolver edge cases: vacuumed-away history errors
+    loudly (not silently resolving to a newer snapshot), pre-stamping
+    manifests count as arbitrarily old, and clock-skewed concurrent
+    stamps get Delta's monotonic adjustment."""
+    import json as _json
+    import time
+
+    from mapreduce_4_spark.sources.versioned import (
+        _manifest_path,
+        version_at,
+    )
+
+    tdir = str(tmp_path / "t")
+    for s in (0, 100, 200):
+        write_version(spark.range(s, s + 10).withColumnRenamed("id", "k"),
+                      tdir, append=True)
+    t_mid = time.time()
+    write_version(spark.range(300, 310).withColumnRenamed("id", "k"),
+                  tdir, append=True)
+    assert version_at(tdir, t_mid) == 3
+    vacuum(tdir, keep_last=1)
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        version_at(tdir, t_mid)
+
+    # synthetic stamps: legacy (None) + skew (v3 stamped BEFORE v2)
+    tdir2 = str(tmp_path / "t2")
+    for s in (0, 100, 200):
+        write_version(spark.range(s, s + 10).withColumnRenamed("id", "k"),
+                      tdir2, append=True)
+    for v, stamp in ((1, None), (2, 300.0), (3, 200.0)):
+        path = _manifest_path(tdir2, v)
+        m = _json.loads(open(path).read())
+        if stamp is None:
+            m.pop("committed_at", None)
+        else:
+            m["committed_at"] = stamp
+        with open(path, "w") as f:
+            f.write(_json.dumps(m))
+    assert version_at(tdir2, 100.0) == 1   # legacy manifest: always old
+    # v3's effective time adjusts up to v2's 300 — at 250 only v1 is
+    # visible (returning v3 would travel BACKWARD past v2)
+    assert version_at(tdir2, 250.0) == 1
+    assert version_at(tdir2, 300.0) == 3
