@@ -90,10 +90,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "table", help="versioned-table maintenance (history/compact/"
-                      "compact-tail/vacuum/stats/count/minmax/sum)")
+                      "compact-tail/vacuum/stats/count/minmax/sum/agg)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
                                      "vacuum", "stats", "count", "minmax",
-                                     "sum"])
+                                     "sum", "agg"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -146,6 +146,46 @@ def main(argv: list[str] | None = None) -> int:
                 rows = dir_rows.get(d)
                 rows_note = f"rows={rows} " if rows is not None else ""
                 print(f"  {d}: {rows_note}{spans}")
+            return 0
+        if args.verb == "agg":
+            # the whole metadata-aggregate set over one column in one
+            # verb: COUNT(*), COUNT(col), MIN, MAX, SUM, AVG — each
+            # answered from the manifest wherever provable, scanning
+            # only boundary-straddling dirs (the Iceberg/Delta move)
+            if not args.col:
+                p.error("agg needs --col")
+            if "://" in args.table_dir:
+                from mapreduce_4_spark.session import get_spark
+
+                get_spark("mapreduce_4_spark-cli-table")
+            lo, hi = _bound(args.lower), _bound(args.upper)
+            kw = dict(lower=lo, upper=hi) if (lo is not None
+                                              or hi is not None) else {}
+            n_rows, i_rows = _meta_first(
+                vt.count_version, args.table_dir,
+                **(dict(col=args.col, **kw) if kw else {}), detail=True)
+            n_col, i_col = _meta_first(
+                vt.count_version, args.table_dir, count_col=args.col,
+                **(dict(col=args.col, **kw) if kw else {}), detail=True)
+            s, i_sum = _meta_first(vt.sum_version, args.table_dir,
+                                   args.col, **kw, detail=True)
+            avg = (s / n_col) if (s is not None and n_col) else None
+            if kw:
+                # minmax_version is whole-table; under bounds it would
+                # mislead, so the bounded form reports the other five
+                rng = f" in [{lo!r}, {hi!r}]"
+                minmax = ""
+            else:
+                mn, mx = _meta_first(vt.minmax_version, args.table_dir,
+                                     args.col)
+                rng = ""
+                minmax = f"min={mn!r} max={mx!r} "
+            print(f"{args.col}{rng}: count(*)={n_rows} "
+                  f"count({args.col})={n_col} {minmax}"
+                  f"sum={s!r} avg={avg!r}")
+            scanned = (i_rows["scanned"] + i_col["scanned"]
+                       + i_sum["scanned"])
+            print(f"  (dirs scanned: {scanned}; the rest from metadata)")
             return 0
         if args.verb in ("count", "sum", "minmax"):
             if args.verb != "count" and not args.col:

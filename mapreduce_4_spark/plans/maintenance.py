@@ -542,3 +542,113 @@ def metadata_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(td, ignore_errors=True)
     return spark.createDataFrame(rows, "metric string, value bigint")
+
+
+@register(
+    "evolved_chain_agg_orders",
+    oracle="""
+        WITH d AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey >= 5000
+                        THEN o_orderkey % 97 END AS added
+            FROM orders
+        )
+        SELECT 'cnt_total' AS metric,
+               CAST(COUNT(*) AS BIGINT) AS value FROM d
+        UNION ALL
+        SELECT 'cnt_asof_v1', CAST(COUNT(*) AS BIGINT) FROM d
+        WHERE o_orderkey < 5000
+        UNION ALL
+        SELECT 'cnt_added', CAST(COUNT(added) AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'null_added', CAST(COUNT(*) - COUNT(added) AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'sum_added', CAST(SUM(added) AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'avg_added_x100',
+               CAST((100 * SUM(added)) // COUNT(added) AS BIGINT) FROM d
+    """,
+    tags=("maintenance", "aggregate", "evolution"),
+    description="additive schema evolution + the round-11 metadata "
+                "aggregates end-to-end as an oracled query: orders is "
+                "published as an append chain whose SECOND append adds a "
+                "new BIGINT column (added = o_orderkey % 97, only for "
+                "keys >= 5000), so pre-evolution rows read as typed "
+                "nulls. COUNT(*), timestamp-AS-OF COUNT at the "
+                "pre-evolution commit, non-null COUNT(added), the padded "
+                "read's null count, SUM(added), and AVG(added) (scaled "
+                "x100 into exact integer arithmetic) are answered via "
+                "count_version/avg_version/sum_version + version_at and "
+                "checked against DuckDB computing the same numbers from "
+                "the raw parquet. The count/sum/avg arms additionally "
+                "ASSERT the metadata-only path (spark=None) — the "
+                "evolution backfill must keep old dirs provable, never "
+                "scanned",
+)
+def evolved_chain_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: 'add a nullable column' on a 100 TB append chain
+    must cost O(new batch), not a table rewrite — this query pins that
+    contract: the evolved chain's reads null-pad old dirs
+    (mergeSchema + manifest conformance), and the metadata aggregates
+    stay O(manifest) across the evolution because the backfilled
+    all-null stats entries keep pre-evolution dirs provable.
+
+    Timing caveat (the metadata_agg_orders shape): the chain publish
+    and the aggregates run at BUILD time, so sweep/bench timings of the
+    returned DataFrame measure only the 6 literal rows; the real cost
+    is ~2 write_versions + one padded read.
+
+    Reference anchor: generalizes the reference's fixed-schema stage
+    artifacts (asio_deep/headers/FileProcessorBase.hpp:17-36) to a
+    schema that can grow mid-chain without rewriting history.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from mapreduce_4_spark.sources.versioned import (
+        avg_version,
+        count_version,
+        read_version,
+        sum_version,
+        version_at,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    td = tempfile.mkdtemp(prefix="mr4s_evolved_agg_")
+    try:
+        tdir = f"{td}/orders_chain"
+        write_version(orders.filter(F.col("o_orderkey") < 5000).coalesce(2),
+                      tdir, append=True, stats_for=["o_orderkey"])
+        t_v1 = time.time()
+        write_version(
+            orders.filter(F.col("o_orderkey") >= 5000)
+            .withColumn("added", (F.col("o_orderkey") % 97).cast("bigint"))
+            .coalesce(2),
+            tdir, append=True, stats_for=["o_orderkey", "added"],
+        )
+        # metadata-only proofs: spark=None raises if any dir would scan
+        cnt_added, info = count_version(None, tdir, count_col="added",
+                                        detail=True)
+        assert info["scanned"] == 0, info
+        s = sum_version(None, tdir, "added")
+        avg = avg_version(None, tdir, "added")
+        # the padded read: pre-evolution rows surface as typed nulls
+        null_added = read_version(spark, tdir).filter(
+            F.col("added").isNull()).count()
+        rows = [
+            ("cnt_total", count_version(None, tdir)),
+            ("cnt_asof_v1", count_version(
+                None, tdir, version=version_at(tdir, t_v1))),
+            ("cnt_added", cnt_added),
+            ("null_added", null_added),
+            ("sum_added", s),
+            ("avg_added_x100",
+             (100 * s) // cnt_added if (s is not None and cnt_added)
+             else None),
+        ]
+        assert avg is None or abs(avg - s / cnt_added) < 1e-12
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, value bigint")

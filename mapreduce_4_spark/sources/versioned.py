@@ -173,27 +173,77 @@ def _column_stats(df: DataFrame, cols: list[str]) -> dict:
     return out
 
 
-def _check_append_schema(pm: dict, df: DataFrame, table_dir: str) -> None:
-    """Appending into a chain whose manifest schema differs from the
-    new rows' schema is refused LOUDLY: the chain read is one
-    multi-path parquet scan, which silently resolves mixed file
-    schemas from whichever file it samples first — evolved columns
-    would vanish or null out with no error. Schema evolution on this
-    format is a full snapshot (append=False), exactly like the CDC
-    feed's typed-null padding treats it. Nullability is ignored (a
-    parquet scan never yields non-nullable columns); names and types
-    compare positionally."""
+def _check_append_schema(pm: dict, df: DataFrame, table_dir: str) -> bool:
+    """Validate an append's schema against the chain's; returns True
+    when the append ADDITIVELY evolves it (the new rows carry every
+    parent column, same names/types/positions, plus new columns
+    appended at the end — read as typed nulls from pre-evolution dirs).
+
+    Any other drift is refused LOUDLY: a plain multi-path parquet scan
+    silently resolves mixed file schemas from whichever file it samples
+    first, so renames, type changes, drops, and reorders would corrupt
+    without error — those still require a full snapshot (append=False).
+    Additive evolution is the one shape the read paths can null-pad
+    soundly (``_conform_to_schema``, the same typed-null padding the
+    CDC feed applies), which is why it alone is allowed — at 100 TB
+    "add a nullable column" must not cost a table rewrite. Nullability
+    is ignored (a parquet scan never yields non-nullable columns).
+    Hive partition columns are excluded from the positional rule (their
+    struct position is a write-layout artifact — discovery re-appends
+    them at the end anyway) but must themselves be identical: a
+    partition column can never be added or retyped on a chain."""
     from pyspark.sql.types import StructType
 
-    want = [(f.name, f.dataType.simpleString())
-            for f in StructType.fromJson(pm["schema"]).fields]
-    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-    if want != got:
-        raise ValueError(
-            f"append schema must match the chain in {table_dir}: parent "
-            f"manifest has {want}, append got {got} — publish a full "
-            "snapshot (append=False) to evolve the schema"
-        )
+    part = set(pm.get("partition_by") or [])
+
+    def _fields(schema_fields):
+        pairs = [(f.name, f.dataType.simpleString()) for f in schema_fields]
+        return ([x for x in pairs if x[0] not in part],
+                sorted(x for x in pairs if x[0] in part))
+
+    want, want_part = _fields(StructType.fromJson(pm["schema"]).fields)
+    got, got_part = _fields(df.schema.fields)
+    if want_part == got_part:
+        if want == got:
+            return False
+        if len(got) > len(want) and got[:len(want)] == want:
+            return True
+    raise ValueError(
+        f"append schema must match the chain in {table_dir} (or extend "
+        f"it with new non-partition columns appended at the END): parent "
+        f"manifest has {want} partitioned by {want_part}, append got "
+        f"{got} partitioned by {got_part} — publish a full snapshot "
+        "(append=False) for any non-additive evolution"
+    )
+
+
+def _backfill_all_null_stats(parent_stats: dict, parent_dir_rows: dict,
+                             parent_fields: set, stats_for: list[str],
+                             dtypes: dict) -> None:
+    """At the moment an append evolves the chain schema, record the one
+    fact evolution proves about every PRE-EVOLUTION dir: a column that
+    did not exist there reads as all-null. Each old dir with a known
+    row count gets a [None, None, dir_rows(, None)] stats entry for
+    each brand-new stats column, so the metadata aggregates stay
+    metadata-only across evolution — COUNT(col)/AVG see dir_rows nulls
+    (zero non-null rows), bounded COUNT/SUM classify the dir a provable
+    'miss', MIN/MAX skip it — instead of degrading every old dir to a
+    scan for lack of stats. Mutates ``parent_stats`` in place; recorded
+    once here, then inherited down the chain like any other entry.
+    Only columns ABSENT from the parent schema qualify (an existing
+    column that merely lacks stats stays unknown: scan, never guess)."""
+    for d, n_d in parent_dir_rows.items():
+        if n_d is None:
+            continue
+        ent_map = dict(parent_stats.get(d) or {})
+        for c in stats_for:
+            if c in parent_fields or c in ent_map:
+                continue
+            e: list = [None, None, n_d]
+            if dtypes.get(c) in _SUMMABLE_TYPES:
+                e.append(None)
+            ent_map[c] = e
+        parent_stats[d] = ent_map
 
 
 def write_version(df: DataFrame, table_dir: str,
@@ -274,6 +324,7 @@ def write_version(df: DataFrame, table_dir: str,
     version = (parent or 0) + 1
     parent_dirs: list[str] = []
     parent_rows = 0
+    schema_evolved = False
     if append and parent is not None:
         pm = read_manifest(table_dir, parent)
         if pm.get("bucket_by") or pm.get("sort_by"):
@@ -287,7 +338,8 @@ def write_version(df: DataFrame, table_dir: str,
                 f"partition_by={pm.get('partition_by')!r}, append got "
                 f"{partition_by!r}"
             )
-        _check_append_schema(pm, df, table_dir)
+        evolved = _check_append_schema(pm, df, table_dir)
+        schema_evolved = bool(pm.get("schema_evolved")) or evolved
         parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
         parent_rows = pm["row_count"]
         if stats_for is None:  # a stats-carrying chain keeps collecting
@@ -305,6 +357,12 @@ def write_version(df: DataFrame, table_dir: str,
             d: e for d, e in (pm.get("dir_parts") or {}).items()
             if d in pset
         }
+        if evolved and stats_for:
+            _backfill_all_null_stats(
+                parent_stats, parent_dir_rows,
+                {f["name"] for f in pm["schema"]["fields"]},
+                stats_for, dict(df.dtypes),
+            )
     else:
         parent_stats = {}
         parent_dir_rows = {}
@@ -378,6 +436,10 @@ def write_version(df: DataFrame, table_dir: str,
         # append chains: every data dir (relative) this version reads;
         # absent/None for full snapshots
         "data_dirs": data_dirs,
+        # True once an additive append evolved this chain's schema:
+        # readers then merge file schemas and null-pad to the manifest
+        # schema; cleared by any full snapshot (compact/replace)
+        "schema_evolved": schema_evolved or None,
         # metadata skipping: per-dir min/max for stats_for columns
         "stats_for": stats_for,
         "col_stats": col_stats or None,
@@ -471,6 +533,7 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
         parent_dir_rows: dict = {}
         parent_dir_parts: dict = {}
         eff_stats_for = stats_for
+        schema_evolved = False
         if append and parent is not None:
             pm = read_manifest(table_dir, parent)
             if pm.get("bucket_by") or pm.get("sort_by"):
@@ -484,7 +547,8 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                     f"has partition_by={pm.get('partition_by')!r}, "
                     f"append got {partition_by!r}"
                 )
-            _check_append_schema(pm, df, table_dir)
+            evolved = _check_append_schema(pm, df, table_dir)
+            schema_evolved = bool(pm.get("schema_evolved")) or evolved
             parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
             parent_rows = pm["row_count"]
             if eff_stats_for is None:  # chains keep collecting stats
@@ -502,6 +566,12 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                 d: e for d, e in (pm.get("dir_parts") or {}).items()
                 if d in pset
             }
+            if evolved and eff_stats_for:
+                _backfill_all_null_stats(
+                    parent_stats, parent_dir_rows,
+                    {f["name"] for f in pm["schema"]["fields"]},
+                    eff_stats_for, dict(df.dtypes),
+                )
         col_stats = dict(parent_stats)
         if eff_stats_for:
             if my_stats is None or set(my_stats) != set(eff_stats_for):
@@ -523,6 +593,7 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
             "nonce": nonce,
             "data_dirs": (parent_dirs + [staged_rel]) if append
             else [staged_rel],
+            "schema_evolved": schema_evolved or None,
             "stats_for": eff_stats_for,
             "col_stats": col_stats or None,
             "dir_rows": {**(parent_dir_rows if append else {}),
@@ -560,21 +631,42 @@ def _scan_schema(manifest: dict):
     )
 
 
+def _conform_to_schema(df: DataFrame, manifest: dict) -> DataFrame:
+    """Project ``df`` onto the manifest's scan schema: present columns
+    cast to their declared types (hive partition discovery can infer
+    e.g. int where the writer declared long — the manifest is the
+    source of truth), ABSENT columns null-padded with the declared type
+    — how an evolved chain reads dirs written before a column existed,
+    the same typed-null padding the CDC feed applies to evolved
+    snapshots. Column order follows the manifest, so every read path
+    agrees on shape."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(*[
+        (F.col(f.name).cast(f.dataType) if f.name in have
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in _scan_schema(manifest).fields
+    ])
+
+
 def _scan_partitioned_chain(spark: SparkSession, dirs: list[str],
                             manifest: dict) -> DataFrame | None:
     """Union the non-empty dirs of a hive-partitioned append chain,
-    partition types aligned to the manifest; None when every dir is
-    empty. Shared by read_version and compact_tail so the chain-scan
-    rules (per-root reads for partition discovery, empty-dir skipping
-    to dodge UNABLE_TO_INFER_SCHEMA, manifest-type alignment) live in
+    null-padded and type-aligned to the manifest schema; None when
+    every dir is empty. Shared by read_version and compact_tail so the
+    chain-scan rules (per-root reads for partition discovery, empty-dir
+    skipping to dodge UNABLE_TO_INFER_SCHEMA, manifest-schema
+    conformance — which also null-pads pre-evolution dirs) live in
     exactly one place. ``dirs`` are absolute paths."""
     out = None
     for d in dirs:
         if not fsio.has_parquet(d):
             continue
         part = spark.read.parquet(d)
-        out = part if out is None else out.unionByName(part)
-    return None if out is None else _align_partition_types(out, manifest)
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True)
+    return None if out is None else _conform_to_schema(out, manifest)
 
 
 def _reclaim_torn_write(table_dir: str, version: int) -> None:
@@ -746,7 +838,15 @@ def read_version(spark: SparkSession, table_dir: str,
                 return spark.createDataFrame([], _scan_schema(manifest))
             return out
         # plain append chain: the version's content is the union of its
-        # listed dirs; one multi-path parquet read, pushdown intact
+        # listed dirs; one multi-path parquet read, pushdown intact.
+        # Evolved chains merge file schemas (one footer pass at
+        # planning) and null-pad to the manifest schema, so dirs
+        # written before a column existed read as typed nulls.
+        if manifest.get("schema_evolved"):
+            return _conform_to_schema(
+                spark.read.option("mergeSchema", "true").parquet(*dirs),
+                manifest,
+            )
         return spark.read.parquet(*dirs)
     return _align_partition_types(
         spark.read.parquet(_data_dir(table_dir, version)), manifest
@@ -824,14 +924,18 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
     # value is restored from the file path (the `col=value` segment the
     # glob above matched), url-decoded per hive's partition-path
     # escaping and cast to the manifest's declared type.
-    scan = spark.read.parquet(*paths).withColumn(
+    reader = spark.read
+    if manifest.get("schema_evolved"):
+        reader = reader.option("mergeSchema", "true")
+    scan = reader.parquet(*paths).withColumn(
         col,
         F.url_decode(
             F.regexp_extract(F.input_file_name(), f"/{col}=([^/]+)/", 1)
         ).cast(col_type),
     )
-    # manifest column order, so both read paths agree on shape too
-    return scan.select(*[f.name for f in schema.fields])
+    # manifest conformance (order + types + null-padding pre-evolution
+    # dirs), so both read paths agree on shape too
+    return _conform_to_schema(scan, manifest)
 
 
 def _range_relation(dir_stats: dict | None, dir_row_count,
@@ -875,6 +979,15 @@ def _range_relation(dir_stats: dict | None, dir_row_count,
             rel = "partial"
             continue
         ent = (dir_stats or {}).get(c)
+        if (ent and ent[0] is None and ent[1] is None and len(ent) > 2
+                and dir_row_count is not None
+                and ent[2] == dir_row_count):
+            # provably ALL-NULL for this column (null count == row
+            # count): no row can satisfy a bound, whatever it is. This
+            # is how pre-evolution dirs — backfilled [None, None,
+            # dir_rows] at evolution time — stay metadata-classifiable
+            # for bounded COUNT/SUM instead of scanning.
+            return "miss"
         if not ent or ent[0] is None or ent[1] is None:
             rel = "partial"  # unknown: scan, never skip — keep checking
             continue         # other columns, which may still prove miss
@@ -994,18 +1107,20 @@ def _scan_dirs(spark: SparkSession, manifest: dict,
         out = _scan_partitioned_chain(spark, dirs_abs, manifest)
         if out is None:
             return spark.createDataFrame([], schema)
-    else:
-        paths = [p for p in dirs_abs if fsio.has_parquet(p)]
-        if not paths:
-            return spark.createDataFrame([], schema)
-        out = spark.read.parquet(*paths)
-    return out.select(*[f.name for f in schema.fields])
+        return out  # already manifest-conformed
+    paths = [p for p in dirs_abs if fsio.has_parquet(p)]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    reader = spark.read
+    if manifest.get("schema_evolved"):
+        reader = reader.option("mergeSchema", "true")
+    return _conform_to_schema(reader.parquet(*paths), manifest)
 
 
 def count_version(spark: SparkSession | None, table_dir: str,
                   col: str | None = None, lower=None, upper=None,
                   version: int | None = None, where: dict | None = None,
-                  detail: bool = False):
+                  detail: bool = False, count_col: str | None = None):
     """COUNT(*) with optional conjunctive range bounds, answered from
     manifest METADATA wherever provably possible — the aggregate
     twin of ``read_version_stats_pruned``'s directory skipping, and the
@@ -1031,6 +1146,14 @@ def count_version(spark: SparkSession | None, table_dir: str,
     "scanned"})`` dir tallies. Legacy manifests (no ``dir_rows``,
     2-element stats without null counts) stay correct by degrading
     full dirs to scanned ones.
+
+    ``count_col`` switches to SQL ``COUNT(col)`` — NON-NULL rows of
+    that column (composable with the same bounds). Metadata source: a
+    provably-in-range dir contributes ``dir_rows − recorded null
+    count`` of the column; dirs without a recorded null count for it
+    scan. Pre-evolution dirs (column didn't exist there) carry the
+    backfilled all-null entry, so they contribute exactly 0 from
+    metadata.
     """
     if (col is not None) and (where is not None):
         raise ValueError(
@@ -1039,6 +1162,7 @@ def count_version(spark: SparkSession | None, table_dir: str,
         )
     if col is not None:
         where = {col: (lower, upper)}
+    where = where or {}
     if version is None:
         version = latest_version(table_dir)
         if version is None:
@@ -1048,16 +1172,30 @@ def count_version(spark: SparkSession | None, table_dir: str,
     bounded = bool(where) and any(
         lo is not None or hi is not None for lo, hi in where.values()
     )
-    if not bounded:
+    if not bounded and count_col is None:
         info = {"missed": 0, "counted": len(dirs), "scanned": 0}
         return (manifest["row_count"], info) if detail else manifest["row_count"]
     stats = manifest.get("col_stats") or {}
     dir_rows = manifest.get("dir_rows") or {}
     rels = {
-        d: _range_relation(stats.get(d), dir_rows.get(d), where)
+        d: (_range_relation(stats.get(d), dir_rows.get(d), where)
+            if bounded else
+            ("full" if dir_rows.get(d) is not None else "partial"))
         for d in dirs
     }
-    total = sum(dir_rows[d] for d, r in rels.items() if r == "full")
+    if count_col is not None:
+        # COUNT(col): a full dir needs the column's recorded null count
+        # on top of the range proof — dir contribution is rows − nulls
+        for d, r in rels.items():
+            if r != "full":
+                continue
+            ent = (stats.get(d) or {}).get(count_col)
+            if ent is None or len(ent) < 3:
+                rels[d] = "partial"
+    total = sum(
+        dir_rows[d] - (stats[d][count_col][2] if count_col is not None else 0)
+        for d, r in rels.items() if r == "full"
+    )
     partial = [d for d, r in rels.items() if r == "partial"]
     if partial:
         if spark is None:
@@ -1067,16 +1205,55 @@ def count_version(spark: SparkSession | None, table_dir: str,
                 "overlap, missing stats/null counts, or a pre-dir_rows "
                 "manifest) — pass a SparkSession to scan them"
             )
+        from pyspark.sql import functions as F
+
         kept = [os.path.join(table_dir, d) for d in partial]
-        total += _apply_range_filter(
-            _scan_dirs(spark, manifest, kept), where
-        ).count()
+        scan = _apply_range_filter(_scan_dirs(spark, manifest, kept), where)
+        if count_col is not None:
+            total += scan.agg(
+                F.count(count_col).alias("n")).first()["n"]
+        else:
+            total += scan.count()
     info = {
         "missed": sum(r == "miss" for r in rels.values()),
         "counted": sum(r == "full" for r in rels.values()),
         "scanned": len(partial),
     }
     return (total, info) if detail else total
+
+
+def avg_version(spark: SparkSession | None, table_dir: str, col: str,
+                version: int | None = None, lower=None, upper=None,
+                where: dict | None = None, detail: bool = False):
+    """AVG of an integral stats column, composed from the two exact
+    metadata aggregates: ``sum_version / count_version(count_col=col)``
+    — SQL AVG semantics (nulls excluded from both numerator and
+    denominator), with the same optional conjunctive range bounds.
+
+    Exactness: both components are integers (integral columns are the
+    only ones whose sums are recorded, the same float refusal as
+    ``sum_version`` — a float column always scans), so the one double
+    division happens at the very end, bit-identical to DuckDB/Spark
+    computing AVG over the same rows via their decimal/int paths for
+    the magnitudes at play. ``spark=None`` asserts the metadata-only
+    path through both components; boundary-straddling dirs cost each
+    component its own residual scan job (two jobs — callers needing
+    one-pass semantics over hot partials should scan explicitly).
+    Returns None when no non-null in-range values exist, matching SQL
+    AVG; ``detail=True`` returns ``(avg, {"sum": ..., "count": ...})``
+    with each component's dir tallies.
+    """
+    s, s_info = sum_version(spark, table_dir, col, version=version,
+                            lower=lower, upper=upper, where=where,
+                            detail=True)
+    n, n_info = count_version(spark, table_dir, col=None, version=version,
+                              where=(where if where is not None else
+                                     ({col: (lower, upper)}
+                                      if (lower is not None
+                                          or upper is not None) else None)),
+                              count_col=col, detail=True)
+    avg = (s / n) if (s is not None and n) else None
+    return (avg, {"sum": s_info, "count": n_info}) if detail else avg
 
 
 def sum_version(spark: SparkSession | None, table_dir: str, col: str,
@@ -1502,7 +1679,14 @@ def compact_tail(spark: SparkSession, table_dir: str,
     else:
         tail_paths = [p for p in tail_abs if fsio.has_parquet(p)]
         if tail_paths:
-            rows = spark.read.parquet(*tail_paths).coalesce(target_files)
+            reader = spark.read
+            if manifest.get("schema_evolved"):
+                reader = reader.option("mergeSchema", "true")
+                rows = _conform_to_schema(
+                    reader.parquet(*tail_paths), manifest
+                ).coalesce(target_files)
+            else:
+                rows = reader.parquet(*tail_paths).coalesce(target_files)
     new_version = version + 1
     data_dir = _data_dir(table_dir, new_version)
     _reclaim_torn_write(table_dir, new_version)
@@ -1552,6 +1736,11 @@ def compact_tail(spark: SparkSession, table_dir: str,
         "version": new_version,
         "parent": version,
         "committed_at": time.time(),
+        # the folded dir is written manifest-conformed, so the evolved
+        # flag survives only while PRE-EVOLUTION base dirs remain; a
+        # base-less fold (keep_base=0) unifies the chain's file schemas
+        "schema_evolved": (manifest.get("schema_evolved")
+                           if base else None),
         # same logical content as the parent — count carries over
         "batch_id": None,
         "nonce": uuid.uuid4().hex[:12],

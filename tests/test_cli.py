@@ -243,3 +243,38 @@ def test_cli_table_stats_verb_and_staged_ttl(spark, tmp_path, capsys):
     write_version_concurrent(spark.range(2).withColumnRenamed("id", "k"), t2)
     assert main(["table", "stats", t2]) == 0
     assert "stats_for=None" in capsys.readouterr().out
+
+
+def test_cli_table_agg_verb(spark, tmp_path, capsys):
+    """`table agg` runs the whole metadata-aggregate set over one
+    column — COUNT(*), non-null COUNT, MIN/MAX, SUM, AVG — metadata-
+    first (round-11 verdict ask #6)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import write_version
+
+    tdir = str(tmp_path / "t")
+    d1 = spark.range(10).select(
+        F.when(F.col("id") < 2, F.lit(None))
+        .otherwise(F.col("id")).cast("bigint").alias("k"))
+    write_version(d1, tdir, append=True, stats_for=["k"])
+    write_version(spark.range(100, 105).withColumnRenamed("id", "k"),
+                  tdir, append=True)
+
+    assert main(["table", "agg", tdir, "--col", "k"]) == 0
+    out = capsys.readouterr().out.replace(" ", "")
+    want_sum = sum(range(2, 10)) + sum(range(100, 105))
+    assert "count(*)=15" in out
+    assert "count(k)=13" in out
+    assert "min=2max=104" in out  # MIN/MAX ignore the two null rows
+    assert f"sum={want_sum}" in out
+    assert f"avg={want_sum / 13!r}" in out
+    assert "dirsscanned:0" in out  # all six answers came from metadata
+
+    # bounded form: dir-aligned range, still metadata-only
+    assert main(["table", "agg", tdir, "--col", "k",
+                 "--lower", "100", "--upper", "200"]) == 0
+    out = capsys.readouterr().out.replace(" ", "")
+    assert "count(*)=5" in out and "count(k)=5" in out
+    assert "sum=510" in out and "avg=102.0" in out
+    assert "dirsscanned:0" in out

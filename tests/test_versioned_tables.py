@@ -975,30 +975,39 @@ def test_compact_tail_fuzz_content_invariant(spark, tmp_path):
 
 
 def test_append_refuses_schema_drift(spark, tmp_path):
-    """A drifted append would silently corrupt the chain's multi-path
+    """NON-ADDITIVE drift would silently corrupt the chain's multi-path
     read (parquet resolves mixed file schemas from whichever file it
-    samples), so both publish paths refuse it loudly; schema evolution
-    is a full snapshot."""
+    samples), so both publish paths refuse it loudly. Additive drift —
+    new columns appended at the end — is the one legal evolution
+    (round-11): it null-pads soundly at read."""
     from mapreduce_4_spark.sources.versioned import write_version_concurrent
 
     tdir = str(tmp_path / "t")
     base = spark.range(5).withColumnRenamed("id", "k")
     write_version(base, tdir, append=True)
     with pytest.raises(ValueError, match="append schema must match"):
-        write_version(base.withColumn("extra", F.lit(1)), tdir, append=True)
-    with pytest.raises(ValueError, match="append schema must match"):
         write_version(base.withColumn("k", F.col("k").cast("int")), tdir,
                       append=True)
     with pytest.raises(ValueError, match="append schema must match"):
-        write_version_concurrent(base.withColumn("extra", F.lit(1)), tdir,
-                                 append=True)
-    # same names+types (nullability-insensitive) still appends fine,
-    # and a FULL snapshot evolves the schema + restarts the chain
+        write_version(base.withColumnRenamed("k", "kk"), tdir, append=True)
+    with pytest.raises(ValueError, match="append schema must match"):
+        write_version_concurrent(
+            base.withColumn("k", F.col("k").cast("int")), tdir, append=True)
+    # same names+types (nullability-insensitive) still appends fine
     write_version(base.filter("k >= 3"), tdir, append=True)
-    v = write_version(base.withColumn("extra", F.lit(1)), tdir)
+    # additive appends are evolutions now — on BOTH publish paths
+    v = write_version_concurrent(base.withColumn("extra", F.lit(1)), tdir,
+                                 append=True)
+    assert read_manifest(tdir, v)["schema_evolved"] is True
+    # ...and once evolved, a SUBSET append (the old schema) is refused:
+    # dropping a column is not additive
+    with pytest.raises(ValueError, match="append schema must match"):
+        write_version(base, tdir, append=True)
     from mapreduce_4_spark.sources.versioned import read_version as rv
 
-    assert "extra" in rv(spark, tdir, version=v).columns
+    got = rv(spark, tdir)
+    assert "extra" in got.columns
+    assert got.filter(F.col("extra").isNull()).count() == 7
 
 
 def test_read_version_pruned_is_listing_free_with_manifest_index(
@@ -1164,3 +1173,160 @@ def test_as_of_vacuum_horizon_legacy_and_skew(spark, tmp_path):
     # visible (returning v3 would travel BACKWARD past v2)
     assert version_at(tdir2, 250.0) == 1
     assert version_at(tdir2, 300.0) == 3
+
+
+# --- additive schema evolution on append chains (round-11) ------------------
+
+
+def _kdf(spark, lo, hi, extra=False):
+    df = spark.range(lo, hi).withColumnRenamed("id", "k")
+    if extra:
+        df = df.withColumn("extra", (F.col("k") * 2).cast("bigint"))
+    return df
+
+
+def test_additive_schema_evolution_append_chain(spark, tmp_path):
+    """Appending a superset schema (new columns at the end) evolves the
+    chain in place: pre-evolution dirs read as typed nulls, version
+    reads stay time-travel-correct, and non-additive drift is still
+    refused."""
+    tdir = str(tmp_path / "t")
+    write_version(_kdf(spark, 0, 10), tdir, append=True, stats_for=["k"])
+    v2 = write_version(_kdf(spark, 100, 110, extra=True), tdir,
+                       append=True, stats_for=["k", "extra"])
+    assert v2 == 2
+    got = read_version(spark, tdir)
+    assert [f.name for f in got.schema.fields] == ["k", "extra"]
+    assert got.count() == 20
+    assert got.filter(F.col("extra").isNull()).count() == 10  # old dirs pad
+    assert got.filter(F.col("extra") == F.col("k") * 2).count() == 10
+    # time travel: v1 keeps its own (pre-evolution) schema
+    assert [f.name for f in
+            read_version(spark, tdir, version=1).schema.fields] == ["k"]
+
+    # a same-superset append after evolution is NOT itself an evolution
+    v3 = write_version(_kdf(spark, 200, 205, extra=True), tdir, append=True)
+    assert read_manifest(tdir, 3)["schema_evolved"] is True
+    assert read_version(spark, tdir).count() == 25
+
+    # non-additive drift still refused loudly
+    for bad in (
+        _kdf(spark, 0, 5, extra=True).select("extra", "k"),   # reorder
+        _kdf(spark, 0, 5).withColumn(
+            "k", F.col("k").cast("int")),                      # type change
+        _kdf(spark, 0, 5).withColumnRenamed("k", "kk"),        # rename
+        _kdf(spark, 0, 5, extra=True).drop("k"),               # drop
+    ):
+        with pytest.raises(ValueError, match="append schema"):
+            write_version(bad, tdir, append=True)
+
+
+def test_evolution_metadata_aggregates_stay_metadata_only(spark, tmp_path):
+    """The evolution backfill ([None, None, dir_rows] for brand-new
+    stats columns) keeps COUNT/COUNT(col)/MIN/MAX/SUM/AVG answerable
+    with spark=None across the evolved chain — old dirs contribute
+    provable zeros instead of degrading to scans."""
+    from mapreduce_4_spark.sources.versioned import (
+        avg_version,
+        count_version,
+        minmax_version,
+        read_version_stats_pruned,
+        sum_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(_kdf(spark, 0, 10), tdir, append=True, stats_for=["k"])
+    write_version(_kdf(spark, 100, 110, extra=True), tdir,
+                  append=True, stats_for=["k", "extra"])
+
+    m = read_manifest(tdir, 2)
+    assert m["col_stats"]["v=000001"]["extra"] == [None, None, 10, None]
+
+    # every aggregate below asserts the metadata-only path (spark=None)
+    assert count_version(None, tdir) == 20
+    assert count_version(None, tdir, count_col="extra") == 10
+    assert count_version(None, tdir, count_col="k") == 20
+    n, info = count_version(None, tdir, col="extra", lower=200, upper=220,
+                            detail=True)
+    assert (n, info["missed"], info["counted"]) == (10, 1, 1)
+    assert sum_version(None, tdir, "extra") == 2 * sum(range(100, 110))
+    assert minmax_version(None, tdir, "extra") == (200, 218)
+    assert avg_version(None, tdir, "extra") == 209.0
+    # bounded AVG: old dir provably misses, new dir provably covered
+    assert avg_version(None, tdir, "extra", lower=200, upper=220) == 209.0
+
+    # the stats-pruned read composes with the padding read path
+    assert read_version_stats_pruned(
+        spark, tdir, "extra", lower=0, upper=100).count() == 0
+    assert read_version_stats_pruned(
+        spark, tdir, "extra", lower=200, upper=210).count() == 6
+
+
+def test_evolution_partitioned_chain_and_folds(spark, tmp_path):
+    """Evolved partitioned chains null-pad through both the full chain
+    read and the manifest-pruned probe; compact_tail folds conform the
+    tail, and a full compact() resets the evolved flag."""
+    from mapreduce_4_spark.sources.versioned import (
+        compact,
+        compact_tail,
+        read_version_pruned,
+    )
+
+    tdir = str(tmp_path / "t")
+    p1 = _kdf(spark, 0, 10).withColumn("p", (F.col("k") % 2).cast("int"))
+    p2 = (_kdf(spark, 100, 110, extra=True)
+          .withColumn("p", (F.col("k") % 2).cast("int")))
+    write_version(p1, tdir, append=True, partition_by=["p"])
+    write_version(p2, tdir, append=True, partition_by=["p"])
+    got = read_version(spark, tdir)
+    assert got.count() == 20
+    assert got.filter(F.col("extra").isNull()).count() == 10
+    pruned = read_version_pruned(spark, tdir, {"p": [0]})
+    assert pruned.count() == 10
+    assert pruned.filter(F.col("extra").isNull()).count() == 5
+
+    # third append so the tail (dirs 2..3) folds; base dir 1 stays old
+    write_version(_kdf(spark, 200, 206, extra=True)
+                  .withColumn("p", (F.col("k") % 2).cast("int")),
+                  tdir, append=True, partition_by=["p"])
+    v = compact_tail(spark, tdir)
+    assert v == 4 and read_manifest(tdir, 4)["schema_evolved"] is True
+    got = read_version(spark, tdir)
+    assert got.count() == 26
+    assert got.filter(F.col("extra").isNull()).count() == 10
+
+    v = compact(spark, tdir)
+    m = read_manifest(tdir, v)
+    assert not m.get("schema_evolved") and m.get("data_dirs") is None
+    got = read_version(spark, tdir)
+    assert got.count() == 26
+    assert got.filter(F.col("extra").isNull()).count() == 10
+
+
+def test_count_col_and_avg_on_null_bearing_chain(spark, tmp_path):
+    """COUNT(col)/AVG from recorded null counts on a chain with real
+    nulls — the non-evolution base case of the round-11 aggregates."""
+    from mapreduce_4_spark.sources.versioned import (
+        avg_version,
+        count_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    d1 = spark.range(10).select(
+        F.when(F.col("id") < 3, F.lit(None))
+        .otherwise(F.col("id")).cast("bigint").alias("k"))
+    write_version(d1, tdir, append=True, stats_for=["k"])
+    write_version(_kdf(spark, 100, 105), tdir, append=True)
+
+    assert count_version(None, tdir) == 15
+    assert count_version(None, tdir, count_col="k") == 12
+    want = (sum(range(3, 10)) + sum(range(100, 105))) / 12
+    assert avg_version(None, tdir, "k") == want
+    # bounded: dir 1 provably misses [100, ...], dir 2 fully covered
+    assert avg_version(None, tdir, "k", lower=100, upper=200) == \
+        sum(range(100, 105)) / 5
+    # bounds straddling dir 1 need a scan: spark=None refuses loudly
+    with pytest.raises(ValueError, match="pass a SparkSession"):
+        avg_version(None, tdir, "k", lower=5, upper=200)
+    assert avg_version(spark, tdir, "k", lower=5, upper=200) == \
+        (sum(range(5, 10)) + sum(range(100, 105))) / 10
