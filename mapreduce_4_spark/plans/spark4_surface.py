@@ -323,3 +323,93 @@ def order_streaks_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_date",
         )
     )
+
+
+@register(
+    "versioned_datasource_orders",
+    oracle="""
+        WITH d AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey >= 5000
+                        THEN o_orderkey % 97 END AS added
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(COUNT(added) AS BIGINT) AS n_added,
+               CAST((SELECT COUNT(*) FROM d WHERE o_orderkey < 5000)
+                    AS BIGINT) AS n_v1
+        FROM d
+        GROUP BY o_orderstatus
+    """,
+    tags=("source", "python-datasource", "maintenance", "evolution"),
+    description="the versioned table format read through its Spark "
+                "DataSource front door (spark.read.format('mr4ver')): "
+                "orders is published as a 2-append chain whose second "
+                "append evolves the schema (added = o_orderkey % 97 for "
+                "keys >= 5000), then read back BOTH as the latest "
+                "snapshot (pre-evolution rows null-padded by the "
+                "reader's Arrow conformance) and as version 1 via the "
+                "option('version', 1) time-travel knob, aggregated per "
+                "order status and oracled by DuckDB on the raw parquet. "
+                "Partition planning is manifest-driven: one input "
+                "partition per parquet file per chain dir "
+                "(plan-asserted in tests/test_pyds_versioned.py)",
+)
+def versioned_datasource_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: the front door costs what the manifest says —
+    partition planning is O(files) driver-side with zero read-path
+    listings, and each file is one independent executor read (Arrow
+    batches). The JVM `read_version` path stays the throughput choice;
+    this query pins that the two front doors agree bit-for-bit on the
+    same chain, evolution included.
+
+    Reference anchor: the reference's input operator is a dlopen'd
+    plugin behind a fixed factory ABI (asio_deep/main.cpp:98-149,
+    219-226); `mr4ver` is that extension surface as Spark 4's
+    DataSource API over this repo's own table format.
+
+    Timing caveat (the metadata_agg_orders shape): the chain publish
+    runs at BUILD time; sweep/bench timings measure the two DataSource
+    scans + the aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import write_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    td = tempfile.mkdtemp(prefix="mr4s_ds_versioned_")
+    try:
+        tdir = f"{td}/orders_chain"
+        write_version(orders.filter(F.col("o_orderkey") < 5000).coalesce(2),
+                      tdir, append=True)
+        write_version(
+            orders.filter(F.col("o_orderkey") >= 5000)
+            .withColumn("added", (F.col("o_orderkey") % 97).cast("bigint"))
+            .coalesce(2),
+            tdir, append=True,
+        )
+        register_versioned_source(spark)
+        latest = spark.read.format("mr4ver").load(tdir)
+        v1 = spark.read.format("mr4ver").option("version", "1").load(tdir)
+        # the DataFrames are consumed before the temp dir is removed
+        out = (
+            latest.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("o_orderkey").alias("sum_key"),
+                 F.count("added").alias("n_added"))
+            .crossJoin(
+                v1.agg(F.count(F.lit(1)).alias("n_v1")))
+            .select("o_orderstatus", "n_rows", "sum_key", "n_added", "n_v1")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_rows bigint, sum_key bigint, "
+              "n_added bigint, n_v1 bigint")
