@@ -44,6 +44,17 @@ def _bound(s):
     return s
 
 
+def _ts(s):
+    """CLI as-of value: epoch float if numeric, else the ISO string
+    (versioned._as_of_epoch parses it)."""
+    if s is None:
+        return None
+    try:
+        return float(s)
+    except ValueError:
+        return s
+
+
 def _meta_first(fn, *args, **kwargs):
     """Call a metadata-first versioned-table aggregate with spark=None;
     only when it reports dirs needing a scan does a session spin up.
@@ -104,6 +115,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--col", help="count/minmax: the column")
     sp.add_argument("--lower", help="count: inclusive lower bound")
     sp.add_argument("--upper", help="count: inclusive upper bound")
+    sp.add_argument("--version", type=int, default=None,
+                    help="time travel: integer version (count/sum/"
+                         "minmax/agg)")
+    sp.add_argument("--as-of", dest="as_of", default=None,
+                    help="time travel: timestamp — epoch seconds or "
+                         "ISO-8601, UTC when tz-naive (count/sum/"
+                         "minmax/agg)")
 
     args = p.parse_args(argv)
 
@@ -161,14 +179,16 @@ def main(argv: list[str] | None = None) -> int:
             lo, hi = _bound(args.lower), _bound(args.upper)
             kw = dict(lower=lo, upper=hi) if (lo is not None
                                               or hi is not None) else {}
+            tt = dict(version=args.version, as_of=_ts(args.as_of))
             n_rows, i_rows = _meta_first(
-                vt.count_version, args.table_dir,
+                vt.count_version, args.table_dir, **tt,
                 **(dict(col=args.col, **kw) if kw else {}), detail=True)
             n_col, i_col = _meta_first(
                 vt.count_version, args.table_dir, count_col=args.col,
-                **(dict(col=args.col, **kw) if kw else {}), detail=True)
+                **tt, **(dict(col=args.col, **kw) if kw else {}),
+                detail=True)
             s, i_sum = _meta_first(vt.sum_version, args.table_dir,
-                                   args.col, **kw, detail=True)
+                                   args.col, **tt, **kw, detail=True)
             avg = (s / n_col) if (s is not None and n_col) else None
             if kw:
                 # minmax_version is whole-table; under bounds it would
@@ -177,7 +197,7 @@ def main(argv: list[str] | None = None) -> int:
                 minmax = ""
             else:
                 mn, mx = _meta_first(vt.minmax_version, args.table_dir,
-                                     args.col)
+                                     args.col, **tt)
                 rng = ""
                 minmax = f"min={mn!r} max={mx!r} "
             print(f"{args.col}{rng}: count(*)={n_rows} "
@@ -197,12 +217,13 @@ def main(argv: list[str] | None = None) -> int:
                 from mapreduce_4_spark.session import get_spark
 
                 get_spark("mapreduce_4_spark-cli-table")
+            tt = dict(version=args.version, as_of=_ts(args.as_of))
             if args.verb == "minmax":
                 mn, mx = _meta_first(vt.minmax_version, args.table_dir,
-                                     args.col)
+                                     args.col, **tt)
                 print(f"min={mn!r} max={mx!r}")
                 return 0
-            kw = {"detail": True}
+            kw = {"detail": True, **tt}
             if args.col:
                 kw.update(col=args.col, lower=_bound(args.lower),
                           upper=_bound(args.upper))

@@ -780,6 +780,24 @@ def version_at(table_dir: str, as_of) -> int:
     return best
 
 
+
+
+def _resolve_version(table_dir: str, version: int | None, as_of) -> int:
+    """Shared version/as_of resolution for every reader and metadata
+    aggregate: exactly one addressing mode (or neither = latest)."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        return version_at(table_dir, as_of)
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published versions in {table_dir}")
+    return version
+
+
+
+
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None, as_of=None) -> DataFrame:
     """Latest snapshot, time-travel to an explicit ``version``, or
@@ -791,15 +809,9 @@ def read_version(spark: SparkSession, table_dir: str,
     the manifest's bucket spec if the session is fresh), so the planner
     sees the bucketing and drops the Exchange on bucket-key joins/aggs.
     """
-    if as_of is not None:
-        if version is not None:
-            raise ValueError("pass either version or as_of, not both")
-        version = version_at(table_dir, as_of)
-    if version is None:
-        version = latest_version(table_dir)
-        if version is None:
-            raise FileNotFoundError(f"no published versions in {table_dir}")
-    elif not fsio.exists(_manifest_path(table_dir, version)):
+    had_explicit = version is not None
+    version = _resolve_version(table_dir, version, as_of)
+    if had_explicit and not fsio.exists(_manifest_path(table_dir, version)):
         raise FileNotFoundError(f"version {version} not published in {table_dir}")
     manifest = read_manifest(table_dir, version)
     if manifest.get("bucket_by"):
@@ -855,7 +867,7 @@ def read_version(spark: SparkSession, table_dir: str,
 
 def read_version_pruned(spark: SparkSession, table_dir: str,
                         partition_values: dict[str, object],
-                        version: int | None = None) -> DataFrame:
+                        version: int | None = None, as_of=None) -> DataFrame:
     """Read a hive-partitioned snapshot (or partitioned append CHAIN)
     restricted to the given partition values — pruning done at the
     MANIFEST/PATH level, not by the scanner.
@@ -883,10 +895,7 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
     """
     from pyspark.sql import functions as F
 
-    if version is None:
-        version = latest_version(table_dir)
-        if version is None:
-            raise FileNotFoundError(f"no published versions in {table_dir}")
+    version = _resolve_version(table_dir, version, as_of)
     manifest = read_manifest(table_dir, version)
     part_cols = manifest.get("partition_by") or []
     if len(part_cols) != 1 or set(partition_values) != set(part_cols):
@@ -1027,7 +1036,8 @@ def _range_relation(dir_stats: dict | None, dir_row_count,
 def read_version_stats_pruned(spark: SparkSession, table_dir: str,
                               col: str | None = None, lower=None, upper=None,
                               version: int | None = None,
-                              where: dict | None = None) -> DataFrame:
+                              where: dict | None = None,
+                              as_of=None) -> DataFrame:
     """Range read with manifest-stats DIRECTORY skipping: scan only the
     chain dirs whose recorded [min, max] intersects the requested
     range(s), then apply the exact predicate as a residual filter.
@@ -1063,10 +1073,7 @@ def read_version_stats_pruned(spark: SparkSession, table_dir: str,
         where = {col: (lower, upper)}
     if all(lo is None and hi is None for lo, hi in where.values()):
         raise ValueError("read_version_stats_pruned needs lower or upper")
-    if version is None:
-        version = latest_version(table_dir)
-        if version is None:
-            raise FileNotFoundError(f"no published versions in {table_dir}")
+    version = _resolve_version(table_dir, version, as_of)
     manifest = read_manifest(table_dir, version)
     if manifest.get("bucket_by"):
         # one catalog table = one dir; nothing to skip at dir level
@@ -1120,7 +1127,8 @@ def _scan_dirs(spark: SparkSession, manifest: dict,
 def count_version(spark: SparkSession | None, table_dir: str,
                   col: str | None = None, lower=None, upper=None,
                   version: int | None = None, where: dict | None = None,
-                  detail: bool = False, count_col: str | None = None):
+                  detail: bool = False, count_col: str | None = None,
+                  as_of=None):
     """COUNT(*) with optional conjunctive range bounds, answered from
     manifest METADATA wherever provably possible — the aggregate
     twin of ``read_version_stats_pruned``'s directory skipping, and the
@@ -1163,10 +1171,7 @@ def count_version(spark: SparkSession | None, table_dir: str,
     if col is not None:
         where = {col: (lower, upper)}
     where = where or {}
-    if version is None:
-        version = latest_version(table_dir)
-        if version is None:
-            raise FileNotFoundError(f"no published versions in {table_dir}")
+    version = _resolve_version(table_dir, version, as_of)
     manifest = read_manifest(table_dir, version)
     dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
     bounded = bool(where) and any(
@@ -1224,7 +1229,8 @@ def count_version(spark: SparkSession | None, table_dir: str,
 
 def avg_version(spark: SparkSession | None, table_dir: str, col: str,
                 version: int | None = None, lower=None, upper=None,
-                where: dict | None = None, detail: bool = False):
+                where: dict | None = None, detail: bool = False,
+                as_of=None):
     """AVG of an integral stats column, composed from the two exact
     metadata aggregates: ``sum_version / count_version(count_col=col)``
     — SQL AVG semantics (nulls excluded from both numerator and
@@ -1243,6 +1249,8 @@ def avg_version(spark: SparkSession | None, table_dir: str, col: str,
     AVG; ``detail=True`` returns ``(avg, {"sum": ..., "count": ...})``
     with each component's dir tallies.
     """
+    if as_of is not None:
+        version = _resolve_version(table_dir, version, as_of)
     s, s_info = sum_version(spark, table_dir, col, version=version,
                             lower=lower, upper=upper, where=where,
                             detail=True)
@@ -1258,7 +1266,8 @@ def avg_version(spark: SparkSession | None, table_dir: str, col: str,
 
 def sum_version(spark: SparkSession | None, table_dir: str, col: str,
                 version: int | None = None, lower=None, upper=None,
-                where: dict | None = None, detail: bool = False):
+                where: dict | None = None, detail: bool = False,
+                as_of=None):
     """SUM of an integral stats column from the manifest wherever
     provably possible — completing the metadata-aggregate set
     (COUNT/MIN/MAX/SUM, the same four Spark's DSv2 aggregate pushdown
@@ -1287,10 +1296,7 @@ def sum_version(spark: SparkSession | None, table_dir: str, col: str,
     if where is None:
         where = ({col: (lower, upper)}
                  if (lower is not None or upper is not None) else {})
-    if version is None:
-        version = latest_version(table_dir)
-        if version is None:
-            raise FileNotFoundError(f"no published versions in {table_dir}")
+    version = _resolve_version(table_dir, version, as_of)
     manifest = read_manifest(table_dir, version)
     dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
     stats = manifest.get("col_stats") or {}
@@ -1335,7 +1341,7 @@ def sum_version(spark: SparkSession | None, table_dir: str, col: str,
 
 
 def minmax_version(spark: SparkSession | None, table_dir: str, col: str,
-                   version: int | None = None) -> tuple:
+                   version: int | None = None, as_of=None) -> tuple:
     """MIN/MAX of a stats column from the manifest alone: the global
     min is the min over per-dir recorded minima (max symmetric) —
     sound with NO null-count caveat because SQL MIN/MAX themselves
@@ -1348,10 +1354,7 @@ def minmax_version(spark: SparkSession | None, table_dir: str, col: str,
     their canonical strings (the manifest's serialized form, same
     order), exactly as ``read_version_stats_pruned`` compares them.
     """
-    if version is None:
-        version = latest_version(table_dir)
-        if version is None:
-            raise FileNotFoundError(f"no published versions in {table_dir}")
+    version = _resolve_version(table_dir, version, as_of)
     manifest = read_manifest(table_dir, version)
     dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
     stats = manifest.get("col_stats") or {}

@@ -1330,3 +1330,32 @@ def test_count_col_and_avg_on_null_bearing_chain(spark, tmp_path):
         avg_version(None, tdir, "k", lower=5, upper=200)
     assert avg_version(spark, tdir, "k", lower=5, upper=200) == \
         (sum(range(5, 10)) + sum(range(100, 105))) / 10
+
+
+def test_as_of_threads_through_every_aggregate(spark, tmp_path):
+    """version= and as_of= are interchangeable addressing modes on every
+    reader and metadata aggregate (round-11 completion of the AS-OF
+    surface), resolved by the one shared helper."""
+    import time
+
+    from mapreduce_4_spark.sources.versioned import (
+        avg_version,
+        count_version,
+        minmax_version,
+        read_version_stats_pruned,
+        sum_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(_kdf(spark, 0, 10), tdir, append=True, stats_for=["k"])
+    t1 = time.time()
+    write_version(_kdf(spark, 100, 110), tdir, append=True)
+
+    assert count_version(None, tdir, as_of=t1) == 10
+    assert sum_version(None, tdir, "k", as_of=t1) == sum(range(10))
+    assert minmax_version(None, tdir, "k", as_of=t1) == (0, 9)
+    assert avg_version(None, tdir, "k", as_of=t1) == 4.5
+    assert read_version_stats_pruned(
+        spark, tdir, "k", lower=0, upper=1000, as_of=t1).count() == 10
+    with pytest.raises(ValueError, match="not both"):
+        count_version(None, tdir, version=1, as_of=t1)
