@@ -543,20 +543,52 @@ def main() -> None:
             timings[name] = min(timings[name], retry[name])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # the headline total stays comparable round-over-round: ab_* entries
-    # are reported per-query but excluded from the total. Alongside the
-    # min-of-N total (the contention-free plan-cost estimate), the
-    # first-run and median totals are reported so rounds benched under
-    # different estimators can still be compared like-for-like — min-of-N
-    # is biased low vs a single-shot number under contention, and a round
-    # delta should never be an artifact of switching estimators.
-    def _total(pick) -> float:
-        return round(sum(pick(_RAW[n]) for n in HEADLINE), 3)
+    full, summary = build_records(timings, first_pass, sf, _RAW)
+    # stdout layout contract (round-10 verdict ask #2): the driver keeps
+    # only a ~2 KB stdout TAIL, and BENCH_r09/r10 both came back
+    # `parsed: null` because the single output line — raw_runs included —
+    # overflowed it, losing the official per-query record two rounds
+    # running. So: the bulky full record (summary + every raw run) goes
+    # FIRST on its own line and to a local side file; the LAST line is
+    # the compact self-contained summary (per-query mins, normalized,
+    # value* totals, calib, first_pass — everything but raw_runs),
+    # compact separators, so the tail always parses. The contract is
+    # unit-tested (tests/test_sweep_gate.py).
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LOCAL.json")
+    try:
+        with open(side, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout: stdout copy still has it
+        print(f"# raw_runs side file unwritable: {exc}", file=sys.stderr)
+    print(json.dumps(full, separators=(",", ":")))
+    print(json.dumps(summary, separators=(",", ":")))
 
-    # machine-normalized view: per-query min / calib_jvm_hash min. The
-    # calibration arm is data-independent pure-JVM compute, so this
-    # column is comparable across rounds even when the host speed moves
-    # (the round-9 drift lesson — BASELINE.md reads this column).
+
+def build_records(timings: dict[str, float], first_pass: dict[str, float],
+                  sf: str, raw: dict[str, list[float]]) -> tuple[dict, dict]:
+    """(full, summary) bench records. ``full`` carries every timed arm
+    plus raw_runs; ``summary`` is the driver-facing compact record —
+    headline + calib queries only, no raw_runs — sized to survive a
+    2 KB stdout-tail capture however many ab_* arms a round adds.
+
+    The headline total stays comparable round-over-round: ab_* entries
+    are reported per-query but excluded from the total. Alongside the
+    min-of-N total (the contention-free plan-cost estimate), the
+    first-run and median totals are reported so rounds benched under
+    different estimators can still be compared like-for-like — min-of-N
+    is biased low vs a single-shot number under contention, and a round
+    delta should never be an artifact of switching estimators. The
+    normalized view is per-query min / calib_jvm_hash min: the
+    calibration arm is data-independent pure-JVM compute, so that
+    column is comparable across rounds even when the host speed moves
+    (the round-9 drift lesson — BASELINE.md reads this column)."""
+    calib = min(raw[CALIB]) if CALIB in raw else None
+
+    def _total(pick) -> float:
+        return round(sum(pick(raw[n]) for n in HEADLINE), 3)
+
     normalized = (
         {n: round(timings[n] / calib, 4) for n in HEADLINE} if calib else {}
     )
@@ -580,26 +612,8 @@ def main() -> None:
         "runs": N_RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # stdout layout contract (round-10 verdict ask #2): the driver keeps
-    # only a ~2 KB stdout TAIL, and BENCH_r09/r10 both came back
-    # `parsed: null` because the single output line — raw_runs included —
-    # overflowed it, losing the official per-query record two rounds
-    # running. So: the bulky full record (summary + every raw run) goes
-    # FIRST on its own line and to a local side file; the LAST line is
-    # the compact self-contained summary (per-query mins, normalized,
-    # value* totals, calib, first_pass — everything but raw_runs),
-    # compact separators, so the tail always parses.
-    full = dict(summary, queries=timings, raw_runs=_RAW)
-    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_LOCAL.json")
-    try:
-        with open(side, "w") as f:
-            json.dump(full, f, indent=1)
-            f.write("\n")
-    except OSError as exc:  # read-only checkout: stdout copy still has it
-        print(f"# raw_runs side file unwritable: {exc}", file=sys.stderr)
-    print(json.dumps(full, separators=(",", ":")))
-    print(json.dumps(summary, separators=(",", ":")))
+    full = dict(summary, queries=timings, raw_runs=raw)
+    return full, summary
 
 
 if __name__ == "__main__":
