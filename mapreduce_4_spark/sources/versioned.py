@@ -616,19 +616,37 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
     )
 
 
-def _scan_schema(manifest: dict):
-    """The manifest schema as a SCAN sees it: every field nullable (a
-    parquet read never yields non-nullable columns), manifest-declared
-    types. Both partitioned read paths (read_version's chain union and
-    read_version_pruned) pin their output to this, so they can never
-    disagree with each other or with an empty result's schema."""
-    from pyspark.sql.types import StructField, StructType
+def _nullable_deep(dt):
+    """The type with every nested nullability flag permissive — what a
+    scan can actually guarantee. Needed because a cast whose only
+    difference is nested containsNull/valueContainsNull TIGHTENING
+    (true -> false) is refused by Spark (CAST_WITHOUT_SUGGESTION), so a
+    conformance target must never claim nested non-nullability."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 
-    schema = StructType.fromJson(manifest["schema"])
-    return StructType(
-        [StructField(f.name, f.dataType, True, f.metadata)
-         for f in schema.fields]
-    )
+    if isinstance(dt, StructType):
+        return StructType([
+            StructField(f.name, _nullable_deep(f.dataType), True, f.metadata)
+            for f in dt.fields
+        ])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable_deep(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_nullable_deep(dt.keyType),
+                       _nullable_deep(dt.valueType), True)
+    return dt
+
+
+def _scan_schema(manifest: dict):
+    """The manifest schema as a SCAN sees it: every field nullable at
+    every nesting level (a parquet read never guarantees non-null),
+    manifest-declared types. Both partitioned read paths
+    (read_version's chain union and read_version_pruned) pin their
+    output to this, so they can never disagree with each other or with
+    an empty result's schema."""
+    from pyspark.sql.types import StructType
+
+    return _nullable_deep(StructType.fromJson(manifest["schema"]))
 
 
 def _conform_to_schema(df: DataFrame, manifest: dict) -> DataFrame:
@@ -642,12 +660,20 @@ def _conform_to_schema(df: DataFrame, manifest: dict) -> DataFrame:
     agrees on shape."""
     from pyspark.sql import functions as F
 
-    have = set(df.columns)
-    return df.select(*[
-        (F.col(f.name).cast(f.dataType) if f.name in have
-         else F.lit(None).cast(f.dataType)).alias(f.name)
-        for f in _scan_schema(manifest).fields
-    ])
+    have = dict(zip(df.columns, df.schema.fields))
+    cols = []
+    for f in _scan_schema(manifest).fields:
+        got = have.get(f.name)
+        if got is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif got.dataType == f.dataType:
+            cols.append(F.col(f.name))  # no-op cast would still be refused
+        else:
+            # cast targets are deep-nullable (_scan_schema), so the only
+            # refusable shape — nested nullability TIGHTENING — never
+            # appears; loosening (false -> true) casts fine
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
 
 
 def _scan_partitioned_chain(spark: SparkSession, dirs: list[str],
