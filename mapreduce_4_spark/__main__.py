@@ -101,10 +101,11 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "table", help="versioned-table maintenance (history/compact/"
-                      "compact-tail/vacuum/stats/count/minmax/sum/agg)")
+                      "compact-tail/vacuum/stats/count/minmax/sum/agg/"
+                      "lookup)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
                                      "vacuum", "stats", "count", "minmax",
-                                     "sum", "agg"])
+                                     "sum", "agg", "lookup"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -122,6 +123,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="time travel: timestamp — epoch seconds or "
                          "ISO-8601, UTC when tz-naive (count/sum/"
                          "minmax/agg)")
+    sp.add_argument("--values", default=None,
+                    help="lookup: comma-separated probe values for "
+                         "col IN (...)")
 
     args = p.parse_args(argv)
 
@@ -164,6 +168,25 @@ def main(argv: list[str] | None = None) -> int:
                 rows = dir_rows.get(d)
                 rows_note = f"rows={rows} " if rows is not None else ""
                 print(f"  {d}: {rows_note}{spans}")
+            return 0
+        if args.verb == "lookup":
+            # bloom-pruned point lookup: col IN (values) touching only
+            # the chain dirs whose bloom filter hits a probe value
+            if not args.col or not args.values:
+                p.error("lookup needs --col and --values")
+            from mapreduce_4_spark.session import get_spark
+
+            spark = get_spark("mapreduce_4_spark-cli-table")
+            vals = [_bound(v) for v in args.values.split(",")]
+            df, info = vt.read_version_bloom_pruned(
+                spark, args.table_dir, args.col, vals,
+                version=args.version, as_of=_ts(args.as_of), detail=True)
+            rows = df.collect()
+            for r in rows[:50]:
+                print("|".join(str(x) for x in r))
+            print(f"{len(rows)} row(s)  (dirs: {info['missed']} bloom-"
+                  f"skipped, {info['scanned']} scanned, "
+                  f"{info['unknown']} no-bloom)")
             return 0
         if args.verb == "agg":
             # the whole metadata-aggregate set over one column in one

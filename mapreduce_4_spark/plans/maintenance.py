@@ -652,3 +652,77 @@ def evolved_chain_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(td, ignore_errors=True)
     return spark.createDataFrame(rows, "metric string, value bigint")
+
+
+@register(
+    "bloom_point_lookup_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 1
+            ORDER BY o_orderkey LIMIT 5)
+    """,
+    tags=("maintenance", "filter", "bloom"),
+    description="bloom-filter directory skipping end-to-end as an "
+                "oracled query: orders is published as a 3-dir chain "
+                "sliced by o_orderkey % 3 — every dir's [min, max] "
+                "spans the whole keyspace, so min/max stats can prune "
+                "NOTHING — with per-dir bloom filters (2^20 bits) over "
+                "o_orderkey. A 5-key point lookup (the smallest keys "
+                "with residue 1, plus one absent key) is served by "
+                "read_version_bloom_pruned, which must provably skip "
+                "at least one dir (asserted in the builder) and return "
+                "exactly the rows DuckDB finds with the same IN filter "
+                "on the raw parquet",
+)
+def bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: id-keyed point lookups on arrival-ordered
+    append chains are the query min/max stats cannot help (every dir
+    spans the keyspace); per-dir blooms bound the touched dirs by the
+    keys' actual locations plus a fill^k false-positive tail — at
+    100 TB, a K-id fetch over a 10^3-dir chain touches ~the dirs
+    holding those ids instead of all of them. Build cost is one
+    bounded distinct-positions aggregate per dir (never row-count-
+    sized collects); the probe hashes through the SAME JVM expression
+    the writer used, so membership can never drift.
+
+    Reference anchor: the reference addresses per-file aggregate state
+    by exact path key (asio_deep/main.cpp:434-516); this generalizes
+    exact-key addressing to content-addressed dir skipping.
+
+    Timing caveat (the metadata_agg_orders shape): the chain publish
+    runs at BUILD time; the timed DataFrame is the pruned scan over
+    (usually) one dir."""
+    import shutil
+    import tempfile
+
+    from mapreduce_4_spark.sources.versioned import (
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    probes = [int(r["o_orderkey"]) for r in
+              orders.filter(F.col("o_orderkey") % 3 == 1)
+              .orderBy("o_orderkey").limit(5).collect()]
+    td = tempfile.mkdtemp(prefix="mr4s_bloom_lookup_")
+    try:
+        tdir = f"{td}/orders_chain"
+        for r in range(3):
+            write_version(
+                orders.filter(F.col("o_orderkey") % 3 == r).coalesce(2),
+                tdir, append=True,
+                bloom_for=["o_orderkey"] if r == 0 else None,
+                bloom_bits=1 << 20,
+            )
+        df, info = read_version_bloom_pruned(
+            spark, tdir, "o_orderkey", probes + [-7], detail=True)
+        # the unsorted-chain skip must actually happen (false positives
+        # could erode it; at this fill the probability is ~1e-5)
+        assert info["missed"] >= 1, info
+        rows = df.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint")

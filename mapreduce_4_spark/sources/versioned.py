@@ -173,6 +173,55 @@ def _column_stats(df: DataFrame, cols: list[str]) -> dict:
     return out
 
 
+#: bloom hash functions per value (positions = pmod(xxhash64(seed, col),
+#: bits) for seed in range(k)). 4 keeps the false-positive rate at
+#: fill^4 — e.g. ~4e-4 at 14% fill — while the build stays ONE
+#: distinct-positions aggregate per column.
+_BLOOM_K = 4
+
+
+def _bloom_positions_col(col: str, bits: int):
+    """Array column of the _BLOOM_K bit positions for ``col``'s value —
+    the ONE definition both the build and the probe evaluate (JVM-side
+    xxhash64 on the native column type), so membership can never drift
+    between writer and reader."""
+    from pyspark.sql import functions as F
+
+    return F.array(*[
+        F.pmod(F.xxhash64(F.lit(seed), F.col(col)), F.lit(bits))
+        for seed in range(_BLOOM_K)
+    ])
+
+
+def _dir_bloom(df: DataFrame, cols: list[str], bits: int) -> dict:
+    """{col: {"bits", "k", "b64"}} bloom filters over ``df``'s non-null
+    values. Cost: one distinct-positions aggregate per column whose
+    result is bounded by ``bits`` rows (positions live in [0, bits)),
+    NEVER by the row count — a 10^7-row append collects at most the
+    bitset itself. Only non-null values are inserted (a point lookup
+    ``col = v`` can never match a null)."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    if bits % 8:
+        raise ValueError("bloom_bits must be a multiple of 8")
+    out = {}
+    for c in cols:
+        rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(F.explode(_bloom_positions_col(c, bits)).alias("p"))
+            .distinct().collect()
+        )
+        ba = bytearray(bits // 8)
+        for r in rows:
+            p = int(r["p"])
+            ba[p // 8] |= 1 << (p % 8)
+        out[c] = {"bits": bits, "k": _BLOOM_K,
+                  "b64": base64.b64encode(bytes(ba)).decode("ascii")}
+    return out
+
+
 def _check_append_schema(pm: dict, df: DataFrame, table_dir: str) -> bool:
     """Validate an append's schema against the chain's; returns True
     when the append ADDITIVELY evolves it (the new rows carry every
@@ -255,8 +304,24 @@ def write_version(df: DataFrame, table_dir: str,
                   batch_id: int | None = None,
                   manifest_extra: dict | None = None,
                   append: bool = False,
-                  stats_for: list[str] | None = None) -> int:
+                  stats_for: list[str] | None = None,
+                  bloom_for: list[str] | None = None,
+                  bloom_bits: int = 1 << 17) -> int:
     """Publish a new immutable snapshot; returns its version number.
+
+    With ``bloom_for=[cols]``, the manifest additionally records a
+    per-data-dir BLOOM filter over each column's non-null values
+    (``bloom_bits`` bits, default 2^17 = 16 KiB per column per dir;
+    one bounded distinct-positions aggregate per column at publish).
+    ``read_version_bloom_pruned`` then serves point lookups
+    (``col IN (values)``) by skipping every chain dir whose bloom
+    provably misses all probe values — the pruning min/max stats
+    cannot do when the column is UNSORTED across the chain (dedup doc
+    ids, user ids: every dir's [min, max] spans the keyspace, but each
+    dir's bloom only contains its own keys). False positives cost a
+    wasted dir scan, never a wrong row (the exact IN filter is always
+    applied); like ``stats_for``, the columns are inherited down
+    append chains and carried through maintenance rewrites.
 
     With ``bucket_by``/``n_buckets``, the snapshot is hash-bucketed (and
     sorted within buckets by ``sort_by``, defaulting to the bucket keys).
@@ -344,9 +409,17 @@ def write_version(df: DataFrame, table_dir: str,
         parent_rows = pm["row_count"]
         if stats_for is None:  # a stats-carrying chain keeps collecting
             stats_for = pm.get("stats_for")
+        if bloom_for is None:  # bloom columns inherit the same way
+            bloom_for = pm.get("bloom_for")
+            if bloom_for:
+                bloom_bits = pm.get("bloom_bits") or bloom_bits
         pset = set(parent_dirs)
         parent_stats = {
             d: s for d, s in (pm.get("col_stats") or {}).items()
+            if d in pset
+        }
+        parent_bloom = {
+            d: b for d, b in (pm.get("bloom") or {}).items()
             if d in pset
         }
         parent_dir_rows = {
@@ -365,6 +438,7 @@ def write_version(df: DataFrame, table_dir: str,
             )
     else:
         parent_stats = {}
+        parent_bloom = {}
         parent_dir_rows = {}
         parent_dir_parts = {}
     data_dir = _data_dir(table_dir, version)
@@ -400,6 +474,9 @@ def write_version(df: DataFrame, table_dir: str,
     col_stats = dict(parent_stats)
     if stats_for:
         col_stats[f"v={version:06d}"] = _column_stats(df, stats_for)
+    bloom = dict(parent_bloom)
+    if bloom_for:
+        bloom[f"v={version:06d}"] = _dir_bloom(df, bloom_for, bloom_bits)
     # per-dir exact counts (from the same footer read) — what lets
     # count_version answer COUNTs over fully-covered dirs from the
     # manifest alone; inherited down chains like col_stats
@@ -443,6 +520,11 @@ def write_version(df: DataFrame, table_dir: str,
         # metadata skipping: per-dir min/max for stats_for columns
         "stats_for": stats_for,
         "col_stats": col_stats or None,
+        # point-lookup dir skipping: per-dir bloom filters over the
+        # bloom_for columns (read_version_bloom_pruned's source)
+        "bloom_for": bloom_for,
+        "bloom_bits": bloom_bits if bloom_for else None,
+        "bloom": bloom or None,
         # per-dir exact row counts (count_version's metadata source)
         "dir_rows": dir_rows,
         # partition-subdir index per dir (read_version_pruned's
@@ -524,6 +606,7 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                 if partition_by else None)
     fsio.mkdirs(_versions_dir(table_dir))
     my_stats: dict | None = None  # this writer's agg, computed at most once
+    my_bloom: dict | None = None
     for _attempt in range(max_retries + 1):
         parent = latest_version(table_dir)
         version = (parent or 0) + 1
@@ -532,7 +615,10 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
         parent_stats: dict = {}
         parent_dir_rows: dict = {}
         parent_dir_parts: dict = {}
+        parent_bloom: dict = {}
         eff_stats_for = stats_for
+        eff_bloom_for = None
+        eff_bloom_bits = 1 << 17
         schema_evolved = False
         if append and parent is not None:
             pm = read_manifest(table_dir, parent)
@@ -553,6 +639,8 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
             parent_rows = pm["row_count"]
             if eff_stats_for is None:  # chains keep collecting stats
                 eff_stats_for = pm.get("stats_for")
+            eff_bloom_for = pm.get("bloom_for")
+            eff_bloom_bits = pm.get("bloom_bits") or eff_bloom_bits
             pset = set(parent_dirs)
             parent_stats = {
                 d: s for d, s in (pm.get("col_stats") or {}).items()
@@ -566,6 +654,10 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                 d: e for d, e in (pm.get("dir_parts") or {}).items()
                 if d in pset
             }
+            parent_bloom = {
+                d: b for d, b in (pm.get("bloom") or {}).items()
+                if d in pset
+            }
             if evolved and eff_stats_for:
                 _backfill_all_null_stats(
                     parent_stats, parent_dir_rows,
@@ -577,6 +669,11 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
             if my_stats is None or set(my_stats) != set(eff_stats_for):
                 my_stats = _column_stats(df, eff_stats_for)
             col_stats[staged_rel] = my_stats
+        bloom = dict(parent_bloom)
+        if eff_bloom_for:
+            if my_bloom is None or set(my_bloom) != set(eff_bloom_for):
+                my_bloom = _dir_bloom(df, eff_bloom_for, eff_bloom_bits)
+            bloom[staged_rel] = my_bloom
         manifest = {
             "version": version,
             "parent": parent,
@@ -596,6 +693,9 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
             "schema_evolved": schema_evolved or None,
             "stats_for": eff_stats_for,
             "col_stats": col_stats or None,
+            "bloom_for": eff_bloom_for,
+            "bloom_bits": eff_bloom_bits if eff_bloom_for else None,
+            "bloom": bloom or None,
             "dir_rows": {**(parent_dir_rows if append else {}),
                          staged_rel: new_rows},
             "dir_parts": (
@@ -1115,6 +1215,87 @@ def read_version_stats_pruned(spark: SparkSession, table_dir: str,
     return _apply_range_filter(_scan_dirs(spark, manifest, kept), where)
 
 
+def read_version_bloom_pruned(spark: SparkSession, table_dir: str,
+                              col: str, values, version: int | None = None,
+                              as_of=None, detail: bool = False):
+    """Point lookup ``col IN (values)`` with BLOOM directory skipping:
+    scan only the chain dirs whose recorded bloom filter hits at least
+    one probe value, then apply the exact IN filter as a residual.
+
+    This is the pruning axis min/max stats cannot provide when the
+    column is UNSORTED across the chain — an id-keyed corpus appended
+    in arrival order gives every dir a [min, max] spanning the whole
+    keyspace, while each dir's bloom contains only its own keys, so a
+    K-id lookup over a 10^3-dir chain touches ~the dirs that actually
+    hold those ids (plus a fill^k false-positive tail, priced in the
+    write_version docstring). Soundness is one-directional by
+    construction: a bloom can only prove ABSENCE, a false positive
+    costs a wasted dir scan, and dirs without a bloom for ``col``
+    (published before bloom_for, or a different column set) are always
+    scanned — unknown means conservative, never wrong. Null probe
+    values are dropped (SQL ``col IN (...)`` never matches null).
+
+    The probe positions are computed by ONE tiny JVM job over the
+    probe values with the SAME hash expression the writer used
+    (``_bloom_positions_col`` — xxhash64 on the manifest-declared
+    column type), so writer and reader can never disagree on hashing.
+    With ``detail=True`` returns ``(df, {"missed", "scanned",
+    "unknown"})`` dir tallies (the plan-visible proof of the skip).
+    """
+    import base64
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    version = _resolve_version(table_dir, version, as_of)
+    manifest = read_manifest(table_dir, version)
+    dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
+    blooms = manifest.get("bloom") or {}
+    schema = _scan_schema(manifest)
+    if col not in schema.fieldNames():
+        raise ValueError(f"{col!r} is not a column of {table_dir}")
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return ((spark.createDataFrame([], schema),
+                 {"missed": len(dirs), "scanned": 0, "unknown": 0})
+                if detail else spark.createDataFrame([], schema))
+    # per-(bits)-variant probe positions, one tiny JVM job per variant
+    # (bloom_bits can change across a chain's eras)
+    variants = {
+        ent["bits"] for d in dirs
+        for ent in [(blooms.get(d) or {}).get(col)] if ent
+    }
+    probe_schema = StructType([schema[col]])
+    pos_by_bits: dict[int, list[list[int]]] = {}
+    for bits in variants:
+        rows = spark.createDataFrame(
+            [(v,) for v in vals], probe_schema
+        ).select(_bloom_positions_col(col, bits).alias("ps")).collect()
+        pos_by_bits[bits] = [list(map(int, r["ps"])) for r in rows]
+    kept, missed, unknown = [], 0, 0
+    for d in dirs:
+        ent = (blooms.get(d) or {}).get(col)
+        if ent is None:
+            unknown += 1
+            kept.append(d)  # no bloom recorded: scan, never skip
+            continue
+        ba = base64.b64decode(ent["b64"])
+        hit = any(
+            all((ba[p // 8] >> (p % 8)) & 1 for p in plist)
+            for plist in pos_by_bits[ent["bits"]]
+        )
+        if hit:
+            kept.append(d)
+        else:
+            missed += 1
+    scan = _scan_dirs(spark, manifest,
+                      [os.path.join(table_dir, d) for d in kept])
+    out = scan.filter(F.col(col).isin(vals))
+    info = {"missed": missed, "scanned": len(kept) - unknown,
+            "unknown": unknown}
+    return (out, info) if detail else out
+
+
 def _apply_range_filter(df: DataFrame, where: dict) -> DataFrame:
     """The exact residual predicate a stats-pruned read/count applies
     inside surviving dirs (conjunctive closed ranges, SQL semantics)."""
@@ -1511,6 +1692,10 @@ def layout_from_manifest(manifest: dict) -> dict:
         # rewrite that dropped them would silently stop metadata
         # skipping for every downstream stats-pruned read
         "stats_for": manifest.get("stats_for"),
+        # bloom columns are the same kind of contract for point lookups
+        "bloom_for": manifest.get("bloom_for"),
+        **({"bloom_bits": manifest["bloom_bits"]}
+           if manifest.get("bloom_bits") else {}),
     }
 
 
@@ -1743,6 +1928,15 @@ def compact_tail(spark: SparkSession, table_dir: str,
         col_stats[f"v={new_version:06d}"] = _column_stats(
             rows, manifest["stats_for"]
         )
+    bloom = {
+        d: b for d, b in (manifest.get("bloom") or {}).items()
+        if d in bset
+    }
+    if manifest.get("bloom_for") and rows is not None:
+        bloom[f"v={new_version:06d}"] = _dir_bloom(
+            rows, manifest["bloom_for"],
+            manifest.get("bloom_bits") or (1 << 17),
+        )
     # per-dir counts follow the same carry rule as col_stats: base dirs
     # keep theirs, the folded dir gets an exact footer count (O(files)
     # of the dir just written, never a data scan)
@@ -1775,6 +1969,7 @@ def compact_tail(spark: SparkSession, table_dir: str,
         "nonce": uuid.uuid4().hex[:12],
         "data_dirs": new_dirs,
         "col_stats": col_stats or None,
+        "bloom": bloom or None,
         "dir_rows": dir_rows,
         "dir_parts": (dir_parts or None) if part_by else None,
     }

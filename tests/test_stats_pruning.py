@@ -649,3 +649,138 @@ def test_range_relation_soundness_fuzz():
         elif rel == "full":
             assert dir_rows is not None
             assert len(matching) == len(rows), (rows, ent, lo, hi)
+
+
+# --- bloom-filter point-lookup dir skipping (round-11) ----------------------
+
+
+def _residue_chain(spark, tdir, n=3000, bloom=True, **kw):
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import write_version
+
+    base = spark.range(0, n).withColumnRenamed("id", "k").withColumn(
+        "v", (F.col("k") * 7).cast("bigint"))
+    for r in range(3):
+        write_version(base.filter(F.col("k") % 3 == r), tdir, append=True,
+                      bloom_for=(["k"] if bloom and r == 0 else None), **kw)
+    return base
+
+
+def test_bloom_pruning_skips_unsorted_dirs_exactly(spark, tmp_path):
+    """The pruning axis min/max cannot provide: every residue-class dir
+    spans the whole keyspace ([min, max] useless), but its bloom holds
+    only its own keys — a point lookup scans exactly the dirs holding
+    the probe residues (false positives possible in principle, ~1e-14
+    at this fill, so the assertion is deterministic in practice)."""
+    from mapreduce_4_spark.sources.versioned import (
+        read_version_bloom_pruned,
+    )
+
+    tdir = str(tmp_path / "t")
+    _residue_chain(spark, tdir)
+    # all three probes are residue 1 -> one dir scanned, two skipped
+    df, info = read_version_bloom_pruned(
+        spark, tdir, "k", [4, 1000, 2998], detail=True)
+    assert info == {"missed": 2, "scanned": 1, "unknown": 0}
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [
+        (4, 28), (1000, 7000), (2998, 20986)]
+    # residues 0 and 2 -> two dirs scanned
+    df, info = read_version_bloom_pruned(
+        spark, tdir, "k", [3, 5], detail=True)
+    assert info == {"missed": 1, "scanned": 2, "unknown": 0}
+    # absent key: every dir provably misses, result empty w/ schema
+    df, info = read_version_bloom_pruned(
+        spark, tdir, "k", [10_000_000], detail=True)
+    assert info["missed"] == 3 and df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+    # null probes are dropped; all-null probe list returns empty
+    df, info = read_version_bloom_pruned(
+        spark, tdir, "k", [None], detail=True)
+    assert df.count() == 0 and info["missed"] == 3
+
+
+def test_bloom_unknown_dirs_scan_and_layout_carries(spark, tmp_path):
+    """Dirs published before bloom_for scan (unknown, never skipped);
+    appends inherit the bloom columns; compact_tail recomputes the
+    folded dir's bloom; upsert_version carries bloom_for like layout."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        compact_tail,
+        read_manifest,
+        read_version_bloom_pruned,
+        upsert_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    base = spark.range(0, 100).withColumnRenamed("id", "k")
+    write_version(base.filter("k < 30"), tdir, append=True)  # no bloom
+    write_version(base.filter("k >= 30 and k < 60"), tdir, append=True,
+                  bloom_for=["k"])
+    write_version(base.filter("k >= 60"), tdir, append=True)  # inherits
+    m = read_manifest(tdir, 3)
+    assert m["bloom_for"] == ["k"]
+    assert set(m["bloom"]) == {"v=000002", "v=000003"}
+    df, info = read_version_bloom_pruned(spark, tdir, "k", [65], detail=True)
+    assert info == {"missed": 1, "scanned": 1, "unknown": 1}
+    assert df.count() == 1
+
+    v = compact_tail(spark, tdir)  # folds dirs 2..3; recomputed bloom
+    m = read_manifest(tdir, v)
+    assert set(m["bloom"]) == {f"v={v:06d}"}
+    df, info = read_version_bloom_pruned(spark, tdir, "k", [65], detail=True)
+    assert info == {"missed": 0, "scanned": 1, "unknown": 1}
+    assert df.count() == 1
+
+    # full rewrite (upsert) re-records a bloom for the new snapshot
+    v = upsert_version(spark, tdir,
+                       base.filter("k = 5").withColumn(
+                           "k", F.col("k") + 1000), "k")
+    m = read_manifest(tdir, v)
+    assert m["bloom_for"] == ["k"] and set(m["bloom"]) == {f"v={v:06d}"}
+
+
+def test_bloom_false_positive_rate_bounded(spark, tmp_path):
+    """Property check on the recorded filter itself: at the default
+    2^17 bits with 1000 keys (fill ~3%), absent probes must miss
+    almost always — assert < 2% FP over 500 absent probes (expected
+    ~fill^4 ~ 1e-6; 2% allows enormous slack without flake risk)."""
+    from mapreduce_4_spark.sources.versioned import (
+        read_version_bloom_pruned,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(spark.range(0, 1000).withColumnRenamed("id", "k"),
+                  tdir, append=True, bloom_for=["k"])
+    absent = list(range(1_000_000, 1_000_500))
+    fp = 0
+    for chunk in (absent[:250], absent[250:]):
+        _, info = read_version_bloom_pruned(spark, tdir, "k", chunk,
+                                            detail=True)
+        fp += info["scanned"]
+    assert fp / 2 < 0.02
+
+
+def test_bloom_concurrent_writers_carry_the_index(spark, tmp_path):
+    from mapreduce_4_spark.sources.versioned import (
+        read_manifest,
+        read_version_bloom_pruned,
+        write_version,
+        write_version_concurrent,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(spark.range(0, 50).withColumnRenamed("id", "k"),
+                  tdir, append=True, bloom_for=["k"])
+    v = write_version_concurrent(
+        spark.range(100, 150).withColumnRenamed("id", "k"),
+        tdir, append=True)
+    m = read_manifest(tdir, v)
+    assert m["bloom_for"] == ["k"] and len(m["bloom"]) == 2
+    df, info = read_version_bloom_pruned(spark, tdir, "k", [120],
+                                         detail=True)
+    assert info == {"missed": 1, "scanned": 1, "unknown": 0}
+    assert df.count() == 1
