@@ -102,10 +102,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser(
         "table", help="versioned-table maintenance (history/compact/"
                       "compact-tail/vacuum/stats/count/minmax/sum/agg/"
-                      "lookup)")
+                      "lookup/restore)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
                                      "vacuum", "stats", "count", "minmax",
-                                     "sum", "agg", "lookup"])
+                                     "sum", "agg", "lookup", "restore"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -255,6 +255,19 @@ def main(argv: list[str] | None = None) -> int:
             meta = info["counted" if args.verb == "count" else "summed"]
             print(f"{n}  (dirs: {meta} from metadata, "
                   f"{info['missed']} skipped, {info['scanned']} scanned)")
+            return 0
+        if args.verb == "restore":
+            # zero-copy rollback: publish a new version referencing the
+            # target's data dirs — pure manifest arithmetic, no Spark
+            if args.version is None:
+                p.error("restore needs --version (the target to "
+                        "roll back to)")
+            if "://" in args.table_dir:
+                from mapreduce_4_spark.session import get_spark
+
+                get_spark("mapreduce_4_spark-cli-table")
+            v = vt.restore_version(args.table_dir, args.version)
+            print(f"restored v{args.version} -> v{v}")
             return 0
         if args.verb == "history":
             from mapreduce_4_spark.session import get_spark

@@ -127,11 +127,15 @@ class _SnapshotFilePartition(InputPartition):
     """One parquet file of one chain dir, plus the hive partition
     values its path encodes (empty for unpartitioned dirs). ``path``
     None is the no-files sentinel (a chain whose every append was
-    empty) — Spark wants at least one partition to plan."""
+    empty) — Spark wants at least one partition to plan. ``drop``
+    carries the file's deletion-vector row positions (sorted tuple,
+    usually empty) so the executor read can mask them out."""
 
-    def __init__(self, path: str | None, part_values: dict[str, str]):
+    def __init__(self, path: str | None, part_values: dict[str, str],
+                 drop: tuple = ()):
         self.path = path
         self.part_values = part_values
+        self.drop = drop
 
 
 class Mr4VersionedDataSource(DataSource):
@@ -220,6 +224,38 @@ class Mr4VersionedReader(DataSourceReader):
         self.manifest = manifest
         self.arrow_schema = to_arrow_schema(schema)
 
+    # planning-time ceiling on inlined deletion-vector positions: the
+    # per-file position tuples ride inside the pickled partitions, so a
+    # DV this large should be folded away (compact/compact_tail) before
+    # reading through the Python surface — read_version has no such cap
+    DV_INLINE_MAX = 5_000_000
+
+    def _dv_positions(self):
+        """Deletion-vector positions per table-relative file path,
+        loaded once on the driver from the manifest's sidecar (local
+        pyarrow read — this source is local-only by contract)."""
+        import os
+        from collections import defaultdict
+
+        import pyarrow.parquet as pq
+
+        dv = self.manifest.get("dv")
+        if not dv:
+            return {}
+        if dv["count"] > self.DV_INLINE_MAX:
+            raise ValueError(
+                f"mr4ver: the deletion vector holds {dv['count']} "
+                "positions — compact() the table to fold it, or read "
+                "via sources.versioned.read_version"
+            )
+        t = pq.read_table(os.path.join(self.table_dir, dv["path"]),
+                          columns=["file", "pos"])
+        by_file = defaultdict(list)
+        for f, p in zip(t.column("file").to_pylist(),
+                        t.column("pos").to_pylist()):
+            by_file[f].append(p)
+        return {f: tuple(sorted(ps)) for f, ps in by_file.items()}
+
     def partitions(self):
         import os
         from urllib.parse import unquote
@@ -227,6 +263,7 @@ class Mr4VersionedReader(DataSourceReader):
         v = self.manifest["version"]
         dirs = self.manifest.get("data_dirs") or [f"v={v:06d}"]
         part_cols = set(self.manifest.get("partition_by") or [])
+        dv_by_file = self._dv_positions()
         out = []
         for d in dirs:
             root = os.path.join(self.table_dir, d)
@@ -240,8 +277,11 @@ class Mr4VersionedReader(DataSourceReader):
                             values[c] = unquote(val)
                 for f in sorted(files):
                     if f.endswith(".parquet"):
+                        full = os.path.join(cur, f)
+                        rel_file = os.path.relpath(full, self.table_dir)
                         out.append(_SnapshotFilePartition(
-                            os.path.join(cur, f), values))
+                            full, values,
+                            dv_by_file.get(rel_file, ())))
         return out or [_SnapshotFilePartition(None, {})]
 
     def read(self, partition: _SnapshotFilePartition):
@@ -251,6 +291,14 @@ class Mr4VersionedReader(DataSourceReader):
         if partition.path is None:
             return
         t = pq.read_table(partition.path)
+        if partition.drop:
+            # deletion vector: mask the named row positions out — the
+            # same live-rows contract read_version's anti-join applies
+            import numpy as np
+
+            keep = np.ones(t.num_rows, dtype=bool)
+            keep[list(partition.drop)] = False
+            t = t.filter(pa.array(keep))
         cols = []
         for field in self.arrow_schema:
             if field.name in partition.part_values:

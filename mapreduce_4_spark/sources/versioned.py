@@ -430,6 +430,9 @@ def write_version(df: DataFrame, table_dir: str,
             d: e for d, e in (pm.get("dir_parts") or {}).items()
             if d in pset
         }
+        # a DV-carrying parent keeps its deletion vector: dropping it
+        # here would resurrect deleted rows on the very next append
+        parent_dv = _carry_dv(pm, parent_dirs)
         if evolved and stats_for:
             _backfill_all_null_stats(
                 parent_stats, parent_dir_rows,
@@ -441,6 +444,7 @@ def write_version(df: DataFrame, table_dir: str,
         parent_bloom = {}
         parent_dir_rows = {}
         parent_dir_parts = {}
+        parent_dv = None
     data_dir = _data_dir(table_dir, version)
     _reclaim_torn_write(table_dir, version)
     nonce = uuid.uuid4().hex[:12]
@@ -530,6 +534,10 @@ def write_version(df: DataFrame, table_dir: str,
         # partition-subdir index per dir (read_version_pruned's
         # listing-free probe source); None for unpartitioned tables
         "dir_parts": dir_parts,
+        # deletion vector inherited from a DV-carrying parent on
+        # appends (restricted to the dirs still referenced); full
+        # snapshots start clean — their content was read live
+        "dv": parent_dv,
         **(manifest_extra or {}),
     }
     # manifest written last = the publish point; create-exclusive so a
@@ -616,6 +624,7 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
         parent_dir_rows: dict = {}
         parent_dir_parts: dict = {}
         parent_bloom: dict = {}
+        parent_dv = None
         eff_stats_for = stats_for
         eff_bloom_for = None
         eff_bloom_bits = 1 << 17
@@ -658,6 +667,8 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                 d: b for d, b in (pm.get("bloom") or {}).items()
                 if d in pset
             }
+            # same DV inheritance rule as write_version's append path
+            parent_dv = _carry_dv(pm, parent_dirs)
             if evolved and eff_stats_for:
                 _backfill_all_null_stats(
                     parent_stats, parent_dir_rows,
@@ -703,6 +714,7 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                  staged_rel: my_parts}
                 if partition_by else None
             ),
+            "dv": parent_dv if append else None,
             **(manifest_extra or {}),
         }
         if fsio.create_text_exclusive(
@@ -749,7 +761,8 @@ def _scan_schema(manifest: dict):
     return _nullable_deep(StructType.fromJson(manifest["schema"]))
 
 
-def _conform_to_schema(df: DataFrame, manifest: dict) -> DataFrame:
+def _conform_to_schema(df: DataFrame, manifest: dict,
+                       keep: tuple = ()) -> DataFrame:
     """Project ``df`` onto the manifest's scan schema: present columns
     cast to their declared types (hive partition discovery can infer
     e.g. int where the writer declared long — the manifest is the
@@ -757,7 +770,8 @@ def _conform_to_schema(df: DataFrame, manifest: dict) -> DataFrame:
     — how an evolved chain reads dirs written before a column existed,
     the same typed-null padding the CDC feed applies to evolved
     snapshots. Column order follows the manifest, so every read path
-    agrees on shape."""
+    agrees on shape. ``keep`` names extra helper columns (the deletion
+    vector's file/position pair) to carry through untouched."""
     from pyspark.sql import functions as F
 
     have = dict(zip(df.columns, df.schema.fields))
@@ -773,26 +787,114 @@ def _conform_to_schema(df: DataFrame, manifest: dict) -> DataFrame:
             # refusable shape — nested nullability TIGHTENING — never
             # appears; loosening (false -> true) casts fine
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-    return df.select(*cols)
+    return df.select(*cols, *[F.col(k) for k in keep])
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read deletes)
+#
+# A DV version deletes rows WITHOUT rewriting any data file: the manifest
+# records a parquet sidecar of (file, pos) pairs — file relative to the
+# table dir ("v=000123/part-....parquet", relocatable), pos the parquet
+# row index within it — and every read path anti-joins the scan against
+# it. This is the Iceberg v2 positional-delete / Delta deletion-vector
+# move: a targeted delete on a 100 TB table costs O(deleted rows) instead
+# of rewriting every touched file, and the debt is folded away by the
+# next compaction (compact()/compact_tail() read through the DV, so
+# their outputs are DV-free). Copy-on-write (delete_version_pruned) is
+# the complementary path when deletes are dense enough that rewriting
+# beats carrying the filter.
+# ---------------------------------------------------------------------------
+
+_DV_COLS = ("__mr4_dv_file", "__mr4_dv_pos")
+
+# broadcast the DV side of the anti-join below this many deleted rows
+# (two slim columns — well under Spark's 8 GB broadcast ceiling); bigger
+# DVs fall back to a shuffled anti-join, and SHOULD be compacted away
+_DV_BROADCAST_MAX = 2_000_000
+
+
+# a chain data dir is either a version dir or a concurrent writer's
+# nonce'd staged dir — the two shapes a DV file path starts with
+_DV_REL_RE = r"((?:v=\d{6}|_staged/[0-9a-f]+)/.*)$"
+_DV_DIR_RE = r"^(_staged/[0-9a-f]+|v=\d{6})"
+
+
+def _with_pos(scan: DataFrame) -> DataFrame:
+    """Attach the deletion-vector join key to a parquet scan: the
+    table-relative file path (the `v=NNNNNN/...` or `_staged/<nonce>/...`
+    suffix of ``_metadata.file_path`` — stable across table moves and
+    `file:` scheme prefixes) and the in-file row index. Both come from
+    parquet scan metadata, so they cost no data-column reads and stay
+    valid for immutable files forever."""
+    from pyspark.sql import functions as F
+
+    return scan.select(
+        "*",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), _DV_REL_RE, 1
+        ).alias(_DV_COLS[0]),
+        F.col("_metadata.row_index").alias(_DV_COLS[1]),
+    )
+
+
+def _dv_dir_col():
+    """The chain-dir key of a DV sidecar file path (matches the
+    manifest's ``data_dirs`` entries, staged dirs included)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract(F.col("file"), _DV_DIR_RE, 1)
+
+
+def _dv_frame(spark: SparkSession, table_dir: str, manifest: dict):
+    """The manifest's deletion-vector sidecar as a (file, pos)
+    DataFrame, broadcast-hinted while it is provably small (the
+    manifest records its exact cardinality, so the decision is
+    metadata, not an estimate)."""
+    from pyspark.sql import functions as F
+
+    dv = manifest["dv"]
+    df = spark.read.parquet(os.path.join(table_dir, dv["path"]))
+    return F.broadcast(df) if dv["count"] <= _DV_BROADCAST_MAX else df
+
+
+def _anti_dv(scan_with_pos: DataFrame, dv_df: DataFrame) -> DataFrame:
+    """Drop the scan rows a deletion vector names: ONE left-anti join
+    on (file, pos). The scan side keeps its helper columns (callers
+    conform/strip afterwards)."""
+    from pyspark.sql import functions as F
+
+    cond = (
+        (F.col(_DV_COLS[0]) == dv_df["file"])
+        & (F.col(_DV_COLS[1]) == dv_df["pos"])
+    )
+    return scan_with_pos.join(dv_df, cond, "left_anti")
 
 
 def _scan_partitioned_chain(spark: SparkSession, dirs: list[str],
-                            manifest: dict) -> DataFrame | None:
+                            manifest: dict,
+                            with_pos: bool = False) -> DataFrame | None:
     """Union the non-empty dirs of a hive-partitioned append chain,
     null-padded and type-aligned to the manifest schema; None when
     every dir is empty. Shared by read_version and compact_tail so the
     chain-scan rules (per-root reads for partition discovery, empty-dir
     skipping to dodge UNABLE_TO_INFER_SCHEMA, manifest-schema
     conformance — which also null-pads pre-evolution dirs) live in
-    exactly one place. ``dirs`` are absolute paths."""
+    exactly one place. ``dirs`` are absolute paths. ``with_pos``
+    attaches the per-row file/position helper pair (``_DV_COLS``) each
+    scan branch can still resolve from its own ``_metadata`` — the
+    hook the deletion-vector filter joins on."""
     out = None
     for d in dirs:
         if not fsio.has_parquet(d):
             continue
         part = spark.read.parquet(d)
+        if with_pos:
+            part = _with_pos(part)
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True)
-    return None if out is None else _conform_to_schema(out, manifest)
+    return None if out is None else _conform_to_schema(
+        out, manifest, keep=_DV_COLS if with_pos else ())
 
 
 def _reclaim_torn_write(table_dir: str, version: int) -> None:
@@ -958,6 +1060,15 @@ def read_version(spark: SparkSession, table_dir: str,
                 f"LOCATION '{_data_dir(table_dir, version)}'"
             )
         return spark.table(name)
+    if manifest.get("dv"):
+        # merge-on-read: one manifest-conformed scan over the listed
+        # dirs with the deletion-vector anti-join applied (the shared
+        # _scan_dirs path every pruned reader also goes through)
+        dirs = [
+            os.path.join(table_dir, d)
+            for d in manifest.get("data_dirs") or [f"v={version:06d}"]
+        ]
+        return _scan_dirs(spark, manifest, dirs, table_dir)
     if manifest.get("data_dirs"):
         dirs = [os.path.join(table_dir, d) for d in manifest["data_dirs"]]
         if manifest.get("partition_by"):
@@ -1062,7 +1173,10 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
     reader = spark.read
     if manifest.get("schema_evolved"):
         reader = reader.option("mergeSchema", "true")
-    scan = reader.parquet(*paths).withColumn(
+    scan = reader.parquet(*paths)
+    if manifest.get("dv"):
+        scan = _with_pos(scan)
+    scan = scan.withColumn(
         col,
         F.url_decode(
             F.regexp_extract(F.input_file_name(), f"/{col}=([^/]+)/", 1)
@@ -1070,6 +1184,13 @@ def read_version_pruned(spark: SparkSession, table_dir: str,
     )
     # manifest conformance (order + types + null-padding pre-evolution
     # dirs), so both read paths agree on shape too
+    if manifest.get("dv"):
+        # merge-on-read: deletion-vector rows drop here as well — the
+        # relative-path join key contains the partition subdir, so the
+        # pruned leaves match their sidecar entries exactly
+        out = _conform_to_schema(scan, manifest, keep=_DV_COLS)
+        out = _anti_dv(out, _dv_frame(spark, table_dir, manifest))
+        return out.drop(*_DV_COLS)
     return _conform_to_schema(scan, manifest)
 
 
@@ -1212,7 +1333,9 @@ def read_version_stats_pruned(spark: SparkSession, table_dir: str,
         os.path.join(table_dir, d) for d in dirs
         if _range_relation(stats.get(d), None, where) != "miss"
     ]
-    return _apply_range_filter(_scan_dirs(spark, manifest, kept), where)
+    return _apply_range_filter(
+        _scan_dirs(spark, manifest, kept, table_dir), where
+    )
 
 
 def read_version_bloom_pruned(spark: SparkSession, table_dir: str,
@@ -1242,15 +1365,11 @@ def read_version_bloom_pruned(spark: SparkSession, table_dir: str,
     With ``detail=True`` returns ``(df, {"missed", "scanned",
     "unknown"})`` dir tallies (the plan-visible proof of the skip).
     """
-    import base64
-
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
 
     version = _resolve_version(table_dir, version, as_of)
     manifest = read_manifest(table_dir, version)
     dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
-    blooms = manifest.get("bloom") or {}
     schema = _scan_schema(manifest)
     if col not in schema.fieldNames():
         raise ValueError(f"{col!r} is not a column of {table_dir}")
@@ -1259,6 +1378,35 @@ def read_version_bloom_pruned(spark: SparkSession, table_dir: str,
         return ((spark.createDataFrame([], schema),
                  {"missed": len(dirs), "scanned": 0, "unknown": 0})
                 if detail else spark.createDataFrame([], schema))
+    hits = _bloom_probe(spark, manifest, col, vals, dirs)
+    kept = [d for d in dirs if hits[d] is not False]
+    missed = sum(h is False for h in hits.values())
+    unknown = sum(h is None for h in hits.values())
+    scan = _scan_dirs(spark, manifest,
+                      [os.path.join(table_dir, d) for d in kept],
+                      table_dir)
+    out = scan.filter(F.col(col).isin(vals))
+    info = {"missed": missed, "scanned": len(kept) - unknown,
+            "unknown": unknown}
+    return (out, info) if detail else out
+
+
+def _bloom_probe(spark: SparkSession, manifest: dict, col: str,
+                 vals: list, dirs: list[str]) -> dict:
+    """Probe each chain dir's recorded bloom filter for ``col`` against
+    the non-null ``vals``: True = at least one value may be present,
+    False = PROVABLY none is (skippable), None = no bloom recorded
+    (unknown — scan). Probe positions are computed by one tiny JVM job
+    per bits-variant with the SAME hash expression the writer used
+    (``_bloom_positions_col``), so writer and reader can never disagree
+    on hashing. Shared by the point-lookup read and the copy-on-write
+    classifiers."""
+    import base64
+
+    from pyspark.sql.types import StructType
+
+    blooms = manifest.get("bloom") or {}
+    schema = _scan_schema(manifest)
     # per-(bits)-variant probe positions, one tiny JVM job per variant
     # (bloom_bits can change across a chain's eras)
     variants = {
@@ -1272,28 +1420,18 @@ def read_version_bloom_pruned(spark: SparkSession, table_dir: str,
             [(v,) for v in vals], probe_schema
         ).select(_bloom_positions_col(col, bits).alias("ps")).collect()
         pos_by_bits[bits] = [list(map(int, r["ps"])) for r in rows]
-    kept, missed, unknown = [], 0, 0
+    out: dict[str, bool | None] = {}
     for d in dirs:
         ent = (blooms.get(d) or {}).get(col)
         if ent is None:
-            unknown += 1
-            kept.append(d)  # no bloom recorded: scan, never skip
+            out[d] = None  # no bloom recorded: scan, never skip
             continue
         ba = base64.b64decode(ent["b64"])
-        hit = any(
+        out[d] = any(
             all((ba[p // 8] >> (p % 8)) & 1 for p in plist)
             for plist in pos_by_bits[ent["bits"]]
         )
-        if hit:
-            kept.append(d)
-        else:
-            missed += 1
-    scan = _scan_dirs(spark, manifest,
-                      [os.path.join(table_dir, d) for d in kept])
-    out = scan.filter(F.col(col).isin(vals))
-    info = {"missed": missed, "scanned": len(kept) - unknown,
-            "unknown": unknown}
-    return (out, info) if detail else out
+    return out
 
 
 def _apply_range_filter(df: DataFrame, where: dict) -> DataFrame:
@@ -1311,24 +1449,37 @@ def _apply_range_filter(df: DataFrame, where: dict) -> DataFrame:
 
 
 def _scan_dirs(spark: SparkSession, manifest: dict,
-               dirs_abs: list[str]) -> DataFrame:
+               dirs_abs: list[str], table_dir: str | None = None) -> DataFrame:
     """One manifest-pinned-schema scan over the given chain dirs
     (possibly none -> empty DataFrame); partition columns restored for
     partitioned chains. The shared tail of the stats-pruned read and
-    the metadata count's partial-dir fallback."""
+    the metadata count's partial-dir fallback. When the manifest
+    carries a deletion vector and ``table_dir`` is given, the DV
+    anti-join is applied here — every pruned/partial read path
+    therefore sees live rows only, from exactly one place."""
     schema = _scan_schema(manifest)
+    dv_live = bool(manifest.get("dv")) and table_dir is not None
     if manifest.get("partition_by"):
-        out = _scan_partitioned_chain(spark, dirs_abs, manifest)
+        out = _scan_partitioned_chain(spark, dirs_abs, manifest,
+                                      with_pos=dv_live)
         if out is None:
             return spark.createDataFrame([], schema)
-        return out  # already manifest-conformed
-    paths = [p for p in dirs_abs if fsio.has_parquet(p)]
-    if not paths:
-        return spark.createDataFrame([], schema)
-    reader = spark.read
-    if manifest.get("schema_evolved"):
-        reader = reader.option("mergeSchema", "true")
-    return _conform_to_schema(reader.parquet(*paths), manifest)
+    else:
+        paths = [p for p in dirs_abs if fsio.has_parquet(p)]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        reader = spark.read
+        if manifest.get("schema_evolved"):
+            reader = reader.option("mergeSchema", "true")
+        out = reader.parquet(*paths)
+        if dv_live:
+            out = _with_pos(out)
+        out = _conform_to_schema(out, manifest,
+                                 keep=_DV_COLS if dv_live else ())
+    if dv_live:
+        out = _anti_dv(out, _dv_frame(spark, table_dir, manifest))
+        out = out.drop(*_DV_COLS)
+    return out
 
 
 def count_version(spark: SparkSession | None, table_dir: str,
@@ -1395,17 +1546,27 @@ def count_version(spark: SparkSession | None, table_dir: str,
             ("full" if dir_rows.get(d) is not None else "partial"))
         for d in dirs
     }
+    dvc = (manifest.get("dv") or {}).get("dir_counts") or {}
     if count_col is not None:
         # COUNT(col): a full dir needs the column's recorded null count
-        # on top of the range proof — dir contribution is rows − nulls
+        # on top of the range proof — dir contribution is rows − nulls.
+        # A dir with deletion-vector rows degrades to a scan: the
+        # deleted rows' null-ness is unrecorded, so metadata cannot
+        # split the DV count between null and non-null rows.
         for d, r in rels.items():
             if r != "full":
                 continue
             ent = (stats.get(d) or {}).get(count_col)
-            if ent is None or len(ent) < 3:
+            if ent is None or len(ent) < 3 or dvc.get(d):
                 rels[d] = "partial"
+    # COUNT(*) stays metadata-exact under deletion vectors: a range-FULL
+    # proof covers every physical row, deleted ones included, so the
+    # dir's live contribution is its physical count minus its recorded
+    # DV cardinality — both manifest numbers
     total = sum(
-        dir_rows[d] - (stats[d][count_col][2] if count_col is not None else 0)
+        dir_rows[d]
+        - (stats[d][count_col][2] if count_col is not None else 0)
+        - (0 if count_col is not None else dvc.get(d, 0))
         for d, r in rels.items() if r == "full"
     )
     partial = [d for d, r in rels.items() if r == "partial"]
@@ -1420,7 +1581,8 @@ def count_version(spark: SparkSession | None, table_dir: str,
         from pyspark.sql import functions as F
 
         kept = [os.path.join(table_dir, d) for d in partial]
-        scan = _apply_range_filter(_scan_dirs(spark, manifest, kept), where)
+        scan = _apply_range_filter(
+            _scan_dirs(spark, manifest, kept, table_dir), where)
         if count_col is not None:
             total += scan.agg(
                 F.count(count_col).alias("n")).first()["n"]
@@ -1511,14 +1673,18 @@ def sum_version(spark: SparkSession | None, table_dir: str, col: str,
     bounded = bool(where) and any(
         lo is not None or hi is not None for lo, hi in where.values()
     )
+    dvc = (manifest.get("dv") or {}).get("dir_counts") or {}
     rels = {}
     for d in dirs:
         rel = (_range_relation(stats.get(d), dir_rows.get(d), where)
                if bounded else "full")
         if rel == "full":
             ent = (stats.get(d) or {}).get(col)
-            if ent is None or len(ent) < 4:
-                rel = "partial"  # no recorded sum (float col / legacy)
+            if ent is None or len(ent) < 4 or dvc.get(d):
+                # no recorded sum (float col / legacy manifest), or the
+                # dir carries deletion-vector rows — the recorded sum
+                # includes deleted values, so the dir must scan
+                rel = "partial"
         rels[d] = rel
     vals = [stats[d][col][3] for d, r in rels.items() if r == "full"]
     known = [v for v in vals if v is not None]
@@ -1534,7 +1700,8 @@ def sum_version(spark: SparkSession | None, table_dir: str, col: str,
         from pyspark.sql import functions as F
 
         kept = [os.path.join(table_dir, d) for d in partial]
-        scan = _apply_range_filter(_scan_dirs(spark, manifest, kept), where)
+        scan = _apply_range_filter(
+            _scan_dirs(spark, manifest, kept, table_dir), where)
         s = scan.agg(F.sum(col).alias("s")).first()["s"]
         if s is not None:
             known.append(s)
@@ -1565,12 +1732,15 @@ def minmax_version(spark: SparkSession | None, table_dir: str, col: str,
     manifest = read_manifest(table_dir, version)
     dirs = manifest.get("data_dirs") or [f"v={version:06d}"]
     stats = manifest.get("col_stats") or {}
+    dvc = (manifest.get("dv") or {}).get("dir_counts") or {}
     mins: list = []
     maxs: list = []
     unstatted = []
     for d in dirs:
         ent = (stats.get(d) or {}).get(col)
-        if ent is None:
+        if ent is None or dvc.get(d):
+            # no recorded stats, or deletion-vector rows: the recorded
+            # extrema may BE deleted rows, so the dir must scan
             unstatted.append(d)
             continue
         if ent[0] is not None:
@@ -1586,7 +1756,7 @@ def minmax_version(spark: SparkSession | None, table_dir: str, col: str,
         from pyspark.sql import functions as F
 
         kept = [os.path.join(table_dir, d) for d in unstatted]
-        scan = _scan_dirs(spark, manifest, kept)
+        scan = _scan_dirs(spark, manifest, kept, table_dir)
         mn, mx = F.min(col), F.max(col)
         if dict(scan.dtypes).get(col) in ("date", "timestamp",
                                           "timestamp_ntz"):
@@ -1740,6 +1910,524 @@ def delete_version(spark: SparkSession, table_dir: str,
     )
 
 
+def _require_plain_table(pm: dict, table_dir: str, what: str) -> None:
+    """Copy-on-write and deletion-vector commits operate at chain-dir
+    granularity, which bucketed/clustered snapshots don't have (their
+    layout is a whole-table property) — those route through the
+    full-rewrite paths (upsert_version/delete_version), which preserve
+    the layout."""
+    if pm.get("bucket_by") or pm.get("sort_by"):
+        raise ValueError(
+            f"{what} needs a plain or append-chain table; {table_dir} is "
+            "bucketed/clustered — use upsert_version/delete_version "
+            "(full rewrite, layout preserved) instead"
+        )
+
+
+def _collect_keys(keys, key: str, max_keys: int) -> list:
+    """Normalize a delete/merge key set to a bounded driver-side list
+    (nulls dropped — SQL ``IN`` never matches null). DataFrame inputs
+    collect at most ``max_keys``+1 rows and fail LOUDLY beyond the cap:
+    dir classification and the survivor ``isin`` filter are both
+    broadcast-shaped, so an unbounded key set must route through the
+    full-rewrite paths (join-based), never silently degrade."""
+    if hasattr(keys, "select"):  # DataFrame
+        rows = keys.select(key).limit(max_keys + 1).collect()
+        vals = [r[0] for r in rows if r[0] is not None]
+        if len(rows) > max_keys:
+            raise ValueError(
+                f"key set exceeds max_keys={max_keys}; a merge/delete "
+                "this wide should rewrite via upsert_version/"
+                "delete_version (join-based, no driver collect)"
+            )
+        return vals
+    return [v for v in keys if v is not None]
+
+
+def _dirs_maybe_holding_keys(spark: SparkSession, manifest: dict,
+                             key: str, vals: list,
+                             dirs: list[str]) -> dict:
+    """Classify each chain dir as True (may hold one of ``vals`` in
+    ``key``) or False (PROVABLY holds none): first the recorded
+    [min, max] window discards values outside the dir's range, then the
+    dir's bloom filter (when recorded) must hit at least one survivor.
+    Unknown stats/bloom degrade to True — conservative, never wrong.
+    Nulls in the dir never matter: a null key equals no value."""
+    stats = manifest.get("col_stats") or {}
+    windowed: dict[str, list] = {}
+    for d in dirs:
+        ent = (stats.get(d) or {}).get(key)
+        if not ent or ent[0] is None or ent[1] is None:
+            windowed[d] = vals  # unknown range: every value is possible
+            continue
+        mn, mx = ent[0], ent[1]
+        if (isinstance(mn, float) and mn != mn) \
+                or (isinstance(mx, float) and mx != mx):
+            windowed[d] = vals  # NaN stats mean unknown
+            continue
+        cand = []
+        for v in vals:
+            # date/timestamp stats serialize as canonical strings whose
+            # lexicographic order is time order (the _range_relation
+            # normalization)
+            vv = (str(v) if isinstance(mn, str)
+                  and not isinstance(v, str) else v)
+            try:
+                if mn <= vv <= mx:
+                    cand.append(v)
+            except TypeError:
+                cand.append(v)  # incomparable: conservative
+        windowed[d] = cand
+    # bloom refinement only for dirs with window survivors; one probe
+    # batch over the union of surviving values
+    need = [d for d in dirs if windowed[d]]
+    probe_vals = sorted({v for d in need for v in windowed[d]},
+                        key=lambda x: (str(type(x)), str(x)))
+    hits = (_bloom_probe(spark, manifest, key, probe_vals, need)
+            if probe_vals and (manifest.get("bloom") or {}) else
+            {d: None for d in need})
+    out = {}
+    for d in dirs:
+        if not windowed[d]:
+            out[d] = False  # range proof: no key lands in this dir
+        else:
+            out[d] = hits.get(d) is not False  # bloom False = proven out
+    return out
+
+
+def _carry_dv(pm: dict, keep_dirs: list[str]) -> dict | None:
+    """The parent's deletion vector restricted to the surviving dirs:
+    per-dir counts for dropped/rewritten dirs disappear (their files
+    left the manifest, so their sidecar entries can never match a live
+    scan row again — stale rows are harmless and the next compaction
+    retires the sidecar entirely). Returns None when nothing remains,
+    releasing the sidecar to vacuum."""
+    dv = pm.get("dv")
+    if not dv:
+        return None
+    kset = set(keep_dirs)
+    counts = {d: n for d, n in dv["dir_counts"].items()
+              if d in kset and n}
+    if not counts:
+        return None
+    return {"path": dv["path"], "count": sum(counts.values()),
+            "dir_counts": counts}
+
+
+def _cow_publish(spark: SparkSession, table_dir: str, pm: dict,
+                 keep_dirs: list[str], new_df: DataFrame | None,
+                 manifest_extra: dict | None = None) -> int:
+    """Publish a copy-on-write commit: ``keep_dirs`` (relative chain
+    dirs of the parent) carry into the new version BY REFERENCE — no
+    data movement, stats/blooms/row counts/partition indexes carried
+    with them — and ``new_df`` (rewritten survivors and/or inserts;
+    None for pure drops) lands as the one new dir. This is the
+    file-level rewrite unit of Delta/Iceberg MERGE/DELETE expressed at
+    this format's dir granularity: commit cost is O(touched dirs +
+    new rows), never O(table). Vacuum's mark-and-sweep already keeps
+    any dir a retained manifest references, so shared dirs outlive
+    their original version exactly as appended dirs do."""
+    version = pm["version"] + 1
+    data_rel = f"v={version:06d}"
+    data_dir = _data_dir(table_dir, version)
+    _reclaim_torn_write(table_dir, version)
+    part_by = pm.get("partition_by") or None
+    if new_df is None and not keep_dirs:
+        # everything deleted: the empty table still needs a readable
+        # snapshot — a schema-only dir (plain writes keep a schema
+        # file; partitioned empty writes are skipped by the chain scan)
+        new_df = spark.createDataFrame([], _scan_schema(pm))
+    wrote = False
+    new_rows = 0
+    if new_df is not None:
+        writer = (_conform_to_schema(new_df, pm)
+                  .write.mode("errorifexists"))
+        if part_by:
+            writer = writer.partitionBy(*part_by)
+        writer.parquet(data_dir)
+        new_rows = fsio.parquet_row_count(data_dir)
+        if new_rows == 0 and keep_dirs:
+            # an all-dropped rewrite adds nothing: don't grow the chain
+            fsio.delete(data_dir, recursive=True)
+        else:
+            wrote = True
+    kset = set(keep_dirs)
+    col_stats = {d: s for d, s in (pm.get("col_stats") or {}).items()
+                 if d in kset}
+    bloom = {d: b for d, b in (pm.get("bloom") or {}).items() if d in kset}
+    dir_rows = {d: n for d, n in (pm.get("dir_rows") or {}).items()
+                if d in kset}
+    dir_parts = {d: e for d, e in (pm.get("dir_parts") or {}).items()
+                 if d in kset}
+    if wrote and new_rows > 0:
+        # stats/bloom for the new dir recompute from the files just
+        # written (read-back, exactly what landed — one bounded
+        # aggregate per contract, same cost class as write_version's)
+        back = spark.read.parquet(data_dir)
+        if pm.get("stats_for"):
+            col_stats[data_rel] = _column_stats(back, pm["stats_for"])
+        if pm.get("bloom_for"):
+            bloom[data_rel] = _dir_bloom(
+                back, pm["bloom_for"], pm.get("bloom_bits") or (1 << 17))
+    if wrote:
+        dir_rows[data_rel] = new_rows
+        if part_by:
+            dir_parts[data_rel] = sorted(
+                e for e in fsio.listdir(data_dir) if "=" in e)
+    dv = _carry_dv(pm, keep_dirs)
+    kept_live = sum(
+        (dir_rows[d] if d in dir_rows
+         else fsio.parquet_row_count(os.path.join(table_dir, d)))
+        for d in keep_dirs
+    ) - (sum((dv or {}).get("dir_counts", {}).values()) if dv else 0)
+    manifest = {
+        "version": version,
+        "parent": pm["version"],
+        "committed_at": time.time(),
+        "row_count": kept_live + new_rows,
+        "schema": pm["schema"],
+        "bucket_by": None,
+        "n_buckets": None,
+        "sort_by": None,
+        "partition_by": part_by,
+        "batch_id": None,
+        "nonce": uuid.uuid4().hex[:12],
+        "data_dirs": keep_dirs + ([data_rel] if wrote else []),
+        # the new dir is written manifest-conformed: the evolved flag
+        # survives only while possibly-pre-evolution dirs remain
+        "schema_evolved": (pm.get("schema_evolved")
+                           if keep_dirs else None),
+        "stats_for": pm.get("stats_for"),
+        "col_stats": col_stats or None,
+        "bloom_for": pm.get("bloom_for"),
+        "bloom_bits": pm.get("bloom_bits") if pm.get("bloom_for") else None,
+        "bloom": bloom or None,
+        "dir_rows": dir_rows,
+        "dir_parts": (dir_parts or None) if part_by else None,
+        "dv": dv,
+        **(manifest_extra or {}),
+    }
+    fsio.mkdirs(_versions_dir(table_dir))
+    if not fsio.create_text_exclusive(
+            _manifest_path(table_dir, version), json.dumps(manifest)):
+        raise VersionConflictError(
+            f"version {version} of {table_dir} was published concurrently "
+            "— recompute the copy-on-write commit from the new chain head"
+        )
+    return version
+
+
+def _delete_cond(key: str | None, vals: list | None, predicate,
+                 where: dict | None):
+    """The DELETE predicate as a definitely-TRUE Column (SQL DELETE
+    semantics: only a provably-true predicate deletes; NULL keeps)."""
+    from pyspark.sql import functions as F
+
+    if key is not None:
+        cond = F.col(key).isin(vals)
+    elif predicate is not None:
+        cond = predicate
+    else:
+        cond = None
+        for c, (lo, hi) in where.items():
+            if lo is not None:
+                term = F.col(c) >= F.lit(lo)
+                cond = term if cond is None else cond & term
+            if hi is not None:
+                term = F.col(c) <= F.lit(hi)
+                cond = term if cond is None else cond & term
+        if cond is None:
+            raise ValueError("where bounds must not all be None")
+    return cond.eqNullSafe(F.lit(True))
+
+
+def delete_version_pruned(spark: SparkSession, table_dir: str,
+                          keys=None, key: str | None = None,
+                          where: dict | None = None,
+                          detail: bool = False,
+                          max_keys: int = 1_000_000):
+    """Copy-on-write DELETE that rewrites ONLY the chain dirs provably
+    holding affected rows — the dir-granular form of Delta/Iceberg's
+    file-level copy-on-write, and the scale fix for ``delete_version``'s
+    full-table rewrite. Classification per dir, all from the manifest
+    already in hand:
+
+    - range ``where={col: (lo, hi), ...}``: ``_range_relation`` —
+      "miss" dirs are untouched (carried by reference), "full" dirs are
+      DROPPED WHOLE (every row provably matches: the retention delete
+      on a time-ordered chain removes months with zero data movement,
+      the partition-drop move), only boundary "partial" dirs rewrite.
+    - keyed (``keys``+``key``, list or DataFrame, driver-bounded by
+      ``max_keys``): a dir is untouched when its recorded [min, max]
+      window excludes every key, or its bloom filter proves every
+      window-surviving key absent (``bloom_for`` tables). GDPR erasure
+      over a bloom-indexed chain therefore rewrites ~the dirs actually
+      holding those ids.
+
+    Survivor semantics match ``delete_rows``/SQL DELETE: only
+    definitely-matching rows delete (NULL predicate keeps; a null key
+    never matches). Deletion-vector rows already on the table are
+    honored (rewritten dirs are scanned live) and carried for kept
+    dirs. Returns the new version; with ``detail=True``,
+    ``(version, {"dropped", "untouched", "rewritten"})`` dir tallies —
+    the commit-cost proof. At 100 TB: commit cost is O(rewritten dirs),
+    and the common retention shape is pure manifest arithmetic.
+    """
+    from pyspark.sql import functions as F
+
+    if (key is None) == (where is None):
+        raise ValueError(
+            "delete_version_pruned takes either keys+key or "
+            "where={col: (lower, upper)}"
+        )
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    pm = read_manifest(table_dir, version)
+    _require_plain_table(pm, table_dir, "delete_version_pruned")
+    dirs = pm.get("data_dirs") or [f"v={version:06d}"]
+    stats = pm.get("col_stats") or {}
+    dir_rows = pm.get("dir_rows") or {}
+    vals = None
+    if key is not None:
+        vals = _collect_keys(keys, key, max_keys)
+        holding = _dirs_maybe_holding_keys(spark, pm, key, vals, dirs)
+        dropped: list[str] = []  # keys can never prove a WHOLE dir gone
+        untouched = [d for d in dirs if not holding[d]]
+        rewrite = [d for d in dirs if holding[d]]
+        survivor = F.coalesce(~F.col(key).isin(vals), F.lit(True))
+    else:
+        rels = {d: _range_relation(stats.get(d), dir_rows.get(d), where)
+                for d in dirs}
+        dropped = [d for d, r in rels.items() if r == "full"]
+        untouched = [d for d, r in rels.items() if r == "miss"]
+        rewrite = [d for d, r in rels.items() if r == "partial"]
+        survivor = ~_delete_cond(None, None, None, where)
+    new_df = None
+    if rewrite:
+        new_df = _scan_dirs(
+            spark, pm, [os.path.join(table_dir, d) for d in rewrite],
+            table_dir,
+        ).filter(survivor)
+    v = _cow_publish(spark, table_dir, pm, untouched, new_df)
+    info = {"dropped": len(dropped), "untouched": len(untouched),
+            "rewritten": len(rewrite)}
+    return (v, info) if detail else v
+
+
+def merge_version_pruned(spark: SparkSession, table_dir: str,
+                         updates: DataFrame, key: str,
+                         detail: bool = False,
+                         max_keys: int = 1_000_000):
+    """Copy-on-write keyed MERGE (upsert) that rewrites ONLY the chain
+    dirs provably holding updated keys: untouched dirs carry by
+    reference, matched base rows drop from the rewritten dirs, and
+    every update row — matched (update) or not (insert) — lands in the
+    one new dir. Same output as ``operators.maintenance.upsert`` /
+    ``upsert_version`` (updates win on key collision, at most one
+    surviving row per updated key when the base was key-unique),
+    proven by the parity test; the difference is the commit cost:
+    O(dirs holding updated keys + |updates|), not O(table). Dir
+    classification = the keyed-delete rule (min/max window, then bloom
+    when recorded). Update keys are driver-bounded by ``max_keys`` —
+    broadcast-scale merges are the CoW sweet spot; wider merges
+    rewrite via ``upsert_version``. Returns the new version; with
+    ``detail=True``, ``(version, {"untouched", "rewritten"})``."""
+    from pyspark.sql import functions as F
+
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    pm = read_manifest(table_dir, version)
+    _require_plain_table(pm, table_dir, "merge_version_pruned")
+    fields = {f["name"] for f in pm["schema"]["fields"]}
+    extra = set(updates.columns) - fields
+    if key not in fields:
+        raise ValueError(f"{key!r} is not a column of {table_dir}")
+    if extra:
+        raise ValueError(
+            f"updates carry columns {sorted(extra)} the table lacks — "
+            "evolve the schema with an additive append first"
+        )
+    dirs = pm.get("data_dirs") or [f"v={version:06d}"]
+    vals = _collect_keys(updates, key, max_keys)
+    holding = _dirs_maybe_holding_keys(spark, pm, key, vals, dirs)
+    untouched = [d for d in dirs if not holding[d]]
+    rewrite = [d for d in dirs if holding[d]]
+    new_df = _conform_to_schema(updates, pm)
+    if rewrite:
+        survivors = _scan_dirs(
+            spark, pm, [os.path.join(table_dir, d) for d in rewrite],
+            table_dir,
+        ).filter(F.coalesce(~F.col(key).isin(vals), F.lit(True)))
+        new_df = survivors.unionByName(new_df)
+    v = _cow_publish(spark, table_dir, pm, untouched, new_df)
+    info = {"untouched": len(untouched), "rewritten": len(rewrite)}
+    return (v, info) if detail else v
+
+
+def delete_version_dv(spark: SparkSession, table_dir: str,
+                      keys=None, key: str | None = None,
+                      predicate=None, where: dict | None = None,
+                      detail: bool = False, max_keys: int = 1_000_000):
+    """Merge-on-read DELETE: publish a new version that removes rows by
+    recording their (file, row position) pairs in a deletion-vector
+    sidecar — NO data file is rewritten, the Iceberg v2 positional
+    delete / Delta deletion vector. Commit cost is O(matched rows) (one
+    scan to locate them + one tiny sidecar write), so a 100-row GDPR
+    erasure on a 100 TB table costs seconds; the read-side tax is one
+    (broadcast while small) anti-join, folded away by the next
+    ``compact``/``compact_tail``. Every reader honors the DV (the
+    shared ``_scan_dirs`` path), COUNT stays metadata-exact
+    (``dir_counts`` arithmetic), and SUM/MIN/MAX soundly degrade
+    DV-carrying dirs to scans. Delete condition: ``keys``+``key``
+    (IN-list), a boolean ``predicate`` Column, or range ``where`` —
+    definitely-TRUE semantics like every delete path here. Repeated DV
+    deletes accumulate into a fresh sidecar (already-deleted rows are
+    excluded from the scan, so entries never duplicate). Returns the
+    new version; ``detail=True`` adds ``{"deleted", "dv_rows"}``."""
+    from pyspark.sql import functions as F
+
+    if sum(x is not None for x in (key, predicate, where)) != 1:
+        raise ValueError(
+            "delete_version_dv takes exactly one of keys+key, "
+            "predicate, or where"
+        )
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    pm = read_manifest(table_dir, version)
+    _require_plain_table(pm, table_dir, "delete_version_dv")
+    dirs_abs = [os.path.join(table_dir, d)
+                for d in pm.get("data_dirs") or [f"v={version:06d}"]]
+    vals = _collect_keys(keys, key, max_keys) if key is not None else None
+    # live scan WITH the (file, pos) join key still attached
+    if pm.get("partition_by"):
+        scan = _scan_partitioned_chain(spark, dirs_abs, pm, with_pos=True)
+    else:
+        paths = [p for p in dirs_abs if fsio.has_parquet(p)]
+        if paths:
+            reader = spark.read
+            if pm.get("schema_evolved"):
+                reader = reader.option("mergeSchema", "true")
+            scan = _conform_to_schema(_with_pos(reader.parquet(*paths)),
+                                      pm, keep=_DV_COLS)
+        else:
+            scan = None
+    old_dv = pm.get("dv")
+    old_total = old_dv["count"] if old_dv else 0
+    new_deletes = None
+    if scan is not None:
+        if old_dv:
+            scan = _anti_dv(scan, _dv_frame(spark, table_dir, pm))
+        new_deletes = scan.filter(
+            _delete_cond(key, vals, predicate, where)
+        ).select(F.col(_DV_COLS[0]).alias("file"),
+                 F.col(_DV_COLS[1]).alias("pos"))
+    dv = None
+    dir_counts: dict[str, int] = {}
+    total = 0
+    if new_deletes is not None:
+        if old_dv:
+            # fold the previous sidecar in, dropping STALE entries —
+            # rows of dirs a copy-on-write commit has since rewritten
+            # out of the chain (harmless to reads, but they'd inflate
+            # the per-dir counts the row_count arithmetic trusts)
+            live = [d for d in pm.get("data_dirs")
+                    or [f"v={version:06d}"]]
+            new_deletes = new_deletes.unionByName(
+                spark.read.parquet(
+                    os.path.join(table_dir, old_dv["path"])
+                ).select("file", "pos")
+                .filter(_dv_dir_col().isin(live))
+            )
+        nonce = uuid.uuid4().hex[:12]
+        dv_rel = os.path.join("_dv", f"{nonce}.parquet")
+        dv_abs = os.path.join(table_dir, dv_rel)
+        new_deletes.coalesce(1).write.mode("errorifexists").parquet(dv_abs)
+        # exact per-dir cardinalities from the sidecar just written —
+        # the numbers count_version's metadata arithmetic subtracts
+        counts = (
+            spark.read.parquet(dv_abs)
+            .groupBy(_dv_dir_col().alias("d"))
+            .count().collect()
+        )
+        dir_counts = {r["d"]: int(r["count"]) for r in counts}
+        total = sum(dir_counts.values())
+        if total:
+            dv = {"path": dv_rel, "count": total, "dir_counts": dir_counts}
+        else:
+            fsio.delete(dv_abs, recursive=True)  # no-op delete: no sidecar
+            dv = old_dv
+            total = old_total
+    else:
+        dv = old_dv
+        total = old_total
+    n_new = total - old_total
+    manifest = {
+        **pm,
+        "version": version + 1,
+        "parent": version,
+        "committed_at": time.time(),
+        "nonce": uuid.uuid4().hex[:12],
+        "batch_id": None,
+        "row_count": pm["row_count"] - n_new,
+        "dv": dv,
+    }
+    fsio.mkdirs(_versions_dir(table_dir))
+    if not fsio.create_text_exclusive(
+            _manifest_path(table_dir, version + 1), json.dumps(manifest)):
+        raise VersionConflictError(
+            f"version {version + 1} of {table_dir} was published "
+            "concurrently — recompute the deletion vector from the new "
+            "chain head"
+        )
+    return ((version + 1, {"deleted": n_new, "dv_rows": total})
+            if detail else version + 1)
+
+
+def restore_version(table_dir: str, version: int) -> int:
+    """RESTORE: publish a NEW version whose content is an older
+    version's — pure manifest arithmetic, zero data movement (the new
+    manifest references the target's data dirs; vacuum's mark-and-sweep
+    already keeps referenced dirs alive). This is Delta's RESTORE /
+    Iceberg's rollback expressed in this format: rolling a 100 TB table
+    back from a bad publish costs one JSON write, and the bad version
+    stays in history for forensics (``table_changes`` across the
+    restore shows the rollback as CDC). Bucketed snapshots are refused
+    (their catalog binding derives the data path from the version
+    number); restore those by re-publishing ``read_version(...,
+    version=target)`` through ``write_version``. Raises if the target
+    was vacuumed. No SparkSession needed."""
+    tm = read_manifest(table_dir, version)  # raises if not published
+    if tm.get("bucket_by"):
+        raise ValueError(
+            "restore_version cannot reference a bucketed snapshot's "
+            "dirs (the catalog binding is version-addressed) — "
+            "re-publish read_version(..., version=target) instead"
+        )
+    latest = latest_version(table_dir)
+    new_version = latest + 1
+    manifest = {
+        **tm,
+        "version": new_version,
+        "parent": latest,
+        "committed_at": time.time(),
+        "nonce": uuid.uuid4().hex[:12],
+        "batch_id": None,
+        "data_dirs": tm.get("data_dirs") or [f"v={version:06d}"],
+        "restored_from": version,
+    }
+    fsio.mkdirs(_versions_dir(table_dir))
+    if not fsio.create_text_exclusive(
+            _manifest_path(table_dir, new_version), json.dumps(manifest)):
+        raise VersionConflictError(
+            f"version {new_version} of {table_dir} was published "
+            "concurrently — restore again from the new chain head"
+        )
+    return new_version
+
+
 def publish_checked(df: DataFrame, table_dir: str, expectations: dict,
                     mode: str = "fail", quarantine_dir: str | None = None,
                     **layout) -> int:
@@ -1882,8 +2570,19 @@ def compact_tail(spark: SparkSession, table_dir: str,
     base, tail = dirs[:keep_base], dirs[keep_base:]
     part_by = manifest.get("partition_by") or None
     tail_abs = [os.path.join(table_dir, d) for d in tail]
+    dv = manifest.get("dv")
+    dv_in_tail = bool(dv) and any(
+        dv["dir_counts"].get(d) for d in tail)
     rows = None
-    if part_by:
+    if dv_in_tail:
+        # deletion-vector rows in the tail FOLD AWAY here: the live
+        # scan (DV anti-join applied) is what lands in the folded dir,
+        # so the sidecar debt for these dirs is retired by the same
+        # maintenance pass that bounds the chain
+        live = _scan_dirs(spark, manifest, tail_abs, table_dir)
+        rows = (live.repartition(*part_by) if part_by
+                else live.coalesce(target_files))
+    elif part_by:
         rows = _scan_partitioned_chain(spark, tail_abs, manifest)
         if rows is not None:
             # one file per partition value in the folded dir (not
@@ -1972,6 +2671,10 @@ def compact_tail(spark: SparkSession, table_dir: str,
         "bloom": bloom or None,
         "dir_rows": dir_rows,
         "dir_parts": (dir_parts or None) if part_by else None,
+        # tail DV entries folded away above; base-dir entries carry
+        # (their files didn't move), and an emptied DV releases its
+        # sidecar to vacuum
+        "dv": _carry_dv(manifest, base),
     }
     fsio.mkdirs(_versions_dir(table_dir))
     if not fsio.create_text_exclusive(
@@ -2018,10 +2721,13 @@ def vacuum(table_dir: str, keep_last: int = 1,
     doomed = versions[:-keep_last] if keep_last < len(versions) else []
     kept = versions[-keep_last:] if keep_last < len(versions) else versions
     live_dirs = set()
+    live_dv = set()
     for v in kept:
         m = read_manifest(table_dir, v)
         for d in m.get("data_dirs") or [f"v={v:06d}"]:
             live_dirs.add(d)
+        if m.get("dv"):
+            live_dv.add(m["dv"]["path"])
     for v in doomed:
         fsio.delete(_manifest_path(table_dir, v))
     for entry in fsio.listdir(table_dir):
@@ -2034,6 +2740,15 @@ def vacuum(table_dir: str, keep_last: int = 1,
         if (os.path.join("_staged", name) not in live_dirs
                 and age > staged_ttl_s):
             fsio.delete(os.path.join(staged_root, name), recursive=True)
+    # deletion-vector sidecars follow the staged-dir rule: unreferenced
+    # by every retained manifest AND older than the TTL (a younger one
+    # may belong to an in-flight delete_version_dv that wrote its
+    # sidecar but hasn't published its manifest yet)
+    dv_root = os.path.join(table_dir, "_dv")
+    for name, age in fsio.list_child_ages_s(dv_root).items():
+        if (os.path.join("_dv", name) not in live_dv
+                and age > staged_ttl_s):
+            fsio.delete(os.path.join(dv_root, name), recursive=True)
     return doomed
 
 
