@@ -655,6 +655,285 @@ def evolved_chain_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cow_delete_orders_chain",
+    oracle=f"""
+        WITH m AS (SELECT MAX(o_orderkey) + 1 AS n FROM orders),
+        live AS (
+            SELECT o.* FROM orders o, m
+            WHERE o.o_orderkey > m.n // 6
+              AND NOT (o.o_orderkey >= m.n // 3
+                       AND o.o_orderkey < 2 * m.n // 3)
+              AND o.o_orderkey NOT IN (
+                  SELECT o_orderkey FROM orders, m
+                  WHERE o_orderkey >= 2 * n // 3 AND o_orderkey % 7 = 0
+                  ORDER BY o_orderkey LIMIT 5)
+        )
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM live GROUP BY o_orderstatus
+    """,
+    tags=("maintenance", "lakehouse", "cow"),
+    description="copy-on-write DELETE end-to-end as an oracled query: "
+                "orders is published as a 3-slice stats+bloom append "
+                "chain (keyspace thirds), then (1) a range delete "
+                "inside slice 0 REWRITES exactly that dir (builder "
+                "asserts rewritten=1, untouched=2), (2) a range delete "
+                "covering slice 1 exactly DROPS it whole with zero "
+                "data movement (asserts dropped=1, rewritten=0), and "
+                "(3) a 5-key erasure routed by the per-dir blooms "
+                "rewrites only the dir holding those keys (asserts "
+                "rewritten=1). The surviving table, read back through "
+                "read_version, must equal DuckDB applying the same "
+                "three deletes to the raw parquet; count_version "
+                "answers the live count from metadata at every step",
+)
+def cow_delete_orders_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: this is the commit-cost contract of lakehouse
+    DELETE — file-level copy-on-write at this format's dir granularity.
+    The retention shape (step 2) is pure manifest arithmetic: a month
+    of a 100 TB time-ordered chain drops with zero bytes moved; the
+    GDPR shape (step 3) rewrites ~the dirs actually holding the
+    requested ids because the bloom classifier proves the rest out.
+    Nothing here is O(table) except what provably must be read.
+
+    Timing caveat (the metadata_agg_orders shape): the chain publish
+    and the three CoW commits run at BUILD time — the returned
+    DataFrame is the final snapshot's aggregate, so sweep/bench
+    timings measure the read, not the commits (~4 write_versions).
+
+    Reference anchor: the reference mutates per-file aggregate state
+    between stages by rewriting stage files whole
+    (asio_deep/main.cpp:434-516); this is the same rewrite expressed
+    at the minimum provable unit instead of the whole stage tree.
+    """
+    import shutil
+    import tempfile
+
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        delete_version_pruned,
+        read_version,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    n = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
+    b1, b2 = n // 3, 2 * n // 3
+    keyed = [int(r[0]) for r in orders.filter(
+        (F.col("o_orderkey") >= b2) & (F.col("o_orderkey") % 7 == 0)
+    ).orderBy("o_orderkey").limit(5).collect()]
+    td = tempfile.mkdtemp(prefix="mr4s_cow_delete_")
+    try:
+        tdir = f"{td}/orders_chain"
+        for lo, hi in ((0, b1), (b1, b2), (b2, None)):
+            part = orders.filter(F.col("o_orderkey") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("o_orderkey") < hi)
+            write_version(part.coalesce(2), tdir, append=True,
+                          stats_for=["o_orderkey"] if lo == 0 else None,
+                          bloom_for=["o_orderkey"] if lo == 0 else None)
+        # (1) boundary delete: rewrites ONLY slice 0
+        _, i1 = delete_version_pruned(
+            spark, tdir, where={"o_orderkey": (None, n // 6)}, detail=True)
+        assert i1 == {"dropped": 0, "untouched": 2, "rewritten": 1}, i1
+        # (2) slice-aligned delete: DROPS slice 1 whole, zero scan
+        _, i2 = delete_version_pruned(
+            spark, tdir, where={"o_orderkey": (b1, b2 - 1)}, detail=True)
+        assert i2 == {"dropped": 1, "untouched": 2, "rewritten": 0}, i2
+        # (3) keyed erasure: blooms route it to the one dir holding them
+        _, i3 = delete_version_pruned(
+            spark, tdir, keys=keyed, key="o_orderkey", detail=True)
+        assert i3["rewritten"] == 1 and i3["dropped"] == 0, i3
+        live = read_version(spark, tdir)
+        out = live.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        rows = out.collect()
+        # the metadata count must agree with the rows just read
+        assert count_version(None, tdir) == sum(r["n_orders"] for r in rows)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, min_key bigint, "
+              "sum_price double")
+
+
+@register(
+    "dv_delete_orders_chain",
+    oracle=f"""
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders WHERE o_orderkey % 13 <> 1
+        GROUP BY o_orderstatus
+    """,
+    tags=("maintenance", "lakehouse", "dv"),
+    description="deletion-vector (merge-on-read) DELETE end-to-end as "
+                "an oracled query: orders is published as a 3-dir chain "
+                "sliced by o_orderkey % 3 (every dir spans the "
+                "keyspace), then every key with o_orderkey % 13 = 1 is "
+                "deleted WITHOUT rewriting any data file — the builder "
+                "asserts data_dirs is byte-identical before and after "
+                "and that the manifest records the exact per-dir "
+                "deleted-row cardinalities. The live table read back "
+                "through read_version (one anti-join against the "
+                "positional sidecar) must equal DuckDB filtering the "
+                "raw parquet, and count_version must answer the live "
+                "count from metadata alone (spark=None)",
+)
+def dv_delete_orders_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: the ~8%-of-rows delete this query runs would
+    cost a full rewrite of every touched dir under copy-on-write; the
+    DV commit costs one scan to LOCATE the rows plus a sidecar write
+    sized by the match count — the Iceberg v2 positional-delete /
+    Delta deletion-vector trade. The read-side tax is one broadcast
+    anti-join while the vector is small (manifest-recorded cardinality
+    decides, never an estimate), and compact()/compact_tail() fold the
+    debt away — pinned in tests/test_cow_dv.py.
+
+    Timing caveat (the metadata_agg_orders shape): chain publish + DV
+    commit run at BUILD time; the timed DataFrame is the live read.
+
+    Reference anchor: the reference can only drop rows by rewriting a
+    stage file (asio_deep/main.cpp:216-433); this is the lakehouse
+    move that decouples delete cost from file size.
+    """
+    import shutil
+    import tempfile
+
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        delete_version_dv,
+        read_manifest,
+        read_version,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    td = tempfile.mkdtemp(prefix="mr4s_dv_delete_")
+    try:
+        tdir = f"{td}/orders_chain"
+        for r in range(3):
+            write_version(
+                orders.filter(F.col("o_orderkey") % 3 == r).coalesce(2),
+                tdir, append=True,
+                stats_for=["o_orderkey"] if r == 0 else None)
+        before = read_manifest(tdir, 3)["data_dirs"]
+        doomed = orders.filter(F.col("o_orderkey") % 13 == 1)
+        n_doomed = doomed.count()
+        v, info = delete_version_dv(
+            spark, tdir, keys=doomed.select("o_orderkey"),
+            key="o_orderkey", detail=True)
+        m = read_manifest(tdir, v)
+        # merge-on-read contract: NOTHING was rewritten, the sidecar
+        # carries exactly the matched rows, COUNT stays metadata-only
+        assert m["data_dirs"] == before, (m["data_dirs"], before)
+        assert info == {"deleted": n_doomed, "dv_rows": n_doomed}, info
+        assert sum(m["dv"]["dir_counts"].values()) == n_doomed
+        live = read_version(spark, tdir)
+        out = live.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        rows = out.collect()
+        assert count_version(None, tdir) == sum(r["n_orders"] for r in rows)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, sum_price double")
+
+
+@register(
+    "restore_snapshot_orders",
+    oracle="""
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("maintenance", "lakehouse", "restore"),
+    description="zero-copy RESTORE end-to-end as an oracled query: "
+                "orders is published as a 2-dir chain, a copy-on-write "
+                "delete then removes the first half (a 'bad publish'), "
+                "and restore_version rolls the table back by publishing "
+                "a manifest that REFERENCES the original dirs — the "
+                "builder asserts no new data dir appeared on disk and "
+                "that the rollback is visible as CDC inserts. The "
+                "restored table read back through read_version must "
+                "equal DuckDB reading the untouched raw parquet",
+)
+def restore_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: rolling a 100 TB table back from a bad publish
+    is one JSON write — the restored manifest points at dirs that
+    never moved, vacuum's mark-and-sweep keeps them alive, and the bad
+    version stays in history for forensics. The alternative (re-publish
+    the old snapshot through write_version) would re-write the table.
+
+    Timing caveat (the metadata_agg_orders shape): chain publish +
+    delete + restore run at BUILD time; the timed DataFrame is the
+    restored read.
+
+    Reference anchor: the reference's only rollback is re-running the
+    job over the original inputs (asio_deep/main.cpp:216-516); version
+    manifests make undo O(1) instead.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        delete_version_pruned,
+        read_version,
+        restore_version,
+        table_changes,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    n = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
+    td = tempfile.mkdtemp(prefix="mr4s_restore_")
+    try:
+        tdir = f"{td}/orders_chain"
+        half = n // 2
+        for lo, hi in ((0, half), (half, None)):
+            part = orders.filter(F.col("o_orderkey") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("o_orderkey") < hi)
+            write_version(part.coalesce(2), tdir, append=True,
+                          stats_for=["o_orderkey"] if lo == 0 else None)
+        delete_version_pruned(spark, tdir,
+                              where={"o_orderkey": (None, half - 1)})
+        n_dirs = len([d for d in os.listdir(tdir) if d.startswith("v=")])
+        rv = restore_version(tdir, 2)  # pure manifest arithmetic
+        assert len([d for d in os.listdir(tdir)
+                    if d.startswith("v=")]) == n_dirs, "restore moved data"
+        # the rollback is CDC-visible: the deleted half comes back as I
+        ch = table_changes(spark, tdir, "o_orderkey",
+                           from_version=3, to_version=rv)
+        assert ch.filter(F.col("op") != "I").count() == 0
+        live = read_version(spark, tdir)
+        rows = live.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        ).collect()
+        assert count_version(None, tdir) == sum(r["n_orders"] for r in rows)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, min_key bigint, "
+              "max_key bigint")
+
+
+@register(
     "bloom_point_lookup_orders",
     oracle="""
         SELECT o_orderkey, o_custkey FROM orders
