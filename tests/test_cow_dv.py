@@ -377,6 +377,27 @@ def test_mr4ver_datasource_honors_deletion_vectors(spark, tmp_path):
         map(tuple, read_version(spark, tdir).collect()))
 
 
+def test_cdc_feed_delivers_dv_and_cow_deletes(spark, tmp_path):
+    """The streaming change feed needs no DV/CoW awareness: every batch
+    is table_changes(v-1, v), and both read through read_version —
+    deletes arrive as 'D' ops whichever commit strategy produced them."""
+    from mapreduce_4_spark.streaming.cdc import replay_changes
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir, slices=((0, 10), (10, 20)))
+    delete_version_dv(spark, tdir, keys=[2], key="k")        # v3
+    delete_version_pruned(spark, tdir, keys=[12], key="k")   # v4
+    seen: dict[int, set] = {}
+    delivered = replay_changes(
+        spark, tdir, "k", str(tmp_path / "ckpt.json"),
+        lambda df, v: seen.__setitem__(
+            v, {(r["op"], r["k"]) for r in df.collect()}),
+    )
+    assert delivered == [1, 2, 3, 4]
+    assert seen[3] == {("D", 2)}
+    assert seen[4] == {("D", 12)}
+
+
 # --------------------------------------------------------------- restore
 
 def test_restore_is_zero_copy_and_round_trips(spark, tmp_path):
