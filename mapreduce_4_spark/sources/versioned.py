@@ -2218,7 +2218,8 @@ def delete_version_pruned(spark: SparkSession, table_dir: str,
 def merge_version_pruned(spark: SparkSession, table_dir: str,
                          updates: DataFrame, key: str,
                          detail: bool = False,
-                         max_keys: int = 1_000_000):
+                         max_keys: int = 1_000_000,
+                         manifest_extra: dict | None = None):
     """Copy-on-write keyed MERGE (upsert) that rewrites ONLY the chain
     dirs provably holding updated keys: untouched dirs carry by
     reference, matched base rows drop from the rewritten dirs, and
@@ -2261,7 +2262,8 @@ def merge_version_pruned(spark: SparkSession, table_dir: str,
             table_dir,
         ).filter(F.coalesce(~F.col(key).isin(vals), F.lit(True)))
         new_df = survivors.unionByName(new_df)
-    v = _cow_publish(spark, table_dir, pm, untouched, new_df)
+    v = _cow_publish(spark, table_dir, pm, untouched, new_df,
+                     manifest_extra=manifest_extra)
     info = {"untouched": len(untouched), "rewritten": len(rewrite)}
     return (v, info) if detail else v
 

@@ -23,6 +23,7 @@ from .foreach_batch import (
     fanout_writer,
     idempotent_parquet_writer,
     run_foreach_batch,
+    versioned_merge_sink,
     versioned_upsert_sink,
 )
 
@@ -45,5 +46,6 @@ __all__ = [
     "stream_session_windows",
     "stream_tumbling_counts",
     "stream_wordcount",
+    "versioned_merge_sink",
     "versioned_upsert_sink",
 ]

@@ -153,3 +153,62 @@ def versioned_upsert_sink(table_dir: str, key: str,
                       manifest_extra=extra, **layout)
 
     return write_batch
+
+
+def versioned_merge_sink(table_dir: str, key: str,
+                         expectations: dict | None = None,
+                         max_keys: int = 1_000_000,
+                         ) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink merging each micro-batch into a versioned
+    table via COPY-ON-WRITE (``merge_version_pruned``) — the
+    O(touched dirs + batch) twin of ``versioned_upsert_sink``'s
+    O(table) full rewrite, and the right sink once the table dwarfs
+    the batch.
+
+    First batch publishes the table with stats+bloom recorded on the
+    merge key, so every later batch's dir classification has both
+    pruning axes: the [min, max] window for key-ordered arrivals and
+    the bloom for scattered ones. Per batch, only chain dirs provably
+    holding updated keys rewrite; the rest carry by reference, and the
+    batch's rows land in one new dir. Exactly-once via the same
+    ``batch_id`` replay protection (the id rides the CoW commit's
+    manifest); expectations gate arriving rows with per-batch audit
+    counts exactly like the full-rewrite sink.
+
+    Scale note: the chain grows one dir per merge — schedule
+    ``compact_tail`` at the usual cadence (the streaming-ingest
+    two-level schedule, SCALE.md) to bound it. Batch key sets are
+    driver-bounded by ``max_keys``: micro-batches are broadcast-scale
+    by construction; a batch wider than that wants the full-rewrite
+    sink.
+    """
+    from mapreduce_4_spark.sources.versioned import (
+        merge_version_pruned,
+        published_batch_ids,
+        write_version,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in published_batch_ids(table_dir):
+            return  # redelivered batch: already merged, skip
+        extra: dict = {}
+        if expectations:
+            from mapreduce_4_spark.operators.maintenance import (
+                apply_expectations,
+            )
+
+            counts, batch_df = apply_expectations(batch_df, expectations)
+            extra["expectations"] = counts
+        try:
+            merge_version_pruned(
+                batch_df.sparkSession, table_dir, batch_df, key,
+                max_keys=max_keys,
+                manifest_extra={"batch_id": batch_id, **extra})
+        except FileNotFoundError:
+            # first batch: seed the table with the pruning metadata
+            # every later merge classifies against
+            write_version(batch_df, table_dir, batch_id=batch_id,
+                          manifest_extra=extra,
+                          stats_for=[key], bloom_for=[key])
+
+    return write_batch

@@ -237,3 +237,78 @@ def test_versioned_upsert_sink_streaming_expectations(spark, sf_smoke,
         for v in range(1, latest_version(tdir) + 1)
     )
     assert total == n_bad
+
+
+def test_versioned_merge_sink_cow_exactly_once(spark, sf_smoke, tmp_path):
+    """The copy-on-write streaming merge sink: final snapshot equals the
+    batch twin, an insert-only batch carries every prior dir BY
+    REFERENCE (no rewrite), and a redelivered batch_id is a no-op."""
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+        read_version,
+    )
+    from mapreduce_4_spark.streaming import versioned_merge_sink
+
+    tdir = str(tmp_path / "table")
+    sink = versioned_merge_sink(tdir, "user_id")
+    # three hand-driven micro-batches (the redelivery-test pattern):
+    # seed, disjoint inserts, then updates touching only the seed
+    seed = spark.createDataFrame(
+        [(u, u * 10) for u in range(100)], ["user_id", "score"])
+    inserts = spark.createDataFrame(
+        [(u, u * 10) for u in range(1000, 1050)], ["user_id", "score"])
+    updates = spark.createDataFrame(
+        [(7, -7), (13, -13)], ["user_id", "score"])
+    sink(seed, 0)
+    v1_dirs = read_manifest(tdir, latest_version(tdir))["data_dirs"]
+    sink(inserts, 1)
+    m2 = read_manifest(tdir, latest_version(tdir))
+    # insert-only batch: the seed dir(s) carried by reference
+    assert set(v1_dirs or ["v=000001"]) <= set(m2["data_dirs"])
+    assert m2["batch_id"] == 1
+    sink(updates, 2)
+    got = {(r["user_id"], r["score"])
+           for r in read_version(spark, tdir).collect()}
+    expected = {(u, u * 10) for u in range(100) if u not in (7, 13)}
+    expected |= {(u, u * 10) for u in range(1000, 1050)}
+    expected |= {(7, -7), (13, -13)}
+    assert got == expected
+    # redelivery with garbage: batch_id 2 already published — no move
+    v = latest_version(tdir)
+    garbage = spark.createDataFrame([(999999, -1)], ["user_id", "score"])
+    sink(garbage, 2)
+    assert latest_version(tdir) == v
+    assert {(r["user_id"], r["score"])
+            for r in read_version(spark, tdir).collect()} == expected
+
+
+def test_versioned_merge_sink_through_real_stream(spark, sf_smoke, tmp_path):
+    """End-to-end through foreachBatch: the merged table equals the
+    batch-twin aggregate after an availableNow drain."""
+    from mapreduce_4_spark.sources.versioned import read_version
+    from mapreduce_4_spark.streaming import versioned_merge_sink
+
+    tdir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    agg = (
+        _stream(spark, sf_smoke)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(versioned_merge_sink(tdir, "user_id"))
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    expected = {
+        (r["user_id"], r["n_events"])
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")).collect()
+    }
+    got = {(r["user_id"], r["n_events"])
+           for r in read_version(spark, tdir).collect()}
+    assert got == expected
