@@ -13,6 +13,9 @@ generalized counterpart over the whole registry:
     python -m mapreduce_4_spark table compact DIR [--target-files 1]
     python -m mapreduce_4_spark table compact-tail DIR [--keep-base 1]
     python -m mapreduce_4_spark table vacuum DIR [--keep-last 1]
+    python -m mapreduce_4_spark table delete DIR --col k --values 1,2 [--dv]
+    python -m mapreduce_4_spark table delete DIR --col k --lower 0 --upper 9
+    python -m mapreduce_4_spark table restore DIR --version N
 
 ``--sf`` defaults to $SPARK_GRAFT_SF_DIR, else /root/testdata/sf0.1 —
 the same contract as bench.py. ``table`` is the maintenance front door
@@ -105,7 +108,8 @@ def main(argv: list[str] | None = None) -> int:
                       "lookup/restore)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
                                      "vacuum", "stats", "count", "minmax",
-                                     "sum", "agg", "lookup", "restore"])
+                                     "sum", "agg", "lookup", "restore",
+                                     "delete"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -124,8 +128,12 @@ def main(argv: list[str] | None = None) -> int:
                          "ISO-8601, UTC when tz-naive (count/sum/"
                          "minmax/agg)")
     sp.add_argument("--values", default=None,
-                    help="lookup: comma-separated probe values for "
+                    help="lookup/delete: comma-separated values for "
                          "col IN (...)")
+    sp.add_argument("--dv", action="store_true",
+                    help="delete: merge-on-read (deletion-vector "
+                         "sidecar, zero rewrites) instead of the "
+                         "copy-on-write default")
 
     args = p.parse_args(argv)
 
@@ -255,6 +263,38 @@ def main(argv: list[str] | None = None) -> int:
             meta = info["counted" if args.verb == "count" else "summed"]
             print(f"{n}  (dirs: {meta} from metadata, "
                   f"{info['missed']} skipped, {info['scanned']} scanned)")
+            return 0
+        if args.verb == "delete":
+            # targeted delete: --col + --values (keyed) or --col +
+            # --lower/--upper (range); CoW by default, --dv for the
+            # zero-rewrite deletion-vector commit
+            if not args.col:
+                p.error("delete needs --col")
+            keyed = args.values is not None
+            ranged = args.lower is not None or args.upper is not None
+            if keyed == ranged:
+                p.error("delete needs exactly one of --values or "
+                        "--lower/--upper")
+            from mapreduce_4_spark.session import get_spark
+
+            spark = get_spark("mapreduce_4_spark-cli-table")
+            if keyed:
+                kw = dict(keys=[_bound(v) for v in args.values.split(",")],
+                          key=args.col)
+            else:
+                kw = dict(where={args.col: (_bound(args.lower),
+                                            _bound(args.upper))})
+            if args.dv:
+                v, info = vt.delete_version_dv(spark, args.table_dir,
+                                               detail=True, **kw)
+                print(f"dv-deleted {info['deleted']} row(s) -> v{v} "
+                      f"(sidecar rows: {info['dv_rows']}, zero rewrites)")
+            else:
+                v, info = vt.delete_version_pruned(spark, args.table_dir,
+                                                   detail=True, **kw)
+                print(f"cow-deleted -> v{v} (dirs: {info['dropped']} "
+                      f"dropped whole, {info['untouched']} untouched, "
+                      f"{info['rewritten']} rewritten)")
             return 0
         if args.verb == "restore":
             # zero-copy rollback: publish a new version referencing the

@@ -278,3 +278,44 @@ def test_cli_table_agg_verb(spark, tmp_path, capsys):
     assert "count(*)=5" in out and "count(k)=5" in out
     assert "sum=510" in out and "avg=102.0" in out
     assert "dirsscanned:0" in out
+
+
+def test_cli_table_delete_and_restore_verbs(spark, tmp_path, capsys):
+    """table delete (CoW default, --dv merge-on-read) and table restore
+    drive the round-11 mutation layer from the shell."""
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    for s in (0, 100, 200):
+        write_version(
+            spark.range(s, s + 10).withColumnRenamed("id", "k"), tdir,
+            append=True, stats_for=["k"] if s == 0 else None,
+            bloom_for=["k"] if s == 0 else None)
+
+    assert main(["table", "delete", tdir, "--col", "k",
+                 "--values", "102,205", "--dv"]) == 0
+    assert "zero rewrites" in capsys.readouterr().out
+    assert count_version(None, tdir) == 28
+
+    assert main(["table", "delete", tdir, "--col", "k",
+                 "--lower", "100", "--upper", "109"]) == 0
+    assert "1 dropped whole" in capsys.readouterr().out
+    assert count_version(None, tdir) == 19
+
+    assert main(["table", "restore", tdir, "--version", "3"]) == 0
+    assert "restored v3 -> v6" in capsys.readouterr().out
+    assert count_version(None, tdir) == 30
+    assert read_version(spark, tdir).count() == 30
+
+    # exactly one addressing mode, loudly (argparse error exit)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["table", "delete", tdir, "--col", "k"])
+    with pytest.raises(SystemExit):
+        main(["table", "delete", tdir, "--col", "k",
+              "--values", "1", "--lower", "0"])
