@@ -850,6 +850,108 @@ def dv_delete_orders_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cow_update_orders_chain",
+    oracle=f"""
+        WITH m AS (SELECT MAX(o_orderkey) + 1 AS n FROM orders),
+        keyed AS (
+            SELECT o_orderkey FROM orders, m
+            WHERE o_orderkey >= 2 * n // 3 AND o_orderkey % 11 = 0
+            ORDER BY o_orderkey LIMIT 5
+        ),
+        updated AS (
+            SELECT o.o_orderkey,
+                   CASE WHEN o.o_orderkey IN (SELECT * FROM keyed)
+                        THEN 'X' ELSE o.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o.o_orderkey <= m.n // 6
+                        THEN o.o_totalprice + 1000 ELSE o.o_totalprice
+                   END AS o_totalprice
+            FROM orders o, m
+        )
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM updated GROUP BY o_orderstatus
+    """,
+    tags=("maintenance", "lakehouse", "cow"),
+    description="copy-on-write UPDATE end-to-end as an oracled query "
+                "(the third DML verb beside the CoW delete and merge): "
+                "on a 3-slice stats+bloom chain, (1) a range update "
+                "(+1000 price below n/6) rewrites ONLY slice 0 "
+                "(builder asserts rewritten=1, untouched=2), then "
+                "(2) a 5-key status correction routed by the blooms "
+                "rewrites only the dir holding those keys. Assignments "
+                "evaluate against the OLD row (SQL UPDATE semantics) "
+                "and row counts never change (count_version stays "
+                "metadata-exact). The final table must equal DuckDB "
+                "applying the same CASE updates to the raw parquet",
+)
+def cow_update_orders_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: the targeted-correction shape — fix a price
+    column for one era, re-tag a handful of ids — costs O(touched
+    dirs) under dir-granular CoW, with the untouched bulk carried by
+    reference. Same classification machinery as the CoW delete, so
+    the cost model is shared and already measured
+    (scripts/cow_dv_probe.py).
+
+    Timing caveat (the metadata_agg_orders shape): the chain publish
+    and both UPDATE commits run at BUILD time.
+
+    Reference anchor: the reference's only mutation is rewriting a
+    stage file whole (asio_deep/main.cpp:434-516); this rewrites the
+    minimum provable unit instead.
+    """
+    import shutil
+    import tempfile
+
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        read_version,
+        update_version_pruned,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    n = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
+    b1, b2 = n // 3, 2 * n // 3
+    keyed = [int(r[0]) for r in orders.filter(
+        (F.col("o_orderkey") >= b2) & (F.col("o_orderkey") % 11 == 0)
+    ).orderBy("o_orderkey").limit(5).collect()]
+    n_rows = orders.count()
+    td = tempfile.mkdtemp(prefix="mr4s_cow_update_")
+    try:
+        tdir = f"{td}/orders_chain"
+        for lo, hi in ((0, b1), (b1, b2), (b2, None)):
+            part = orders.filter(F.col("o_orderkey") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("o_orderkey") < hi)
+            write_version(part.coalesce(2), tdir, append=True,
+                          stats_for=["o_orderkey"] if lo == 0 else None,
+                          bloom_for=["o_orderkey"] if lo == 0 else None)
+        _, i1 = update_version_pruned(
+            spark, tdir,
+            {"o_totalprice": F.col("o_totalprice") + 1000},
+            where={"o_orderkey": (None, n // 6)}, detail=True)
+        assert i1 == {"untouched": 2, "rewritten": 1}, i1
+        _, i2 = update_version_pruned(
+            spark, tdir, {"o_orderstatus": "X"},
+            keys=keyed, key="o_orderkey", detail=True)
+        assert i2["rewritten"] == 1, i2
+        assert count_version(None, tdir) == n_rows  # updates move no rows
+        rows = (
+            read_version(spark, tdir)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("sum_price"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, sum_price double")
+
+
+@register(
     "incremental_mv_cdc_orders",
     oracle=f"""
         WITH final AS (

@@ -2215,6 +2215,85 @@ def delete_version_pruned(spark: SparkSession, table_dir: str,
     return (v, info) if detail else v
 
 
+def update_version_pruned(spark: SparkSession, table_dir: str,
+                          assignments: dict, keys=None,
+                          key: str | None = None,
+                          where: dict | None = None,
+                          detail: bool = False,
+                          max_keys: int = 1_000_000):
+    """Copy-on-write UPDATE — the third DML verb beside
+    ``delete_version_pruned`` and ``merge_version_pruned``: rows
+    matching the condition get ``assignments``' new column values (Column
+    expressions or literals, evaluated against the OLD row — SQL
+    UPDATE semantics, and only a definitely-TRUE condition updates),
+    everything else carries unchanged. Dir classification is the
+    delete rule — range "miss" / key-absent dirs carry BY REFERENCE,
+    and only dirs that may hold matching rows rewrite — so a targeted
+    correction on a 100 TB chain costs O(touched dirs). Updating a
+    partition column is legal: the rewritten dir re-partitions its
+    rows under the chain's scheme. Returns the new version; with
+    ``detail=True``, ``(version, {"untouched", "rewritten"})``."""
+    from pyspark.sql import functions as F
+
+    if (key is None) == (where is None):
+        raise ValueError(
+            "update_version_pruned takes either keys+key or "
+            "where={col: (lower, upper)}"
+        )
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    pm = read_manifest(table_dir, version)
+    _require_plain_table(pm, table_dir, "update_version_pruned")
+    fields = {f["name"] for f in pm["schema"]["fields"]}
+    unknown = set(assignments) - fields
+    if unknown:
+        raise ValueError(
+            f"update sets columns {sorted(unknown)} the table lacks — "
+            "evolve the schema with an additive append first"
+        )
+    dirs = pm.get("data_dirs") or [f"v={version:06d}"]
+    if key is not None:
+        vals = _collect_keys(keys, key, max_keys)
+        holding = _dirs_maybe_holding_keys(spark, pm, key, vals, dirs)
+        rewrite = [d for d in dirs if holding[d]]
+        cond = _delete_cond(key, vals, None, None)
+    else:
+        stats = pm.get("col_stats") or {}
+        dir_rows = pm.get("dir_rows") or {}
+        rewrite = [
+            d for d in dirs
+            if _range_relation(stats.get(d), dir_rows.get(d), where)
+            != "miss"
+        ]
+        cond = _delete_cond(None, None, None, where)
+    rewrite_set = set(rewrite)
+    untouched = [d for d in dirs if d not in rewrite_set]
+    new_df = None
+    if rewrite:
+        from pyspark.sql import Column
+
+        scan = _scan_dirs(
+            spark, pm, [os.path.join(table_dir, d) for d in rewrite],
+            table_dir,
+        )
+        schema_types = dict(scan.dtypes)
+
+        def _new_val(c):
+            v = assignments[c]
+            return v if isinstance(v, Column) else F.lit(v)
+
+        new_df = scan.select(*[
+            (F.when(cond, _new_val(c)).otherwise(F.col(c))
+             .cast(schema_types[c]).alias(c))
+            if c in assignments else F.col(c)
+            for c in scan.columns
+        ])
+    v = _cow_publish(spark, table_dir, pm, untouched, new_df)
+    info = {"untouched": len(untouched), "rewritten": len(rewrite)}
+    return (v, info) if detail else v
+
+
 def merge_version_pruned(spark: SparkSession, table_dir: str,
                          updates: DataFrame, key: str,
                          detail: bool = False,

@@ -126,9 +126,7 @@ def test_cow_delete_everything_leaves_readable_empty_table(
         spark, tmp_path):
     tdir = str(tmp_path / "t")
     _chain(spark, tdir, slices=((0, 10), (10, 20)))
-    v = delete_version_pruned(spark, tdir, where={"k": (None, None)}) \
-        if False else delete_version_pruned(
-            spark, tdir, where={"k": (0, 99)})
+    v = delete_version_pruned(spark, tdir, where={"k": (0, 99)})
     assert count_version(None, tdir) == 0
     df = read_version(spark, tdir)
     assert df.count() == 0
@@ -444,3 +442,56 @@ def test_restore_refuses_bucketed_and_missing_targets(spark, tmp_path):
     _chain(spark, tdir2, slices=((0, 5),))
     with pytest.raises(FileNotFoundError):
         restore_version(tdir2, 99)
+
+
+# --------------------------------------------------------------- update
+
+def test_cow_update_rewrites_only_matching_dirs(spark, tmp_path):
+    from mapreduce_4_spark.sources.versioned import update_version_pruned
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir, bloom=True)
+    # range update confined to dir1; expressions see the OLD row
+    v, info = update_version_pruned(
+        spark, tdir, {"v": F.col("v") + 1000},
+        where={"k": (12, 14)}, detail=True)
+    assert info == {"untouched": 2, "rewritten": 1}
+    got = {r["k"]: r["v"] for r in read_version(spark, tdir).collect()}
+    assert all(got[k] == k * 10 + (1000 if 12 <= k <= 14 else 0)
+               for k in range(30))
+    assert count_version(None, tdir) == 30  # updates never change counts
+    # keyed update routed by bloom; literal assignment casts to the
+    # column's type
+    v, info = update_version_pruned(
+        spark, tdir, {"v": -1}, keys=[25], key="k", detail=True)
+    assert info["rewritten"] == 1
+    got = {r["k"]: r["v"] for r in read_version(spark, tdir).collect()}
+    assert got[25] == -1 and got[24] == 240
+    # stats for the rewritten dir recomputed: a pruned read still works
+    pruned = read_version_stats_pruned(spark, tdir, "k", lower=0, upper=3)
+    assert sorted(r["k"] for r in pruned.collect()) == [0, 1, 2, 3]
+
+
+def test_cow_update_refuses_unknown_columns_and_bad_modes(spark, tmp_path):
+    from mapreduce_4_spark.sources.versioned import update_version_pruned
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir, slices=((0, 5),))
+    with pytest.raises(ValueError, match="nope"):
+        update_version_pruned(spark, tdir, {"nope": 1},
+                              where={"k": (0, 1)})
+    with pytest.raises(ValueError, match="either keys"):
+        update_version_pruned(spark, tdir, {"v": 1})
+
+
+def test_cow_update_null_condition_keeps_row(spark, tmp_path):
+    from mapreduce_4_spark.sources.versioned import update_version_pruned
+
+    tdir = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "k int, v int")
+    write_version(base, tdir, append=True, stats_for=["k"])
+    # NULL condition rows are NOT updated (SQL UPDATE semantics)
+    update_version_pruned(spark, tdir, {"v": 0}, where={"k": (0, 9)})
+    got = {(r["k"], r["v"]) for r in read_version(spark, tdir).collect()}
+    assert got == {(1, 0), (None, 20), (3, 0)}
