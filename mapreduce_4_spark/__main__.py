@@ -16,6 +16,8 @@ generalized counterpart over the whole registry:
     python -m mapreduce_4_spark table delete DIR --col k --values 1,2 [--dv]
     python -m mapreduce_4_spark table delete DIR --col k --lower 0 --upper 9
     python -m mapreduce_4_spark table restore DIR --version N
+    python -m mapreduce_4_spark table tag DIR --name train-v1 [--version N]
+    python -m mapreduce_4_spark table tags DIR
 
 ``--sf`` defaults to $SPARK_GRAFT_SF_DIR, else /root/testdata/sf0.1 —
 the same contract as bench.py. ``table`` is the maintenance front door
@@ -109,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
                                      "vacuum", "stats", "count", "minmax",
                                      "sum", "agg", "lookup", "restore",
-                                     "delete"])
+                                     "delete", "tag", "tags"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -130,6 +132,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--values", default=None,
                     help="lookup/delete: comma-separated values for "
                          "col IN (...)")
+    sp.add_argument("--name", default=None,
+                    help="tag: the tag name to create (with --delete: "
+                         "to drop)")
+    sp.add_argument("--delete", action="store_true",
+                    help="tag: drop --name instead of creating it")
     sp.add_argument("--dv", action="store_true",
                     help="delete: merge-on-read (deletion-vector "
                          "sidecar, zero rewrites) instead of the "
@@ -295,6 +302,31 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"cow-deleted -> v{v} (dirs: {info['dropped']} "
                       f"dropped whole, {info['untouched']} untouched, "
                       f"{info['rewritten']} rewritten)")
+            return 0
+        if args.verb in ("tag", "tags"):
+            # named snapshots (Iceberg tags): a tag pins a version
+            # against vacuum and addresses every reader/aggregate by
+            # name (version="train-v1")
+            if "://" in args.table_dir:
+                from mapreduce_4_spark.session import get_spark
+
+                get_spark("mapreduce_4_spark-cli-table")
+            if args.verb == "tags":
+                tags = vt.list_tags(args.table_dir)
+                for name, v in sorted(tags.items()):
+                    print(f"{name}\tv{v}")
+                if not tags:
+                    print("no tags")
+                return 0
+            if not args.name:
+                p.error("tag needs --name")
+            if args.delete:
+                v = vt.delete_tag(args.table_dir, args.name)
+                print(f"deleted tag {args.name} (was v{v})")
+            else:
+                v = vt.tag_version(args.table_dir, args.name,
+                                   version=args.version)
+                print(f"tagged v{v} as {args.name}")
             return 0
         if args.verb == "restore":
             # zero-copy rollback: publish a new version referencing the

@@ -189,7 +189,12 @@ class Mr4VersionedDataSource(DataSource):
         if version is not None and as_of is not None:
             raise ValueError("pass either version or asOf, not both")
         if version is not None:
-            v = int(version)
+            try:
+                v = int(version)
+            except ValueError:
+                # a non-integer version is a TAG NAME — the same
+                # string-addressing every reader accepts
+                v = vt.resolve_tag(path, version)
         elif as_of is not None:
             try:
                 as_of = float(as_of)

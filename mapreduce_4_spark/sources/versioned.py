@@ -1010,18 +1010,95 @@ def version_at(table_dir: str, as_of) -> int:
 
 
 
-def _resolve_version(table_dir: str, version: int | None, as_of) -> int:
+def _resolve_version(table_dir: str, version, as_of) -> int:
     """Shared version/as_of resolution for every reader and metadata
-    aggregate: exactly one addressing mode (or neither = latest)."""
+    aggregate: exactly one addressing mode (or neither = latest).
+    ``version`` may be a TAG NAME (string) — resolved through the
+    table's tag registry, so every reader and aggregate accepts
+    ``version="train-v1"`` with no extra plumbing."""
     if as_of is not None:
         if version is not None:
             raise ValueError("pass either version or as_of, not both")
         return version_at(table_dir, as_of)
+    if isinstance(version, str):
+        return resolve_tag(table_dir, version)
     if version is None:
         version = latest_version(table_dir)
         if version is None:
             raise FileNotFoundError(f"no published versions in {table_dir}")
     return version
+
+
+def _tag_path(table_dir: str, name: str) -> str:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+        raise ValueError(
+            f"tag name {name!r} must be 1-64 chars of [A-Za-z0-9._-]"
+        )
+    return os.path.join(table_dir, "_tags", name)
+
+
+def tag_version(table_dir: str, name: str,
+                version: int | None = None) -> int:
+    """Pin a NAMED TAG to a version (default: latest) — Iceberg tags /
+    Delta named snapshots for this format. A tag is a retention
+    override as much as a name: ``vacuum`` keeps every tagged
+    version's manifest, data dirs, and DV sidecar alive however old it
+    gets, which is what makes "train-v1 is exactly this data, rerun it
+    any time" a durable contract instead of a race against the
+    retention window. Tags are immutable once set (create-exclusive —
+    the no-clobber rule that keeps a published name meaning one thing
+    forever); to move a name, ``delete_tag`` then re-tag, which is an
+    auditable two-step on purpose. Returns the pinned version."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no published versions in {table_dir}")
+    if not fsio.exists(_manifest_path(table_dir, version)):
+        raise FileNotFoundError(
+            f"version {version} not published in {table_dir}")
+    path = _tag_path(table_dir, name)
+    fsio.mkdirs(os.path.dirname(path))
+    if not fsio.create_text_exclusive(path, str(version)):
+        raise ValueError(
+            f"tag {name!r} already exists on {table_dir} (-> "
+            f"v{resolve_tag(table_dir, name)}); delete_tag first to "
+            "move it"
+        )
+    return version
+
+
+def resolve_tag(table_dir: str, name: str) -> int:
+    """The version a tag names; loud FileNotFoundError for unknown
+    tags (never a silent fallback to latest)."""
+    path = _tag_path(table_dir, name)
+    if not fsio.exists(path):
+        raise FileNotFoundError(
+            f"no tag {name!r} on {table_dir} (tags: "
+            f"{sorted(list_tags(table_dir)) or 'none'})"
+        )
+    return int(fsio.read_text(path).strip())
+
+
+def list_tags(table_dir: str) -> dict[str, int]:
+    """name -> version for every tag on the table."""
+    root = os.path.join(table_dir, "_tags")
+    if not fsio.exists(root):
+        return {}
+    return {
+        name: int(fsio.read_text(os.path.join(root, name)).strip())
+        for name in fsio.listdir(root)
+    }
+
+
+def delete_tag(table_dir: str, name: str) -> int:
+    """Drop a tag (returns the version it named). The version itself
+    stays published; it just loses its retention override and ages out
+    with the normal vacuum window."""
+    v = resolve_tag(table_dir, name)
+    fsio.delete(_tag_path(table_dir, name))
+    return v
 
 
 
@@ -2799,8 +2876,14 @@ def vacuum(table_dir: str, keep_last: int = 1,
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(table_dir)
-    doomed = versions[:-keep_last] if keep_last < len(versions) else []
-    kept = versions[-keep_last:] if keep_last < len(versions) else versions
+    # tagged versions are retention overrides: a tag means "this exact
+    # snapshot must stay reproducible", so it never ages out while the
+    # tag exists (Iceberg tag semantics)
+    tagged = set(list_tags(table_dir).values())
+    window = set(versions[-keep_last:] if keep_last < len(versions)
+                 else versions)
+    doomed = [v for v in versions if v not in window and v not in tagged]
+    kept = [v for v in versions if v in window or v in tagged]
     live_dirs = set()
     live_dv = set()
     for v in kept:

@@ -495,3 +495,79 @@ def test_cow_update_null_condition_keeps_row(spark, tmp_path):
     update_version_pruned(spark, tdir, {"v": 0}, where={"k": (0, 9)})
     got = {(r["k"], r["v"]) for r in read_version(spark, tdir).collect()}
     assert got == {(1, 0), (None, 20), (3, 0)}
+
+
+# ----------------------------------------------------------------- tags
+
+def test_tags_name_versions_and_override_vacuum(spark, tmp_path):
+    """A tag addresses every reader by name and pins its version
+    against vacuum — the 'train-v1 is exactly this data, forever'
+    contract."""
+    from mapreduce_4_spark.sources.versioned import (
+        delete_tag,
+        list_tags,
+        resolve_tag,
+        tag_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir, slices=((0, 10), (10, 20), (20, 30)))
+    assert tag_version(tdir, "train-v1", version=2) == 2
+    tag_version(tdir, "latest-blessed")  # defaults to latest (v3)
+    assert list_tags(tdir) == {"train-v1": 2, "latest-blessed": 3}
+    # string version = tag name, through readers AND aggregates
+    assert read_version(spark, tdir, version="train-v1").count() == 20
+    assert count_version(None, tdir, version="train-v1") == 20
+    assert sum_version(None, tdir, "k", version="train-v1") == sum(range(20))
+    # immutable: no silent re-pointing
+    with pytest.raises(ValueError, match="already exists"):
+        tag_version(tdir, "train-v1", version=3)
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        resolve_tag(tdir, "nope")
+    # vacuum keeps the tagged v2 alive (keep_last=1 would doom it)
+    removed = vacuum(tdir, keep_last=1, staged_ttl_s=0.0)
+    assert removed == [1]
+    assert _keys(spark, tdir) == list(range(30))
+    assert read_version(spark, tdir, version="train-v1").count() == 20
+    # dropping the tag releases it to the next vacuum
+    assert delete_tag(tdir, "train-v1") == 2
+    removed = vacuum(tdir, keep_last=1, staged_ttl_s=0.0)
+    assert removed == [2]
+    assert list_tags(tdir) == {"latest-blessed": 3}
+
+
+def test_tag_keeps_dv_sidecar_and_mr4ver_reads_by_tag(spark, tmp_path):
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import tag_version
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir, slices=((0, 10),))
+    delete_version_dv(spark, tdir, keys=[7], key="k")  # v2, with DV
+    tag_version(tdir, "snap")
+    compact(spark, tdir)  # v3, DV-free
+    vacuum(tdir, keep_last=1, staged_ttl_s=0.0)
+    # the tagged DV version's manifest, dirs, AND sidecar all survive
+    got = read_version(spark, tdir, version="snap")
+    assert sorted(r["k"] for r in got.collect()) == [
+        k for k in range(10) if k != 7]
+    register_versioned_source(spark)
+    via = (spark.read.format("mr4ver").option("version", "snap")
+           .load(tdir))
+    assert sorted(r["k"] for r in via.collect()) == [
+        k for k in range(10) if k != 7]
+
+
+def test_cli_tag_verbs(spark, tmp_path, capsys):
+    from mapreduce_4_spark.__main__ import main
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir, slices=((0, 5), (5, 10)))
+    assert main(["table", "tag", tdir, "--name", "rel", "--version",
+                 "1"]) == 0
+    assert "tagged v1 as rel" in capsys.readouterr().out
+    assert main(["table", "tags", tdir]) == 0
+    assert "rel\tv1" in capsys.readouterr().out
+    assert main(["table", "tag", tdir, "--name", "rel", "--delete"]) == 0
+    assert "deleted tag rel (was v1)" in capsys.readouterr().out
+    assert main(["table", "tags", tdir]) == 0
+    assert "no tags" in capsys.readouterr().out
