@@ -326,3 +326,135 @@ def bm25_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     )
+
+
+_RRF_K = 60       # the standard RRF damping constant (Cormack et al.)
+_RRF_TOP = 15
+
+
+def _rrf_oracle_sql() -> str:
+    """The fusion oracle, assembled from the SAME BM25 contribution SQL
+    the lexical query uses plus a cosine arm — one construction site so
+    the two registered queries can never drift apart."""
+    c0 = _bm25_contrib_sql(_QUERY_TERMS[0])
+    c1 = _bm25_contrib_sql(_QUERY_TERMS[1])
+    c2 = _bm25_contrib_sql(_QUERY_TERMS[2])
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok WHERE term IN {_QUERY_TERMS!r}
+            GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id, {c0} + {c1} + {c2} AS score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ),
+        lex AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                       AS lex_rank
+            FROM scored QUALIFY lex_rank <= {_TOP_N}
+        ),
+        sem AS (
+            SELECT c.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])) DESC,
+                       c.vec_id) AS sem_rank
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id = 0 AND c.vec_id <> 0
+            QUALIFY sem_rank <= {_TOP_N}
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                   l.lex_rank, s.sem_rank,
+                   COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + s.sem_rank), 0.0) AS rrf
+            FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        )
+        SELECT doc_id, lex_rank, sem_rank, rrf,
+               ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+                   AS fused_rank
+        FROM fused QUALIFY fused_rank <= {_RRF_TOP}
+    """
+
+
+@register(
+    "rrf_fusion_retrieval",
+    oracle=_rrf_oracle_sql(),
+    tags=("text", "retrieval", "similarity", "join"),
+    description=f"reciprocal-rank fusion of the two retrieval arms this "
+                "engine ships: the BM25 lexical top-"
+                f"{_TOP_N} (bm25_retrieval_docs' exact scorer) and the "
+                f"embedding-cosine top-{_TOP_N} for query vector 0 "
+                "(similarity family, vec_id = doc_id), fused as "
+                f"rrf = 1/({_RRF_K}+lex_rank) + 1/({_RRF_K}+sem_rank) "
+                "with a missing arm contributing 0 (full-outer join, "
+                "fixed-order two-term sum — correctly-rounded IEEE, "
+                f"bit-exact across engines). Top-{_RRF_TOP} fused docs "
+                "with both arms' ranks exposed — the standard hybrid-"
+                "search combiner (Cormack et al. RRF, k=60)",
+)
+def rrf_fusion_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: each arm is already scale-shaped (BM25 =
+    inverted-index aggregates with broadcast df/corpus stats; cosine =
+    broadcast-query brute force here, the LSH/IVF variants at corpus
+    scale), and the fusion itself is a full-outer join of two TOP-N
+    results — K rows a side, driver-free, trivially broadcast. RRF is
+    rank-only, so the fusion is immune to the arms' score-scale
+    differences (the reason production hybrid search uses it over
+    score mixing).
+
+    Reference anchor: generalizes the reference's single word-count
+    ranking (asio_deep/main.cpp:434-516) to multi-signal retrieval.
+    """
+    from mapreduce_4_spark.operators.similarity import brute_force_topk
+
+    lex = bm25_retrieval_docs(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    sem = brute_force_topk(emb, q, k=_TOP_N).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"))
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id", "lex_rank", "sem_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K))
+                              + F.col("lex_rank").cast("double")),
+                F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K))
+                              + F.col("sem_rank").cast("double")),
+                F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("fused_rank",
+                         F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+    )
