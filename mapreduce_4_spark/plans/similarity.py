@@ -354,3 +354,154 @@ def lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = scored if out is None else out.unionByName(scored)
     return out
+
+
+_MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes redundancy
+_MMR_N = 20        # candidate pool (exact cosine top-N for the query)
+_MMR_K = 5         # diversified selections
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy MMR as pure SQL — the kmeans_fixedpoint move:
+    the loop has a data-independent trip count, so its twin is the
+    K-step unrolled plan with each step's argmax as a LIMIT 1 over the
+    previous selections. Float parity holds because both engines see
+    identical cosine doubles (functions/vectors.py) and the objective
+    is a fixed-order two-term expression."""
+    from mapreduce_4_spark.functions.vectors import sql_cosine
+
+    parts = [f"""
+        cand AS (
+            SELECT c.vec_id AS doc_id,
+                   {sql_cosine('q.embedding', 'c.embedding')} AS qsim
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id = 0 AND c.vec_id <> 0
+            ORDER BY qsim DESC, doc_id LIMIT {_MMR_N}
+        ),
+        pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   {sql_cosine('ex.embedding', 'ey.embedding')} AS psim
+            FROM cand x JOIN cand y ON x.doc_id <> y.doc_id
+            JOIN embeddings ex ON ex.vec_id = x.doc_id
+            JOIN embeddings ey ON ey.vec_id = y.doc_id
+        ),
+        s1 AS (
+            SELECT doc_id, qsim, qsim AS mmr, CAST(1 AS BIGINT) AS step
+            FROM cand ORDER BY qsim DESC, doc_id LIMIT 1
+        ),
+        sel1 AS (SELECT doc_id FROM s1)"""]
+    for k in range(2, _MMR_K + 1):
+        parts.append(f""",
+        s{k} AS (
+            SELECT doc_id, qsim, mmr, CAST({k} AS BIGINT) AS step FROM (
+                SELECT c.doc_id, c.qsim,
+                       {_MMR_LAMBDA} * c.qsim - {round(1 - _MMR_LAMBDA, 10)} * (
+                           SELECT MAX(p.psim) FROM pairs p
+                           WHERE p.a = c.doc_id
+                             AND p.b IN (SELECT doc_id FROM sel{k - 1})
+                       ) AS mmr
+                FROM cand c
+                WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{k - 1})
+            ) ORDER BY mmr DESC, doc_id LIMIT 1
+        ),
+        sel{k} AS (
+            SELECT doc_id FROM sel{k - 1}
+            UNION ALL SELECT doc_id FROM s{k}
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{k}" for k in range(1, _MMR_K + 1))
+    return ("WITH " + "".join(parts)
+            + f" SELECT step, doc_id, qsim, mmr FROM ({union})")
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle_sql(),
+    tags=("similarity", "retrieval", "iterative"),
+    description=f"maximal-marginal-relevance diversified top-{_MMR_K} "
+                f"(Carbonell & Goldstein): greedy over the exact cosine "
+                f"top-{_MMR_N} candidate pool for query vector 0 — step 1 "
+                "takes the most relevant doc, each later step maximizes "
+                f"{_MMR_LAMBDA}*sim(q,d) - {round(1 - _MMR_LAMBDA, 10)}*"
+                "max_sim(d, selected), ties by doc_id. The trip count is "
+                "data-independent, so the whole greedy loop unrolls into "
+                "one declarative plan (the kmeans_fixedpoint move) and "
+                "the DuckDB twin replays it step-for-step bit-exactly — "
+                "the de-duplicating reranker every RAG stack runs after "
+                "retrieval",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: MMR cost lives in the candidate pool, not the
+    corpus — the pool is top-N from the (LSH/IVF-accelerated at scale)
+    retrieval arm, then the greedy phase is K argmax passes over ≤ N
+    rows with an N x N pair-sim table (380 rows here). Greedy argmax
+    is inherently SEQUENTIAL (step k's objective depends on step k-1's
+    choice), so the steps are K one-row driver round-trips over the
+    two persisted relations — the same build-time orchestration as
+    metadata_agg_orders, and the honest alternative to unrolling the
+    recursion into one plan, which grows the logical tree 2^K-fold
+    (each step references the previous selections twice) and drowns
+    in Catalyst planning cost long before execution matters. All
+    arithmetic stays JVM-side; the driver only ferries one (id,
+    score) row per step, so the pattern holds at any corpus size once
+    the pool is fixed.
+
+    Timing caveat: sweep/bench timings of the returned DataFrame
+    measure K+2 small jobs over broadcast-sized data (the candidate
+    scan is the only corpus-facing term).
+
+    Reference anchor: the reference emits its ranking in one pass
+    (asio_deep/main.cpp:434-516); MMR is the iterative reranking layer
+    retrieval systems put on top.
+    """
+    from mapreduce_4_spark.functions.vectors import as_double, cosine
+    from mapreduce_4_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    # the two relations every greedy step probes: N and N(N-1) rows,
+    # persisted once, unpersisted before returning
+    cand = brute_force_topk(emb, q, k=_MMR_N).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("cosine_sim").alias("qsim")).persist()
+    ce = cand.join(emb, cand.doc_id == emb.vec_id).select(
+        "doc_id", as_double("embedding").alias("e"))
+    a = ce.select(F.col("doc_id").alias("a"), F.col("e").alias("ea"))
+    b = ce.select(F.col("doc_id").alias("b"), F.col("e").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select("a", "b", cosine(F.col("ea"), F.col("eb")).alias("psim"))
+        .persist()
+    )
+    try:
+        first = cand.orderBy(F.desc("qsim"), "doc_id").limit(1).first()
+        rows = [(1, first["doc_id"], first["qsim"], first["qsim"])]
+        for step in range(2, _MMR_K + 1):
+            ids = [r[1] for r in rows]
+            maxp = (
+                pairs.filter(F.col("b").isin(ids))
+                .groupBy("a").agg(F.max("psim").alias("maxp"))
+                .withColumnRenamed("a", "doc_id")
+            )
+            pick = (
+                cand.filter(~F.col("doc_id").isin(ids))
+                .join(maxp, "doc_id")
+                .select(
+                    "doc_id", "qsim",
+                    (F.lit(_MMR_LAMBDA) * F.col("qsim")
+                     - F.lit(round(1 - _MMR_LAMBDA, 10)) * F.col("maxp")
+                     ).alias("mmr"),
+                )
+                .orderBy(F.desc("mmr"), "doc_id").limit(1).first()
+            )
+            rows.append((step, pick["doc_id"], pick["qsim"], pick["mmr"]))
+    finally:
+        cand.unpersist()
+        pairs.unpersist()
+    # collected doubles are IEEE bit-exact through the Python float
+    # round-trip, so the literal-row result still hash-matches the
+    # oracle's unrolled replay
+    return spark.createDataFrame(
+        rows, "step long, doc_id long, qsim double, mmr double")
