@@ -422,3 +422,29 @@ def test_textrank_iterations_stay_hash_joins(spark, sf_oracle):
     assert plan.count("BroadcastNestedLoopJoin") >= 1
     # top-15 is a TakeOrderedAndProject, never a global sort
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dv_read_is_one_broadcast_left_anti(spark, tmp_path):
+    """A deletion-vector read must cost exactly ONE broadcast left-anti
+    join over the scan while the vector is small (the manifest-recorded
+    cardinality decides, never a Catalyst estimate): no shuffled
+    anti-join, no cartesian, and the data columns still come from a
+    plain parquet scan."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_dv,
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(
+        spark.range(100).select(F.col("id").alias("k")).coalesce(2),
+        tdir, append=True)
+    delete_version_dv(spark, tdir, keys=[3, 7], key="k")
+    plan = read_version(spark, tdir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
