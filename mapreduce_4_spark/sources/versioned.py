@@ -538,6 +538,10 @@ def write_version(df: DataFrame, table_dir: str,
         # appends (restricted to the dirs still referenced); full
         # snapshots start clean — their content was read live
         "dv": parent_dv,
+        # what produced this commit (DESCRIBE HISTORY's operation
+        # column); callers override via manifest_extra (compact,
+        # streaming sinks, ...)
+        "operation": "append" if append else "replace",
         **(manifest_extra or {}),
     }
     # manifest written last = the publish point; create-exclusive so a
@@ -715,6 +719,8 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                 if partition_by else None
             ),
             "dv": parent_dv if append else None,
+            "operation": ("append-concurrent" if append
+                          else "replace-concurrent"),
             **(manifest_extra or {}),
         }
         if fsio.create_text_exclusive(
@@ -1896,9 +1902,12 @@ def published_batch_ids(table_dir: str) -> set:
 
 def history(spark: SparkSession, table_dir: str) -> DataFrame:
     """One row per published snapshot (version, parent, row_count,
-    committed_at) — committed_at as an ISO-8601 UTC string (the
-    manifest's publish stamp; null for pre-stamping manifests), the
-    anchor a user copies back into ``read_version(as_of=...)``."""
+    committed_at, operation) — committed_at as an ISO-8601 UTC string
+    (the manifest's publish stamp; null for pre-stamping manifests),
+    the anchor a user copies back into ``read_version(as_of=...)``;
+    operation is what produced the commit (append/replace/compact/
+    delete-cow/update-cow/merge-cow/delete-dv/restore/..., the
+    DESCRIBE HISTORY column; null for pre-recording manifests)."""
     from datetime import datetime, timezone
 
     def _iso(epoch):
@@ -1909,12 +1918,12 @@ def history(spark: SparkSession, table_dir: str) -> DataFrame:
 
     rows = [
         (m["version"], m["parent"], m["row_count"],
-         _iso(m.get("committed_at")))
+         _iso(m.get("committed_at")), m.get("operation"))
         for m in (read_manifest(table_dir, v) for v in list_versions(table_dir))
     ]
     return spark.createDataFrame(
         rows, "version long, parent long, row_count long, "
-              "committed_at string"
+              "committed_at string, operation string"
     )
 
 
@@ -2093,7 +2102,8 @@ def _carry_dv(pm: dict, keep_dirs: list[str]) -> dict | None:
 
 def _cow_publish(spark: SparkSession, table_dir: str, pm: dict,
                  keep_dirs: list[str], new_df: DataFrame | None,
-                 manifest_extra: dict | None = None) -> int:
+                 manifest_extra: dict | None = None,
+                 operation: str = "cow") -> int:
     """Publish a copy-on-write commit: ``keep_dirs`` (relative chain
     dirs of the parent) carry into the new version BY REFERENCE — no
     data movement, stats/blooms/row counts/partition indexes carried
@@ -2182,6 +2192,7 @@ def _cow_publish(spark: SparkSession, table_dir: str, pm: dict,
         "dir_rows": dir_rows,
         "dir_parts": (dir_parts or None) if part_by else None,
         "dv": dv,
+        "operation": operation,
         **(manifest_extra or {}),
     }
     fsio.mkdirs(_versions_dir(table_dir))
@@ -2286,7 +2297,8 @@ def delete_version_pruned(spark: SparkSession, table_dir: str,
             spark, pm, [os.path.join(table_dir, d) for d in rewrite],
             table_dir,
         ).filter(survivor)
-    v = _cow_publish(spark, table_dir, pm, untouched, new_df)
+    v = _cow_publish(spark, table_dir, pm, untouched, new_df,
+                     operation="delete-cow")
     info = {"dropped": len(dropped), "untouched": len(untouched),
             "rewritten": len(rewrite)}
     return (v, info) if detail else v
@@ -2366,7 +2378,8 @@ def update_version_pruned(spark: SparkSession, table_dir: str,
             if c in assignments else F.col(c)
             for c in scan.columns
         ])
-    v = _cow_publish(spark, table_dir, pm, untouched, new_df)
+    v = _cow_publish(spark, table_dir, pm, untouched, new_df,
+                     operation="update-cow")
     info = {"untouched": len(untouched), "rewritten": len(rewrite)}
     return (v, info) if detail else v
 
@@ -2419,7 +2432,8 @@ def merge_version_pruned(spark: SparkSession, table_dir: str,
         ).filter(F.coalesce(~F.col(key).isin(vals), F.lit(True)))
         new_df = survivors.unionByName(new_df)
     v = _cow_publish(spark, table_dir, pm, untouched, new_df,
-                     manifest_extra=manifest_extra)
+                     manifest_extra=manifest_extra,
+                     operation="merge-cow")
     info = {"untouched": len(untouched), "rewritten": len(rewrite)}
     return (v, info) if detail else v
 
@@ -2531,6 +2545,7 @@ def delete_version_dv(spark: SparkSession, table_dir: str,
         "batch_id": None,
         "row_count": pm["row_count"] - n_new,
         "dv": dv,
+        "operation": "delete-dv",
     }
     fsio.mkdirs(_versions_dir(table_dir))
     if not fsio.create_text_exclusive(
@@ -2575,6 +2590,7 @@ def restore_version(table_dir: str, version: int) -> int:
         "batch_id": None,
         "data_dirs": tm.get("data_dirs") or [f"v={version:06d}"],
         "restored_from": version,
+        "operation": "restore",
     }
     fsio.mkdirs(_versions_dir(table_dir))
     if not fsio.create_text_exclusive(
@@ -2672,15 +2688,17 @@ def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
         raise FileNotFoundError(f"no published versions in {table_dir}")
     layout = layout_from_manifest(read_manifest(table_dir, version))
     latest = read_version(spark, table_dir, version)
+    op = {"manifest_extra": {"operation": "compact"}}
     if layout["bucket_by"]:
         # one task ⇒ one file per bucket, the densest legal layout for a
         # bucketed table (file count is owned by the bucket spec)
-        return write_version(latest.coalesce(1), table_dir, **layout)
+        return write_version(latest.coalesce(1), table_dir, **op, **layout)
     if layout["sort_by"]:
         return write_version(
-            latest, table_dir, n_files=target_files, **layout
+            latest, table_dir, n_files=target_files, **op, **layout
         )
-    return write_version(latest.coalesce(target_files), table_dir, **layout)
+    return write_version(latest.coalesce(target_files), table_dir,
+                         **op, **layout)
 
 
 def compact_tail(spark: SparkSession, table_dir: str,
@@ -2833,6 +2851,7 @@ def compact_tail(spark: SparkSession, table_dir: str,
         # (their files didn't move), and an emptied DV releases its
         # sidecar to vacuum
         "dv": _carry_dv(manifest, base),
+        "operation": "compact-tail",
     }
     fsio.mkdirs(_versions_dir(table_dir))
     if not fsio.create_text_exclusive(
