@@ -220,6 +220,11 @@ class Mr4VersionedDataSource(DataSource):
         path, manifest = self._resolved()
         return Mr4VersionedReader(path, manifest, schema)
 
+    def simpleStreamReader(self, schema) -> "Mr4VersionedStreamReader":
+        path, manifest = self._resolved()
+        return Mr4VersionedStreamReader(path, manifest, schema,
+                                        self.options)
+
 
 class Mr4VersionedReader(DataSourceReader):
     def __init__(self, table_dir: str, manifest: dict, schema):
@@ -321,6 +326,124 @@ class Mr4VersionedReader(DataSourceReader):
         yield from pa.table(
             dict(zip(self.arrow_schema.names, cols))
         ).cast(self.arrow_schema).to_batches()
+
+
+class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
+    """Tail a versioned table's APPEND chain as a stream —
+    ``spark.readStream.format("mr4ver").load(dir)``, the Delta/Iceberg
+    streaming-source shape over this format.
+
+    Offsets are ``{"v": N}`` = "versions ≤ N delivered", so the
+    exactly-once replay contract is the format's own immutability:
+    ``readBetweenOffsets`` re-reads versions (start, end] from their
+    manifests bit-identically however often the checkpoint replays it.
+    Each micro-batch delivers the rows the versions in its window
+    APPENDED (each append's new chain dir — staged dirs included for
+    concurrent appends; version 1 delivers the initial snapshot).
+
+    Non-append commits (compact, CoW delete/update/merge, DV delete,
+    restore) have no well-defined "new rows" for an append feed and
+    FAIL the stream loudly — Delta's default for changed data — unless
+    ``ignoreChanges=true`` skips them (the documented semantic: those
+    versions contribute NOTHING; a mutation-aware consumer wants the
+    CDC feed, streaming/cdc.py, which delivers I/U/D rows instead).
+    Options: ``startingVersion`` (int: first version to deliver,
+    default 1 = everything; or ``latest`` = only commits after stream
+    start). Schema is pinned at stream start (manifest schema);
+    columns appended later by schema evolution surface after a
+    restart, pre-evolution files null-pad. Like the batch reader this
+    is the local API-surface path — rows ship via the driver
+    (SimpleDataSourceStreamReader's prefetch contract), the right
+    scale for control-plane feeds; data-plane streams use the
+    checkpointed CDC feed."""
+
+    def __init__(self, table_dir: str, manifest: dict, schema, options):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.table_dir = table_dir
+        self.arrow_schema = to_arrow_schema(schema)
+        self.part_cols = set(manifest.get("partition_by") or [])
+        self.ignore_changes = str(
+            options.get("ignorechanges", "false")).lower() == "true"
+        self.starting = options.get("startingversion", "1")
+
+    def initialOffset(self) -> dict:
+        from mapreduce_4_spark.sources import versioned as vt
+
+        if str(self.starting).lower() == "latest":
+            return {"v": vt.latest_version(self.table_dir) or 0}
+        return {"v": int(self.starting) - 1}
+
+    def _appended_rows(self, v: int):
+        import os
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+
+        from mapreduce_4_spark.sources import versioned as vt
+
+        m = vt.read_manifest(self.table_dir, v)
+        op = m.get("operation")
+        dirs = m.get("data_dirs") or [f"v={v:06d}"]
+        is_append = (
+            op in ("append", "append-concurrent")
+            or (op is None and m.get("parent") is None)
+        )
+        if not is_append:
+            if self.ignore_changes:
+                return
+            raise ValueError(
+                f"mr4ver stream: version {v} of {self.table_dir} is a "
+                f"{op or 'non-append'} commit — an append feed cannot "
+                "represent it. Pass ignoreChanges=true to skip such "
+                "versions, or consume the CDC feed (streaming/cdc.py) "
+                "for I/U/D semantics"
+            )
+        new_root = os.path.join(self.table_dir, dirs[-1])
+        names = self.arrow_schema.names
+        for cur, _d, files in os.walk(new_root):
+            values = {}
+            rel = os.path.relpath(cur, new_root)
+            for seg in () if rel == "." else rel.split(os.sep):
+                if "=" in seg:
+                    c, val = seg.split("=", 1)
+                    if c in self.part_cols:
+                        values[c] = unquote(val)
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(cur, f))
+                cols = {}
+                for field in self.arrow_schema:
+                    if field.name in values:
+                        cols[field.name] = [values[field.name]] * t.num_rows
+                    elif field.name in t.column_names:
+                        cols[field.name] = t.column(
+                            field.name).cast(field.type).to_pylist()
+                    else:
+                        cols[field.name] = [None] * t.num_rows
+                for i in range(t.num_rows):
+                    yield tuple(cols[n][i] for n in names)
+
+    def _window(self, lo: int, hi: int) -> list:
+        # a LIST, not a generator: the prefetch cache copy.copy()s the
+        # returned iterator for replay, which generators refuse
+        out: list = []
+        for v in range(lo + 1, hi + 1):
+            out.extend(self._appended_rows(v))
+        return out
+
+    def read(self, start: dict):
+        from mapreduce_4_spark.sources import versioned as vt
+
+        lo = int(start["v"])
+        hi = vt.latest_version(self.table_dir) or lo
+        if hi <= lo:
+            return iter([]), {"v": lo}
+        return iter(self._window(lo, hi)), {"v": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._window(int(start["v"]), int(end["v"])))
 
 
 def register_versioned_source(spark) -> None:

@@ -130,3 +130,127 @@ def test_mr4ver_empty_partitioned_chain_sentinel(spark, tmp_path):
     got = spark.read.format("mr4ver").load(tdir)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["k", "p"]
+
+
+def test_mr4ver_stream_tails_appends_exactly_once(spark, tmp_path):
+    """The streaming source drains the existing chain, then a later
+    drain delivers ONLY the versions appended since the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import write_version
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(30).select(F.col("id").alias("k"))
+    write_version(df.filter("k < 10").coalesce(1), tdir, append=True)
+    write_version(df.filter("k >= 10 AND k < 20").coalesce(1), tdir,
+                  append=True)
+    register_versioned_source(spark)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        # file sink (checkpoint-recoverable, unlike the memory sink) —
+        # a restart against the same checkpoint must resume the offset
+        q = (
+            spark.readStream.format("mr4ver").load(tdir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(r["k"] for r in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(20))
+    write_version(df.filter("k >= 20").coalesce(1), tdir, append=True)
+    # same checkpoint: the restarted drain appends ONLY v3's rows
+    assert drain() == list(range(30))
+
+
+def test_mr4ver_stream_refuses_or_skips_non_append_commits(
+        spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_dv,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_version(df.coalesce(1), tdir, append=True)
+    delete_version_dv(spark, tdir, keys=[3], key="k")  # v2: non-append
+    write_version(
+        spark.range(50, 55).select(F.col("id").alias("k")).coalesce(1),
+        tdir, append=True)  # v3
+    register_versioned_source(spark)
+
+    q = (
+        spark.readStream.format("mr4ver").load(tdir)
+        .writeStream.format("memory").queryName("mr4ver_strict")
+        .option("checkpointLocation", str(tmp_path / "ck_strict"))
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException,
+                           match="delete-dv|non-append"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # ignoreChanges skips v2 entirely; appends still flow. NOTE the
+    # skipped DV delete means the feed still carries k=3 — the
+    # documented reason mutation consumers want the CDC feed instead
+    q = (
+        spark.readStream.format("mr4ver")
+        .option("ignoreChanges", "true").load(tdir)
+        .writeStream.format("memory").queryName("mr4ver_skip")
+        .option("checkpointLocation", str(tmp_path / "ck_skip"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["k"] for r in
+                 spark.sql("SELECT * FROM mr4ver_skip").collect())
+    assert got == list(range(10)) + list(range(50, 55))
+
+
+def test_mr4ver_stream_starting_version_latest(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import write_version
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_version(df.coalesce(1), tdir, append=True)
+    register_versioned_source(spark)
+    stream = (
+        spark.readStream.format("mr4ver")
+        .option("startingVersion", "latest").load(tdir)
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("mr4ver_latest")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM mr4ver_latest").count() == 0
+        write_version(
+            spark.range(100, 103).select(F.col("id").alias("k"))
+            .coalesce(1), tdir, append=True)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["k"] for r in
+                 spark.sql("SELECT * FROM mr4ver_latest").collect())
+    assert got == [100, 101, 102]
