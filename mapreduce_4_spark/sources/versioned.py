@@ -222,6 +222,44 @@ def _dir_bloom(df: DataFrame, cols: list[str], bits: int) -> dict:
     return out
 
 
+def _zorder_col(df: DataFrame, cols: list[str], bits: int):
+    """The Morton (Z-order) clustering key for ``cols``: each column is
+    range-quantized to ``bits`` buckets from its OWN min/max (one tiny
+    aggregate over ``df``, same cost class as ``_column_stats``), then
+    the bucket bits interleave — bit i of column j lands at position
+    i*len(cols)+j. One sort order over this key keeps every written
+    file's span narrow in EVERY dimension, which is what lets parquet
+    footer min/max (and dir-level stats on chains) skip on predicates
+    over any of the columns — the OPTIMIZE ZORDER layout as a
+    write_version knob. Nulls quantize to bucket 0 (first files),
+    non-numeric columns hash-bucket instead (locality within equal
+    values only, the honest fallback)."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(*[
+        f(F.col(c).cast("double")).alias(f"{n}_{c}")
+        for c in cols for n, f in (("mn", F.min), ("mx", F.max))
+    ]).first()
+    top = (1 << bits) - 1
+    zval = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        if mn is None or mx is None or not (mx > mn):
+            bucket = F.lit(0).cast("bigint")
+        else:
+            scaled = (F.col(c).cast("double") - F.lit(float(mn))) \
+                / F.lit(float(mx - mn)) * F.lit(float(top))
+            bucket = F.coalesce(
+                F.least(F.greatest(F.floor(scaled), F.lit(0)),
+                        F.lit(top)).cast("bigint"),
+                F.lit(0).cast("bigint"))
+        for i in range(bits):
+            zval = zval + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(1),
+                i * len(cols) + j)
+    return zval
+
+
 def _check_append_schema(pm: dict, df: DataFrame, table_dir: str) -> bool:
     """Validate an append's schema against the chain's; returns True
     when the append ADDITIVELY evolves it (the new rows carry every
@@ -299,6 +337,8 @@ def write_version(df: DataFrame, table_dir: str,
                   bucket_by: list[str] | None = None,
                   n_buckets: int | None = None,
                   sort_by: list[str] | None = None,
+                  zorder_by: list[str] | None = None,
+                  zorder_bits: int = 8,
                   n_files: int | None = None,
                   partition_by: list[str] | None = None,
                   batch_id: int | None = None,
@@ -380,7 +420,16 @@ def write_version(df: DataFrame, table_dir: str,
         raise ValueError("bucket_by and n_buckets must be given together")
     if partition_by and bucket_by:
         raise ValueError("partition_by cannot be combined with bucket_by")
-    if append and (bucket_by or sort_by):
+    if zorder_by and (bucket_by or sort_by or partition_by):
+        raise ValueError(
+            "zorder_by is a whole-table clustered layout — it cannot "
+            "combine with bucket_by/sort_by/partition_by"
+        )
+    if zorder_by and len(zorder_by) < 2:
+        raise ValueError(
+            "zorder_by needs >= 2 columns (one column wants sort_by)"
+        )
+    if append and (bucket_by or sort_by or zorder_by):
         raise ValueError(
             "append snapshots carry no bucket/cluster layout — "
             "compact() to re-establish one"
@@ -392,7 +441,7 @@ def write_version(df: DataFrame, table_dir: str,
     schema_evolved = False
     if append and parent is not None:
         pm = read_manifest(table_dir, parent)
-        if pm.get("bucket_by") or pm.get("sort_by"):
+        if pm.get("bucket_by") or pm.get("sort_by") or pm.get("zorder_by"):
             raise ValueError(
                 "cannot append to a bucketed/clustered snapshot; "
                 "compact() first"
@@ -466,6 +515,17 @@ def write_version(df: DataFrame, table_dir: str,
             df = df.repartitionByRange(int(n), *sort_by).sortWithinPartitions(
                 *sort_by
             )
+        elif zorder_by:
+            n = n_files or df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+            df = (
+                df.withColumn("__mr4_zval",
+                              _zorder_col(df, zorder_by, zorder_bits))
+                .repartitionByRange(int(n), "__mr4_zval")
+                .sortWithinPartitions("__mr4_zval")
+                .drop("__mr4_zval")
+            )
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -507,6 +567,8 @@ def write_version(df: DataFrame, table_dir: str,
         "bucket_by": bucket_by,
         "n_buckets": n_buckets,
         "sort_by": (sort_by or bucket_by) if bucket_by else sort_by,
+        "zorder_by": zorder_by,
+        "zorder_bits": zorder_bits if zorder_by else None,
         "partition_by": partition_by,
         # provenance for exactly-once streaming sinks: which micro-batch
         # produced this snapshot (see streaming/foreach_batch.py)
@@ -1943,6 +2005,9 @@ def layout_from_manifest(manifest: dict) -> dict:
         "bucket_by": manifest.get("bucket_by"),
         "n_buckets": manifest.get("n_buckets"),
         "sort_by": sort_by,
+        "zorder_by": manifest.get("zorder_by"),
+        **({"zorder_bits": manifest["zorder_bits"]}
+           if manifest.get("zorder_bits") else {}),
         "partition_by": manifest.get("partition_by"),
         # stats columns are a standing contract like the layout: a
         # rewrite that dropped them would silently stop metadata
@@ -2002,7 +2067,7 @@ def _require_plain_table(pm: dict, table_dir: str, what: str) -> None:
     layout is a whole-table property) — those route through the
     full-rewrite paths (upsert_version/delete_version), which preserve
     the layout."""
-    if pm.get("bucket_by") or pm.get("sort_by"):
+    if pm.get("bucket_by") or pm.get("sort_by") or pm.get("zorder_by"):
         raise ValueError(
             f"{what} needs a plain or append-chain table; {table_dir} is "
             "bucketed/clustered — use upsert_version/delete_version "
@@ -2693,7 +2758,7 @@ def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
         # one task ⇒ one file per bucket, the densest legal layout for a
         # bucketed table (file count is owned by the bucket spec)
         return write_version(latest.coalesce(1), table_dir, **op, **layout)
-    if layout["sort_by"]:
+    if layout["sort_by"] or layout.get("zorder_by"):
         return write_version(
             latest, table_dir, n_files=target_files, **op, **layout
         )

@@ -784,3 +784,71 @@ def test_bloom_concurrent_writers_carry_the_index(spark, tmp_path):
                                          detail=True)
     assert info == {"missed": 1, "scanned": 1, "unknown": 0}
     assert df.count() == 1
+
+
+def test_write_version_zorder_layout(spark, tmp_path):
+    """zorder_by as a first-class write_version layout: every written
+    file's span must be NARROW in BOTH dimensions (the locality a 1-D
+    sort can only give its own column), the layout must round-trip
+    through the manifest and compact, and restricted layouts must be
+    refused exactly like the other clustered forms."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        compact,
+        delete_version_pruned,
+        layout_from_manifest,
+        read_manifest,
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    write_version(df, tdir, zorder_by=["x", "y"], n_files=16)
+    m = read_manifest(tdir, 1)
+    assert m["zorder_by"] == ["x", "y"] and m["zorder_bits"] == 8
+    got = read_version(spark, tdir)
+    assert got.count() == n
+
+    # per-file spans: a z-ordered 64x64 grid split into 16 files keeps
+    # BOTH dimensions' spans well under the domain (perfect quartering
+    # would be 16/64 each; 1-D sorting x would leave y spanning 0..63)
+    data_dir = os.path.join(tdir, "v=000001")
+    spans_x, spans_y = [], []
+    for f in os.listdir(data_dir):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(data_dir, f), columns=["x", "y"])
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans_x.append(max(xs) - min(xs))
+        spans_y.append(max(ys) - min(ys))
+    assert len(spans_x) >= 8
+    assert max(spans_x) <= 40 and max(spans_y) <= 40, (spans_x, spans_y)
+
+    # the layout is a standing contract: compact re-establishes it
+    v = compact(spark, tdir, target_files=8)
+    m2 = read_manifest(tdir, v)
+    assert m2["zorder_by"] == ["x", "y"]
+    assert layout_from_manifest(m2)["zorder_by"] == ["x", "y"]
+    assert read_version(spark, tdir).count() == n
+
+    # clustered layouts refuse appends and CoW like sort_by does
+    with pytest.raises(ValueError, match="compact"):
+        write_version(df.limit(1), tdir, append=True)
+    with pytest.raises(ValueError, match="bucketed/clustered"):
+        delete_version_pruned(spark, tdir, where={"x": (0, 1)})
+    with pytest.raises(ValueError, match="whole-table"):
+        write_version(df, str(tmp_path / "t2"), zorder_by=["x", "y"],
+                      sort_by=["x"])
+    with pytest.raises(ValueError, match=">= 2"):
+        write_version(df, str(tmp_path / "t3"), zorder_by=["x"])
