@@ -18,6 +18,7 @@ generalized counterpart over the whole registry:
     python -m mapreduce_4_spark table restore DIR --version N
     python -m mapreduce_4_spark table tag DIR --name train-v1 [--version N]
     python -m mapreduce_4_spark table tags DIR
+    python -m mapreduce_4_spark table cluster DIR --zorder a,b
 
 ``--sf`` defaults to $SPARK_GRAFT_SF_DIR, else /root/testdata/sf0.1 —
 the same contract as bench.py. ``table`` is the maintenance front door
@@ -107,11 +108,11 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser(
         "table", help="versioned-table maintenance (history/compact/"
                       "compact-tail/vacuum/stats/count/minmax/sum/agg/"
-                      "lookup/restore)")
+                      "lookup/restore/delete/tag/tags/cluster)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
                                      "vacuum", "stats", "count", "minmax",
                                      "sum", "agg", "lookup", "restore",
-                                     "delete", "tag", "tags"])
+                                     "delete", "tag", "tags", "cluster"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -132,6 +133,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--values", default=None,
                     help="lookup/delete: comma-separated values for "
                          "col IN (...)")
+    sp.add_argument("--zorder", default=None,
+                    help="cluster: comma-separated columns for the "
+                         "Morton-interleave layout (2+); one column "
+                         "re-clusters with a plain sort")
     sp.add_argument("--name", default=None,
                     help="tag: the tag name to create (with --delete: "
                          "to drop)")
@@ -327,6 +332,29 @@ def main(argv: list[str] | None = None) -> int:
                 v = vt.tag_version(args.table_dir, args.name,
                                    version=args.version)
                 print(f"tagged v{v} as {args.name}")
+            return 0
+        if args.verb == "cluster":
+            # OPTIMIZE [ZORDER BY]: republish the latest snapshot under
+            # a (new) clustered layout — sort_by for one column,
+            # zorder_by for multi-dimensional skipping
+            if not args.zorder:
+                p.error("cluster needs --zorder col[,col...]")
+            cols = [c for c in args.zorder.split(",") if c]
+            from mapreduce_4_spark.session import get_spark
+
+            spark = get_spark("mapreduce_4_spark-cli-table")
+            latest = vt.read_version(spark, args.table_dir)
+            kw = ({"sort_by": cols} if len(cols) == 1
+                  else {"zorder_by": cols})
+            v = vt.write_version(
+                latest, args.table_dir, n_files=args.target_files,
+                manifest_extra={"operation": "cluster"},
+                stats_for=vt.read_manifest(
+                    args.table_dir,
+                    vt.latest_version(args.table_dir)).get("stats_for"),
+                **kw)
+            print(f"clustered ({'zorder' if len(cols) > 1 else 'sort'}: "
+                  f"{','.join(cols)}) -> v{v}")
             return 0
         if args.verb == "restore":
             # zero-copy rollback: publish a new version referencing the

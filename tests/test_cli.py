@@ -319,3 +319,30 @@ def test_cli_table_delete_and_restore_verbs(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["table", "delete", tdir, "--col", "k",
               "--values", "1", "--lower", "0"])
+
+
+def test_cli_table_cluster_verb(spark, tmp_path, capsys):
+    """table cluster re-publishes the latest snapshot under a sort or
+    z-order layout (OPTIMIZE ZORDER BY from the shell)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        read_manifest,
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"),
+        (F.col("id") / 16).cast("long").alias("y"))
+    write_version(df, tdir, append=True)
+    assert main(["table", "cluster", tdir, "--zorder", "x,y",
+                 "--target-files", "4"]) == 0
+    assert "clustered (zorder: x,y) -> v2" in capsys.readouterr().out
+    m = read_manifest(tdir, 2)
+    assert m["zorder_by"] == ["x", "y"] and m["operation"] == "cluster"
+    assert read_version(spark, tdir).count() == 256
+    assert main(["table", "cluster", tdir, "--zorder", "x"]) == 0
+    assert "clustered (sort: x) -> v3" in capsys.readouterr().out
+    assert read_manifest(tdir, 3)["sort_by"] == ["x"]
