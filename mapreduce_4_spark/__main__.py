@@ -19,6 +19,7 @@ generalized counterpart over the whole registry:
     python -m mapreduce_4_spark table tag DIR --name train-v1 [--version N]
     python -m mapreduce_4_spark table tags DIR
     python -m mapreduce_4_spark table cluster DIR --zorder a,b
+    python -m mapreduce_4_spark table fsck DIR [--deep]
 
 ``--sf`` defaults to $SPARK_GRAFT_SF_DIR, else /root/testdata/sf0.1 —
 the same contract as bench.py. ``table`` is the maintenance front door
@@ -112,7 +113,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
                                      "vacuum", "stats", "count", "minmax",
                                      "sum", "agg", "lookup", "restore",
-                                     "delete", "tag", "tags", "cluster"])
+                                     "delete", "tag", "tags", "cluster",
+                                     "fsck"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -142,6 +144,9 @@ def main(argv: list[str] | None = None) -> int:
                          "to drop)")
     sp.add_argument("--delete", action="store_true",
                     help="tag: drop --name instead of creating it")
+    sp.add_argument("--deep", action="store_true",
+                    help="fsck: also recompute per-dir stats from the "
+                         "data (one scan per statted dir)")
     sp.add_argument("--dv", action="store_true",
                     help="delete: merge-on-read (deletion-vector "
                          "sidecar, zero rewrites) instead of the "
@@ -333,6 +338,22 @@ def main(argv: list[str] | None = None) -> int:
                                    version=args.version)
                 print(f"tagged v{v} as {args.name}")
             return 0
+        if args.verb == "fsck":
+            # consistency audit: manifest vs bytes on disk; report,
+            # never repair. Exit 1 when findings exist (scriptable).
+            sp_arg = None
+            if args.deep or "://" in args.table_dir:
+                from mapreduce_4_spark.session import get_spark
+
+                sp_arg = get_spark("mapreduce_4_spark-cli-table")
+            findings = vt.fsck_table(
+                args.table_dir, version=args.version,
+                spark=sp_arg if args.deep else None)
+            for f in findings:
+                print(f"FINDING: {f}")
+            print(f"{len(findings)} finding(s)"
+                  + (" (deep)" if args.deep else ""))
+            return 1 if findings else 0
         if args.verb == "cluster":
             # OPTIMIZE [ZORDER BY]: republish the latest snapshot under
             # a (new) clustered layout — sort_by for one column,

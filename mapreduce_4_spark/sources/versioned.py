@@ -1925,6 +1925,129 @@ def minmax_version(spark: SparkSession | None, table_dir: str, col: str,
             max(maxs, key=_key) if maxs else None)
 
 
+def fsck_table(table_dir: str, version: int | None = None,
+               spark: SparkSession | None = None) -> list[str]:
+    """Consistency audit of a published version against the bytes on
+    disk — the fsck/VERIFY verb every table format grows once real
+    operators depend on it. Returns a list of findings (empty = clean);
+    never repairs anything (report, don't guess).
+
+    Metadata checks (no Spark, O(manifest + footers)):
+    - every listed data dir exists, and its parquet footer row count
+      equals the manifest's ``dir_rows`` entry;
+    - ``row_count`` equals Σ dir_rows − Σ deletion-vector cardinalities;
+    - the DV sidecar exists, its per-dir counts sum to its total, and
+      every entry addresses a dir the manifest still references;
+    - every tag resolves to a published version;
+    - per-dir stats entries with null-count > dir rows, or min > max,
+      are flagged.
+
+    Deep checks (``spark`` given, one scan per statted dir): recorded
+    min/max/null-count/sum are recomputed from the data and compared —
+    the check that catches a manifest edited by hand or a dir swapped
+    underneath the table. DV-carrying dirs compare against the
+    PHYSICAL rows (stats are recorded physical; the aggregates already
+    degrade those dirs, so physical agreement is the right contract).
+    """
+    findings: list[str] = []
+    version = _resolve_version(table_dir, version, None)
+    m = read_manifest(table_dir, version)
+    if m.get("bucket_by"):
+        dirs = [f"v={version:06d}"]
+    else:
+        dirs = m.get("data_dirs") or [f"v={version:06d}"]
+    dir_rows = m.get("dir_rows") or {}
+    actual_rows: dict[str, int] = {}
+    for d in dirs:
+        p = os.path.join(table_dir, d)
+        if not fsio.exists(p):
+            findings.append(f"missing data dir: {d}")
+            continue
+        actual_rows[d] = fsio.parquet_row_count(p)
+        rec = dir_rows.get(d)
+        if rec is not None and rec != actual_rows[d]:
+            findings.append(
+                f"dir_rows mismatch in {d}: manifest {rec}, "
+                f"footers {actual_rows[d]}")
+    dv = m.get("dv")
+    dv_total = 0
+    if dv:
+        dv_total = dv["count"]
+        if sum(dv["dir_counts"].values()) != dv_total:
+            findings.append(
+                "dv dir_counts sum "
+                f"{sum(dv['dir_counts'].values())} != count {dv_total}")
+        stale = sorted(set(dv["dir_counts"]) - set(dirs))
+        if stale:
+            findings.append(f"dv entries for unreferenced dirs: {stale}")
+        if not fsio.exists(os.path.join(table_dir, dv["path"])):
+            findings.append(f"missing dv sidecar: {dv['path']}")
+    # two row_count checks: against the BYTES (catches swapped/truncated
+    # data) and against the manifest's own dir_rows (catches a manifest
+    # edited into self-inconsistency even when the data is intact)
+    expected = sum(actual_rows.get(d, dir_rows.get(d, 0))
+                   for d in dirs) - dv_total
+    if not m.get("bucket_by") and m["row_count"] != expected:
+        findings.append(
+            f"row_count {m['row_count']} != footer rows − dv = {expected}")
+    meta_expected = sum(dir_rows.get(d, actual_rows.get(d, 0))
+                        for d in dirs) - dv_total
+    if not m.get("bucket_by") and m["row_count"] != meta_expected:
+        findings.append(
+            f"row_count {m['row_count']} != Σ manifest dir_rows − dv = "
+            f"{meta_expected}")
+    for name, v in list_tags(table_dir).items():
+        if not fsio.exists(_manifest_path(table_dir, v)):
+            findings.append(f"tag {name!r} -> v{v} is not published")
+    stats = m.get("col_stats") or {}
+    for d, cols in stats.items():
+        if d not in set(dirs):
+            continue
+        for c, ent in cols.items():
+            mn, mx = ent[0], ent[1]
+            try:
+                if mn is not None and mx is not None and mn > mx:
+                    findings.append(f"stats min > max for {c} in {d}")
+            except TypeError:
+                pass
+            if (len(ent) > 2 and ent[2] is not None
+                    and d in actual_rows and ent[2] > actual_rows[d]):
+                findings.append(
+                    f"null count {ent[2]} > rows {actual_rows[d]} "
+                    f"for {c} in {d}")
+    if spark is not None and stats and not m.get("bucket_by"):
+        from pyspark.sql import functions as F
+
+        for d, cols in stats.items():
+            if d not in set(dirs):
+                continue
+            p = os.path.join(table_dir, d)
+            if not fsio.has_parquet(p):
+                continue
+            # physical recompute with the SAME serialization rules the
+            # writer used — one aggregate per dir; pre-evolution dirs
+            # lack evolved columns and must carry the backfilled
+            # all-null entry instead
+            df_d = spark.read.parquet(p)
+            present = set(df_d.columns)
+            todo = [c for c in cols if c in present]
+            live = _column_stats(df_d, todo) if todo else {}
+            for c, ent in cols.items():
+                if c not in present:
+                    if ent[0] is not None or ent[1] is not None:
+                        findings.append(
+                            f"column {c} absent in {d} but its stats "
+                            f"entry is not the all-null backfill: "
+                            f"{list(ent)}")
+                    continue
+                got = live[c]
+                if list(got)[:len(ent)] != list(ent):
+                    findings.append(
+                        f"stats drift for {c} in {d}: manifest "
+                        f"{list(ent)}, data {list(got)[:len(ent)]}")
+    return findings
+
+
 def read_manifest(table_dir: str, version: int) -> dict:
     return json.loads(fsio.read_text(_manifest_path(table_dir, version)))
 

@@ -571,3 +571,71 @@ def test_cli_tag_verbs(spark, tmp_path, capsys):
     assert "deleted tag rel (was v1)" in capsys.readouterr().out
     assert main(["table", "tags", tdir]) == 0
     assert "no tags" in capsys.readouterr().out
+
+
+# ----------------------------------------------------------------- fsck
+
+def test_fsck_clean_table_and_injected_corruption(spark, tmp_path):
+    """fsck_table reports nothing on a healthy table and finds every
+    injected inconsistency class — report, never repair."""
+    import json
+    import os
+    import shutil
+
+    from mapreduce_4_spark.sources.versioned import (
+        fsck_table,
+        tag_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)
+    delete_version_dv(spark, tdir, keys=[5], key="k")
+    tag_version(tdir, "ok")
+    assert fsck_table(tdir) == []
+    assert fsck_table(tdir, spark=spark) == []  # deep: stats agree
+
+    # corruption 1: hand-edit a dir_rows entry and the row_count
+    mp = os.path.join(tdir, "_versions", "000004.json")
+    m = json.loads(open(mp).read())
+    m["dir_rows"]["v=000002"] += 3
+    open(mp, "w").write(json.dumps(m))
+    found = fsck_table(tdir)
+    assert any("dir_rows mismatch" in f for f in found), found
+    assert any("row_count" in f for f in found), found
+
+    # corruption 2: stats drift (min no longer matches the data)
+    m = json.loads(open(mp).read())
+    m["dir_rows"]["v=000002"] -= 3
+    m["col_stats"]["v=000001"]["k"][0] = 99
+    open(mp, "w").write(json.dumps(m))
+    shallow = fsck_table(tdir)
+    assert any("min > max" in f for f in shallow), shallow
+    deep = fsck_table(tdir, spark=spark)
+    assert any("stats drift" in f for f in deep), deep
+
+    # corruption 3: a data dir disappears
+    m = json.loads(open(mp).read())
+    m["col_stats"]["v=000001"]["k"][0] = 0
+    open(mp, "w").write(json.dumps(m))
+    shutil.rmtree(os.path.join(tdir, "v=000003"))
+    assert any("missing data dir" in f for f in fsck_table(tdir))
+
+
+def test_cli_table_fsck_verb(spark, tmp_path, capsys):
+    import json
+    import os
+
+    from mapreduce_4_spark.__main__ import main
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir, slices=((0, 10),))
+    assert main(["table", "fsck", tdir]) == 0
+    assert "0 finding(s)" in capsys.readouterr().out
+    mp = os.path.join(tdir, "_versions", "000001.json")
+    m = json.loads(open(mp).read())
+    m["row_count"] = 999
+    open(mp, "w").write(json.dumps(m))
+    assert main(["table", "fsck", tdir]) == 1
+    out = capsys.readouterr().out
+    # both row_count checks fire: bytes AND manifest arithmetic disagree
+    assert "FINDING: row_count" in out and "2 finding(s)" in out
