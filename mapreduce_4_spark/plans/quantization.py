@@ -193,3 +193,267 @@ def pq_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk_ids(q, emb.select("vec_id", "e"), "e", _K)
     quant = cosine_topk_ids(q, recon, "r", _K)
     return recall_vs_exact(exact, quant)
+
+
+_IVF_C = 8       # coarse centroids (seeded: the 8 lowest-id vectors)
+_NPROBE = 2      # probed lists per query
+_RERANK = 20     # ADC shortlist size handed to the exact re-rank
+
+
+def _ivf_pq_oracle() -> str:
+    sub_union = " UNION ALL ".join(
+        f"SELECT cid, {m} AS m, {_sql_sub('c', m)} AS cw FROM seed"
+        for m in range(_PQ_M)
+    )
+    enc_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {_sql_sub('e', m)} AS sub FROM emb"
+        for m in range(_PQ_M)
+    )
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        cent AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS ccid, e AS c
+            FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {_IVF_C})
+        ),
+        assigned AS (
+            SELECT vec_id, ccid AS cluster FROM (
+                SELECT v.vec_id, c.ccid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.e, c.c) DESC,
+                                    c.ccid
+                       ) AS rn
+                FROM emb v CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, ccid AS cluster FROM (
+                SELECT q.vec_id AS query_id, c.ccid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.e, c.c) DESC,
+                                    c.ccid
+                       ) AS rn
+                FROM emb q CROSS JOIN cent c
+                WHERE q.vec_id < {_N_QUERIES}
+            ) WHERE rn <= {_NPROBE}
+        ),
+        seed AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, e AS c
+            FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {_PQ_K})
+        ),
+        cb AS ({sub_union}),
+        subs AS ({enc_union}),
+        codes AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT s.vec_id, s.m, b.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY -2.0 * list_dot_product(s.sub, b.cw)
+                                    + list_dot_product(b.cw, b.cw) ASC,
+                                    b.cid
+                       ) AS rn
+                FROM subs s JOIN cb b ON s.m = b.m
+            ) WHERE rn = 1
+        ),
+        recon AS (
+            SELECT vec_id, flatten(list(cw ORDER BY m)) AS r
+            FROM (SELECT c.vec_id, c.m, b.cw
+                  FROM codes c JOIN cb b ON c.m = b.m AND c.cid = b.cid)
+            GROUP BY vec_id
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id
+            FROM probes p JOIN assigned a ON p.cluster = a.cluster
+            WHERE p.query_id <> a.vec_id
+        ),
+        adc AS (
+            SELECT query_id, vec_id FROM (
+                SELECT cd.query_id, cd.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY cd.query_id
+                           ORDER BY list_cosine_similarity(q.e, r.r) DESC,
+                                    cd.vec_id
+                       ) AS rn
+                FROM cand cd
+                JOIN emb q ON q.vec_id = cd.query_id
+                JOIN recon r ON r.vec_id = cd.vec_id
+            ) WHERE rn <= {_RERANK}
+        ),
+        reranked AS (
+            SELECT query_id, vec_id FROM (
+                SELECT a.query_id, a.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.query_id
+                           ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+                                    a.vec_id
+                       ) AS rnk
+                FROM adc a
+                JOIN emb q ON q.vec_id = a.query_id
+                JOIN emb c ON c.vec_id = a.vec_id
+            ) WHERE rnk <= {_K}
+        ),
+        ex AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+                                    c.vec_id
+                       ) AS rnk
+                FROM emb q JOIN emb c
+                  ON q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+            ) WHERE rnk <= {_K}
+        ),
+        nc AS (
+            SELECT query_id, COUNT(*) AS n_cand FROM cand GROUP BY query_id
+        )
+        SELECT ex.query_id,
+               CAST(MAX(nc.n_cand) AS BIGINT) AS n_cand,
+               COUNT(*) AS n_true,
+               COUNT(rr.vec_id) AS n_hit,
+               CAST(COUNT(rr.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_10
+        FROM ex
+        LEFT JOIN reranked rr
+          ON ex.query_id = rr.query_id AND ex.vec_id = rr.vec_id
+        JOIN nc ON nc.query_id = ex.query_id
+        GROUP BY ex.query_id
+    """
+
+
+@register(
+    "ivf_pq_search_recall",
+    oracle=_ivf_pq_oracle(),
+    tags=("similarity", "ivf", "quantization", "diagnostics"),
+    description="the full production ANN stack composed and measured: "
+                f"IVF routing ({_IVF_C} seeded coarse centroids, "
+                f"nprobe={_NPROBE}) bounds the candidate set, PQ "
+                "asymmetric-distance scoring over codeword "
+                f"reconstructions shortlists the top {_RERANK}, and an "
+                f"exact cosine re-rank of the shortlist yields the top "
+                f"{_K} — per-query candidate volume and recall@10 vs "
+                "brute force reported. Seeded coarse quantizer AND "
+                "seeded codebooks (the deterministic-index convention), "
+                "so all three stages replay bit-for-bit in DuckDB",
+)
+def ivf_pq_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: this is how billion-scale ANN actually serves —
+    the coarse quantizer bounds corpus contact to ~nprobe/k of the
+    data, ADC scores candidates from 4-byte codes reconstructed out of
+    a 64-row broadcast codebook (raw vectors never touched), and only
+    the 20-row shortlist pays exact arithmetic. Every stage is a
+    broadcast or list-bucketed hash join; nothing is all-pairs. The
+    recall column prices the compression: IVF loses candidates outside
+    probed lists, PQ mis-ranks within them, the re-rank recovers
+    whatever survives both.
+
+    Reference anchor: the reference's single-stage ranking
+    (asio_deep/main.cpp:434-516) generalized to the tiered
+    route-shortlist-rerank shape retrieval systems deploy.
+    """
+    from mapreduce_4_spark.functions.vectors import cosine
+    from mapreduce_4_spark.operators.similarity import recall_vs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e"))
+    # coarse quantizer: 8 seeded centroids, broadcast everywhere
+    cent = (
+        emb.orderBy("vec_id").limit(_IVF_C)
+        .select(F.row_number().over(Window.orderBy("vec_id"))
+                .alias("ccid"), F.col("e").alias("c"))
+    )
+    sim_c = cosine(F.col("e"), F.col("c"))
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec_id")
+            .orderBy(sim_c.desc(), F.col("ccid"))))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("ccid").alias("cluster"))
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("query_id")
+            .orderBy(cosine(F.col("qv"), F.col("c")).desc(),
+                     F.col("ccid"))))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("query_id", F.col("ccid").alias("cluster"))
+    )
+    # PQ encode -> reconstruct (the pq_recall_topk pipeline)
+    seed = (
+        emb.orderBy("vec_id").limit(_PQ_K)
+        .select(F.row_number().over(Window.orderBy("vec_id"))
+                .alias("cid"), "e")
+    )
+    cb = None
+    for m in range(_PQ_M):
+        part = seed.select(
+            "cid", F.lit(m).alias("m"),
+            F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("cw"))
+        cb = part if cb is None else cb.unionByName(part)
+    subs = None
+    for m in range(_PQ_M):
+        part = emb.select(
+            "vec_id", F.lit(m).alias("m"),
+            F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("sub"))
+        subs = part if subs is None else subs.unionByName(part)
+    score = F.lit(-2.0) * dot(F.col("sub"), F.col("cw")) + dot(
+        F.col("cw"), F.col("cw"))
+    codes = (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec_id", "m")
+            .orderBy(score.asc(), F.col("cid").asc())))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    recon = (
+        codes.join(F.broadcast(cb), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cw"))),
+            lambda s: s["cw"])).alias("r"))
+    )
+    # stage 1: IVF candidates; stage 2: ADC shortlist; stage 3: rerank
+    cand = (
+        probes.join(assigned, "cluster")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(recon, "vec_id")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("query_id")
+            .orderBy(cosine(F.col("qv"), F.col("r")).desc(),
+                     F.col("vec_id"))))
+        .filter(F.col("rn") <= _RERANK)
+        .select("query_id", "vec_id")
+    )
+    reranked = (
+        adc.join(F.broadcast(q), "query_id")
+        .join(emb, "vec_id")
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("query_id")
+            .orderBy(cosine(F.col("qv"), F.col("e")).desc(),
+                     F.col("vec_id"))))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "vec_id")
+    )
+    from mapreduce_4_spark.operators.similarity import cosine_topk_ids
+
+    exact = cosine_topk_ids(q.select("query_id", F.col("qv")),
+                            emb.select("vec_id", "e"), "e", _K)
+    n_cand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_cand"))
+    rec = recall_vs_exact(exact, reranked)
+    return (
+        rec.join(n_cand, "query_id")
+        .select("query_id", F.col("n_cand").cast("long").alias("n_cand"),
+                "n_true", "n_hit", "recall_at_10")
+    )
