@@ -639,3 +639,19 @@ def test_cli_table_fsck_verb(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     # both row_count checks fire: bytes AND manifest arithmetic disagree
     assert "FINDING: row_count" in out and "2 finding(s)" in out
+
+
+def test_collect_keys_cap_fails_loudly(spark, tmp_path):
+    """A key set wider than max_keys must refuse (route to the
+    join-based full rewrite), never silently degrade to a giant
+    driver collect."""
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir, slices=((0, 30),))
+    wide = spark.range(100).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="max_keys"):
+        delete_version_pruned(spark, tdir, keys=wide, key="k",
+                              max_keys=10)
+    with pytest.raises(ValueError, match="max_keys"):
+        merge_version_pruned(
+            spark, tdir,
+            wide.withColumn("v", F.col("k")), "k", max_keys=10)

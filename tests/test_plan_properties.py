@@ -448,3 +448,17 @@ def test_dv_read_is_one_broadcast_left_anti(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_stack_never_goes_all_pairs(spark, sf_oracle):
+    """The composed ANN stack's joins must all be broadcast-bounded or
+    key-bucketed: the only nested-loop joins are the BOUNDED broadcasts
+    (8-row coarse centroids for assignment/probing, 16-row PQ seed,
+    5-row query side — the textrank 1-row-count contract class), and
+    nothing is ever a cartesian over the corpus."""
+    plan = _plan(spark, sf_oracle, "ivf_pq_search_recall")
+    assert "CartesianProduct" not in plan
+    # every BroadcastNestedLoopJoin here builds a <=16-row side; a
+    # corpus-sized BNLJ would be a regression this cap catches
+    assert plan.count("BroadcastNestedLoopJoin") <= 6, plan.count(
+        "BroadcastNestedLoopJoin")
