@@ -3,11 +3,23 @@ exact search — the other classic ANN architecture beside LSH (task spec:
 "an IVF or LSH-bucketed variant as the scale path").
 
 Training is a small Lloyd's k-means run expressed entirely as DataFrame
-ops: deterministic seeding (lowest ids), assignment via broadcast
-centroid cross-score, re-centering via exact per-dimension means
-(posexplode -> groupBy(cluster, dim) -> avg -> collect back to arrays).
-At 100 TB the centroid table stays tiny (k x dim) and is always
-broadcast; only assignments shuffle, once per iteration.
+ops: deterministic seeding (lowest ids), assignment via a MAP-ONLY
+broadcast-array argmin (below), re-centering via exact per-dimension
+means (posexplode -> groupBy(cluster, dim) -> avg -> collect back to
+arrays). At 100 TB the centroid table stays tiny (k x dim) and is
+always broadcast; only the re-centering aggregate shuffles, once per
+iteration, and its key space is (k, dim).
+
+Assignment/routing plan shape: the k centroids collapse into ONE
+broadcast row holding a sorted array of (cid, centroid, norm) structs;
+the nearest-centroid argmin is then a per-row JVM expression
+``array_sort(transform(cents, ...))[0]`` — zero row blowup, zero
+corpus-side Exchange (the shape ``operators/clustering.py``'s
+fixed-point k-means established; plan-asserted in
+tests/test_plan_properties.py). The earlier corpus x k broadcast-join +
+window row_number pattern shuffled the corpus on vec_id ~k times —
+avoidable data movement in precisely the stage that exists to avoid
+data movement.
 
 Search probes the ``nprobe`` nearest centroids per query and ranks
 exactly within those inverted lists only — corpus contact is
@@ -27,34 +39,53 @@ from mapreduce_4_spark.functions.vectors import as_double, dot, norm
 # traversals; see operators/similarity.py::_pair_sim.
 
 
-def _with_centroid_norms(centroids: DataFrame) -> DataFrame:
-    return centroids.select(
-        F.col("cluster_id").alias("_cid"),
-        F.col("centroid").alias("_centroid"),
-        norm(as_double(F.col("centroid"))).alias("_cnorm"),
+def centroid_array(centroids: DataFrame) -> DataFrame:
+    """Collapse the (cluster_id, centroid) relation into ONE row holding
+    a cid-sorted array of (cid, centroid, norm) structs — the broadcast
+    payload every map-only argmin below consumes. k x dim doubles total,
+    tiny at any scale."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cluster_id").alias("_cid"),
+                    as_double(F.col("centroid")).alias("_c"),
+                    norm(as_double(F.col("centroid"))).alias("_cn"),
+                )
+            )
+        ).alias("_cents")
+    )
+
+
+def _ranked_by_sim(vec: F.Column, vnorm: F.Column) -> F.Column:
+    """Sorted (ascending by -cosine, ties to lowest cid) struct array of
+    all centroids for one row: element 0 is the nearest centroid, the
+    first ``nprobe`` are the probe set. Pure per-row expression —
+    sim = dot/(|v|*|c|), the exact arithmetic of the window variant and
+    of DuckDB's list_cosine_similarity (functions/vectors.py)."""
+    return F.array_sort(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                (-(dot(vec, s["_c"]) / (vnorm * s["_cn"]))).alias("_negsim"),
+                s["_cid"].alias("_cid"),
+            ),
+        )
     )
 
 
 def _assign(df: DataFrame, centroids: DataFrame, vec: str, id_col: str,
             out: str = "cluster") -> DataFrame:
-    """Nearest centroid by cosine for every row (broadcast centroids)."""
-    sim = dot(F.col("_v"), as_double(F.col("_centroid"))) / (
-        F.col("_vn") * F.col("_cnorm")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("_cid"))
-    scored = (
+    """Nearest centroid by cosine for every row — map-only: one-row
+    broadcast centroid array, per-row argmin expression, no corpus-side
+    Exchange and no row blowup (plan-asserted)."""
+    return (
         df.withColumn("_v", as_double(F.col(vec)))
         .withColumn("_vn", norm(F.col("_v")))
-        .join(F.broadcast(_with_centroid_norms(centroids)), how="cross")
-        .withColumn("_sim", sim)
+        .crossJoin(F.broadcast(centroid_array(centroids)))
+        .withColumn(out, _ranked_by_sim(F.col("_v"), F.col("_vn"))[0]["_cid"])
+        .drop("_v", "_vn", "_cents")
     )
-    best = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_sim", "_rn", "_centroid", "_cnorm", "_v", "_vn")
-        .withColumnRenamed("_cid", out)
-    )
-    return best
 
 
 def train_centroids(corpus: DataFrame, k: int = 8, iters: int = 2,
@@ -104,6 +135,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ``.persist()``-ed or checkpointed) to search repeatedly without
     re-running k-means — the index-build / index-search split every real
     ANN deployment uses. ``exclude_self`` as in similarity.brute_force_topk.
+
+    Plan shape: routing (corpus side) and probe selection (query side)
+    are both map-only over the one-row broadcast centroid array — probe
+    selection takes ``slice(sorted, 1, nprobe)`` + explode of the same
+    ranked array the argmin uses. The only shuffles left are the
+    candidate ranking window (query_id-keyed, bounded by the probe-list
+    volume) — routing itself moves no data.
     """
     if centroids is None:
         centroids = train_centroids(corpus, k=n_clusters)
@@ -113,20 +151,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         "_cn", norm(F.col("_cvec"))
     )
 
-    qsim = dot(F.col("_qvec"), as_double(F.col("_centroid"))) / (
-        F.col("_qn") * F.col("_cnorm")
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc("_cid"))
     probes = (
         queries.select(
             query_id_col, as_double(F.col(vec_col)).alias("_qvec")
         )
         .withColumn("_qn", norm(F.col("_qvec")))
-        .join(F.broadcast(_with_centroid_norms(centroids)), how="cross")
-        .withColumn("_sim", qsim)
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select(query_id_col, "_qvec", "_qn", F.col("_cid").alias("cluster"))
+        .crossJoin(F.broadcast(centroid_array(centroids)))
+        .select(
+            query_id_col, "_qvec", "_qn",
+            F.explode(
+                F.slice(_ranked_by_sim(F.col("_qvec"), F.col("_qn")), 1, nprobe)
+            ).alias("_p"),
+        )
+        .select(query_id_col, "_qvec", "_qn", F.col("_p._cid").alias("cluster"))
     )
     sim = dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))

@@ -15,9 +15,15 @@ ordering to L2 distance, |sub|^2 constant per row) — dot products only,
 which is the operation with established fold parity across engines
 (functions/vectors.py).
 
-100 TB posture: the codebook is 64 tiny rows broadcast everywhere;
-encoding is a per-row map; candidate scoring touches reconstructions,
-never raw vectors — this is how billion-scale ANN serves from RAM.
+100 TB posture: the codebook (64 tiny rows) and the coarse centroids
+(8 rows) each collapse into ONE broadcast row holding a sorted struct
+array; encoding, reconstruction, AND coarse routing are then per-row
+JVM expressions (``array_sort(transform(...))[0]`` argmins) — zero row
+blowup, zero corpus-keyed Exchange anywhere upstream of the candidate
+join (plan-asserted in tests/test_plan_properties.py; the shape
+``operators/clustering.py``'s fixed-point k-means established).
+Candidate scoring touches reconstructions, never raw vectors — this is
+how billion-scale ANN serves from RAM.
 
 Reference anchor: the O9 merge contract generalized to vector-keyed
 spaces (asio_deep/main.cpp:434-516).
@@ -25,10 +31,10 @@ spaces (asio_deep/main.cpp:434-516).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.vectors import as_double, dot
+from mapreduce_4_spark.functions.vectors import as_double, cosine, dot
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -38,6 +44,61 @@ _PQ_SUB = _DIM // _PQ_M
 _PQ_K = 16         # codewords per subspace (codebook = 16 lowest ids)
 _N_QUERIES = 5
 _K = 10
+
+
+def _codebook_array(emb: DataFrame) -> DataFrame:
+    """The seeded PQ codebook collapsed to ONE row: an (m, cid)-sorted
+    array of 64 (m, cid, cw) structs — the broadcast payload the
+    map-only encoder consumes."""
+    seed = (
+        emb.orderBy("vec_id").limit(_PQ_K)
+        .select(F.row_number().over(Window.orderBy("vec_id")).alias("cid"), "e")
+    )
+    cb = None
+    for m in range(_PQ_M):
+        part = seed.select(
+            "cid", F.lit(m).alias("m"),
+            F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("cw"),
+        )
+        cb = part if cb is None else cb.unionByName(part)
+    return cb.agg(
+        F.array_sort(F.collect_list(F.struct("m", "cid", "cw"))).alias("_cb")
+    )
+
+
+def _pq_recon_col(e: Column) -> Column:
+    """Per-row PQ encode + reconstruct as ONE expression over the
+    broadcast ``_cb`` array: for each subspace the nearest codeword by
+    ``-2<sub,cw> + |cw|^2`` (ascending, ties to the lowest cid — equal
+    ordering to L2; dot products only, the fold with cross-engine
+    parity), reconstruction = chosen codewords concatenated in subspace
+    order. No subspace explode, no (vec_id, m) window, no groupBy —
+    the encode stage moves zero rows."""
+    parts = []
+    for m in range(_PQ_M):
+        sub = F.slice(e, m * _PQ_SUB + 1, _PQ_SUB)
+        best = F.array_sort(
+            F.transform(
+                F.filter(F.col("_cb"), lambda b: b["m"] == F.lit(m)),
+                lambda b: F.struct(
+                    (F.lit(-2.0) * dot(sub, b["cw"]) + dot(b["cw"], b["cw"]))
+                    .alias("_score"),
+                    b["cid"].alias("_cid"),
+                    b["cw"].alias("_cw"),
+                ),
+            )
+        )[0]
+        parts.append(best["_cw"])
+    return F.flatten(F.array(*parts))
+
+
+def pq_reconstructions(emb: DataFrame) -> DataFrame:
+    """(vec_id, r): every vector's PQ reconstruction — a pure map over
+    the corpus against the one-row broadcast codebook."""
+    return (
+        emb.crossJoin(F.broadcast(_codebook_array(emb)))
+        .select("vec_id", _pq_recon_col(F.col("e")).alias("r"))
+    )
 
 
 def _sql_sub(expr: str, m: int) -> str:
@@ -126,60 +187,16 @@ def _pq_oracle() -> str:
                 "fully oracled via the seeded-index convention",
 )
 def pq_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode: per (vector, subspace), nearest codeword from a 64-row
-    broadcast codebook (rank by -2<sub,cw>+|cw|^2 — dot products only,
-    the fold with cross-engine parity). Reconstruct: 4 codeword joins,
-    reassembled in subspace order. Search: the bounded query-side
-    broadcast contract shared with the other recall evals."""
+    """Encode + reconstruct: ONE per-row expression over the one-row
+    broadcast codebook (nearest codeword per subspace by
+    -2<sub,cw>+|cw|^2 — dot products only, the fold with cross-engine
+    parity; see pq_reconstructions) — no subspace explode, no window,
+    no groupBy. Search: the bounded query-side broadcast contract
+    shared with the other recall evals."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    seed = (
-        emb.orderBy("vec_id").limit(_PQ_K)
-        .select(F.row_number().over(Window.orderBy("vec_id")).alias("cid"), "e")
-    )
-    cb = None
-    for m in range(_PQ_M):
-        part = seed.select(
-            "cid", F.lit(m).alias("m"),
-            F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("cw"),
-        )
-        cb = part if cb is None else cb.unionByName(part)
-
-    subs = None
-    for m in range(_PQ_M):
-        part = emb.select(
-            "vec_id", F.lit(m).alias("m"),
-            F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
-        )
-        subs = part if subs is None else subs.unionByName(part)
-
-    score = F.lit(-2.0) * dot(F.col("sub"), F.col("cw")) + dot(
-        F.col("cw"), F.col("cw")
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(
-            score.asc(), F.col("cid").asc()
-        )
-    )
-    codes = (
-        subs.join(F.broadcast(cb), "m")
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
-    )
-    recon = (
-        codes.join(F.broadcast(cb), ["m", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("m", "cw"))),
-                    lambda s: s["cw"],
-                )
-            ).alias("r")
-        )
-    )
+    recon = pq_reconstructions(emb)
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
@@ -198,6 +215,45 @@ def pq_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_C = 8       # coarse centroids (seeded: the 8 lowest-id vectors)
 _NPROBE = 2      # probed lists per query
 _RERANK = 20     # ADC shortlist size handed to the exact re-rank
+
+
+def _coarse_array(emb: DataFrame) -> DataFrame:
+    """The seeded coarse quantizer collapsed to ONE row: a ccid-sorted
+    array of (ccid, c) structs, broadcast into the map-only router."""
+    cent = (
+        emb.orderBy("vec_id").limit(_IVF_C)
+        .select(F.row_number().over(Window.orderBy("vec_id")).alias("ccid"),
+                F.col("e").alias("c"))
+    )
+    return cent.agg(
+        F.array_sort(F.collect_list(F.struct("ccid", "c"))).alias("_cents")
+    )
+
+
+def _ranked_coarse(e: Column) -> Column:
+    """Centroids sorted nearest-first for one row (ascending by
+    -cosine, ties to lowest ccid): element 0 routes the row, the first
+    nprobe elements are a query's probe set. Pure per-row expression —
+    same cosine arithmetic as the oracle's list_cosine_similarity."""
+    return F.array_sort(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                (-cosine(e, s["c"])).alias("_negsim"),
+                s["ccid"].alias("_ccid"),
+            ),
+        )
+    )
+
+
+def coarse_assigned(emb: DataFrame) -> DataFrame:
+    """(vec_id, cluster): every vector routed to its nearest seeded
+    coarse centroid — a pure map against the one-row broadcast centroid
+    array; zero corpus-keyed Exchange (plan-asserted)."""
+    return (
+        emb.crossJoin(F.broadcast(_coarse_array(emb)))
+        .select("vec_id", _ranked_coarse(F.col("e"))[0]["_ccid"].alias("cluster"))
+    )
 
 
 def _ivf_pq_oracle() -> str:
@@ -358,67 +414,21 @@ def ivf_pq_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e"))
-    # coarse quantizer: 8 seeded centroids, broadcast everywhere
-    cent = (
-        emb.orderBy("vec_id").limit(_IVF_C)
-        .select(F.row_number().over(Window.orderBy("vec_id"))
-                .alias("ccid"), F.col("e").alias("c"))
-    )
-    sim_c = cosine(F.col("e"), F.col("c"))
-    assigned = (
-        emb.join(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("vec_id")
-            .orderBy(sim_c.desc(), F.col("ccid"))))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("ccid").alias("cluster"))
-    )
+    # coarse routing: map-only argmin over the one-row broadcast
+    # centroid array (no corpus x 8 blowup, no vec_id window/Exchange)
+    assigned = coarse_assigned(emb)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qv"))
     probes = (
-        q.join(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("query_id")
-            .orderBy(cosine(F.col("qv"), F.col("c")).desc(),
-                     F.col("ccid"))))
-        .filter(F.col("rn") <= _NPROBE)
-        .select("query_id", F.col("ccid").alias("cluster"))
+        q.crossJoin(F.broadcast(_coarse_array(emb)))
+        .select("query_id",
+                F.explode(F.slice(_ranked_coarse(F.col("qv")), 1, _NPROBE))
+                .alias("_p"))
+        .select("query_id", F.col("_p._ccid").alias("cluster"))
     )
-    # PQ encode -> reconstruct (the pq_recall_topk pipeline)
-    seed = (
-        emb.orderBy("vec_id").limit(_PQ_K)
-        .select(F.row_number().over(Window.orderBy("vec_id"))
-                .alias("cid"), "e")
-    )
-    cb = None
-    for m in range(_PQ_M):
-        part = seed.select(
-            "cid", F.lit(m).alias("m"),
-            F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("cw"))
-        cb = part if cb is None else cb.unionByName(part)
-    subs = None
-    for m in range(_PQ_M):
-        part = emb.select(
-            "vec_id", F.lit(m).alias("m"),
-            F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("sub"))
-        subs = part if subs is None else subs.unionByName(part)
-    score = F.lit(-2.0) * dot(F.col("sub"), F.col("cw")) + dot(
-        F.col("cw"), F.col("cw"))
-    codes = (
-        subs.join(F.broadcast(cb), "m")
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("vec_id", "m")
-            .orderBy(score.asc(), F.col("cid").asc())))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
-    )
-    recon = (
-        codes.join(F.broadcast(cb), ["m", "cid"])
-        .groupBy("vec_id")
-        .agg(F.flatten(F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "cw"))),
-            lambda s: s["cw"])).alias("r"))
-    )
+    # PQ encode -> reconstruct: one per-row expression (pq_recall_topk's
+    # pipeline) — the encode stage moves zero rows
+    recon = pq_reconstructions(emb)
     # stage 1: IVF candidates; stage 2: ADC shortlist; stage 3: rerank
     cand = (
         probes.join(assigned, "cluster")

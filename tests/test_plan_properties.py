@@ -462,3 +462,43 @@ def test_ivf_pq_stack_never_goes_all_pairs(spark, sf_oracle):
     # corpus-sized BNLJ would be a regression this cap catches
     assert plan.count("BroadcastNestedLoopJoin") <= 6, plan.count(
         "BroadcastNestedLoopJoin")
+
+
+def test_ann_routing_and_encode_are_map_only(spark, sf_oracle):
+    """Round-12 pin: IVF coarse routing, probe selection, and the PQ
+    encode/reconstruct are MAP-ONLY — the centroids/codebook collapse
+    to ONE broadcast row and the argmin is a per-row expression
+    (operators/clustering.py's shape), so the stages that exist to
+    avoid data movement move none: zero hash-partitioned Exchange of
+    any kind (the only Exchanges allowed are the one-row broadcast and
+    the SinglePartition collect_list that builds it). The old
+    broadcast-join + window row_number pattern put 5 corpus-keyed
+    Exchanges in ivf_pq_search_recall's routing/encode stages."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.operators.ann_ivf import _assign, train_centroids
+    from mapreduce_4_spark.plans.quantization import (
+        coarse_assigned,
+        pq_reconstructions,
+    )
+    from mapreduce_4_spark.functions.vectors import as_double
+    from mapreduce_4_spark.sources import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e"))
+    raw = load_table(spark, sf_oracle, "embeddings").select(
+        "vec_id", "embedding")
+
+    stages = {
+        "coarse_assigned": coarse_assigned(emb),
+        "pq_reconstructions": pq_reconstructions(emb),
+        "ivf_assign": _assign(
+            raw, train_centroids(raw, k=8, iters=0), "embedding", "vec_id"),
+    }
+    for name, df in stages.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # a corpus-keyed window/argmin would force exactly this node; the
+        # only windows left are the k-row seed row_numbers, which run
+        # post-limit over Exchange SinglePartition
+        assert "Exchange hashpartitioning" not in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
