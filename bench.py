@@ -104,6 +104,11 @@ def refresh_reference(bench_json_path: str) -> None:
     can never go stale against the values (the SWEEP_BUDGET lesson)."""
     with open(bench_json_path) as f:
         run = json.load(f)
+    if "queries" not in run and isinstance(run.get("parsed"), dict):
+        # driver-recorded BENCH_r{N}.json wraps the bench line under
+        # "parsed" — unwrap so rounds can refresh straight from the
+        # artifact of record
+        run = run["parsed"]
     payload = {
         "reference_sec": {n: run["queries"][n] for n in HEADLINE},
         "reference_normalized": {
