@@ -109,12 +109,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser(
         "table", help="versioned-table maintenance (history/compact/"
                       "compact-tail/vacuum/stats/count/minmax/sum/agg/"
-                      "lookup/restore/delete/tag/tags/cluster)")
+                      "lookup/restore/delete/update/merge/tag/tags/"
+                      "cluster)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
                                      "vacuum", "stats", "count", "minmax",
                                      "sum", "agg", "lookup", "restore",
-                                     "delete", "tag", "tags", "cluster",
-                                     "fsck"])
+                                     "delete", "update", "merge", "tag",
+                                     "tags", "cluster", "fsck"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -133,8 +134,14 @@ def main(argv: list[str] | None = None) -> int:
                          "ISO-8601, UTC when tz-naive (count/sum/"
                          "minmax/agg)")
     sp.add_argument("--values", default=None,
-                    help="lookup/delete: comma-separated values for "
-                         "col IN (...)")
+                    help="lookup/delete/update: comma-separated values "
+                         "for col IN (...)")
+    sp.add_argument("--set", default=None,
+                    help="update: comma-separated col=value assignments "
+                         "applied to matching rows")
+    sp.add_argument("--source", default=None,
+                    help="merge: parquet path holding the update rows "
+                         "(upserted on --col)")
     sp.add_argument("--zorder", default=None,
                     help="cluster: comma-separated columns for the "
                          "Morton-interleave layout (2+); one column "
@@ -313,6 +320,61 @@ def main(argv: list[str] | None = None) -> int:
                       f"dropped whole, {info['untouched']} untouched, "
                       f"{info['rewritten']} rewritten)")
             return 0
+        if args.verb == "update":
+            # targeted CoW UPDATE: same --col + --values / --lower/
+            # --upper addressing as delete, plus --set col=value[,...]
+            # (values typed by the same _bound rule as the predicate);
+            # dir classification = the delete rule, so the commit cost
+            # is O(dirs that may hold matching rows)
+            if not args.col or not args.set:
+                p.error("update needs --col and --set col=value[,...]")
+            if args.dv:
+                p.error("--dv applies to delete only (there is no "
+                        "merge-on-read update)")
+            keyed = args.values is not None
+            ranged = args.lower is not None or args.upper is not None
+            if keyed == ranged:
+                p.error("update needs exactly one of --values or "
+                        "--lower/--upper")
+            assignments = {}
+            for pair in args.set.split(","):
+                col, sep, val = pair.partition("=")
+                if not sep or not col.strip():
+                    p.error(f"--set entry {pair!r} is not col=value")
+                assignments[col.strip()] = _bound(val)
+            from mapreduce_4_spark.session import get_spark
+
+            spark = get_spark("mapreduce_4_spark-cli-table")
+            if keyed:
+                kw = dict(keys=[_bound(v) for v in args.values.split(",")],
+                          key=args.col)
+            else:
+                kw = dict(where={args.col: (_bound(args.lower),
+                                            _bound(args.upper))})
+            v, info = vt.update_version_pruned(
+                spark, args.table_dir, assignments, detail=True, **kw)
+            print(f"cow-updated -> v{v} (dirs: {info['untouched']} "
+                  f"untouched, {info['rewritten']} rewritten)")
+            return 0
+        if args.verb == "merge":
+            # keyed CoW MERGE (upsert): update rows come from a parquet
+            # path; matched keys update, unmatched insert; only dirs
+            # provably holding updated keys rewrite
+            if not args.col or not args.source:
+                p.error("merge needs --col (the key) and --source "
+                        "<parquet path of update rows>")
+            if args.dv:
+                p.error("--dv applies to delete only (merge always "
+                        "writes its update rows)")
+            from mapreduce_4_spark.session import get_spark
+
+            spark = get_spark("mapreduce_4_spark-cli-table")
+            updates = spark.read.parquet(args.source)
+            v, info = vt.merge_version_pruned(
+                spark, args.table_dir, updates, args.col, detail=True)
+            print(f"cow-merged -> v{v} (dirs: {info['untouched']} "
+                  f"untouched, {info['rewritten']} rewritten)")
+            return 0
         if args.verb in ("tag", "tags"):
             # named snapshots (Iceberg tags): a tag pins a version
             # against vacuum and addresses every reader/aggregate by
@@ -365,15 +427,33 @@ def main(argv: list[str] | None = None) -> int:
 
             spark = get_spark("mapreduce_4_spark-cli-table")
             latest = vt.read_version(spark, args.table_dir)
-            kw = ({"sort_by": cols} if len(cols) == 1
-                  else {"zorder_by": cols})
+            # the republish must carry EVERY standing layout contract
+            # (partition_by, bucket_by/n_buckets, stats_for, bloom_for)
+            # — layout_from_manifest's rule — with only the clustering
+            # fields overridden; hand-built kwargs here once silently
+            # dropped the partition/bucket/bloom contracts
+            kw = vt.layout_from_manifest(vt.read_manifest(
+                args.table_dir, vt.latest_version(args.table_dir)))
+            if len(cols) == 1:
+                kw["sort_by"] = cols
+                kw["zorder_by"] = None
+                kw.pop("zorder_bits", None)
+            else:
+                blocker = ("bucket_by" if kw.get("bucket_by")
+                           else "partition_by" if kw.get("partition_by")
+                           else None)
+                if blocker:
+                    p.error(
+                        f"cannot zorder: table has a standing {blocker} "
+                        "layout, and zorder_by is a whole-table "
+                        "clustered layout that would silently replace "
+                        "it — drop the conflicting layout explicitly "
+                        "(full rewrite without it) before clustering")
+                kw["sort_by"] = None
+                kw["zorder_by"] = cols
             v = vt.write_version(
                 latest, args.table_dir, n_files=args.target_files,
-                manifest_extra={"operation": "cluster"},
-                stats_for=vt.read_manifest(
-                    args.table_dir,
-                    vt.latest_version(args.table_dir)).get("stats_for"),
-                **kw)
+                manifest_extra={"operation": "cluster"}, **kw)
             print(f"clustered ({'zorder' if len(cols) > 1 else 'sort'}: "
                   f"{','.join(cols)}) -> v{v}")
             return 0

@@ -236,18 +236,33 @@ def _zorder_col(df: DataFrame, cols: list[str], bits: int):
     values only, the honest fallback)."""
     from pyspark.sql import functions as F
 
+    # try_cast, not cast: under ANSI (the Spark 4 default) a plain cast
+    # THROWS on non-numeric strings instead of yielding the nulls the
+    # fallback below keys on
     row = df.agg(*[
-        f(F.col(c).cast("double")).alias(f"{n}_{c}")
-        for c in cols for n, f in (("mn", F.min), ("mx", F.max))
+        expr for c in cols for expr in (
+            F.min(F.col(c).try_cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).try_cast("double")).alias(f"mx_{c}"),
+            F.max(F.col(c).isNotNull()).alias(f"nn_{c}"),
+        )
     ]).first()
     top = (1 << bits) - 1
     zval = F.lit(0).cast("bigint")
     for j, c in enumerate(cols):
         mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
-        if mn is None or mx is None or not (mx > mn):
+        if (mn is None or mx is None) and row[f"nn_{c}"]:
+            # the documented non-numeric fallback: the column has values
+            # but none cast to double (string/binary), so range
+            # quantization is undefined — hash-bucket instead (locality
+            # within equal values only); nulls still land in bucket 0
+            bucket = F.when(
+                F.col(c).isNull(), F.lit(0).cast("bigint")
+            ).otherwise(F.pmod(F.xxhash64(F.col(c)), F.lit(top + 1))
+                        .cast("bigint"))
+        elif mn is None or mx is None or not (mx > mn):
             bucket = F.lit(0).cast("bigint")
         else:
-            scaled = (F.col(c).cast("double") - F.lit(float(mn))) \
+            scaled = (F.col(c).try_cast("double") - F.lit(float(mn))) \
                 / F.lit(float(mx - mn)) * F.lit(float(top))
             bucket = F.coalesce(
                 F.least(F.greatest(F.floor(scaled), F.lit(0)),
@@ -1537,7 +1552,8 @@ def read_version_bloom_pruned(spark: SparkSession, table_dir: str,
 
 
 def _bloom_probe(spark: SparkSession, manifest: dict, col: str,
-                 vals: list, dirs: list[str]) -> dict:
+                 vals: list, dirs: list[str],
+                 vals_by_dir: dict[str, list] | None = None) -> dict:
     """Probe each chain dir's recorded bloom filter for ``col`` against
     the non-null ``vals``: True = at least one value may be present,
     False = PROVABLY none is (skippable), None = no bloom recorded
@@ -1545,7 +1561,14 @@ def _bloom_probe(spark: SparkSession, manifest: dict, col: str,
     per bits-variant with the SAME hash expression the writer used
     (``_bloom_positions_col``), so writer and reader can never disagree
     on hashing. Shared by the point-lookup read and the copy-on-write
-    classifiers."""
+    classifiers.
+
+    ``vals_by_dir`` (each dir's values ⊆ ``vals``) restricts which
+    values each dir is tested against — the CoW classifiers pass each
+    dir's own [min, max]-window survivors so a value provably outside
+    dir d's range can never bloom-hit d (a cross-dir false positive
+    would force an unnecessary dir rewrite); position computation still
+    runs ONCE over the union."""
     import base64
 
     from pyspark.sql.types import StructType
@@ -1565,6 +1588,7 @@ def _bloom_probe(spark: SparkSession, manifest: dict, col: str,
             [(v,) for v in vals], probe_schema
         ).select(_bloom_positions_col(col, bits).alias("ps")).collect()
         pos_by_bits[bits] = [list(map(int, r["ps"])) for r in rows]
+    idx = {v: i for i, v in enumerate(vals)}
     out: dict[str, bool | None] = {}
     for d in dirs:
         ent = (blooms.get(d) or {}).get(col)
@@ -1572,9 +1596,11 @@ def _bloom_probe(spark: SparkSession, manifest: dict, col: str,
             out[d] = None  # no bloom recorded: scan, never skip
             continue
         ba = base64.b64decode(ent["b64"])
+        dvals = vals if vals_by_dir is None else vals_by_dir.get(d, [])
         out[d] = any(
-            all((ba[p // 8] >> (p % 8)) & 1 for p in plist)
-            for plist in pos_by_bits[ent["bits"]]
+            all((ba[p // 8] >> (p % 8)) & 1
+                for p in pos_by_bits[ent["bits"]][idx[v]])
+            for v in dvals
         )
     return out
 
@@ -2112,6 +2138,30 @@ def history(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+#: the manifest fields a NEW commit may inherit when it builds its
+#: manifest by re-spreading a parent's/target's (DV deletes, restores):
+#: exactly the structural/layout/stats/schema keys write_version itself
+#: publishes. Everything else — "expectations" audit counts from a
+#: streaming-merge parent, "restored_from" from a restore parent, any
+#: caller manifest_extra — is per-commit provenance; carrying it
+#: forward would misattribute it to a commit that didn't produce it.
+_INHERITABLE_MANIFEST_KEYS = frozenset({
+    "row_count", "schema", "bucket_by", "n_buckets", "sort_by",
+    "zorder_by", "zorder_bits", "partition_by", "data_dirs",
+    "schema_evolved", "stats_for", "col_stats", "bloom_for",
+    "bloom_bits", "bloom", "dir_rows", "dir_parts", "dv",
+})
+
+
+def _inherited_manifest(manifest: dict) -> dict:
+    """The re-spreadable subset of a parent manifest — see
+    ``_INHERITABLE_MANIFEST_KEYS``. Per-commit fields (version, parent,
+    committed_at, nonce, batch_id, operation, and any provenance
+    extras) are the new commit's to set, never inherited."""
+    return {k: v for k, v in manifest.items()
+            if k in _INHERITABLE_MANIFEST_KEYS}
+
+
 def layout_from_manifest(manifest: dict) -> dict:
     """The physical-layout fields of a manifest as ``write_version``
     kwargs. Maintenance rewrites (upsert, compact, streaming upsert
@@ -2252,12 +2302,16 @@ def _dirs_maybe_holding_keys(spark: SparkSession, manifest: dict,
             except TypeError:
                 cand.append(v)  # incomparable: conservative
         windowed[d] = cand
-    # bloom refinement only for dirs with window survivors; one probe
-    # batch over the union of surviving values
+    # bloom refinement only for dirs with window survivors; positions
+    # are computed once over the union of surviving values, but each
+    # dir is probed ONLY against its own window survivors — a value
+    # provably outside dir d's [min, max] must not be able to bloom-hit
+    # d and force an unnecessary rewrite
     need = [d for d in dirs if windowed[d]]
     probe_vals = sorted({v for d in need for v in windowed[d]},
                         key=lambda x: (str(type(x)), str(x)))
-    hits = (_bloom_probe(spark, manifest, key, probe_vals, need)
+    hits = (_bloom_probe(spark, manifest, key, probe_vals, need,
+                         vals_by_dir={d: windowed[d] for d in need})
             if probe_vals and (manifest.get("bloom") or {}) else
             {d: None for d in need})
     out = {}
@@ -2725,7 +2779,7 @@ def delete_version_dv(spark: SparkSession, table_dir: str,
         total = old_total
     n_new = total - old_total
     manifest = {
-        **pm,
+        **_inherited_manifest(pm),
         "version": version + 1,
         "parent": version,
         "committed_at": time.time(),
@@ -2770,7 +2824,7 @@ def restore_version(table_dir: str, version: int) -> int:
     latest = latest_version(table_dir)
     new_version = latest + 1
     manifest = {
-        **tm,
+        **_inherited_manifest(tm),
         "version": new_version,
         "parent": latest,
         "committed_at": time.time(),

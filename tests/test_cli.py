@@ -346,3 +346,129 @@ def test_cli_table_cluster_verb(spark, tmp_path, capsys):
     assert main(["table", "cluster", tdir, "--zorder", "x"]) == 0
     assert "clustered (sort: x) -> v3" in capsys.readouterr().out
     assert read_manifest(tdir, 3)["sort_by"] == ["x"]
+
+
+def test_cli_table_cluster_carries_layout_contracts(spark, tmp_path,
+                                                    capsys):
+    """`table cluster` republished with hand-built kwargs once and
+    silently dropped partition_by/bucket_by/bloom_for from the new
+    snapshot — the exact layout-contract loss layout_from_manifest's
+    docstring forbids. Now it builds from layout_from_manifest and
+    overrides only the clustering fields, refusing loudly when the
+    requested zorder conflicts with a standing partition/bucket
+    layout."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        read_manifest,
+        write_version,
+    )
+
+    # plain table: stats/bloom contracts survive a zorder republish
+    t1 = str(tmp_path / "t1")
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"),
+        (F.col("id") / 16).cast("long").alias("y"),
+        F.col("id").alias("k"))
+    write_version(df, t1, stats_for=["k"], bloom_for=["k"])
+    assert main(["table", "cluster", t1, "--zorder", "x,y"]) == 0
+    capsys.readouterr()
+    m = read_manifest(t1, 2)
+    assert m["zorder_by"] == ["x", "y"]
+    assert m["stats_for"] == ["k"] and m["bloom_for"] == ["k"]
+    assert m["bloom"] and m["col_stats"]
+
+    # hive-partitioned table: sort keeps the partition layout; zorder
+    # over it is refused loudly, never silently dropped
+    t2 = str(tmp_path / "t2")
+    write_version(df.withColumn("p", F.col("x") % 2), t2,
+                  partition_by=["p"], stats_for=["k"])
+    assert main(["table", "cluster", t2, "--zorder", "k"]) == 0
+    capsys.readouterr()
+    m = read_manifest(t2, 2)
+    assert m["partition_by"] == ["p"] and m["sort_by"] == ["k"]
+    assert m["stats_for"] == ["k"]
+    with pytest.raises(SystemExit):
+        main(["table", "cluster", t2, "--zorder", "x,y"])
+    capsys.readouterr()
+
+    # bucketed table: zorder refused; the bucket contract stands
+    t3 = str(tmp_path / "t3")
+    write_version(df, t3, bucket_by=["k"], n_buckets=4)
+    with pytest.raises(SystemExit):
+        main(["table", "cluster", t3, "--zorder", "x,y"])
+    capsys.readouterr()
+    assert read_manifest(t3, 1)["bucket_by"] == ["k"]
+
+
+def test_cli_table_update_and_merge_verbs(spark, tmp_path, capsys):
+    """The DML triad from the shell: `table update` (keyed or ranged
+    --set assignments) and `table merge` (parquet --source upserted on
+    --col) round-trip through the same CoW-pruned paths the API
+    exposes; --dv on either is refused (merge-on-read exists for
+    delete only)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        F.lit("ok").alias("status"),
+        (F.col("id") * 10).alias("amt"))
+    write_version(df.filter("k < 15"), tdir, append=True, stats_for=["k"])
+    write_version(df.filter("k >= 15"), tdir, append=True)
+
+    # keyed update: only the dir holding the keys rewrites
+    assert main(["table", "update", tdir, "--col", "k",
+                 "--values", "3,7", "--set", "status=void,amt=0"]) == 0
+    out = capsys.readouterr().out
+    assert "cow-updated -> v3" in out
+    assert "1 untouched, 1 rewritten" in out
+    rows = {r["k"]: (r["status"], r["amt"])
+            for r in read_version(spark, tdir).collect()}
+    assert rows[3] == ("void", 0) and rows[7] == ("void", 0)
+    assert rows[4] == ("ok", 40) and rows[20] == ("ok", 200)
+
+    # ranged update touches only the covering dir
+    assert main(["table", "update", tdir, "--col", "k",
+                 "--lower", "20", "--upper", "22",
+                 "--set", "status=hold"]) == 0
+    assert "cow-updated -> v4" in capsys.readouterr().out
+    rows = {r["k"]: r["status"]
+            for r in read_version(spark, tdir).collect()}
+    assert rows[21] == "hold" and rows[5] == "ok"
+
+    # merge: matched key updates, unmatched inserts
+    src = str(tmp_path / "updates.parquet")
+    spark.createDataFrame(
+        [(7, "merged", 777), (100, "new", 1000)],
+        "k long, status string, amt long").write.parquet(src)
+    assert main(["table", "merge", tdir, "--col", "k",
+                 "--source", src]) == 0
+    assert "cow-merged -> v5" in capsys.readouterr().out
+    rows = {r["k"]: (r["status"], r["amt"])
+            for r in read_version(spark, tdir).collect()}
+    assert rows[7] == ("merged", 777) and rows[100] == ("new", 1000)
+    assert count_version(None, tdir) == 31
+
+    # argument contract, loudly
+    with pytest.raises(SystemExit):
+        main(["table", "update", tdir, "--col", "k", "--values", "1"])
+    with pytest.raises(SystemExit):
+        main(["table", "update", tdir, "--col", "k", "--values", "1",
+              "--set", "statusvoid"])
+    with pytest.raises(SystemExit):
+        main(["table", "update", tdir, "--col", "k", "--values", "1",
+              "--set", "status=x", "--dv"])
+    with pytest.raises(SystemExit):
+        main(["table", "merge", tdir, "--col", "k", "--source", src,
+              "--dv"])
+    with pytest.raises(SystemExit):
+        main(["table", "merge", tdir, "--col", "k"])

@@ -655,3 +655,43 @@ def test_collect_keys_cap_fails_loudly(spark, tmp_path):
         merge_version_pruned(
             spark, tdir,
             wide.withColumn("v", F.col("k")), "k", max_keys=10)
+
+
+def test_new_commits_never_inherit_per_commit_provenance(spark, tmp_path):
+    """A DV delete or restore builds its manifest by re-spreading the
+    parent's/target's — but only the structural fields: inheriting a
+    streaming-merge parent's 'expectations' audit counts or a restore
+    parent's 'restored_from' would misattribute commit provenance in
+    history/forensics."""
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_dv,
+        read_manifest,
+        restore_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    base = spark.range(0, 20).withColumnRenamed("id", "k")
+    write_version(base, tdir, append=True)
+    # v2 carries per-commit extras the way the streaming merge sink does
+    write_version(base.selectExpr("k + 100 AS k"), tdir, append=True,
+                  manifest_extra={"expectations": {"dropped_null": 3},
+                                  "operation": "merge-stream"})
+    assert read_manifest(tdir, 2)["expectations"] == {"dropped_null": 3}
+
+    # DV delete on top of the merge commit: no inherited expectations
+    v = delete_version_dv(spark, tdir, keys=[5], key="k")
+    m = read_manifest(tdir, v)
+    assert "expectations" not in m and m["operation"] == "delete-dv"
+
+    # restore targeting the merge commit: restored_from is the restore
+    # commit's OWN field; the target's expectations must not ride along
+    v2 = restore_version(tdir, 2)
+    m2 = read_manifest(tdir, v2)
+    assert m2["restored_from"] == 2 and "expectations" not in m2
+
+    # DV delete on top of the restore: the stale restored_from dies too
+    v3 = delete_version_dv(spark, tdir, keys=[101], key="k")
+    m3 = read_manifest(tdir, v3)
+    assert "restored_from" not in m3 and "expectations" not in m3
+    assert m3["operation"] == "delete-dv"

@@ -852,3 +852,74 @@ def test_write_version_zorder_layout(spark, tmp_path):
                       sort_by=["x"])
     with pytest.raises(ValueError, match=">= 2"):
         write_version(df, str(tmp_path / "t3"), zorder_by=["x"])
+
+
+def test_zorder_string_column_hash_buckets(spark, tmp_path):
+    """_zorder_col's documented non-numeric fallback: a string column
+    (cast-to-double null, so range quantization is undefined) must
+    hash-bucket — distinct values spread across buckets so the
+    interleave still clusters on it — instead of silently collapsing
+    to constant bucket 0 (which degenerated zorder_by over (numeric,
+    string) to a 1-D sort). Nulls still land in bucket 0."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import _zorder_col
+
+    df = spark.range(64).select(
+        F.col("id").alias("x"),
+        F.when(F.col("id") % 16 == 0, None)
+        .otherwise(F.concat(F.lit("cat_"), (F.col("id") % 7)))
+        .alias("s"),
+    )
+    # string-only key: bucket variety must survive the interleave
+    z = df.select(F.col("s"), _zorder_col(df, ["s"], 8).alias("z"))
+    rows = z.collect()
+    assert len({r["z"] for r in rows if r["s"] is not None}) > 1
+    # same string value -> same bucket (locality within equal values)
+    by_val = {}
+    for r in rows:
+        if r["s"] is not None:
+            by_val.setdefault(r["s"], set()).add(r["z"])
+    assert all(len(zs) == 1 for zs in by_val.values())
+    # nulls quantize to bucket 0 = z-value contribution 0
+    assert {r["z"] for r in rows if r["s"] is None} == {0}
+    # mixed (numeric, string): both dimensions contribute bits
+    z2 = df.select("x", "s", _zorder_col(df, ["x", "s"], 4).alias("z"))
+    nonnull = [r for r in z2.collect() if r["s"] is not None]
+    same_s = {}
+    for r in nonnull:
+        same_s.setdefault(r["s"], set()).add(r["z"])
+    # within one string value the numeric dimension still varies the key
+    assert any(len(zs) > 1 for zs in same_s.values())
+
+
+def test_cow_bloom_probe_is_per_dir_window(spark, tmp_path):
+    """A value provably outside dir d's [min, max] window must never
+    bloom-hit d: each dir is probed only against its OWN window
+    survivors, not the union across dirs (the union probe forced
+    unnecessary dir rewrites on cross-dir bloom hits). White-box: dir
+    1's bloom is swapped for dir 2's, simulating a bloom that would
+    hit the OTHER dir's key — the window restriction must still prove
+    dir 1 out."""
+    from mapreduce_4_spark.sources.versioned import (
+        _dirs_maybe_holding_keys,
+        read_manifest,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    base = spark.range(0, 10).withColumnRenamed("id", "k")
+    write_version(base, tdir, append=True,
+                  stats_for=["k"], bloom_for=["k"])
+    write_version(base.selectExpr("k + 1000 AS k"), tdir, append=True)
+    m = read_manifest(tdir, 2)
+    d1, d2 = "v=000001", "v=000002"
+    assert set(m["bloom"]) == {d1, d2}
+    # simulate a cross-dir bloom false positive: dir 1's bloom now
+    # contains exactly dir 2's keys (so the union probe would hit it
+    # on 1005) while its recorded window stays [0, 9]
+    m["bloom"][d1] = m["bloom"][d2]
+    out = _dirs_maybe_holding_keys(spark, m, "k", [5, 1005], [d1, d2])
+    # 5 is in dir 1's window but misses its (swapped) bloom; 1005 is
+    # outside dir 1's window and MUST NOT be probed against it
+    assert out == {d1: False, d2: True}
