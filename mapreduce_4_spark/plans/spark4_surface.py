@@ -413,3 +413,153 @@ def versioned_datasource_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_rows bigint, sum_key bigint, "
               "n_added bigint, n_v1 bigint")
+
+
+@register(
+    "versioned_pushdown_orders",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 2500
+        GROUP BY o_orderstatus
+    """,
+    tags=("source", "python-datasource", "maintenance", "pushdown"),
+    description="range-predicate pushdown through the mr4ver "
+                "DataSource front door (r11 verdict ask #2): orders is "
+                "published as a 4-append chain range-split on "
+                "o_orderkey with stats_for, then a bounded slice is "
+                "read via option('where', 'o_orderkey:1000:2500') — "
+                "partitions() provably excludes the dirs whose "
+                "[min, max] window misses the range (planning-time, "
+                "file enumeration skipped; partition-count asserted in "
+                "tests/test_pyds_versioned.py) and read() applies the "
+                "exact closed-range residual, so the format front "
+                "door prunes like read_version_stats_pruned",
+)
+def versioned_pushdown_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: pruning state rides the LOAD OPTIONS (relation
+    identity), so the JVM's per-relation readInfo cache can never
+    serve a pruned plan to an unpruned query — the measured Spark
+    4.1.2 aliasing hazard the pushFilters opt-in documents
+    (sources/pyds.py). A retention-window read on a 100 TB chain
+    plans only the boundary dirs' files.
+
+    Timing caveat (the metadata_agg_orders shape): the chain publish
+    runs at BUILD time; timings measure the pruned scan + aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import write_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    td = tempfile.mkdtemp(prefix="mr4s_pushdown_")
+    try:
+        tdir = f"{td}/orders_chain"
+        step = (int(hi) // 4) + 1
+        for lo in range(0, int(hi) + 1, step):
+            write_version(
+                orders.filter((F.col("o_orderkey") >= lo)
+                              & (F.col("o_orderkey") < lo + step))
+                .coalesce(1),
+                tdir, append=True, stats_for=["o_orderkey"])
+        register_versioned_source(spark)
+        sliced = (
+            spark.read.format("mr4ver")
+            .option("where", "o_orderkey:1000:2500").load(tdir)
+        )
+        out = (
+            sliced.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key"),
+                 dsum("o_totalprice").alias("sum_price"))
+            .select("o_orderstatus", "n_rows", "min_key", "max_key",
+                    "sum_price")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_rows bigint, min_key bigint, "
+              "max_key bigint, sum_price double")
+
+
+@register(
+    "versioned_bloom_lookup_datasource",
+    oracle="""
+        WITH probe AS (
+            SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3
+        )
+        SELECT o.o_orderkey, o.o_orderstatus,
+               CAST(o.o_totalprice AS DOUBLE) AS price
+        FROM orders o JOIN probe p ON o.o_orderkey = p.o_orderkey
+        ORDER BY o.o_orderkey
+    """,
+    tags=("source", "python-datasource", "maintenance", "pushdown"),
+    description="bloom point lookup through the mr4ver DataSource "
+                "front door (r11 verdict ask #2's bloom variant): "
+                "orders is published as a 4-dir residue-class chain "
+                "(every dir's o_orderkey [min, max] spans the keyspace "
+                "— window stats provably CANNOT skip) with "
+                "bloom_for=['o_orderkey'], then the 3 smallest keys "
+                "are fetched via option('probe', 'o_orderkey:k1,k2,"
+                "k3'): planning probes each dir's recorded bloom with "
+                "the JVM-parity-pinned pure-Python xxhash64 twin "
+                "(sources/xxh64.py — no SparkSession exists in the "
+                "planning worker) and only bloom-hit dirs become "
+                "input partitions",
+)
+def versioned_bloom_lookup_datasource(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Scale rationale: the bloom-pruned point lookup is the GDPR /
+    audit shape — on an unsorted 100 TB chain the window stats prune
+    nothing (every dir spans the keyspace) while each dir's 16 KiB
+    bloom prunes to ~the dirs actually holding the probed ids, decided
+    entirely at planning time from the manifest."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import write_version
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    keys = [r[0] for r in
+            orders.select("o_orderkey").orderBy("o_orderkey")
+            .limit(3).collect()]
+    td = tempfile.mkdtemp(prefix="mr4s_bloomlk_")
+    try:
+        tdir = f"{td}/orders_chain"
+        for r in range(4):
+            write_version(
+                orders.filter(F.col("o_orderkey") % 4 == r).coalesce(1),
+                tdir, append=True, stats_for=["o_orderkey"],
+                bloom_for=["o_orderkey"])
+        register_versioned_source(spark)
+        probed = (
+            spark.read.format("mr4ver")
+            .option("probe",
+                    "o_orderkey:" + ",".join(str(k) for k in keys))
+            .load(tdir)
+        )
+        out = probed.select(
+            "o_orderkey", "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("price"))
+        rows = out.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderstatus string, price double")

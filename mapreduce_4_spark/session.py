@@ -45,6 +45,12 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.shuffle.partitions": "32",
+    # Python DataSource filter pushdown (off by default in 4.1): lets
+    # the mr4ver format's pushFilters prune chain dirs at planning
+    # time (stats windows + bloom probes); the source still returns
+    # every filter for exact post-scan application, so enabling this
+    # only ever REMOVES provably-empty input partitions.
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     # local[N] runs the whole engine inside the driver JVM, whose default
     # 1g heap starves 32 concurrent tasks' execution memory (observed:

@@ -218,7 +218,7 @@ class Mr4VersionedDataSource(DataSource):
 
     def reader(self, schema) -> "Mr4VersionedReader":
         path, manifest = self._resolved()
-        return Mr4VersionedReader(path, manifest, schema)
+        return Mr4VersionedReader(path, manifest, schema, self.options)
 
     def simpleStreamReader(self, schema) -> "Mr4VersionedStreamReader":
         path, manifest = self._resolved()
@@ -227,12 +227,187 @@ class Mr4VersionedDataSource(DataSource):
 
 
 class Mr4VersionedReader(DataSourceReader):
-    def __init__(self, table_dir: str, manifest: dict, schema):
+    def __init__(self, table_dir: str, manifest: dict, schema,
+                 options=None):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self.table_dir = table_dir
         self.manifest = manifest
         self.arrow_schema = to_arrow_schema(schema)
+        #: column -> Spark simpleString type (bloom hashing dispatch)
+        self.col_types = {f.name: f.dataType.simpleString()
+                          for f in schema.fields}
+        #: pruning conjuncts: merged closed ranges + IN/EQ probe sets
+        self._where: dict = {}
+        self._probes: dict = {}
+        options = options or {}
+        # RELATION-IDENTITY pruning (the robust surface): bounds/probes
+        # given as load options are part of the relation itself, so the
+        # JVM's per-relation readInfo cache can never serve a pruned
+        # plan to an unpruned query. `where`: "col:lo:hi[;col:lo:hi]"
+        # (empty bound = open); `probe`: "col:v1,v2[;col:...]" point
+        # lookups (window + bloom skipping). Values are typed by the
+        # column's schema type.
+        for clause in (options.get("where") or "").split(";"):
+            if not clause:
+                continue
+            col, _, bounds = clause.partition(":")
+            lo_s, sep, hi_s = bounds.partition(":")
+            if not sep or col not in self.col_types:
+                raise ValueError(
+                    f"mr4ver where clause {clause!r}: want col:lo:hi "
+                    f"with col one of {sorted(self.col_types)}")
+            lo = self._typed(col, lo_s) if lo_s else None
+            hi = self._typed(col, hi_s) if hi_s else None
+            # repeated clauses on one column TIGHTEN (AND semantics)
+            cur_lo, cur_hi = self._where.get(col, (None, None))
+            if lo is not None and (cur_lo is None or lo > cur_lo):
+                cur_lo = lo
+            if hi is not None and (cur_hi is None or hi < cur_hi):
+                cur_hi = hi
+            self._where[col] = (cur_lo, cur_hi)
+        for clause in (options.get("probe") or "").split(";"):
+            if not clause:
+                continue
+            col, sep, vals_s = clause.partition(":")
+            if not sep or col not in self.col_types:
+                raise ValueError(
+                    f"mr4ver probe clause {clause!r}: want col:v1,v2 "
+                    f"with col one of {sorted(self.col_types)}")
+            self._probes.setdefault(col, []).append(
+                [self._typed(col, v) for v in vals_s.split(",") if v])
+        #: opt-in for pushFilters-driven pruning — see that method's
+        #: docstring for why it is not the default
+        self._prune_on_filters = str(
+            options.get("pruneonfilters", "false")).lower() == "true"
+
+    def _typed(self, col: str, s: str):
+        """Parse an option-string bound/probe value by the column's
+        schema type (ints for the integer family, floats for the
+        fractional family, the raw string otherwise)."""
+        t = self.col_types[col]
+        try:
+            if t in ("tinyint", "smallint", "int", "integer", "bigint",
+                     "long"):
+                return int(s)
+            if t in ("float", "double") or t.startswith("decimal"):
+                return float(s)
+        except ValueError as e:
+            raise ValueError(
+                f"mr4ver: value {s!r} does not parse as {t} "
+                f"(column {col})") from e
+        return s
+
+    def pushFilters(self, filters):
+        """Planning-time DIR pruning, never row filtering: every filter
+        is returned to Spark (the exact residual always applies
+        post-scan, so correctness can never depend on this method), but
+        supported shapes additionally decide which chain dirs become
+        input partitions at all — the same manifest skipping
+        ``read_version_stats_pruned`` / ``read_version_bloom_pruned``
+        give the function API (r11 verdict: the format front door
+        silently lost it).
+
+        - ``=``, ``<``, ``<=``, ``>``, ``>=`` merge into per-column
+          CLOSED ranges (strict bounds widen to closed — conservative)
+          classified per dir by ``versioned._range_relation``;
+        - ``=`` / ``IN`` additionally probe each dir's recorded bloom
+          against the dir's OWN window survivors, hashed by the
+          JVM-parity-pinned pure-Python xxhash64 twin
+          (``sources/xxh64.py``) — no SparkSession exists in the
+          planning worker, which is why the twin exists. Unsupported
+          value types skip the bloom and keep the window pruning.
+
+        Requires ``spark.sql.python.filterPushdown.enabled`` (set by
+        ``session.get_spark``) AND ``option("pruneOnFilters", "true")``.
+        The per-load opt-in exists because of a measured JVM aliasing
+        hazard, NOT politeness: ``PythonDataSourceV2`` caches one
+        mutable ``readInfo`` per relation and the pushdown path
+        OVERWRITES it (``setReadInfo``), so after a filtered action on
+        a DataFrame derived from the same ``load()``, a subsequent
+        UNFILTERED action on the shared relation replays the pruned
+        partition list and silently loses rows (reproduced on 4.1.2:
+        100-row chain -> filtered count 11 -> unfiltered count 25).
+        With the opt-in, that caching caveat is the caller's contract:
+        one ``load()`` per query mix. The option-based ``where``/
+        ``probe`` surface has no such hazard (pruning state is part of
+        the relation identity) and is the default route.
+        """
+        if not self._prune_on_filters:
+            return filters
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def _tighten(col, lo=None, hi=None):
+            cur_lo, cur_hi = self._where.get(col, (None, None))
+            if lo is not None and (cur_lo is None or lo > cur_lo):
+                cur_lo = lo
+            if hi is not None and (cur_hi is None or hi < cur_hi):
+                cur_hi = hi
+            self._where[col] = (cur_lo, cur_hi)
+
+        for f in filters:
+            if len(getattr(f, "attribute", ())) != 1:
+                continue
+            col = f.attribute[0]
+            if col not in self.col_types:
+                continue
+            if isinstance(f, EqualTo) and f.value is not None:
+                _tighten(col, lo=f.value, hi=f.value)
+                self._probes.setdefault(col, []).append([f.value])
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) \
+                    and f.value is not None:
+                _tighten(col, lo=f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)) \
+                    and f.value is not None:
+                _tighten(col, hi=f.value)
+            elif isinstance(f, In):
+                vals = [v for v in f.value if v is not None]
+                if vals:
+                    self._probes.setdefault(col, []).append(vals)
+        return filters
+
+    def _dir_pruned(self, d: str) -> bool:
+        """True when the manifest PROVES dir ``d`` holds no matching
+        row for the pushed conjuncts. Unknown stats/bloom/types always
+        return False (scan — conservative, the versioned.py rule)."""
+        from mapreduce_4_spark.sources import versioned as vt
+        from mapreduce_4_spark.sources import xxh64
+
+        stats = self.manifest.get("col_stats") or {}
+        dir_rows = self.manifest.get("dir_rows") or {}
+        if self._where and vt._range_relation(
+                stats.get(d), dir_rows.get(d), self._where) == "miss":
+            return True
+        blooms = self.manifest.get("bloom") or {}
+        for col, val_lists in self._probes.items():
+            for vals in val_lists:
+                windowed = vt._window_survivors(
+                    self.manifest, col, vals, [d])[d]
+                if not windowed:
+                    return True  # range proof: no IN value lands here
+                ent = (blooms.get(d) or {}).get(col)
+                ctype = self.col_types.get(col)
+                if ent is None or ctype not in xxh64.SUPPORTED_TYPES:
+                    continue  # no bloom / no pinned hash twin: scan
+                import base64
+
+                ba = base64.b64decode(ent["b64"])
+                hit = any(
+                    all((ba[p // 8] >> (p % 8)) & 1
+                        for p in xxh64.bloom_positions(
+                            v, ctype, ent["bits"], ent["k"]))
+                    for v in windowed
+                )
+                if not hit:
+                    return True  # bloom proof for this conjunct
+        return False
 
     # planning-time ceiling on inlined deletion-vector positions: the
     # per-file position tuples ride inside the pickled partitions, so a
@@ -272,6 +447,11 @@ class Mr4VersionedReader(DataSourceReader):
 
         v = self.manifest["version"]
         dirs = self.manifest.get("data_dirs") or [f"v={v:06d}"]
+        # pushed-filter dir skipping: pruned dirs never become input
+        # partitions (their files are not even enumerated) — the
+        # format-front-door twin of read_version_stats_pruned
+        if self._where or self._probes:
+            dirs = [d for d in dirs if not self._dir_pruned(d)]
         part_cols = set(self.manifest.get("partition_by") or [])
         dv_by_file = self._dv_positions()
         out = []
@@ -323,9 +503,33 @@ class Mr4VersionedReader(DataSourceReader):
                 # pre-evolution file: the column didn't exist — typed
                 # nulls, same padding as read_version's conformance
                 cols.append(pa.nulls(t.num_rows, type=field.type))
-        yield from pa.table(
+        out = pa.table(
             dict(zip(self.arrow_schema.names, cols))
-        ).cast(self.arrow_schema).to_batches()
+        ).cast(self.arrow_schema)
+        out = self._apply_residual(out)
+        yield from out.to_batches()
+
+    def _apply_residual(self, t):
+        """Exact row filtering for the option-based `where`/`probe`
+        surface (SQL semantics: NULL fails every predicate), so results
+        never depend on how effective the dir pruning was — surviving
+        dirs' non-matching rows drop here. The pushFilters route needs
+        none of this (Spark re-applies every returned filter), but
+        applying the merged closed bounds is harmless there."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for col, (lo, hi) in self._where.items():
+            if lo is not None:
+                t = t.filter(pc.greater_equal(t[col], pa.scalar(lo)))
+            if hi is not None:
+                t = t.filter(pc.less_equal(t[col], pa.scalar(hi)))
+        for col, val_lists in self._probes.items():
+            for vals in val_lists:
+                t = t.filter(pc.is_in(
+                    t[col],
+                    value_set=pa.array(vals).cast(t[col].type)))
+        return t
 
 
 class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):

@@ -2268,15 +2268,13 @@ def _collect_keys(keys, key: str, max_keys: int) -> list:
     return [v for v in keys if v is not None]
 
 
-def _dirs_maybe_holding_keys(spark: SparkSession, manifest: dict,
-                             key: str, vals: list,
-                             dirs: list[str]) -> dict:
-    """Classify each chain dir as True (may hold one of ``vals`` in
-    ``key``) or False (PROVABLY holds none): first the recorded
-    [min, max] window discards values outside the dir's range, then the
-    dir's bloom filter (when recorded) must hit at least one survivor.
-    Unknown stats/bloom degrade to True — conservative, never wrong.
-    Nulls in the dir never matter: a null key equals no value."""
+def _window_survivors(manifest: dict, key: str, vals: list,
+                      dirs: list[str]) -> dict[str, list]:
+    """Per dir, the subset of ``vals`` inside its recorded [min, max]
+    window for ``key`` — an empty list is a RANGE PROOF the dir holds
+    none. Unknown/NaN stats degrade to "all values possible". Pure
+    manifest arithmetic (no Spark), shared by the CoW classifiers and
+    the ``mr4ver`` DataSource's planning-time pruning."""
     stats = manifest.get("col_stats") or {}
     windowed: dict[str, list] = {}
     for d in dirs:
@@ -2302,6 +2300,19 @@ def _dirs_maybe_holding_keys(spark: SparkSession, manifest: dict,
             except TypeError:
                 cand.append(v)  # incomparable: conservative
         windowed[d] = cand
+    return windowed
+
+
+def _dirs_maybe_holding_keys(spark: SparkSession, manifest: dict,
+                             key: str, vals: list,
+                             dirs: list[str]) -> dict:
+    """Classify each chain dir as True (may hold one of ``vals`` in
+    ``key``) or False (PROVABLY holds none): first the recorded
+    [min, max] window discards values outside the dir's range, then the
+    dir's bloom filter (when recorded) must hit at least one survivor.
+    Unknown stats/bloom degrade to True — conservative, never wrong.
+    Nulls in the dir never matter: a null key equals no value."""
+    windowed = _window_survivors(manifest, key, vals, dirs)
     # bloom refinement only for dirs with window survivors; positions
     # are computed once over the union of surviving values, but each
     # dir is probed ONLY against its own window survivors — a value

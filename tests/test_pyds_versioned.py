@@ -254,3 +254,186 @@ def test_mr4ver_stream_starting_version_latest(spark, tmp_path):
     got = sorted(r["k"] for r in
                  spark.sql("SELECT * FROM mr4ver_latest").collect())
     assert got == [100, 101, 102]
+
+
+def _pruned_chain(spark, tdir, residue=False):
+    base = spark.range(0, 100).withColumnRenamed("id", "k") \
+        .withColumn("s", F.concat(F.lit("u"), F.col("k")))
+    if residue:
+        # residue-class dirs: every dir's [min, max] spans the keyspace,
+        # so ONLY the bloom can prove a dir out (the bloom-pruned-read
+        # fixture shape)
+        for r in range(4):
+            write_version(base.filter(F.col("k") % 4 == r), tdir,
+                          append=True, stats_for=["k"],
+                          bloom_for=["k", "s"])
+    else:
+        for lo in range(0, 100, 25):
+            write_version(
+                base.filter((F.col("k") >= lo) & (F.col("k") < lo + 25)),
+                tdir, append=True, stats_for=["k"], bloom_for=["k", "s"])
+
+
+def test_xxh64_twin_matches_jvm_bloom_positions(spark):
+    """The planning-worker bloom probe hashes with a pure-Python XXH64
+    twin (sources/xxh64.py) — it MUST be bit-identical to the JVM
+    _bloom_positions_col expression the writers build with, for every
+    SUPPORTED_TYPES member, or the format front door would skip dirs
+    that hold matches. Edge coverage: negative longs, int extremes,
+    empty/long/unicode strings (the 32-byte stripe loop and every tail
+    branch)."""
+    from mapreduce_4_spark.sources.versioned import (
+        _BLOOM_K,
+        _bloom_positions_col,
+    )
+    from mapreduce_4_spark.sources.xxh64 import bloom_positions
+
+    cases = {
+        "bigint": [0, 1, -1, 7, 2**62, -(2**62), 123456789012345],
+        "int": [0, 1, -5, 2**31 - 1, -(2**31)],
+        "string": ["", "a", "hello", "x" * 7, "y" * 8, "z" * 31,
+                   "w" * 32, "q" * 57, "héllo wörld 中文" * 4],
+    }
+    for sql_type, vals in cases.items():
+        df = spark.createDataFrame([(v,) for v in vals], f"k {sql_type}")
+        rows = df.select(
+            "k", _bloom_positions_col("k", 1 << 17).alias("p")).collect()
+        for r in rows:
+            got = bloom_positions(r["k"], sql_type, 1 << 17, _BLOOM_K)
+            assert list(r["p"]) == got, (sql_type, r["k"])
+
+
+def test_mr4ver_where_option_prunes_dirs_and_filters_exactly(
+        spark, tmp_path):
+    """option('where', 'col:lo:hi'): partitions() provably excludes the
+    dirs the stats window rules out (the r11 verdict's ask — the
+    format front door regains read_version_stats_pruned's skipping),
+    AND the rows are exactly the closed-range slice (the residual is
+    applied in read(), so results never depend on pruning
+    effectiveness). Pruning state rides the load OPTIONS — relation
+    identity — so an unpruned relation on the same table is untouched."""
+    from mapreduce_4_spark.sources.versioned import (
+        _scan_schema,
+        latest_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    _pruned_chain(spark, tdir)
+    register_versioned_source(spark)
+
+    m = read_manifest(tdir, latest_version(tdir))
+    schema = _scan_schema(m)
+    # partition-planning proof: 4 dirs -> only the [25,50) dir survives
+    r_all = Mr4VersionedReader(tdir, m, schema, {})
+    r_cut = Mr4VersionedReader(tdir, m, schema, {"where": "k:30:40"})
+    assert len(r_cut.partitions()) < len(r_all.partitions())
+    survived = {p.path.split("/v=")[1].split("/")[0]
+                for p in r_cut.partitions()}
+    assert survived == {"000002"}
+
+    df = spark.read.format("mr4ver").option("where", "k:30:40").load(tdir)
+    assert sorted(r["k"] for r in df.collect()) == list(range(30, 41))
+    # open upper bound; conjunct composition via ';'
+    ob = spark.read.format("mr4ver").option("where", "k:75:").load(tdir)
+    assert ob.count() == 25
+    both = spark.read.format("mr4ver") \
+        .option("where", "k:75:;k::80").load(tdir)
+    assert sorted(r["k"] for r in both.collect()) == list(range(75, 81))
+    # the unpruned relation is a different identity: full table
+    assert spark.read.format("mr4ver").load(tdir).count() == 100
+    # bad clauses fail loudly
+    with pytest.raises(Exception):
+        spark.read.format("mr4ver").option("where", "nope:1:2") \
+            .load(tdir).count()
+    with pytest.raises(Exception):
+        spark.read.format("mr4ver").option("where", "k:xx:2") \
+            .load(tdir).count()
+
+
+def test_mr4ver_probe_option_bloom_skips_unsorted_dirs(spark, tmp_path):
+    """option('probe', 'col:v1,v2'): point lookups through the format
+    front door skip dirs by BLOOM where min/max windows cannot (the
+    residue-class chain: every dir's window spans the keyspace), using
+    the JVM-parity-pinned Python hash twin; string columns probe too."""
+    from mapreduce_4_spark.sources.versioned import (
+        _scan_schema,
+        latest_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    _pruned_chain(spark, tdir, residue=True)
+    register_versioned_source(spark)
+
+    m = read_manifest(tdir, latest_version(tdir))
+    schema = _scan_schema(m)
+    r_all = Mr4VersionedReader(tdir, m, schema, {})
+    # k=8 and k=12 are both residue 0: one dir survives, by bloom alone
+    r_probe = Mr4VersionedReader(tdir, m, schema, {"probe": "k:8,12"})
+    survived = {p.path.split("/v=")[1].split("/")[0]
+                for p in r_probe.partitions()}
+    assert len(survived) == 1
+    assert len(r_probe.partitions()) < len(r_all.partitions())
+
+    df = spark.read.format("mr4ver").option("probe", "k:8,12").load(tdir)
+    assert sorted(r["k"] for r in df.collect()) == [8, 12]
+    # string bloom probe
+    sdf = spark.read.format("mr4ver").option("probe", "s:u55").load(tdir)
+    assert [r["k"] for r in sdf.collect()] == [55]
+    # absent key: every dir bloom-proven out -> sentinel partition,
+    # zero rows, schema intact
+    r_none = Mr4VersionedReader(tdir, m, schema,
+                                {"probe": "k:1000000"})
+    assert [p.path for p in r_none.partitions()] == [None]
+    nd = spark.read.format("mr4ver").option("probe", "k:1000000").load(tdir)
+    assert nd.count() == 0 and nd.columns == ["k", "s"]
+
+
+def test_mr4ver_pushfilters_opt_in_and_aliasing_guard(spark, tmp_path):
+    """pushFilters-driven pruning is OPT-IN (option('pruneOnFilters',
+    'true')) because Spark 4.1's PythonDataSourceV2 caches ONE mutable
+    readInfo per relation and the pushdown path overwrites it: without
+    the guard, a filtered action on a shared relation makes a later
+    UNFILTERED action on the same relation silently replay the pruned
+    partitions. Pin both sides: the default relation stays correct
+    under the hazard pattern; the opted-in relation prunes."""
+    tdir = str(tmp_path / "t")
+    _pruned_chain(spark, tdir)
+    register_versioned_source(spark)
+
+    # default: the hazard pattern must stay correct
+    df = spark.read.format("mr4ver").load(tdir)
+    assert df.count() == 100
+    assert df.filter("k >= 30 and k <= 40").count() == 11
+    assert df.count() == 100  # the r4.1 cache would say 25 if we pruned
+
+    # opt-in: filters prune partitions (and Spark still applies the
+    # exact residual)
+    pf = spark.read.format("mr4ver").option("pruneOnFilters", "true") \
+        .load(tdir)
+    cut = pf.filter("k >= 30 and k <= 40")
+    assert sorted(r["k"] for r in cut.collect()) == list(range(30, 41))
+    # reader-level proof (df.rdd replans WITHOUT the v2 pushdown, so
+    # partition counts must be asserted on the reader itself): every
+    # filter is returned for exact residual application, and the
+    # partition list shrinks to the one covering dir
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from mapreduce_4_spark.sources.versioned import (
+        _scan_schema,
+        latest_version,
+    )
+
+    m = read_manifest(tdir, latest_version(tdir))
+    schema = _scan_schema(m)
+    r_all = Mr4VersionedReader(tdir, m, schema, {})
+    r_pf = Mr4VersionedReader(tdir, m, schema, {"pruneonfilters": "true"})
+    flt = [GreaterThanOrEqual(("k",), 30), LessThanOrEqual(("k",), 40)]
+    assert list(r_pf.pushFilters(flt)) == flt
+    assert len(r_pf.partitions()) < len(r_all.partitions())
+    survived = {p.path.split("/v=")[1].split("/")[0]
+                for p in r_pf.partitions()}
+    assert survived == {"000002"}
+    # without the opt-in pushFilters is a no-op: nothing prunes
+    r_off = Mr4VersionedReader(tdir, m, schema, {})
+    assert list(r_off.pushFilters(flt)) == flt
+    assert len(r_off.partitions()) == len(r_all.partitions())
