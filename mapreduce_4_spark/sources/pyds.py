@@ -25,6 +25,7 @@ from math import ceil
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -121,6 +122,56 @@ class SynthRowsStreamReader(SimpleDataSourceStreamReader):
 
 
 # --- versioned-table DataSource (round-11) ---------------------------------
+
+
+def _walk_dir_files(root: str, part_cols: set):
+    """Yield (abs_path, hive_part_values) for every parquet file under
+    one chain dir — the shared enumeration of the batch reader, the
+    executor stream reader, and the driver stream reader."""
+    import os
+    from urllib.parse import unquote
+
+    for cur, _dirs, files in os.walk(root):
+        values = {}
+        rel = os.path.relpath(cur, root)
+        for seg in () if rel == "." else rel.split(os.sep):
+            if "=" in seg:
+                c, val = seg.split("=", 1)
+                if c in part_cols:
+                    values[c] = unquote(val)
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                yield os.path.join(cur, f), values
+
+
+def _read_file_conformed(path: str, part_values: dict, drop: tuple,
+                         arrow_schema):
+    """One parquet file as an Arrow table conformed to the manifest
+    schema: DV positions masked, hive values restored from the path,
+    pre-evolution columns null-padded — the executor-side read both
+    the batch reader and the executor stream reader ship."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    if drop:
+        import numpy as np
+
+        keep = np.ones(t.num_rows, dtype=bool)
+        keep[list(drop)] = False
+        t = t.filter(pa.array(keep))
+    cols = []
+    for field in arrow_schema:
+        if field.name in part_values:
+            cols.append(pa.array(
+                [part_values[field.name]] * t.num_rows,
+                type=pa.string()).cast(field.type))
+        elif field.name in t.column_names:
+            cols.append(t.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(t.num_rows, type=field.type))
+    return pa.table(
+        dict(zip(arrow_schema.names, cols))).cast(arrow_schema)
 
 
 class _SnapshotFilePartition(InputPartition):
@@ -224,6 +275,29 @@ class Mr4VersionedDataSource(DataSource):
         path, manifest = self._resolved()
         return Mr4VersionedStreamReader(path, manifest, schema,
                                         self.options)
+
+    def streamReader(self, schema) -> "Mr4VersionedStreamPartReader":
+        """The DATA-PLANE stream reader — ``option("streamMode",
+        "executor")``: partition-planning ``DataSourceStreamReader``
+        whose micro-batches read their appended files ON EXECUTORS as
+        Arrow batches (one input partition per file, the batch
+        reader's shape), instead of shipping rows through the driver
+        prefetch. Default stays the Simple (driver) reader — raising
+        NOT_IMPLEMENTED here is the documented fallback route — which
+        is the right shape for control-plane feeds and tiny batches
+        (no per-batch task scheduling floor); SCALE.md records the
+        measured crossover."""
+        if str(self.options.get("streammode", "driver")).lower() \
+                != "executor":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        path, manifest = self._resolved()
+        return Mr4VersionedStreamPartReader(path, manifest, schema,
+                                            self.options)
 
 
 class Mr4VersionedReader(DataSourceReader):
@@ -457,55 +531,17 @@ class Mr4VersionedReader(DataSourceReader):
         out = []
         for d in dirs:
             root = os.path.join(self.table_dir, d)
-            for cur, _dirs, files in os.walk(root):
-                values = {}
-                rel = os.path.relpath(cur, root)
-                for seg in () if rel == "." else rel.split(os.sep):
-                    if "=" in seg:
-                        c, val = seg.split("=", 1)
-                        if c in part_cols:
-                            values[c] = unquote(val)
-                for f in sorted(files):
-                    if f.endswith(".parquet"):
-                        full = os.path.join(cur, f)
-                        rel_file = os.path.relpath(full, self.table_dir)
-                        out.append(_SnapshotFilePartition(
-                            full, values,
-                            dv_by_file.get(rel_file, ())))
+            for full, values in _walk_dir_files(root, part_cols):
+                rel_file = os.path.relpath(full, self.table_dir)
+                out.append(_SnapshotFilePartition(
+                    full, values, dv_by_file.get(rel_file, ())))
         return out or [_SnapshotFilePartition(None, {})]
 
     def read(self, partition: _SnapshotFilePartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         if partition.path is None:
             return
-        t = pq.read_table(partition.path)
-        if partition.drop:
-            # deletion vector: mask the named row positions out — the
-            # same live-rows contract read_version's anti-join applies
-            import numpy as np
-
-            keep = np.ones(t.num_rows, dtype=bool)
-            keep[list(partition.drop)] = False
-            t = t.filter(pa.array(keep))
-        cols = []
-        for field in self.arrow_schema:
-            if field.name in partition.part_values:
-                # hive layout: the value lives in the path, typed by
-                # the manifest (arrow casts the string form)
-                cols.append(pa.array(
-                    [partition.part_values[field.name]] * t.num_rows,
-                    type=pa.string()).cast(field.type))
-            elif field.name in t.column_names:
-                cols.append(t.column(field.name).cast(field.type))
-            else:
-                # pre-evolution file: the column didn't exist — typed
-                # nulls, same padding as read_version's conformance
-                cols.append(pa.nulls(t.num_rows, type=field.type))
-        out = pa.table(
-            dict(zip(self.arrow_schema.names, cols))
-        ).cast(self.arrow_schema)
+        out = _read_file_conformed(partition.path, partition.part_values,
+                                   partition.drop, self.arrow_schema)
         out = self._apply_residual(out)
         yield from out.to_batches()
 
@@ -530,6 +566,37 @@ class Mr4VersionedReader(DataSourceReader):
                     t[col],
                     value_set=pa.array(vals).cast(t[col].type)))
         return t
+
+
+def _append_new_dir(table_dir: str, v: int, ignore_changes: bool):
+    """The chain dir version ``v`` APPENDED, absolute — or None when
+    ``ignore_changes`` skips a non-append commit. Non-append commits
+    (compact, CoW delete/update/merge, DV delete, restore) FAIL the
+    stream loudly otherwise — shared by both stream readers so the
+    driver and executor paths can never disagree on the feed's
+    semantics."""
+    import os
+
+    from mapreduce_4_spark.sources import versioned as vt
+
+    m = vt.read_manifest(table_dir, v)
+    op = m.get("operation")
+    dirs = m.get("data_dirs") or [f"v={v:06d}"]
+    is_append = (
+        op in ("append", "append-concurrent")
+        or (op is None and m.get("parent") is None)
+    )
+    if not is_append:
+        if ignore_changes:
+            return None
+        raise ValueError(
+            f"mr4ver stream: version {v} of {table_dir} is a "
+            f"{op or 'non-append'} commit — an append feed cannot "
+            "represent it. Pass ignoreChanges=true to skip such "
+            "versions, or consume the CDC feed (streaming/cdc.py) "
+            "for I/U/D semantics"
+        )
+    return os.path.join(table_dir, dirs[-1])
 
 
 class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
@@ -579,55 +646,15 @@ class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
         return {"v": int(self.starting) - 1}
 
     def _appended_rows(self, v: int):
-        import os
-        from urllib.parse import unquote
-
-        import pyarrow.parquet as pq
-
-        from mapreduce_4_spark.sources import versioned as vt
-
-        m = vt.read_manifest(self.table_dir, v)
-        op = m.get("operation")
-        dirs = m.get("data_dirs") or [f"v={v:06d}"]
-        is_append = (
-            op in ("append", "append-concurrent")
-            or (op is None and m.get("parent") is None)
-        )
-        if not is_append:
-            if self.ignore_changes:
-                return
-            raise ValueError(
-                f"mr4ver stream: version {v} of {self.table_dir} is a "
-                f"{op or 'non-append'} commit — an append feed cannot "
-                "represent it. Pass ignoreChanges=true to skip such "
-                "versions, or consume the CDC feed (streaming/cdc.py) "
-                "for I/U/D semantics"
-            )
-        new_root = os.path.join(self.table_dir, dirs[-1])
+        new_root = _append_new_dir(self.table_dir, v, self.ignore_changes)
+        if new_root is None:
+            return
         names = self.arrow_schema.names
-        for cur, _d, files in os.walk(new_root):
-            values = {}
-            rel = os.path.relpath(cur, new_root)
-            for seg in () if rel == "." else rel.split(os.sep):
-                if "=" in seg:
-                    c, val = seg.split("=", 1)
-                    if c in self.part_cols:
-                        values[c] = unquote(val)
-            for f in sorted(files):
-                if not f.endswith(".parquet"):
-                    continue
-                t = pq.read_table(os.path.join(cur, f))
-                cols = {}
-                for field in self.arrow_schema:
-                    if field.name in values:
-                        cols[field.name] = [values[field.name]] * t.num_rows
-                    elif field.name in t.column_names:
-                        cols[field.name] = t.column(
-                            field.name).cast(field.type).to_pylist()
-                    else:
-                        cols[field.name] = [None] * t.num_rows
-                for i in range(t.num_rows):
-                    yield tuple(cols[n][i] for n in names)
+        for full, values in _walk_dir_files(new_root, self.part_cols):
+            t = _read_file_conformed(full, values, (), self.arrow_schema)
+            cols = {n: t.column(n).to_pylist() for n in names}
+            for i in range(t.num_rows):
+                yield tuple(cols[n][i] for n in names)
 
     def _window(self, lo: int, hi: int) -> list:
         # a LIST, not a generator: the prefetch cache copy.copy()s the
@@ -648,6 +675,73 @@ class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._window(int(start["v"]), int(end["v"])))
+
+
+class Mr4VersionedStreamPartReader(DataSourceStreamReader):
+    """Executor-side (data-plane) append-tail stream —
+    ``spark.readStream.format("mr4ver").option("streamMode",
+    "executor")``: the partition-planning twin of
+    :class:`Mr4VersionedStreamReader`. Offsets and semantics are
+    IDENTICAL (``{"v": N}`` = versions ≤ N delivered; non-append
+    commits fail loudly unless ``ignoreChanges``; ``startingVersion``
+    int/latest; exactly-once from manifest immutability — any
+    (start, end] window replans to the same file partitions), but each
+    micro-batch plans one input partition per appended parquet FILE
+    and the files are read ON EXECUTORS as Arrow batches
+    (``_read_file_conformed``, the batch reader's own read) — rows
+    never ship through the driver. The planning cost per batch is one
+    manifest read + one dir walk per appended version (driver-side,
+    O(new files)); the per-batch task-scheduling floor is the price,
+    which is why the Simple reader stays the default for
+    control-plane/tiny-batch feeds (SCALE.md: measured crossover)."""
+
+    def __init__(self, table_dir: str, manifest: dict, schema, options):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.table_dir = table_dir
+        self.arrow_schema = to_arrow_schema(schema)
+        self.part_cols = set(manifest.get("partition_by") or [])
+        self.ignore_changes = str(
+            options.get("ignorechanges", "false")).lower() == "true"
+        self.starting = options.get("startingversion", "1")
+
+    def initialOffset(self) -> dict:
+        from mapreduce_4_spark.sources import versioned as vt
+
+        if str(self.starting).lower() == "latest":
+            return {"v": vt.latest_version(self.table_dir) or 0}
+        return {"v": int(self.starting) - 1}
+
+    def latestOffset(self) -> dict:
+        from mapreduce_4_spark.sources import versioned as vt
+
+        v = vt.latest_version(self.table_dir)
+        if v is None:
+            return {"v": int(self.initialOffset()["v"])}
+        return {"v": v}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for v in range(int(start["v"]) + 1, int(end["v"]) + 1):
+            root = _append_new_dir(self.table_dir, v,
+                                   self.ignore_changes)
+            if root is None:
+                continue
+            for full, values in _walk_dir_files(root, self.part_cols):
+                parts.append(_SnapshotFilePartition(full, values, ()))
+        # Spark wants >= 1 partition per batch; the sentinel reads empty
+        return parts or [_SnapshotFilePartition(None, {})]
+
+    def read(self, partition: _SnapshotFilePartition):
+        if partition.path is None:
+            return iter([])
+        return iter(_read_file_conformed(
+            partition.path, partition.part_values, partition.drop,
+            self.arrow_schema).to_batches())
+
+    def commit(self, end: dict) -> None:
+        # versions are immutable and replayable; nothing to release
+        pass
 
 
 def register_versioned_source(spark) -> None:

@@ -409,9 +409,17 @@ def write_version(df: DataFrame, table_dir: str,
     immutable snapshot; time travel is unchanged. ``compact`` naturally
     resets the chain (it publishes a full snapshot), and ``vacuum``
     only removes a data dir once no retained manifest references it.
-    Appended snapshots carry no bucket/cluster layout (a sort/bucket
-    layout is a whole-table property, which is exactly what compaction
-    re-establishes) — but ``append=True`` MAY be combined with
+    Appends never take explicit bucket/cluster layout args, and a
+    BUCKETED base refuses appends outright (bucketing is a correctness
+    contract: exchange-free joins assume every row hashed into its
+    bucket file). A SORTED or Z-ORDERED base, however, accepts appends
+    (round 12): the chain manifest keeps RECORDING the base's
+    ``sort_by``/``zorder_by`` discipline while each appended dir lands
+    unclustered — clustering a trickle batch is write churn — so the
+    layout decays only in the unfolded tail. ``compact_tail``
+    re-applies the recorded discipline when it folds (the
+    layout-preserving fold), and ``compact``/``table cluster``
+    re-establish it whole-table. ``append=True`` MAY be combined with
     ``partition_by`` when every version in the chain uses the SAME
     partition columns: hive partitioning is per-directory, so each
     appended version dir is partitioned independently and a partition
@@ -454,13 +462,26 @@ def write_version(df: DataFrame, table_dir: str,
     parent_dirs: list[str] = []
     parent_rows = 0
     schema_evolved = False
+    #: what the manifest RECORDS as the table's clustering discipline —
+    #: for full snapshots, this write's own layout; for appends onto a
+    #: clustered base, the base's discipline carried forward (round 12):
+    #: the appended dir itself lands unclustered (clustering a trickle
+    #: batch is write churn), so the tail decays — bounded, because
+    #: compact_tail re-applies the recorded discipline when it folds
+    #: and `table cluster` re-establishes it whole-table
+    rec_sort, rec_zorder, rec_zbits = sort_by, zorder_by, zorder_bits
     if append and parent is not None:
         pm = read_manifest(table_dir, parent)
-        if pm.get("bucket_by") or pm.get("sort_by") or pm.get("zorder_by"):
+        if pm.get("bucket_by"):
+            # bucketing stays append-refusing: it is a CORRECTNESS
+            # contract (exchange-free joins assume every row hashed
+            # into its bucket file), not a skipping heuristic
             raise ValueError(
-                "cannot append to a bucketed/clustered snapshot; "
-                "compact() first"
+                "cannot append to a bucketed snapshot; compact() first"
             )
+        rec_sort = pm.get("sort_by")
+        rec_zorder = pm.get("zorder_by")
+        rec_zbits = pm.get("zorder_bits") or zorder_bits
         if (pm.get("partition_by") or None) != (partition_by or None):
             raise ValueError(
                 "append partitioning must match the chain: parent has "
@@ -581,9 +602,9 @@ def write_version(df: DataFrame, table_dir: str,
         "schema": df.schema.jsonValue(),
         "bucket_by": bucket_by,
         "n_buckets": n_buckets,
-        "sort_by": (sort_by or bucket_by) if bucket_by else sort_by,
-        "zorder_by": zorder_by,
-        "zorder_bits": zorder_bits if zorder_by else None,
+        "sort_by": (sort_by or bucket_by) if bucket_by else rec_sort,
+        "zorder_by": rec_zorder,
+        "zorder_bits": rec_zbits if rec_zorder else None,
         "partition_by": partition_by,
         # provenance for exactly-once streaming sinks: which micro-batch
         # produced this snapshot (see streaming/foreach_batch.py)
@@ -710,13 +731,23 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
         eff_bloom_for = None
         eff_bloom_bits = 1 << 17
         schema_evolved = False
+        rec_sort = None
+        rec_zorder = None
+        rec_zbits = None
         if append and parent is not None:
             pm = read_manifest(table_dir, parent)
-            if pm.get("bucket_by") or pm.get("sort_by"):
+            if pm.get("bucket_by"):
+                # bucketing is a correctness contract — append-refusing;
+                # sort/zorder disciplines carry RECORDED (round 12, the
+                # write_version rule): the staged dir is unclustered,
+                # compact_tail's fold re-applies the discipline
                 raise ValueError(
-                    "cannot append to a bucketed/clustered snapshot; "
+                    "cannot append to a bucketed snapshot; "
                     "compact() first"
                 )
+            rec_sort = pm.get("sort_by")
+            rec_zorder = pm.get("zorder_by")
+            rec_zbits = pm.get("zorder_bits")
             if (pm.get("partition_by") or None) != (partition_by or None):
                 raise ValueError(
                     "append partitioning must match the chain: parent "
@@ -776,7 +807,9 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
             "schema": df.schema.jsonValue(),
             "bucket_by": None,
             "n_buckets": None,
-            "sort_by": None,
+            "sort_by": rec_sort,
+            "zorder_by": rec_zorder,
+            "zorder_bits": rec_zbits if rec_zorder else None,
             "partition_by": partition_by,
             "batch_id": batch_id,
             "nonce": nonce,
@@ -3029,6 +3062,36 @@ def compact_tail(spark: SparkSession, table_dir: str,
                 ).coalesce(target_files)
             else:
                 rows = reader.parquet(*tail_paths).coalesce(target_files)
+    # layout-preserving fold (round 12): when the chain RECORDS a
+    # clustering discipline (a sort_by/zorder_by base that trickle
+    # appends carried forward), re-apply it to the folded dir — the
+    # tail's layout decay is bounded to the unfolded trickle instead of
+    # accumulating until a whole-table `table cluster` rewrite. A
+    # single-file fold would erase the discipline's skipping value, so
+    # a clustered fold defaults to the session's shuffle parallelism
+    # unless the caller asked for more files explicitly.
+    sort_disc = manifest.get("sort_by")
+    z_disc = manifest.get("zorder_by")
+    if rows is not None and (sort_disc or z_disc):
+        if part_by:
+            # hive dirs already partition the fold; cluster WITHIN them
+            rows = rows.sortWithinPartitions(*(sort_disc or []))\
+                if sort_disc else rows
+        else:
+            n = (target_files if target_files and target_files > 1
+                 else int(spark.conf.get("spark.sql.shuffle.partitions")))
+            if z_disc:
+                bits = manifest.get("zorder_bits") or 8
+                rows = (
+                    rows.withColumn(
+                        "__mr4_zval", _zorder_col(rows, z_disc, bits))
+                    .repartitionByRange(n, "__mr4_zval")
+                    .sortWithinPartitions("__mr4_zval")
+                    .drop("__mr4_zval")
+                )
+            else:
+                rows = (rows.repartitionByRange(n, *sort_disc)
+                        .sortWithinPartitions(*sort_disc))
     new_version = version + 1
     data_dir = _data_dir(table_dir, new_version)
     _reclaim_torn_write(table_dir, new_version)
@@ -3083,7 +3146,7 @@ def compact_tail(spark: SparkSession, table_dir: str,
                 e for e in fsio.listdir(data_dir) if "=" in e
             )
     folded_manifest = {
-        **manifest,
+        **_inherited_manifest(manifest),
         "version": new_version,
         "parent": version,
         "committed_at": time.time(),

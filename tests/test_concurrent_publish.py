@@ -185,10 +185,18 @@ def test_concurrent_publish_file_scheme(spark, tmp_path):
 
 
 def test_concurrent_append_refuses_laid_out_parent(spark, tmp_path):
+    from mapreduce_4_spark.sources.versioned import read_manifest
+
     tdir = str(tmp_path / "t")
     write_version(_ks(spark, 0, 4), tdir, sort_by=["k"], n_files=2)
-    with pytest.raises(ValueError, match="compact"):
-        write_version_concurrent(_ks(spark, 10, 2), tdir, append=True)
+    # round 12: a sorted base accepts concurrent appends too, with the
+    # discipline recorded on the chain; bucketed bases still refuse
+    v = write_version_concurrent(_ks(spark, 10, 2), tdir, append=True)
+    assert read_manifest(tdir, v)["sort_by"] == ["k"]
+    tb = str(tmp_path / "tb")
+    write_version(_ks(spark, 0, 4), tb, bucket_by=["k"], n_buckets=2)
+    with pytest.raises(ValueError, match="bucketed"):
+        write_version_concurrent(_ks(spark, 10, 2), tb, append=True)
     with pytest.raises(ValueError, match="partitioning must match"):
         write_version(_ks(spark, 0, 4), tdir)  # reset to plain
         from pyspark.sql import functions as F

@@ -842,9 +842,13 @@ def test_write_version_zorder_layout(spark, tmp_path):
     assert layout_from_manifest(m2)["zorder_by"] == ["x", "y"]
     assert read_version(spark, tdir).count() == n
 
-    # clustered layouts refuse appends and CoW like sort_by does
-    with pytest.raises(ValueError, match="compact"):
-        write_version(df.limit(1), tdir, append=True)
+    # round 12: a clustered base ACCEPTS appends — the chain keeps
+    # recording the discipline (compact_tail's layout-preserving fold
+    # re-applies it) while CoW still refuses the clustered manifest
+    va = write_version(df.limit(1), tdir, append=True)
+    ma = read_manifest(tdir, va)
+    assert ma["zorder_by"] == ["x", "y"] and ma["zorder_bits"] == 8
+    assert read_version(spark, tdir).count() == n + 1
     with pytest.raises(ValueError, match="bucketed/clustered"):
         delete_version_pruned(spark, tdir, where={"x": (0, 1)})
     with pytest.raises(ValueError, match="whole-table"):
@@ -923,3 +927,87 @@ def test_cow_bloom_probe_is_per_dir_window(spark, tmp_path):
     # 5 is in dir 1's window but misses its (swapped) bloom; 1005 is
     # outside dir 1's window and MUST NOT be probed against it
     assert out == {d1: False, d2: True}
+
+
+def test_compact_tail_reapplies_zorder_discipline(spark, tmp_path):
+    """The layout-preserving fold (round 12): a Z-ordered base takes
+    trickle appends (unclustered tail), and compact_tail's fold
+    re-applies the RECORDED discipline — the folded dir's files are
+    narrow in BOTH dimensions again, the manifest keeps the
+    discipline, and `fsck --deep` stays green. Without this, trickle
+    appends decayed the layout until a whole-table `table cluster`
+    rewrite."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        compact_tail,
+        fsck_table,
+        read_manifest,
+        read_version,
+        write_version,
+    )
+
+    def grid(n0, n1):
+        return spark.range(n0, n1).select(
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") / 64) % 64).cast("long").alias("y"),
+            F.col("id").alias("payload"))
+
+    tdir = str(tmp_path / "t")
+    write_version(grid(0, 4096), tdir, zorder_by=["x", "y"], n_files=16,
+                  stats_for=["x", "y"])
+    # trickle: each append spans the whole grid (maximal decay)
+    for i in range(3):
+        write_version(grid(4096 + i * 256, 4096 + (i + 1) * 256),
+                      tdir, append=True)
+    m = read_manifest(tdir, 4)
+    assert m["zorder_by"] == ["x", "y"]  # discipline recorded down chain
+    assert len(m["data_dirs"]) == 4
+
+    v = compact_tail(spark, tdir, keep_base=1, target_files=8)
+    m2 = read_manifest(tdir, v)
+    assert m2["zorder_by"] == ["x", "y"] and m2["zorder_bits"] == 8
+    assert len(m2["data_dirs"]) == 2
+    assert read_version(spark, tdir).count() == 4096 + 768
+
+    # folded dir: every file narrow in BOTH dims (the 768 trickle rows
+    # cover the full 64x64 grid, so an unclustered fold would leave
+    # spans ~63 on both)
+    folded = os.path.join(tdir, f"v={v:06d}")
+    spans_x, spans_y = [], []
+    for f in os.listdir(folded):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(folded, f), columns=["x", "y"])
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans_x.append(max(xs) - min(xs))
+        spans_y.append(max(ys) - min(ys))
+    assert len(spans_x) >= 4
+    assert max(spans_x) <= 40 and max(spans_y) <= 40, (spans_x, spans_y)
+
+    # manifest bytes still audit clean, stats recomputed for the fold
+    assert fsck_table(tdir, spark=spark) == []
+    assert f"v={v:06d}" in m2["col_stats"]
+
+    # the sort_by analogue: folded dir comes back range-clustered
+    ts = str(tmp_path / "ts")
+    write_version(grid(0, 1024), ts, sort_by=["payload"], n_files=4,
+                  stats_for=["payload"])
+    for i in range(2):
+        write_version(grid(1024 + i * 64, 1024 + (i + 1) * 64),
+                      ts, append=True)
+    v2 = compact_tail(spark, ts, keep_base=1, target_files=4)
+    ms = read_manifest(ts, v2)
+    assert ms["sort_by"] == ["payload"]
+    folded = os.path.join(ts, f"v={v2:06d}")
+    ranges = []
+    for f in sorted(os.listdir(folded)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(folded, f), columns=["payload"])
+            vs = t.column("payload").to_pylist()
+            ranges.append((min(vs), max(vs)))
+    ranges.sort()
+    assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:])), ranges

@@ -596,8 +596,17 @@ def test_append_refuses_laid_out_parent_and_layouts(spark, sf_smoke, tmp_path):
     with pytest.raises(ValueError, match="no bucket/cluster layout"):
         write_version(base, tdir, append=True, sort_by=["o_orderkey"])
     write_version(base, tdir, sort_by=["o_orderkey"])
-    with pytest.raises(ValueError, match="compact"):
-        write_version(base.limit(5), tdir, append=True)
+    # round 12: a SORTED base accepts appends and the chain keeps
+    # recording the discipline (the layout-preserving-fold contract);
+    # only BUCKETED bases still refuse (correctness contract)
+    v = write_version(base.limit(5), tdir, append=True)
+    from mapreduce_4_spark.sources.versioned import read_manifest
+
+    assert read_manifest(tdir, v)["sort_by"] == ["o_orderkey"]
+    tb = str(tmp_path / "tb")
+    write_version(base, tb, bucket_by=["o_orderkey"], n_buckets=4)
+    with pytest.raises(ValueError, match="bucketed"):
+        write_version(base.limit(5), tb, append=True)
 
 
 def test_compact_resets_append_chain(spark, sf_smoke, tmp_path):
