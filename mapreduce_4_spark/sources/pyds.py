@@ -277,18 +277,23 @@ class Mr4VersionedDataSource(DataSource):
                                         self.options)
 
     def streamReader(self, schema) -> "Mr4VersionedStreamPartReader":
-        """The DATA-PLANE stream reader — ``option("streamMode",
-        "executor")``: partition-planning ``DataSourceStreamReader``
-        whose micro-batches read their appended files ON EXECUTORS as
-        Arrow batches (one input partition per file, the batch
-        reader's shape), instead of shipping rows through the driver
-        prefetch. Default stays the Simple (driver) reader — raising
-        NOT_IMPLEMENTED here is the documented fallback route — which
-        is the right shape for control-plane feeds and tiny batches
-        (no per-batch task scheduling floor); SCALE.md records the
-        measured crossover."""
-        if str(self.options.get("streammode", "driver")).lower() \
-                != "executor":
+        """The DEFAULT stream reader (data-plane): partition-planning
+        ``DataSourceStreamReader`` whose micro-batches read their
+        appended files ON EXECUTORS as Arrow batches (one input
+        partition per file, the batch reader's shape), instead of
+        shipping rows through the driver prefetch. Executor mode is
+        the default because the crossover was MEASURED and never
+        appeared (scripts/stream_mode_probe.py, SCALE.md round-12
+        note): the Simple reader's driver prefetch lost at EVERY
+        probed batch size, 1k rows (1.69 vs 1.59 s) through 150k rows
+        (5.05 vs 1.79 s) — its eager read-at-latestOffset costs more
+        than the per-batch task-scheduling floor even for tiny
+        batches. ``option("streamMode", "driver")`` keeps the Simple
+        reader reachable (raising NOT_IMPLEMENTED here is the
+        documented fallback route) for environments where driver-side
+        prefetch is genuinely preferable."""
+        if str(self.options.get("streammode", "executor")).lower() \
+                == "driver":
             from pyspark.errors import PySparkNotImplementedError
 
             raise PySparkNotImplementedError(
@@ -622,11 +627,15 @@ class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
     default 1 = everything; or ``latest`` = only commits after stream
     start). Schema is pinned at stream start (manifest schema);
     columns appended later by schema evolution surface after a
-    restart, pre-evolution files null-pad. Like the batch reader this
-    is the local API-surface path — rows ship via the driver
-    (SimpleDataSourceStreamReader's prefetch contract), the right
-    scale for control-plane feeds; data-plane streams use the
-    checkpointed CDC feed."""
+    restart, pre-evolution files null-pad.
+
+    This is the ``option("streamMode", "driver")`` reader — rows ship
+    via the driver (SimpleDataSourceStreamReader's prefetch contract).
+    Round 12 measured it against the executor-side partition-planning
+    twin (:class:`Mr4VersionedStreamPartReader`) and the driver path
+    lost at every probed batch size (scripts/stream_mode_probe.py), so
+    the executor reader is now the DEFAULT; this one stays reachable
+    for environments that want zero per-batch task scheduling."""
 
     def __init__(self, table_dir: str, manifest: dict, schema, options):
         from pyspark.sql.pandas.types import to_arrow_schema

@@ -32,9 +32,27 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+COLD = "--cold" in sys.argv
+
+
+def _drop_caches() -> None:
+    """Cold-IO mode: drop the page cache before each timed run, so the
+    measurement includes the data reads skipping actually avoids —
+    warm-cache local-FS runs are task-scheduling-bound and hide the IO
+    term entirely (the round-12 finding)."""
+    os.sync()
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+    except OSError:
+        pass  # not permitted: stay a warm-cache probe
+
+
 def timed_count(df, runs: int = 3) -> float:
     best = float("inf")
-    for _ in range(runs):
+    for _ in range(2 if COLD else runs):
+        if COLD:
+            _drop_caches()
         t0 = time.perf_counter()
         df.count()
         best = min(best, time.perf_counter() - t0)
@@ -78,8 +96,9 @@ def main() -> None:
         write_version,
     )
 
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_rows = int(args[0]) if args else 8_000_000
+    n_files = int(args[1]) if len(args) > 1 else 512
     spark = get_spark("mr4ver-file-skip-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"probe": "file_skip", "n_rows": n_rows,

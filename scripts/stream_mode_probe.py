@@ -63,9 +63,12 @@ def drain(spark, tdir: str, work: str, mode: str) -> float:
 def main() -> None:
     from mapreduce_4_spark.session import get_spark
 
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+
     sizes = [int(a) for a in sys.argv[1:]] or [1_000, 20_000, 150_000]
     spark = get_spark("mr4ver-stream-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    register_versioned_source(spark)
     results = []
     for b in sizes:
         work = tempfile.mkdtemp(prefix=f"mr4s_probe_{b}_",

@@ -520,3 +520,30 @@ def test_mr4ver_executor_stream_matches_driver_semantics(spark, tmp_path):
     sentinel = r_skip.partitions({"v": 3}, {"v": 4})
     assert [p.path for p in sentinel] == [None]
     assert list(r_skip.read(sentinel[0])) == []
+
+
+def test_mr4ver_stream_mode_dispatch(spark, tmp_path):
+    """Executor (partition-planning) streaming is the measured DEFAULT
+    (the driver-prefetch Simple reader lost at every probed batch
+    size — scripts/stream_mode_probe.py); option('streamMode',
+    'driver') still routes to the Simple reader via the documented
+    NOT_IMPLEMENTED fallback."""
+    from pyspark.errors import PySparkNotImplementedError
+
+    from mapreduce_4_spark.sources.pyds import (
+        Mr4VersionedStreamPartReader,
+        Mr4VersionedStreamReader,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(spark.range(5).withColumnRenamed("id", "k"), tdir,
+                  append=True)
+    ds = Mr4VersionedDataSource(options={"path": tdir})
+    assert isinstance(ds.streamReader(ds.schema()),
+                      Mr4VersionedStreamPartReader)
+    ds_drv = Mr4VersionedDataSource(
+        options={"path": tdir, "streammode": "driver"})
+    with pytest.raises(PySparkNotImplementedError):
+        ds_drv.streamReader(ds_drv.schema())
+    assert isinstance(ds_drv.simpleStreamReader(ds_drv.schema()),
+                      Mr4VersionedStreamReader)
