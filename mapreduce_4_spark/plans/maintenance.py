@@ -1265,3 +1265,121 @@ def bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(td, ignore_errors=True)
     return spark.createDataFrame(
         rows, "o_orderkey bigint, o_custkey bigint")
+
+
+@register(
+    "clustered_chain_fold_orders",
+    oracle=f"""
+        WITH m AS (SELECT MAX(o_orderkey) + 1 AS n,
+                          MAX(o_custkey) AS cmax
+                   FROM orders),
+        live AS (
+            SELECT o.* FROM orders o, m
+            WHERE NOT (o.o_orderkey >= m.n // 2
+                       AND o.o_orderkey < m.n // 2 + m.n // 10)
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM live, m
+        WHERE o_custkey BETWEEN m.cmax // 4 AND m.cmax // 2
+          AND o_orderkey BETWEEN m.n // 4 AND 9 * m.n // 10
+        GROUP BY o_orderstatus
+    """,
+    tags=("maintenance", "lakehouse", "cluster", "cow"),
+    description="the round-12 clustered-chain lifecycle end-to-end as "
+                "an oracled query: orders publishes as a Z-ordered "
+                "base on (o_custkey, o_orderkey), takes two trickle "
+                "appends (allowed since round 12 — the discipline "
+                "stays RECORDED on the chain while appended dirs land "
+                "unclustered), a dir-granular CoW range delete "
+                "rewrites only the covering dir with the discipline "
+                "surviving the commit, and compact_tail's "
+                "layout-preserving fold re-applies the recorded "
+                "Z-order to the folded dir. The builder asserts the "
+                "manifest discipline at every step and the final "
+                "2-dir chain; the final snapshot's 2-D box aggregate "
+                "must match DuckDB applying the same delete to raw "
+                "parquet",
+)
+def clustered_chain_fold_orders(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Scale rationale: this is OPTIMIZE-ZORDER-as-a-lifecycle, not a
+    one-shot write. A 100 TB table clustered once must stay useful
+    under trickle appends and targeted deletes: mutation cost is
+    O(touched dirs) (CoW), layout decay is bounded to the unfolded
+    tail, and the tail fold — O(trickle), never O(table) — restores
+    per-file 2-D locality so footer/dir skipping keeps paying on both
+    dims. The whole-table `table cluster` rewrite becomes an
+    occasional off-peak move instead of the only repair.
+
+    Timing caveat (the metadata_agg_orders shape): the publishes, the
+    CoW commit, and the fold run at BUILD time; timings measure the
+    final boxed read.
+
+    Reference anchor: the reference re-establishes per-stage file
+    layout by rewriting stage trees whole (asio_deep/main.cpp:434-516);
+    here the re-establishment unit is the folded tail dir."""
+    import shutil
+    import tempfile
+
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.sources.versioned import (
+        compact_tail,
+        delete_version_pruned,
+        read_manifest,
+        read_version,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    row = orders.agg(F.max("o_orderkey"), F.max("o_custkey")).first()
+    n, cmax = int(row[0]) + 1, int(row[1])
+    b = n // 2
+    td = tempfile.mkdtemp(prefix="mr4s_clustered_chain_")
+    try:
+        tdir = f"{td}/orders_chain"
+        write_version(orders.filter(F.col("o_orderkey") < b), tdir,
+                      zorder_by=["o_custkey", "o_orderkey"], n_files=8,
+                      stats_for=["o_orderkey"])
+        for lo, hi in ((b, 3 * n // 4), (3 * n // 4, n)):
+            write_version(
+                orders.filter((F.col("o_orderkey") >= lo)
+                              & (F.col("o_orderkey") < hi)).coalesce(1),
+                tdir, append=True)
+        m = read_manifest(tdir, 3)
+        assert m["zorder_by"] == ["o_custkey", "o_orderkey"], m
+        # dir-granular delete inside the first append's range: only
+        # that dir rewrites; the recorded discipline survives
+        _, info = delete_version_pruned(
+            spark, tdir,
+            where={"o_orderkey": (b, b + n // 10 - 1)}, detail=True)
+        assert info["rewritten"] == 1 and info["untouched"] == 2, info
+        m = read_manifest(tdir, 4)
+        assert m["zorder_by"] == ["o_custkey", "o_orderkey"], m
+        # layout-preserving fold: the tail (append + CoW dirs) folds
+        # into ONE re-clustered dir
+        v = compact_tail(spark, tdir, keep_base=1, target_files=4)
+        m = read_manifest(tdir, v)
+        assert m["zorder_by"] == ["o_custkey", "o_orderkey"], m
+        assert len(m["data_dirs"]) == 2, m["data_dirs"]
+        boxed = read_version(spark, tdir).filter(
+            (F.col("o_custkey") >= cmax // 4)
+            & (F.col("o_custkey") <= cmax // 2)
+            & (F.col("o_orderkey") >= n // 4)
+            & (F.col("o_orderkey") <= 9 * n // 10))
+        out = (
+            boxed.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_orderkey").alias("min_key"),
+                 dsum("o_totalprice").alias("sum_price"))
+            .select("o_orderstatus", "n_orders", "min_key", "sum_price")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, min_key bigint, "
+              "sum_price double")

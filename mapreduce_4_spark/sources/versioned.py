@@ -2269,15 +2269,29 @@ def delete_version(spark: SparkSession, table_dir: str,
 
 def _require_plain_table(pm: dict, table_dir: str, what: str) -> None:
     """Copy-on-write and deletion-vector commits operate at chain-dir
-    granularity, which bucketed/clustered snapshots don't have (their
-    layout is a whole-table property) — those route through the
-    full-rewrite paths (upsert_version/delete_version), which preserve
-    the layout."""
-    if pm.get("bucket_by") or pm.get("sort_by") or pm.get("zorder_by"):
+    granularity. Bucketed snapshots never qualify (the bucket files ARE
+    the correctness contract). Clustered (sort_by/zorder_by) FULL
+    snapshots don't either: dir-granular CoW on a one-dir table is a
+    full rewrite that would silently uncluster it — route through
+    upsert_version/delete_version, which preserve the layout. A
+    clustered CHAIN (round 12: a clustered base taking appends, the
+    discipline recorded) IS mutable at dir granularity: rewritten dirs
+    land unclustered — the same bounded decay appends cause — while the
+    recorded discipline stays on the manifest for compact_tail's
+    layout-preserving fold / `table cluster` to re-establish."""
+    if pm.get("bucket_by"):
         raise ValueError(
             f"{what} needs a plain or append-chain table; {table_dir} is "
-            "bucketed/clustered — use upsert_version/delete_version "
+            "bucketed — use upsert_version/delete_version "
             "(full rewrite, layout preserved) instead"
+        )
+    is_chain = len(pm.get("data_dirs") or []) > 1
+    if (pm.get("sort_by") or pm.get("zorder_by")) and not is_chain:
+        raise ValueError(
+            f"{what} needs a plain or append-chain table; {table_dir} is "
+            "a bucketed/clustered full snapshot — use "
+            "upsert_version/delete_version (full rewrite, layout "
+            "preserved) instead"
         )
 
 
@@ -2461,7 +2475,13 @@ def _cow_publish(spark: SparkSession, table_dir: str, pm: dict,
         "schema": pm["schema"],
         "bucket_by": None,
         "n_buckets": None,
-        "sort_by": None,
+        # the recorded clustering discipline survives dir-granular
+        # mutation (rewritten dirs decay like appended ones; the fold
+        # re-establishes) — round 12
+        "sort_by": pm.get("sort_by"),
+        "zorder_by": pm.get("zorder_by"),
+        "zorder_bits": (pm.get("zorder_bits")
+                        if pm.get("zorder_by") else None),
         "partition_by": part_by,
         "batch_id": None,
         "nonce": uuid.uuid4().hex[:12],

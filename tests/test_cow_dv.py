@@ -137,9 +137,9 @@ def test_cow_delete_everything_leaves_readable_empty_table(
 def test_cow_refused_on_bucketed_tables(spark, tmp_path):
     tdir = str(tmp_path / "t")
     write_version(_kv(spark, 0, 10), tdir, bucket_by=["k"], n_buckets=2)
-    with pytest.raises(ValueError, match="bucketed/clustered"):
+    with pytest.raises(ValueError, match="bucketed"):
         delete_version_pruned(spark, tdir, where={"k": (0, 5)})
-    with pytest.raises(ValueError, match="bucketed/clustered"):
+    with pytest.raises(ValueError, match="bucketed"):
         delete_version_dv(spark, tdir, keys=[1], key="k")
 
 

@@ -842,15 +842,24 @@ def test_write_version_zorder_layout(spark, tmp_path):
     assert layout_from_manifest(m2)["zorder_by"] == ["x", "y"]
     assert read_version(spark, tdir).count() == n
 
+    # CoW refuses a clustered FULL snapshot (a one-dir rewrite would
+    # silently uncluster it; upsert_version preserves the layout)
+    with pytest.raises(ValueError, match="clustered full snapshot"):
+        delete_version_pruned(spark, tdir, where={"x": (0, 1)})
     # round 12: a clustered base ACCEPTS appends — the chain keeps
     # recording the discipline (compact_tail's layout-preserving fold
-    # re-applies it) while CoW still refuses the clustered manifest
-    va = write_version(df.limit(1), tdir, append=True)
+    # re-applies it) — and the CHAIN takes dir-granular CoW with the
+    # discipline surviving on the manifest
+    va = write_version(df.filter("payload = 123"), tdir, append=True)
     ma = read_manifest(tdir, va)
     assert ma["zorder_by"] == ["x", "y"] and ma["zorder_bits"] == 8
     assert read_version(spark, tdir).count() == n + 1
-    with pytest.raises(ValueError, match="bucketed/clustered"):
-        delete_version_pruned(spark, tdir, where={"x": (0, 1)})
+    from mapreduce_4_spark.sources.versioned import count_version
+
+    vd = delete_version_pruned(spark, tdir, where={"payload": (0, 0)})
+    md = read_manifest(tdir, vd)
+    assert md["zorder_by"] == ["x", "y"]  # discipline survives CoW
+    assert count_version(None, tdir) == n
     with pytest.raises(ValueError, match="whole-table"):
         write_version(df, str(tmp_path / "t2"), zorder_by=["x", "y"],
                       sort_by=["x"])
