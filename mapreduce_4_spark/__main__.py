@@ -145,7 +145,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--zorder", default=None,
                     help="cluster: comma-separated columns for the "
                          "Morton-interleave layout (2+); one column "
-                         "re-clusters with a plain sort")
+                         "re-clusters with a plain sort; omit to "
+                         "re-apply the table's recorded discipline")
     sp.add_argument("--name", default=None,
                     help="tag: the tag name to create (with --delete: "
                          "to drop)")
@@ -419,10 +420,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.verb == "cluster":
             # OPTIMIZE [ZORDER BY]: republish the latest snapshot under
             # a (new) clustered layout — sort_by for one column,
-            # zorder_by for multi-dimensional skipping
-            if not args.zorder:
-                p.error("cluster needs --zorder col[,col...]")
-            cols = [c for c in args.zorder.split(",") if c]
+            # zorder_by for multi-dimensional skipping. With no
+            # --zorder, re-apply the table's RECORDED discipline (the
+            # OPTIMIZE-with-no-spec repair for a decayed clustered
+            # chain, round 12).
             from mapreduce_4_spark.session import get_spark
 
             spark = get_spark("mapreduce_4_spark-cli-table")
@@ -434,6 +435,15 @@ def main(argv: list[str] | None = None) -> int:
             # dropped the partition/bucket/bloom contracts
             kw = vt.layout_from_manifest(vt.read_manifest(
                 args.table_dir, vt.latest_version(args.table_dir)))
+            if not args.zorder:
+                recorded = kw.get("zorder_by") or kw.get("sort_by")
+                if not recorded:
+                    p.error("cluster needs --zorder col[,col...] (the "
+                            "table records no clustering discipline "
+                            "to re-apply)")
+                cols = list(recorded)
+            else:
+                cols = [c for c in args.zorder.split(",") if c]
             if len(cols) == 1:
                 kw["sort_by"] = cols
                 kw["zorder_by"] = None

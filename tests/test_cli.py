@@ -472,3 +472,36 @@ def test_cli_table_update_and_merge_verbs(spark, tmp_path, capsys):
               "--dv"])
     with pytest.raises(SystemExit):
         main(["table", "merge", tdir, "--col", "k"])
+
+
+def test_cli_table_cluster_reapplies_recorded_discipline(
+        spark, tmp_path, capsys):
+    """`table cluster` with no --zorder re-applies the table's RECORDED
+    discipline — the OPTIMIZE-with-no-spec repair for a clustered
+    chain decayed by trickle appends; a table recording none errors
+    loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        read_manifest,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"),
+        (F.col("id") / 16).cast("long").alias("y"))
+    write_version(df, tdir, zorder_by=["x", "y"])
+    write_version(df.limit(5), tdir, append=True)  # decaying trickle
+    assert main(["table", "cluster", tdir, "--target-files", "4"]) == 0
+    assert "clustered (zorder: x,y)" in capsys.readouterr().out
+    m = read_manifest(tdir, 3)
+    assert m["zorder_by"] == ["x", "y"]
+    assert m.get("data_dirs") is None  # full re-clustered snapshot
+
+    t2 = str(tmp_path / "t2")
+    write_version(df, t2)
+    with pytest.raises(SystemExit):
+        main(["table", "cluster", t2])
+    capsys.readouterr()
