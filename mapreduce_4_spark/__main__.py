@@ -141,7 +141,12 @@ def main(argv: list[str] | None = None) -> int:
                          "applied to matching rows")
     sp.add_argument("--source", default=None,
                     help="merge: parquet path holding the update rows "
-                         "(upserted on --col)")
+                         "(upserted on --col); delete: parquet path of "
+                         "keys for the join-classified wide delete")
+    sp.add_argument("--wide", action="store_true",
+                    help="merge: classify dirs by one-scan join "
+                         "instead of collecting the update keys "
+                         "(unbounded update sets)")
     sp.add_argument("--zorder", default=None,
                     help="cluster: comma-separated columns for the "
                          "Morton-interleave layout (2+); one column "
@@ -290,19 +295,35 @@ def main(argv: list[str] | None = None) -> int:
                   f"{info['missed']} skipped, {info['scanned']} scanned)")
             return 0
         if args.verb == "delete":
-            # targeted delete: --col + --values (keyed) or --col +
-            # --lower/--upper (range); CoW by default, --dv for the
-            # zero-rewrite deletion-vector commit
+            # targeted delete: --col + --values (keyed), --col +
+            # --lower/--upper (range), or --col + --source (a parquet
+            # path of keys too wide to collect — the join-classified
+            # path); CoW by default, --dv for the zero-rewrite
+            # deletion-vector commit
             if not args.col:
                 p.error("delete needs --col")
             keyed = args.values is not None
             ranged = args.lower is not None or args.upper is not None
-            if keyed == ranged:
-                p.error("delete needs exactly one of --values or "
-                        "--lower/--upper")
+            wide = args.source is not None
+            if keyed + ranged + wide != 1:
+                p.error("delete needs exactly one of --values, "
+                        "--lower/--upper, or --source")
             from mapreduce_4_spark.session import get_spark
 
             spark = get_spark("mapreduce_4_spark-cli-table")
+            if wide:
+                if args.dv:
+                    p.error("--dv takes --values/--lower/--upper "
+                            "addressing (bounded); a --source-wide "
+                            "delete is the join-classified CoW path")
+                v, info = vt.delete_version_joined(
+                    spark, args.table_dir,
+                    spark.read.parquet(args.source), args.col,
+                    detail=True)
+                print(f"cow-deleted (joined) -> v{v} (dirs: "
+                      f"{info['untouched']} untouched, "
+                      f"{info['rewritten']} rewritten)")
+                return 0
             if keyed:
                 kw = dict(keys=[_bound(v) for v in args.values.split(",")],
                           key=args.col)
@@ -371,10 +392,20 @@ def main(argv: list[str] | None = None) -> int:
 
             spark = get_spark("mapreduce_4_spark-cli-table")
             updates = spark.read.parquet(args.source)
-            v, info = vt.merge_version_pruned(
-                spark, args.table_dir, updates, args.col, detail=True)
-            print(f"cow-merged -> v{v} (dirs: {info['untouched']} "
-                  f"untouched, {info['rewritten']} rewritten)")
+            if args.wide:
+                # join-classified: one scan, no driver key collect —
+                # for update sets past the manifest classifier's
+                # max_keys broadcast budget
+                v, info = vt.merge_version_joined(
+                    spark, args.table_dir, updates, args.col,
+                    detail=True)
+            else:
+                v, info = vt.merge_version_pruned(
+                    spark, args.table_dir, updates, args.col,
+                    detail=True)
+            print(f"cow-merged{' (joined)' if args.wide else ''} -> "
+                  f"v{v} (dirs: {info['untouched']} untouched, "
+                  f"{info['rewritten']} rewritten)")
             return 0
         if args.verb in ("tag", "tags"):
             # named snapshots (Iceberg tags): a tag pins a version

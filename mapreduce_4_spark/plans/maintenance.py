@@ -1383,3 +1383,90 @@ def clustered_chain_fold_orders(spark: SparkSession,
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_orders bigint, min_key bigint, "
               "sum_price double")
+
+
+@register(
+    "wide_delete_orders_chain",
+    oracle=f"""
+        WITH live AS (
+            SELECT * FROM orders
+            WHERE NOT (o_orderkey % 4 = 1 AND o_orderkey % 13 = 0)
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM live GROUP BY o_orderstatus
+    """,
+    tags=("maintenance", "lakehouse", "cow"),
+    description="the join-classified WIDE delete end-to-end as an "
+                "oracled query (round 12): orders publishes as a "
+                "4-dir residue chain (every dir's o_orderkey window "
+                "spans the keyspace — the manifest classifier would "
+                "conservatively rewrite all four), then "
+                "delete_version_joined removes a key DataFrame "
+                "(o_orderkey % 4 = 1 and % 13 = 0 — hundreds of keys, "
+                "never collected to the driver) whose one-scan "
+                "LeftSemi classification proves only the residue-1 "
+                "dir holds them (builder asserts rewritten=1, "
+                "untouched=3); the surviving table must match DuckDB "
+                "applying the same predicate delete",
+)
+def wide_delete_orders_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: the GDPR shape past the broadcast budget. The
+    manifest classifier (windows + blooms) is zero-scan but holds the
+    key set on the driver (max_keys-capped, loud); this path keeps
+    the keys distributed end-to-end — ONE classification scan
+    (LeftSemi, exact, no bloom false positives) + LeftAnti survivors
+    over only the dirs proven to hold keys — so a 10^8-id erasure on
+    a 100 TB chain costs a read pass plus the touched dirs, never the
+    O(table) WRITE of a full rewrite.
+
+    Timing caveat (the metadata_agg_orders shape): the chain publish
+    and the joined commit run at BUILD time; timings measure the
+    final read.
+
+    Reference anchor: the reference's shuffle stage re-partitions the
+    full dataset to relocate affected keys (asio_deep/main.cpp:
+    327-433); here the classification pass reads but only provably
+    affected units rewrite."""
+    import shutil
+    import tempfile
+
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_joined,
+        read_version,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    td = tempfile.mkdtemp(prefix="mr4s_wide_delete_")
+    try:
+        tdir = f"{td}/orders_chain"
+        for r in range(4):
+            write_version(
+                orders.filter(F.col("o_orderkey") % 4 == r).coalesce(1),
+                tdir, append=True,
+                stats_for=["o_orderkey"] if r == 0 else None)
+        keys = orders.filter(
+            (F.col("o_orderkey") % 4 == 1)
+            & (F.col("o_orderkey") % 13 == 0)).select("o_orderkey")
+        _, info = delete_version_joined(
+            spark, tdir, keys, "o_orderkey", detail=True)
+        assert info["rewritten"] == 1 and info["untouched"] == 3, info
+        live = read_version(spark, tdir)
+        out = (
+            live.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_orderkey").alias("min_key"),
+                 dsum("o_totalprice").alias("sum_price"))
+            .select("o_orderstatus", "n_orders", "min_key", "sum_price")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, min_key bigint, "
+              "sum_price double")

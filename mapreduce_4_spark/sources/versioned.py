@@ -1653,19 +1653,24 @@ def _apply_range_filter(df: DataFrame, where: dict) -> DataFrame:
 
 
 def _scan_dirs(spark: SparkSession, manifest: dict,
-               dirs_abs: list[str], table_dir: str | None = None) -> DataFrame:
+               dirs_abs: list[str], table_dir: str | None = None,
+               keep_pos: bool = False) -> DataFrame:
     """One manifest-pinned-schema scan over the given chain dirs
     (possibly none -> empty DataFrame); partition columns restored for
     partitioned chains. The shared tail of the stats-pruned read and
     the metadata count's partial-dir fallback. When the manifest
     carries a deletion vector and ``table_dir`` is given, the DV
     anti-join is applied here — every pruned/partial read path
-    therefore sees live rows only, from exactly one place."""
+    therefore sees live rows only, from exactly one place.
+    ``keep_pos=True`` keeps the per-row (file, row-index) helper pair
+    (``_DV_COLS``) on the output — the join-classified wide-mutation
+    paths derive each live row's chain dir from it."""
     schema = _scan_schema(manifest)
     dv_live = bool(manifest.get("dv")) and table_dir is not None
+    want_pos = dv_live or keep_pos
     if manifest.get("partition_by"):
         out = _scan_partitioned_chain(spark, dirs_abs, manifest,
-                                      with_pos=dv_live)
+                                      with_pos=want_pos)
         if out is None:
             return spark.createDataFrame([], schema)
     else:
@@ -1676,12 +1681,13 @@ def _scan_dirs(spark: SparkSession, manifest: dict,
         if manifest.get("schema_evolved"):
             reader = reader.option("mergeSchema", "true")
         out = reader.parquet(*paths)
-        if dv_live:
+        if want_pos:
             out = _with_pos(out)
         out = _conform_to_schema(out, manifest,
-                                 keep=_DV_COLS if dv_live else ())
+                                 keep=_DV_COLS if want_pos else ())
     if dv_live:
         out = _anti_dv(out, _dv_frame(spark, table_dir, manifest))
+    if want_pos and not keep_pos:
         out = out.drop(*_DV_COLS)
     return out
 
@@ -2308,8 +2314,10 @@ def _collect_keys(keys, key: str, max_keys: int) -> list:
         if len(rows) > max_keys:
             raise ValueError(
                 f"key set exceeds max_keys={max_keys}; a merge/delete "
-                "this wide should rewrite via upsert_version/"
-                "delete_version (join-based, no driver collect)"
+                "this wide routes through delete_version_joined/"
+                "merge_version_joined (one-scan join classification, "
+                "no driver collect) or the full-rewrite "
+                "upsert_version/delete_version"
             )
         return vals
     return [v for v in keys if v is not None]
@@ -2740,6 +2748,127 @@ def merge_version_pruned(spark: SparkSession, table_dir: str,
     v = _cow_publish(spark, table_dir, pm, untouched, new_df,
                      manifest_extra=manifest_extra,
                      operation="merge-cow")
+    info = {"untouched": len(untouched), "rewritten": len(rewrite)}
+    return (v, info) if detail else v
+
+
+def _dirs_holding_keys_joined(spark: SparkSession, pm: dict,
+                              table_dir: str, keys_df: DataFrame,
+                              key: str, dirs: list[str]) -> list[str]:
+    """The chain dirs holding at least one LIVE row whose ``key``
+    appears in ``keys_df`` — the join-based twin of
+    ``_dirs_maybe_holding_keys`` for key sets too wide to collect:
+    one chain scan with the (file, row-index) metadata pair attached,
+    a LeftSemi join against the key set, and a distinct over the
+    derived dir names. The only driver-side materialization is the
+    dir list itself (bounded by chain length, never by |keys|), and
+    the classification is EXACT (no bloom false positives), at the
+    price of the one scan."""
+    from pyspark.sql import functions as F
+
+    dirs_abs = [os.path.join(table_dir, d) for d in dirs]
+    scan = _scan_dirs(spark, pm, dirs_abs, table_dir, keep_pos=True)
+    if _DV_COLS[0] not in scan.columns:
+        return []  # all-empty chain: nothing can hold a key
+    hit = (
+        scan.join(keys_df.select(key).dropna(), key, "leftsemi")
+        .select(F.regexp_extract(F.col(_DV_COLS[0]), _DV_DIR_RE, 1)
+                .alias("d"))
+        .distinct()
+        .collect()
+    )
+    hitset = {r["d"] for r in hit}
+    return [d for d in dirs if d in hitset]
+
+
+def delete_version_joined(spark: SparkSession, table_dir: str,
+                          keys: DataFrame, key: str,
+                          detail: bool = False):
+    """Copy-on-write keyed DELETE for UNBOUNDED key sets — the
+    join-based path ``_collect_keys``'s loud ``max_keys`` failure
+    routes to. Where ``delete_version_pruned`` classifies dirs from
+    the manifest (min/max windows + blooms, zero scans) but must hold
+    the key set on the driver, this variant classifies with ONE chain
+    scan LeftSemi-joined against the key DataFrame (exact, fully
+    distributed, driver materializes only the dir list) and deletes
+    via a LeftAnti join (no ``isin``). Commit cost: O(scan to
+    classify + rewritten dirs) — on a 100 TB chain that is one
+    read-only pass plus the touched dirs' rewrite, vs the O(table)
+    WRITE of a full-rewrite delete. Same SQL DELETE semantics (null
+    keys never match, DV rows honored and carried). Returns the new
+    version; ``detail=True`` adds the dir tallies."""
+    from pyspark.sql import functions as F
+
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    pm = read_manifest(table_dir, version)
+    _require_plain_table(pm, table_dir, "delete_version_joined")
+    if key not in {f["name"] for f in pm["schema"]["fields"]}:
+        raise ValueError(f"{key!r} is not a column of {table_dir}")
+    dirs = pm.get("data_dirs") or [f"v={version:06d}"]
+    keyset = keys.select(key).dropna().distinct()
+    rewrite = _dirs_holding_keys_joined(
+        spark, pm, table_dir, keyset, key, dirs)
+    rset = set(rewrite)
+    untouched = [d for d in dirs if d not in rset]
+    new_df = None
+    if rewrite:
+        new_df = _scan_dirs(
+            spark, pm, [os.path.join(table_dir, d) for d in rewrite],
+            table_dir,
+        ).join(keyset, key, "left_anti")
+    v = _cow_publish(spark, table_dir, pm, untouched, new_df,
+                     operation="delete-cow-joined")
+    info = {"dropped": 0, "untouched": len(untouched),
+            "rewritten": len(rewrite)}
+    return (v, info) if detail else v
+
+
+def merge_version_joined(spark: SparkSession, table_dir: str,
+                         updates: DataFrame, key: str,
+                         detail: bool = False,
+                         manifest_extra: dict | None = None):
+    """Copy-on-write keyed MERGE (upsert) for UNBOUNDED update sets —
+    ``merge_version_pruned``'s join-based twin: dir classification is
+    the one-scan LeftSemi of ``_dirs_holding_keys_joined`` and matched
+    base rows drop via LeftAnti (both fully distributed; the driver
+    holds only the dir list), so a 10^8-row merge against a 100 TB
+    chain costs one classification pass + the touched dirs + the
+    update volume, never a full-table rewrite. Output pinned equal to
+    ``upsert_version``/``merge_version_pruned`` by the parity tests
+    (updates win on key collision). Returns the new version;
+    ``detail=True`` adds the dir tallies."""
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    pm = read_manifest(table_dir, version)
+    _require_plain_table(pm, table_dir, "merge_version_joined")
+    fields = {f["name"] for f in pm["schema"]["fields"]}
+    if key not in fields:
+        raise ValueError(f"{key!r} is not a column of {table_dir}")
+    extra = set(updates.columns) - fields
+    if extra:
+        raise ValueError(
+            f"updates carry columns {sorted(extra)} the table lacks — "
+            "evolve the schema with an additive append first"
+        )
+    dirs = pm.get("data_dirs") or [f"v={version:06d}"]
+    keyset = updates.select(key).dropna().distinct()
+    rewrite = _dirs_holding_keys_joined(
+        spark, pm, table_dir, keyset, key, dirs)
+    rset = set(rewrite)
+    untouched = [d for d in dirs if d not in rset]
+    new_df = _conform_to_schema(updates, pm)
+    if rewrite:
+        survivors = _scan_dirs(
+            spark, pm, [os.path.join(table_dir, d) for d in rewrite],
+            table_dir,
+        ).join(keyset, key, "left_anti")
+        new_df = survivors.unionByName(new_df)
+    v = _cow_publish(spark, table_dir, pm, untouched, new_df,
+                     manifest_extra=manifest_extra,
+                     operation="merge-cow-joined")
     info = {"untouched": len(untouched), "rewritten": len(rewrite)}
     return (v, info) if detail else v
 

@@ -505,3 +505,48 @@ def test_cli_table_cluster_reapplies_recorded_discipline(
     with pytest.raises(SystemExit):
         main(["table", "cluster", t2])
     capsys.readouterr()
+
+
+def test_cli_wide_delete_and_merge_verbs(spark, tmp_path, capsys):
+    """The join-classified wide paths from the shell: `table delete
+    --source keys.parquet` and `table merge --wide` — dir tallies
+    reported, --dv refused for the wide delete (DV addressing is
+    bounded by contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    for r in range(4):  # residue dirs: windows can't prune
+        write_version(base.filter(F.col("k") % 4 == r).coalesce(1),
+                      tdir, append=True, stats_for=["k"])
+    keys = str(tmp_path / "keys.parquet")
+    spark.createDataFrame([(0,), (4,), (8,)], "k long") \
+        .write.parquet(keys)
+    assert main(["table", "delete", tdir, "--col", "k",
+                 "--source", keys]) == 0
+    out = capsys.readouterr().out
+    assert "cow-deleted (joined) -> v5" in out
+    assert "3 untouched, 1 rewritten" in out
+    assert count_version(None, tdir) == 37
+
+    ups = str(tmp_path / "ups.parquet")
+    spark.createDataFrame([(1, 999), (100, 777)], "k long, v long") \
+        .write.parquet(ups)
+    assert main(["table", "merge", tdir, "--col", "k",
+                 "--source", ups, "--wide"]) == 0
+    assert "cow-merged (joined) -> v6" in capsys.readouterr().out
+    assert count_version(None, tdir) == 38
+
+    with pytest.raises(SystemExit):
+        main(["table", "delete", tdir, "--col", "k",
+              "--source", keys, "--dv"])
+    with pytest.raises(SystemExit):
+        main(["table", "delete", tdir, "--col", "k",
+              "--source", keys, "--values", "1"])

@@ -695,3 +695,90 @@ def test_new_commits_never_inherit_per_commit_provenance(spark, tmp_path):
     m3 = read_manifest(tdir, v3)
     assert "restored_from" not in m3 and "expectations" not in m3
     assert m3["operation"] == "delete-dv"
+
+
+def test_joined_delete_exact_classification_and_parity(spark, tmp_path):
+    """delete_version_joined (round 12): the wide-key path max_keys
+    routes to. Classification is one chain scan LeftSemi-joined
+    against the key DataFrame — EXACT, so on a residue-class chain
+    (every dir's window spans the keyspace, no blooms) it rewrites
+    ONLY the dirs truly holding keys where the manifest classifier
+    must conservatively rewrite all; the surviving table matches the
+    collected-keys delete bit-for-bit."""
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        delete_version_joined,
+    )
+
+    def residue_chain(tdir):
+        base = _kv(spark, 0, 40)
+        for r in range(4):
+            write_version(base.filter(F.col("k") % 4 == r).coalesce(1),
+                          tdir, append=True, stats_for=["k"])
+
+    # keys 0,4,8: all residue 0 -> exactly one dir truly holds them
+    keys = spark.createDataFrame([(0,), (4,), (8,), (None,)], "k long")
+    t1 = str(tmp_path / "t1")
+    residue_chain(t1)
+    v, info = delete_version_joined(spark, t1, keys, "k", detail=True)
+    assert info == {"dropped": 0, "untouched": 3, "rewritten": 1}, info
+    assert count_version(None, t1) == 37
+    got = sorted(r["k"] for r in read_version(spark, t1).collect())
+    assert got == sorted(set(range(40)) - {0, 4, 8})
+
+    # the manifest classifier on the same shape must rewrite ALL dirs
+    # (windows span everything, no blooms) — the joined path's win
+    t2 = str(tmp_path / "t2")
+    residue_chain(t2)
+    _, info2 = delete_version_pruned(spark, t2, keys=[0, 4, 8], key="k",
+                                     detail=True)
+    assert info2["rewritten"] == 4, info2
+    assert sorted(r["k"] for r in read_version(spark, t2).collect()) == got
+
+    # absent keys: zero rewrites, pure-manifest commit
+    t3 = str(tmp_path / "t3")
+    residue_chain(t3)
+    _, info3 = delete_version_joined(
+        spark, t3, spark.createDataFrame([(1000,)], "k long"), "k",
+        detail=True)
+    assert info3 == {"dropped": 0, "untouched": 4, "rewritten": 0}, info3
+    assert count_version(None, t3) == 40
+
+
+def test_joined_delete_honors_dv_and_merge_parity(spark, tmp_path):
+    """A key already DV-deleted holds no LIVE row, so the joined
+    classifier must not rewrite its dir; merge_version_joined's output
+    equals the full-rewrite upsert on the same inputs and only touches
+    the dirs holding updated keys."""
+    from mapreduce_4_spark.operators.maintenance import upsert
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        delete_version_dv,
+        delete_version_joined,
+        merge_version_joined,
+    )
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir)  # dirs [0,10) [10,20) [20,30)
+    delete_version_dv(spark, tdir, keys=[5], key="k")
+    # 5 is DV-dead: the joined delete of {5} must touch nothing
+    _, info = delete_version_joined(
+        spark, tdir, spark.createDataFrame([(5,)], "k long"), "k",
+        detail=True)
+    assert info["rewritten"] == 0, info
+    assert count_version(None, tdir) == 29
+
+    # wide merge: updates for keys 12, 27 + insert 100 — two dirs touch
+    updates = spark.createDataFrame(
+        [(12, 999), (27, 888), (100, 777)], "k long, v long")
+    base_live = read_version(spark, tdir)
+    want = sorted(
+        (r["k"], r["v"])
+        for r in upsert(base_live, updates, "k").collect())
+    v, info = merge_version_joined(spark, tdir, updates, "k",
+                                   detail=True)
+    assert info == {"untouched": 1, "rewritten": 2}, info
+    got = sorted((r["k"], r["v"])
+                 for r in read_version(spark, tdir).collect())
+    assert got == want
+    assert count_version(None, tdir) == 30  # 29 live + 1 insert
