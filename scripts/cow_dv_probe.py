@@ -71,6 +71,7 @@ def main() -> None:
         compact_tail,
         delete_version,
         delete_version_dv,
+        delete_version_joined,
         delete_version_pruned,
         read_version,
     )
@@ -102,7 +103,10 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="mr4s_cow_dv_probe_")
     try:
         results = []
-        for strategy in ("full", "cow", "dv"):
+        # round 12 adds `joined`: dir classification by one chain scan
+        # (the wide-key path — exact, no driver key collect); here it
+        # pays the scan the manifest classifier avoids, pricing the gap
+        for strategy in ("full", "cow", "joined", "dv"):
             commit_best = None
             info = None
             for r in range(args.runs):
@@ -117,6 +121,9 @@ def main() -> None:
                     _, info = delete_version_pruned(
                         spark, tdir, keys=keys, key="o_orderkey",
                         detail=True)
+                elif strategy == "joined":
+                    _, info = delete_version_joined(
+                        spark, tdir, kdf, "o_orderkey", detail=True)
                 else:
                     _, info = delete_version_dv(
                         spark, tdir, keys=keys, key="o_orderkey",
