@@ -355,9 +355,10 @@ def main(argv: list[str] | None = None) -> int:
                         "merge-on-read update)")
             keyed = args.values is not None
             ranged = args.lower is not None or args.upper is not None
-            if keyed == ranged:
-                p.error("update needs exactly one of --values or "
-                        "--lower/--upper")
+            wide = args.source is not None
+            if keyed + ranged + wide != 1:
+                p.error("update needs exactly one of --values, "
+                        "--lower/--upper, or --source")
             assignments = {}
             for pair in args.set.split(","):
                 col, sep, val = pair.partition("=")
@@ -367,16 +368,26 @@ def main(argv: list[str] | None = None) -> int:
             from mapreduce_4_spark.session import get_spark
 
             spark = get_spark("mapreduce_4_spark-cli-table")
-            if keyed:
-                kw = dict(keys=[_bound(v) for v in args.values.split(",")],
-                          key=args.col)
+            if wide:
+                # join-classified: keys stay a DataFrame end-to-end
+                v, info = vt.update_version_joined(
+                    spark, args.table_dir, assignments,
+                    spark.read.parquet(args.source), args.col,
+                    detail=True)
             else:
-                kw = dict(where={args.col: (_bound(args.lower),
-                                            _bound(args.upper))})
-            v, info = vt.update_version_pruned(
-                spark, args.table_dir, assignments, detail=True, **kw)
-            print(f"cow-updated -> v{v} (dirs: {info['untouched']} "
-                  f"untouched, {info['rewritten']} rewritten)")
+                if keyed:
+                    kw = dict(
+                        keys=[_bound(v) for v in args.values.split(",")],
+                        key=args.col)
+                else:
+                    kw = dict(where={args.col: (_bound(args.lower),
+                                                _bound(args.upper))})
+                v, info = vt.update_version_pruned(
+                    spark, args.table_dir, assignments, detail=True,
+                    **kw)
+            print(f"cow-updated{' (joined)' if wide else ''} -> v{v} "
+                  f"(dirs: {info['untouched']} untouched, "
+                  f"{info['rewritten']} rewritten)")
             return 0
         if args.verb == "merge":
             # keyed CoW MERGE (upsert): update rows come from a parquet

@@ -2825,6 +2825,68 @@ def delete_version_joined(spark: SparkSession, table_dir: str,
     return (v, info) if detail else v
 
 
+def update_version_joined(spark: SparkSession, table_dir: str,
+                          assignments: dict, keys: DataFrame,
+                          key: str, detail: bool = False):
+    """Copy-on-write keyed UPDATE for UNBOUNDED key sets — completes
+    the joined DML triad beside ``delete_version_joined`` and
+    ``merge_version_joined``. Dir classification is the one-scan
+    LeftSemi; inside rewritten dirs the match flag arrives by a left
+    join against the key DataFrame (no ``isin``), and matching rows
+    get ``assignments``' values evaluated against the OLD row (SQL
+    UPDATE semantics — Column expressions or literals, cast back to
+    the column's type). Null keys never match. Returns the new
+    version; ``detail=True`` adds the dir tallies."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    pm = read_manifest(table_dir, version)
+    _require_plain_table(pm, table_dir, "update_version_joined")
+    fields = {f["name"] for f in pm["schema"]["fields"]}
+    if key not in fields:
+        raise ValueError(f"{key!r} is not a column of {table_dir}")
+    unknown = set(assignments) - fields
+    if unknown:
+        raise ValueError(
+            f"update sets columns {sorted(unknown)} the table lacks — "
+            "evolve the schema with an additive append first"
+        )
+    dirs = pm.get("data_dirs") or [f"v={version:06d}"]
+    keyset = keys.select(key).dropna().distinct()
+    rewrite = _dirs_holding_keys_joined(
+        spark, pm, table_dir, keyset, key, dirs)
+    rset = set(rewrite)
+    untouched = [d for d in dirs if d not in rset]
+    new_df = None
+    if rewrite:
+        scan = _scan_dirs(
+            spark, pm, [os.path.join(table_dir, d) for d in rewrite],
+            table_dir,
+        )
+        flag = "__mr4_upd_hit"
+        flagged = scan.join(
+            keyset.withColumn(flag, F.lit(True)), key, "left")
+        schema_types = dict(scan.dtypes)
+
+        def _new_val(c):
+            v = assignments[c]
+            return v if isinstance(v, Column) else F.lit(v)
+
+        new_df = flagged.select(*[
+            (F.when(F.coalesce(F.col(flag), F.lit(False)), _new_val(c))
+             .otherwise(F.col(c)).cast(schema_types[c]).alias(c))
+            if c in assignments else F.col(c)
+            for c in scan.columns
+        ])
+    v = _cow_publish(spark, table_dir, pm, untouched, new_df,
+                     operation="update-cow-joined")
+    info = {"untouched": len(untouched), "rewritten": len(rewrite)}
+    return (v, info) if detail else v
+
+
 def merge_version_joined(spark: SparkSession, table_dir: str,
                          updates: DataFrame, key: str,
                          detail: bool = False,

@@ -550,3 +550,31 @@ def test_cli_wide_delete_and_merge_verbs(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["table", "delete", tdir, "--col", "k",
               "--source", keys, "--values", "1"])
+
+
+def test_cli_wide_update_verb(spark, tmp_path, capsys):
+    """`table update --source keys.parquet --set ...`: the
+    join-classified wide update from the shell."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.lit("ok").alias("status"))
+    for r in range(4):
+        write_version(base.filter(F.col("k") % 4 == r).coalesce(1),
+                      tdir, append=True, stats_for=["k"])
+    keys = str(tmp_path / "keys.parquet")
+    spark.createDataFrame([(0,), (4,)], "k long").write.parquet(keys)
+    assert main(["table", "update", tdir, "--col", "k",
+                 "--source", keys, "--set", "status=void"]) == 0
+    out = capsys.readouterr().out
+    assert "cow-updated (joined) -> v5" in out
+    assert "3 untouched, 1 rewritten" in out
+    rows = {r["k"]: r["status"]
+            for r in read_version(spark, tdir).collect()}
+    assert rows[0] == "void" and rows[4] == "void" and rows[1] == "ok"

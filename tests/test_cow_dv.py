@@ -782,3 +782,39 @@ def test_joined_delete_honors_dv_and_merge_parity(spark, tmp_path):
                  for r in read_version(spark, tdir).collect())
     assert got == want
     assert count_version(None, tdir) == 30  # 29 live + 1 insert
+
+
+def test_joined_update_matches_pruned_and_sql_semantics(spark, tmp_path):
+    """update_version_joined: assignments evaluate against the OLD row
+    for exactly the rows whose key appears in the DataFrame (null keys
+    never match), only dirs truly holding keys rewrite, and the result
+    equals update_version_pruned given the same keys."""
+    from mapreduce_4_spark.sources.versioned import (
+        update_version_joined,
+        update_version_pruned,
+    )
+
+    def residue_chain(tdir):
+        base = _kv(spark, 0, 40)
+        for r in range(4):
+            write_version(base.filter(F.col("k") % 4 == r).coalesce(1),
+                          tdir, append=True, stats_for=["k"])
+
+    assigns = {"v": F.col("v") + F.col("k")}  # OLD-row expression
+    keys = spark.createDataFrame([(0,), (4,), (8,), (None,)], "k long")
+
+    t1 = str(tmp_path / "t1")
+    residue_chain(t1)
+    _, info = update_version_joined(spark, t1, assigns, keys, "k",
+                                    detail=True)
+    assert info == {"untouched": 3, "rewritten": 1}, info
+    got = {r["k"]: r["v"] for r in read_version(spark, t1).collect()}
+    assert got[0] == 0 and got[4] == 44 and got[8] == 88
+    assert got[1] == 10 and got[12] == 120  # untouched rows unchanged
+    assert len(got) == 40
+
+    t2 = str(tmp_path / "t2")
+    residue_chain(t2)
+    update_version_pruned(spark, t2, assigns, keys=[0, 4, 8], key="k")
+    want = {r["k"]: r["v"] for r in read_version(spark, t2).collect()}
+    assert got == want
