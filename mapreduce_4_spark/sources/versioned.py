@@ -2763,9 +2763,40 @@ def _dirs_holding_keys_joined(spark: SparkSession, pm: dict,
     derived dir names. The only driver-side materialization is the
     dir list itself (bounded by chain length, never by |keys|), and
     the classification is EXACT (no bloom false positives), at the
-    price of the one scan."""
+    price of the one scan.
+
+    The scan itself is pre-pruned by the key set's [min, max]
+    ENVELOPE (one tiny distributed aggregate — two scalars on the
+    driver, never the keys): a dir whose recorded window lies wholly
+    outside the envelope provably holds none of the keys and never
+    enters the classification scan. A retention-shaped or
+    range-correlated key set therefore classifies against only the
+    covering dirs; a keyspace-spanning GDPR set degrades to the full
+    scan, which is the honest floor."""
     from pyspark.sql import functions as F
 
+    env = keys_df.agg(F.min(key), F.max(key)).first()
+    if env[0] is not None:
+        survivors = _window_survivors(pm, key, [env[0], env[1]], dirs)
+        # a dir is scannable iff its window intersects [kmin, kmax]:
+        # both envelope ends outside AND no overlap <=> neither end
+        # windowed AND the window is not strictly inside the envelope
+        stats = pm.get("col_stats") or {}
+
+        def _may_hold(d):
+            if survivors[d]:
+                return True  # an envelope end lands in the window
+            ent = (stats.get(d) or {}).get(key)
+            if not ent or ent[0] is None or ent[1] is None:
+                return True  # unknown stats: conservative
+            try:
+                # window strictly inside the envelope still intersects
+                return env[0] <= ent[0] and ent[1] <= env[1]
+            except TypeError:
+                return True
+        dirs = [d for d in dirs if _may_hold(d)]
+        if not dirs:
+            return []
     dirs_abs = [os.path.join(table_dir, d) for d in dirs]
     scan = _scan_dirs(spark, pm, dirs_abs, table_dir, keep_pos=True)
     if _DV_COLS[0] not in scan.columns:

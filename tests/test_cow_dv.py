@@ -818,3 +818,26 @@ def test_joined_update_matches_pruned_and_sql_semantics(spark, tmp_path):
     update_version_pruned(spark, t2, assigns, keys=[0, 4, 8], key="k")
     want = {r["k"]: r["v"] for r in read_version(spark, t2).collect()}
     assert got == want
+
+
+def test_joined_classifier_envelope_prefilter(spark, tmp_path):
+    """The joined classifier pre-prunes its scan by the key set's
+    [min, max] envelope: dirs whose recorded window lies wholly
+    outside never enter the classification scan. Pinned by deleting a
+    pruned dir's FILES from disk — if the classifier scanned it the
+    job would fail; the envelope proof means it never looks."""
+    import shutil
+
+    from mapreduce_4_spark.sources.versioned import (
+        _dirs_holding_keys_joined,
+        delete_version_joined,
+    )
+
+    tdir = str(tmp_path / "t")
+    _chain(spark, tdir, slices=((0, 10), (10, 20), (20, 30)))
+    # keys envelope [12, 17] intersects only dir 2's window [10, 19]
+    keys = spark.createDataFrame([(12,), (17,)], "k long")
+    # sabotage dir 3: any scan touching it now fails loudly
+    shutil.rmtree(str(tmp_path / "t" / "v=000003"))
+    v, info = delete_version_joined(spark, tdir, keys, "k", detail=True)
+    assert info == {"dropped": 0, "untouched": 2, "rewritten": 1}, info
