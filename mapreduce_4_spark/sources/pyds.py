@@ -263,9 +263,29 @@ class Mr4VersionedDataSource(DataSource):
         return self._cache
 
     def schema(self):
+        from pyspark.sql.types import StructType
+
         from mapreduce_4_spark.sources.versioned import _scan_schema
 
-        return _scan_schema(self._resolved()[1])
+        full = _scan_schema(self._resolved()[1])
+        cols = self.options.get("columns")
+        if not cols:
+            return full
+        # projection at the source: the relation's schema IS the
+        # requested subset (manifest field order), so every partition's
+        # Arrow conformance builds ONLY these columns — the Python
+        # DataSource API has no column-pruning hook, so a wide-schema
+        # table read through the front door would otherwise ship every
+        # column of every row. Unknown names fail loudly.
+        want = [c for c in cols.split(",") if c]
+        known = {f.name for f in full.fields}
+        missing = [c for c in want if c not in known]
+        if missing:
+            raise ValueError(
+                f"mr4ver columns option names {missing} — table has "
+                f"{sorted(known)}")
+        wset = set(want)
+        return StructType([f for f in full.fields if f.name in wset])
 
     def reader(self, schema) -> "Mr4VersionedReader":
         path, manifest = self._resolved()

@@ -178,11 +178,15 @@ def versioned_merge_sink(table_dir: str, key: str,
     Scale note: the chain grows one dir per merge — schedule
     ``compact_tail`` at the usual cadence (the streaming-ingest
     two-level schedule, SCALE.md) to bound it. Batch key sets are
-    driver-bounded by ``max_keys``: micro-batches are broadcast-scale
-    by construction; a batch wider than that wants the full-rewrite
-    sink.
+    driver-bounded by ``max_keys`` on the FAST path (manifest
+    classification, zero scans); a batch wider than that falls back
+    to ``merge_version_joined`` (round 12: one-scan join
+    classification, keys never collected) instead of killing the
+    stream — a catch-up burst or backfill replay must degrade to a
+    slower commit, never to a dead query.
     """
     from mapreduce_4_spark.sources.versioned import (
+        merge_version_joined,
         merge_version_pruned,
         published_batch_ids,
         write_version,
@@ -210,5 +214,14 @@ def versioned_merge_sink(table_dir: str, key: str,
             write_version(batch_df, table_dir, batch_id=batch_id,
                           manifest_extra=extra,
                           stats_for=[key], bloom_for=[key])
+        except ValueError as e:
+            if "max_keys" not in str(e):
+                raise
+            # wide batch (backfill/catch-up burst): the join-classified
+            # merge keeps the commit dir-granular without the driver
+            # key collect — slower (one classification scan), alive
+            merge_version_joined(
+                batch_df.sparkSession, table_dir, batch_df, key,
+                manifest_extra={"batch_id": batch_id, **extra})
 
     return write_batch

@@ -312,3 +312,42 @@ def test_versioned_merge_sink_through_real_stream(spark, sf_smoke, tmp_path):
     got = {(r["user_id"], r["n_events"])
            for r in read_version(spark, tdir).collect()}
     assert got == expected
+
+
+def test_versioned_merge_sink_wide_batch_degrades_not_dies(
+        spark, tmp_path):
+    """A micro-batch wider than max_keys (catch-up burst, backfill
+    replay) must fall back to the join-classified merge — the stream
+    degrades to a slower commit instead of dying on the loud
+    max_keys refusal; exactly-once replay protection still holds."""
+    from mapreduce_4_spark.sources.versioned import (
+        count_version,
+        latest_version,
+        read_manifest,
+        read_version,
+    )
+    from mapreduce_4_spark.streaming import versioned_merge_sink
+
+    tdir = str(tmp_path / "table")
+    sink = versioned_merge_sink(tdir, "user_id", max_keys=10)
+    seed = spark.createDataFrame(
+        [(u, u * 10) for u in range(50)], ["user_id", "score"])
+    sink(seed, 0)
+    # 30 keys > max_keys=10: the pruned path refuses, the joined path
+    # commits (operation records the route)
+    wide = spark.createDataFrame(
+        [(u, -u) for u in range(20, 50)], ["user_id", "score"])
+    sink(wide, 1)
+    m = read_manifest(tdir, latest_version(tdir))
+    assert m["operation"] == "merge-cow-joined"
+    assert m["batch_id"] == 1
+    got = {(r["user_id"], r["score"])
+           for r in read_version(spark, tdir).collect()}
+    want = {(u, u * 10) for u in range(20)} | {(u, -u)
+                                               for u in range(20, 50)}
+    assert got == want
+    assert count_version(None, tdir) == 50
+    # redelivery of the wide batch is still a no-op
+    v = latest_version(tdir)
+    sink(wide, 1)
+    assert latest_version(tdir) == v

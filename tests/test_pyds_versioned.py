@@ -547,3 +547,30 @@ def test_mr4ver_stream_mode_dispatch(spark, tmp_path):
         ds_drv.streamReader(ds_drv.schema())
     assert isinstance(ds_drv.simpleStreamReader(ds_drv.schema()),
                       Mr4VersionedStreamReader)
+
+
+def test_mr4ver_columns_option_projects_at_source(spark, tmp_path):
+    """option('columns', 'a,b'): the relation schema IS the subset
+    (manifest order), so executors build only those Arrow columns —
+    the projection story the Python DataSource API's missing
+    column-pruning hook would otherwise lose; composes with where
+    pruning, evolution null-padding, and unknown names fail loudly."""
+    tdir = str(tmp_path / "t")
+    _evolved_chain(spark, tdir)  # cols: k, extra (evolved)
+    register_versioned_source(spark)
+
+    got = spark.read.format("mr4ver").option("columns", "k").load(tdir)
+    assert [f.name for f in got.schema.fields] == ["k"]
+    assert got.count() == 20
+    # evolved column alone: pre-evolution rows arrive as typed nulls
+    ex = spark.read.format("mr4ver").option("columns", "extra").load(tdir)
+    assert [f.name for f in ex.schema.fields] == ["extra"]
+    assert ex.filter(ex.extra.isNull()).count() == 10
+    # composes with where pruning on a projected-IN column
+    both = (spark.read.format("mr4ver")
+            .option("columns", "k").option("where", "k:100:104")
+            .load(tdir))
+    assert sorted(r["k"] for r in both.collect()) == list(range(100, 105))
+    with pytest.raises(Exception, match="columns option"):
+        spark.read.format("mr4ver").option("columns", "nope").load(tdir) \
+            .count()
