@@ -115,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
                                      "vacuum", "stats", "count", "minmax",
                                      "sum", "agg", "lookup", "restore",
                                      "delete", "update", "merge", "tag",
-                                     "tags", "cluster", "fsck"])
+                                     "tags", "cluster", "fsck", "analyze"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=1)
     sp.add_argument("--keep-base", type=int, default=1)
@@ -143,6 +143,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="merge: parquet path holding the update rows "
                          "(upserted on --col); delete: parquet path of "
                          "keys for the join-classified wide delete")
+    sp.add_argument("--bloom-for", dest="bloom_for", default=None,
+                    help="analyze: comma-separated columns to backfill "
+                         "bloom filters for (defaults to the chain's "
+                         "recorded bloom_for)")
     sp.add_argument("--wide", action="store_true",
                     help="merge: classify dirs by one-scan join "
                          "instead of collecting the update keys "
@@ -417,6 +421,25 @@ def main(argv: list[str] | None = None) -> int:
             print(f"cow-merged{' (joined)' if args.wide else ''} -> "
                   f"v{v} (dirs: {info['untouched']} untouched, "
                   f"{info['rewritten']} rewritten)")
+            return 0
+        if args.verb == "analyze":
+            # ANALYZE: backfill col_stats/blooms for chain dirs missing
+            # them (mr4ver-writer staged dirs, pre-stats history) as a
+            # metadata-only commit — one scan per un-statted dir
+            from mapreduce_4_spark.session import get_spark
+
+            spark = get_spark("mapreduce_4_spark-cli-table")
+            stats_cols = ([c for c in args.col.split(",") if c]
+                          if args.col else None)
+            bloom_cols = ([c for c in args.bloom_for.split(",") if c]
+                          if args.bloom_for else None)
+            v, info = vt.analyze_table(
+                spark, args.table_dir, stats_for=stats_cols,
+                bloom_for=bloom_cols, detail=True)
+            if v is None:
+                print("nothing to analyze (all dirs carry stats)")
+            else:
+                print(f"analyzed {len(info['analyzed'])} dir(s) -> v{v}")
             return 0
         if args.verb in ("tag", "tags"):
             # named snapshots (Iceberg tags): a tag pins a version

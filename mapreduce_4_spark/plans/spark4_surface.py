@@ -563,3 +563,93 @@ def versioned_bloom_lookup_datasource(spark: SparkSession,
         shutil.rmtree(td, ignore_errors=True)
     return spark.createDataFrame(
         rows, "o_orderkey bigint, o_orderstatus string, price double")
+
+
+@register(
+    "datasource_write_analyze_orders",
+    oracle="""
+        WITH m AS (SELECT MAX(o_orderkey) + 1 AS n FROM orders)
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders, m
+        WHERE o_orderkey BETWEEN m.n // 3 + 10 AND m.n // 3 + 2000
+        GROUP BY o_orderstatus
+    """,
+    tags=("source", "python-datasource", "maintenance", "pushdown"),
+    description="the mr4ver WRITE front door end-to-end (round 12): "
+                "orders lands through df.write.format('mr4ver')"
+                ".mode('append') as a 3-slice staged chain (executor "
+                "pyarrow writes + CAS manifest commits — the same "
+                "commit tail write_version_concurrent uses), "
+                "analyze_table backfills the per-dir stats the "
+                "Spark-less commit hook cannot collect (metadata-only "
+                "commit), and a bounded slice reads back through "
+                "read_version_stats_pruned with the builder asserting "
+                "the scan touched ONE staged dir; the aggregate must "
+                "match DuckDB over raw parquet",
+)
+def datasource_write_analyze_orders(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Scale rationale: the write path is the table format's own
+    protocol spoken through Spark's idiomatic writer API — executors
+    stream Arrow into nonce'd staged files (no coordination), commit
+    is one manifest CAS (appends re-chain on conflict), COUNT stays
+    metadata-exact from the recorded dir_rows, and ANALYZE upgrades
+    staged dirs to full skipping citizens for O(dirs missing stats)
+    scans, never a table rewrite.
+
+    Timing caveat (the metadata_agg_orders shape): the three format
+    writes and the analyze commit run at BUILD time; timings measure
+    the pruned read + aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import (
+        analyze_table,
+        count_version,
+        read_version_stats_pruned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    n = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
+    b1, b2 = n // 3, 2 * n // 3
+    td = tempfile.mkdtemp(prefix="mr4s_ds_write_")
+    try:
+        tdir = f"{td}/orders_chain"
+        register_versioned_source(spark)
+        for lo, hi in ((0, b1), (b1, b2), (b2, None)):
+            part = orders.filter(F.col("o_orderkey") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("o_orderkey") < hi)
+            part.coalesce(1).write.format("mr4ver").mode("append") \
+                .save(tdir)
+        total = orders.count()
+        assert count_version(None, tdir) == total  # metadata-exact
+        v, info = analyze_table(spark, tdir, stats_for=["o_orderkey"],
+                                detail=True)
+        assert len(info["analyzed"]) == 3, info
+        lo, hi = b1 + 10, b1 + 2000
+        sliced = read_version_stats_pruned(
+            spark, tdir, "o_orderkey", lower=lo, upper=hi)
+        dirs = {f.split("_staged/")[1].split("/")[0]
+                for f in sliced.inputFiles() if "_staged/" in f}
+        assert len(dirs) == 1, dirs  # the analyze made pruning real
+        out = (
+            sliced.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key"))
+            .select("o_orderstatus", "n_rows", "min_key", "max_key")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_rows bigint, min_key bigint, "
+              "max_key bigint")

@@ -24,10 +24,12 @@ from math import ceil
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: modulus for the synthetic bucket column
@@ -290,6 +292,25 @@ class Mr4VersionedDataSource(DataSource):
     def reader(self, schema) -> "Mr4VersionedReader":
         path, manifest = self._resolved()
         return Mr4VersionedReader(path, manifest, schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> "Mr4VersionedWriter":
+        """The write front door (see :class:`Mr4VersionedWriter`).
+        Unlike the readers this must work on a NOT-YET-EXISTING table
+        (first write creates version 1), so only the path contract is
+        validated here."""
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "mr4ver needs a table dir: df.write.format('mr4ver')"
+                ".save(table_dir)"
+            )
+        if "://" in path:
+            raise ValueError(
+                "mr4ver writes local table dirs (executors stage via "
+                "pyarrow); for scheme'd stores use "
+                "mapreduce_4_spark.sources.versioned.write_version"
+            )
+        return Mr4VersionedWriter(path, schema, overwrite)
 
     def simpleStreamReader(self, schema) -> "Mr4VersionedStreamReader":
         path, manifest = self._resolved()
@@ -704,6 +725,101 @@ class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._window(int(start["v"]), int(end["v"])))
+
+
+class _Mr4WriteTaskResult(WriterCommitMessage):
+    def __init__(self, rows: int):
+        self.rows = rows
+
+
+class Mr4VersionedWriter(DataSourceArrowWriter):
+    """``df.write.format("mr4ver").mode("append"|"overwrite").save(dir)``
+    — the WRITE front door over the versioned format, completing the
+    DataSource story (batch read, streaming read, batch write) with
+    the table format's own commit protocol:
+
+    - executors stream their Arrow batches straight into parquet files
+      under a nonce'd ``_staged/<nonce>/`` dir (one file per non-empty
+      task; no version number depends on the path, so concurrent
+      writers can never collide on data);
+    - the driver-side ``commit`` hook publishes a manifest referencing
+      the staged dir via ``versioned.commit_staged_dir`` — the SAME
+      CAS tail ``write_version_concurrent`` uses (appends re-chain
+      onto a new head, replaces linearize), so the format writer and
+      the function API writers interleave safely on one table;
+    - ``abort`` removes the staged dir; a crash between stage and
+      commit leaves an orphan that ``vacuum``'s staged-TTL sweep
+      reclaims — the standing torn-write story.
+
+    ``mode("append")`` chains (additive schema evolution allowed, the
+    parent's stats/bloom columns, deletion vector, and recorded
+    clustering discipline inherited); ``mode("overwrite")`` publishes
+    a full replacement snapshot. The staged dir carries exact
+    ``dir_rows`` (COUNT stays metadata-exact) but no col_stats/bloom —
+    the commit hook has no SparkSession to aggregate with —
+    ``analyze_table`` / ``table analyze`` backfills the skipping
+    metadata as a later metadata-only commit. Bucketed and
+    hive-partitioned layouts stay on ``write_version`` (the writer
+    stages flat files)."""
+
+    def __init__(self, table_dir: str, schema, overwrite: bool):
+        import uuid
+
+        self.table_dir = table_dir
+        self.schema = schema
+        self.overwrite = overwrite
+        self.staged_rel = f"_staged/{uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        writer = None
+        rows = 0
+        path = os.path.join(self.table_dir, self.staged_rel,
+                            f"part-{uuid.uuid4().hex}.parquet")
+        try:
+            for batch in iterator:
+                t = pa.Table.from_batches([batch]).cast(target)
+                if writer is None:
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    writer = pq.ParquetWriter(path, target)
+                writer.write_table(t)
+                rows += t.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        # empty task: no file written (empty dirs stay schema-clean)
+        return _Mr4WriteTaskResult(rows)
+
+    def commit(self, messages):
+        import os
+
+        from mapreduce_4_spark.sources import versioned as vt
+
+        new_rows = sum(m.rows for m in messages if m is not None)
+        # an all-empty write stages no files: materialize the dir so
+        # the manifest never references a missing path (fsck contract)
+        os.makedirs(os.path.join(self.table_dir, self.staged_rel),
+                    exist_ok=True)
+        vt.commit_staged_dir(
+            self.table_dir, self.staged_rel, self.schema, new_rows,
+            append=not self.overwrite,
+            operation=("replace-datasource" if self.overwrite
+                       else "append-datasource"),
+        )
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.table_dir, self.staged_rel),
+                      ignore_errors=True)
 
 
 class Mr4VersionedStreamPartReader(DataSourceStreamReader):

@@ -275,7 +275,7 @@ def _zorder_col(df: DataFrame, cols: list[str], bits: int):
     return zval
 
 
-def _check_append_schema(pm: dict, df: DataFrame, table_dir: str) -> bool:
+def _check_append_schema(pm: dict, new_schema, table_dir: str) -> bool:
     """Validate an append's schema against the chain's; returns True
     when the append ADDITIVELY evolves it (the new rows carry every
     parent column, same names/types/positions, plus new columns
@@ -304,7 +304,7 @@ def _check_append_schema(pm: dict, df: DataFrame, table_dir: str) -> bool:
                 sorted(x for x in pairs if x[0] in part))
 
     want, want_part = _fields(StructType.fromJson(pm["schema"]).fields)
-    got, got_part = _fields(df.schema.fields)
+    got, got_part = _fields(new_schema.fields)
     if want_part == got_part:
         if want == got:
             return False
@@ -488,7 +488,7 @@ def write_version(df: DataFrame, table_dir: str,
                 f"partition_by={pm.get('partition_by')!r}, append got "
                 f"{partition_by!r}"
             )
-        evolved = _check_append_schema(pm, df, table_dir)
+        evolved = _check_append_schema(pm, df.schema, table_dir)
         schema_evolved = bool(pm.get("schema_evolved")) or evolved
         parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
         parent_rows = pm["row_count"]
@@ -754,7 +754,7 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
                     f"has partition_by={pm.get('partition_by')!r}, "
                     f"append got {partition_by!r}"
                 )
-            evolved = _check_append_schema(pm, df, table_dir)
+            evolved = _check_append_schema(pm, df.schema, table_dir)
             schema_evolved = bool(pm.get("schema_evolved")) or evolved
             parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
             parent_rows = pm["row_count"]
@@ -842,6 +842,189 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
         f"lost the manifest CAS {max_retries + 1} times on {table_dir} — "
         "contention this hot needs a coordination layer, not more retries"
     )
+
+
+def commit_staged_dir(table_dir: str, staged_rel: str, schema,
+                      new_rows: int, append: bool,
+                      operation: str, batch_id: int | None = None,
+                      max_retries: int = 20) -> int:
+    """CAS-publish a manifest referencing an ALREADY-STAGED data dir —
+    the commit tail of ``write_version_concurrent`` factored out for
+    callers whose data landed outside a Spark write, chiefly the
+    ``mr4ver`` DataSource WRITER (whose ``commit`` hook runs in a
+    Python worker with no SparkSession: everything here is manifest
+    file I/O + the CAS). Contract mirrors the concurrent writer:
+    appends re-chain onto the new head on a lost CAS (commutative),
+    replaces bump the version and retry (linearize by version order).
+
+    The staged dir gets NO col_stats/bloom entry (computing them needs
+    a scan this hook cannot run) — readers degrade soundly (unknown
+    dirs always scan; ``count_version`` stays exact from the recorded
+    ``dir_rows``), and ``analyze_table`` backfills the skipping
+    metadata as a later metadata-only commit. Appends inherit the
+    chain's stats/bloom columns, parent entries, deletion vector, and
+    recorded clustering discipline exactly like ``write_version``;
+    bucketed and hive-partitioned parents refuse (the writer stages
+    flat files)."""
+    for _attempt in range(max_retries + 1):
+        parent = latest_version(table_dir)
+        version = (parent or 0) + 1
+        parent_dirs: list[str] = []
+        parent_rows = 0
+        parent_stats: dict = {}
+        parent_bloom: dict = {}
+        parent_dir_rows: dict = {}
+        parent_dv = None
+        stats_for = None
+        bloom_for = None
+        bloom_bits = None
+        schema_evolved = False
+        rec_sort = rec_zorder = rec_zbits = None
+        if append and parent is not None:
+            pm = read_manifest(table_dir, parent)
+            if pm.get("bucket_by"):
+                raise ValueError(
+                    "cannot append to a bucketed snapshot; "
+                    "compact() first"
+                )
+            if pm.get("partition_by"):
+                raise ValueError(
+                    "the mr4ver writer stages flat files — appending "
+                    "to a hive-partitioned chain needs "
+                    "write_version(partition_by=...)"
+                )
+            evolved = _check_append_schema(pm, schema, table_dir)
+            schema_evolved = bool(pm.get("schema_evolved")) or evolved
+            parent_dirs = pm.get("data_dirs") or [f"v={parent:06d}"]
+            parent_rows = pm["row_count"]
+            stats_for = pm.get("stats_for")
+            bloom_for = pm.get("bloom_for")
+            bloom_bits = pm.get("bloom_bits")
+            pset = set(parent_dirs)
+            parent_stats = {d: s for d, s in
+                            (pm.get("col_stats") or {}).items() if d in pset}
+            parent_bloom = {d: b for d, b in
+                            (pm.get("bloom") or {}).items() if d in pset}
+            parent_dir_rows = {d: n for d, n in
+                               (pm.get("dir_rows") or {}).items()
+                               if d in pset}
+            parent_dv = _carry_dv(pm, parent_dirs)
+            rec_sort = pm.get("sort_by")
+            rec_zorder = pm.get("zorder_by")
+            rec_zbits = pm.get("zorder_bits")
+            if evolved and stats_for:
+                _backfill_all_null_stats(
+                    parent_stats, parent_dir_rows,
+                    {f["name"] for f in pm["schema"]["fields"]},
+                    stats_for,
+                    {f.name: f.dataType.simpleString()
+                     for f in schema.fields},
+                )
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "committed_at": time.time(),
+            "row_count": new_rows + (parent_rows if append else 0),
+            "schema": schema.jsonValue(),
+            "bucket_by": None,
+            "n_buckets": None,
+            "sort_by": rec_sort,
+            "zorder_by": rec_zorder,
+            "zorder_bits": rec_zbits if rec_zorder else None,
+            "partition_by": None,
+            "batch_id": batch_id,
+            "nonce": uuid.uuid4().hex[:12],
+            "data_dirs": (parent_dirs + [staged_rel]) if append
+            else [staged_rel],
+            "schema_evolved": schema_evolved or None,
+            "stats_for": stats_for,
+            "col_stats": parent_stats or None,
+            "bloom_for": bloom_for,
+            "bloom_bits": bloom_bits if bloom_for else None,
+            "bloom": parent_bloom or None,
+            "dir_rows": {**(parent_dir_rows if append else {}),
+                         staged_rel: new_rows},
+            "dir_parts": None,
+            "dv": parent_dv if append else None,
+            "operation": operation,
+        }
+        fsio.mkdirs(_versions_dir(table_dir))
+        if fsio.create_text_exclusive(
+                _manifest_path(table_dir, version), json.dumps(manifest)):
+            return version
+        # lost the CAS: re-read the head and retry (metadata-only)
+    raise VersionConflictError(
+        f"lost the manifest CAS {max_retries + 1} times on {table_dir}"
+    )
+
+
+def analyze_table(spark: SparkSession, table_dir: str,
+                  stats_for: list[str] | None = None,
+                  bloom_for: list[str] | None = None,
+                  bloom_bits: int | None = None,
+                  detail: bool = False):
+    """ANALYZE: backfill per-dir col_stats / bloom filters for chain
+    dirs MISSING them, published as a metadata-only commit (data_dirs
+    unchanged — one scan per un-statted dir, zero data movement). The
+    maintenance pass that gives skipping metadata to dirs whose
+    publish path couldn't collect it: the ``mr4ver`` DataSource
+    writer's staged dirs, pre-``stats_for`` history, legacy chains.
+    Columns default to the chain's recorded ``stats_for``/``bloom_for``
+    (passing them establishes the contract on a chain that lacked
+    one). Stats describe the dirs' PHYSICAL rows (deletion vectors
+    ignored) — the same rule every publish-time collection follows,
+    which is what keeps DV-aware readers' degrade logic sound.
+    Returns the new version, or None when nothing is missing;
+    ``detail=True`` adds ``{"analyzed": [dirs]}``."""
+    version = latest_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published versions in {table_dir}")
+    pm = read_manifest(table_dir, version)
+    stats_for = stats_for or pm.get("stats_for")
+    bloom_for = bloom_for or pm.get("bloom_for")
+    bloom_bits = bloom_bits or pm.get("bloom_bits") or (1 << 17)
+    if not stats_for and not bloom_for:
+        raise ValueError(
+            f"{table_dir} records no stats_for/bloom_for and none were "
+            "given — nothing to analyze"
+        )
+    dirs = pm.get("data_dirs") or [f"v={version:06d}"]
+    col_stats = dict(pm.get("col_stats") or {})
+    bloom = dict(pm.get("bloom") or {})
+    todo = [d for d in dirs
+            if (stats_for and d not in col_stats)
+            or (bloom_for and d not in bloom)]
+    if not todo:
+        return (None, {"analyzed": []}) if detail else None
+    for d in todo:
+        # physical rows of this one dir (no DV mask: table_dir omitted)
+        df = _scan_dirs(spark, pm, [os.path.join(table_dir, d)])
+        if stats_for and d not in col_stats:
+            col_stats[d] = _column_stats(df, stats_for)
+        if bloom_for and d not in bloom:
+            bloom[d] = _dir_bloom(df, bloom_for, bloom_bits)
+    manifest = {
+        **_inherited_manifest(pm),
+        "version": version + 1,
+        "parent": version,
+        "committed_at": time.time(),
+        "batch_id": None,
+        "nonce": uuid.uuid4().hex[:12],
+        "stats_for": stats_for,
+        "col_stats": col_stats or None,
+        "bloom_for": bloom_for,
+        "bloom_bits": bloom_bits if bloom_for else None,
+        "bloom": bloom or None,
+        "operation": "analyze",
+    }
+    fsio.mkdirs(_versions_dir(table_dir))
+    if not fsio.create_text_exclusive(
+            _manifest_path(table_dir, version + 1), json.dumps(manifest)):
+        raise VersionConflictError(
+            f"version {version + 1} of {table_dir} was published "
+            "concurrently — analyze again from the new chain head"
+        )
+    return (version + 1, {"analyzed": todo}) if detail else version + 1
 
 
 def _nullable_deep(dt):

@@ -578,3 +578,29 @@ def test_cli_wide_update_verb(spark, tmp_path, capsys):
     rows = {r["k"]: r["status"]
             for r in read_version(spark, tdir).collect()}
     assert rows[0] == "void" and rows[4] == "void" and rows[1] == "ok"
+
+
+def test_cli_table_analyze_verb(spark, tmp_path, capsys):
+    """`table analyze`: backfills skipping metadata for dirs missing
+    it (the mr4ver writer's staged dirs, pre-stats history) as a
+    metadata-only commit; idempotent when nothing is missing."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import read_manifest
+
+    register_versioned_source(spark)
+    tdir = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    df.filter("k < 20").write.format("mr4ver").mode("append").save(tdir)
+    df.filter("k >= 20").write.format("mr4ver").mode("append").save(tdir)
+    assert main(["table", "analyze", tdir, "--col", "k",
+                 "--bloom-for", "k"]) == 0
+    assert "analyzed 2 dir(s) -> v3" in capsys.readouterr().out
+    m = read_manifest(tdir, 3)
+    assert m["operation"] == "analyze"
+    assert m["stats_for"] == ["k"] and m["bloom_for"] == ["k"]
+    assert len(m["col_stats"]) == 2 and len(m["bloom"]) == 2
+    assert main(["table", "analyze", tdir]) == 0
+    assert "nothing to analyze" in capsys.readouterr().out

@@ -574,3 +574,72 @@ def test_mr4ver_columns_option_projects_at_source(spark, tmp_path):
     with pytest.raises(Exception, match="columns option"):
         spark.read.format("mr4ver").option("columns", "nope").load(tdir) \
             .count()
+
+
+def test_mr4ver_writer_roundtrip_and_commit_contract(spark, tmp_path):
+    """df.write.format('mr4ver') (round 12): executors stage parquet
+    under _staged/<nonce>, the commit hook CAS-publishes the manifest
+    — append chains (evolution + DV + discipline inherited), overwrite
+    replaces, COUNT stays metadata-exact from the staged dir_rows, and
+    analyze_table backfills the skipping metadata the Spark-less
+    commit hook cannot collect."""
+    from mapreduce_4_spark.sources.versioned import (
+        analyze_table,
+        count_version,
+        delete_version_dv,
+        read_version_stats_pruned,
+    )
+
+    tdir = str(tmp_path / "t")
+    register_versioned_source(spark)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+    df.filter("k < 50").write.format("mr4ver").mode("append").save(tdir)
+    m = read_manifest(tdir, 1)
+    assert m["operation"] == "append-datasource"
+    assert m["data_dirs"][0].startswith("_staged/")
+    assert m["row_count"] == 50
+    assert count_version(None, tdir) == 50  # dir_rows exact
+
+    df.filter("k >= 50").write.format("mr4ver").mode("append").save(tdir)
+    assert count_version(None, tdir) == 100
+    got = read_version(spark, tdir)
+    assert sorted(r["k"] for r in got.collect()) == list(range(100))
+
+    # a DV on the chain survives a later format append (carry rule)
+    delete_version_dv(spark, tdir, keys=[7], key="k")
+    df.filter("k = 1000").write.format("mr4ver").mode("append").save(tdir)
+    assert count_version(None, tdir) == 99
+    assert read_version(spark, tdir).filter("k = 7").count() == 0
+
+    # analyze: metadata-only commit gives the staged dirs stats; the
+    # pruned read then touches exactly the covering dir
+    v, info = analyze_table(spark, tdir, stats_for=["k"], detail=True)
+    assert len(info["analyzed"]) == 3
+    pr = read_version_stats_pruned(spark, tdir, "k", lower=0, upper=10)
+    assert pr.count() == 10  # 7 is DV-dead
+    # data inputs (the DV sidecar rides along) come from ONE staged dir
+    staged = {f.split("_staged/")[1].split("/")[0]
+              for f in pr.inputFiles() if "_staged/" in f}
+    assert len(staged) == 1
+    # analyze is idempotent: nothing missing -> no commit
+    assert analyze_table(spark, tdir, stats_for=["k"]) is None
+
+    # overwrite: a full replacement snapshot
+    df.limit(10).write.format("mr4ver").mode("overwrite").save(tdir)
+    assert count_version(None, tdir) == 10
+    assert read_manifest(
+        tdir, 6)["operation"] == "replace-datasource"
+
+    # additive evolution through the writer null-pads on read
+    df.withColumn("extra", F.lit(7).cast("bigint")) \
+        .write.format("mr4ver").mode("append").save(tdir)
+    out = read_version(spark, tdir)
+    assert out.columns == ["k", "v", "extra"]
+    assert out.filter(F.col("extra").isNull()).count() == 10
+
+    # non-additive drift refuses loudly
+    bad = spark.range(3).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(Exception, match="append schema"):
+        bad.write.format("mr4ver").mode("append").save(tdir)
