@@ -33,7 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_rotation(names, correctness_dir: str | None = None,
-                       rows_only: dict | None = None) -> list[str]:
+                       rows_only: dict | None = None,
+                       requires: dict | None = None) -> list[str]:
     """Order queries by ascending driver-GREEN-coverage count.
 
     The driver's correctness pass samples the FIRST 50 entries of
@@ -56,9 +57,68 @@ def _coverage_rotation(names, correctness_dir: str | None = None,
     ordering changes. ``correctness_dir``/``rows_only`` exist for the
     ordering unit test (tests/test_cli.py); production callers use the
     defaults (repo root, the registry's rows-only map).
+
+    Shared-component discount (round-12 verdict ask #2): queries may
+    declare ``requires=("mr4ver-read",)`` in the registry. When ANY
+    query requiring a component is RED in the LATEST correctness round,
+    every query requiring that component counts zero greens — the whole
+    family re-enters the head-50 sample, so a regression in shared
+    plumbing can never hide behind a sibling's stale green
+    (versioned_datasource_orders broke after earning its green in r11
+    and the rotation kept the break out of the r12 sample).
     """
     counts = _green_counts(correctness_dir, rows_only)
-    return sorted(names, key=lambda n: (counts.get(n, 0), n))
+    if requires is None:
+        requires = _plans.requires_map()
+    tainted = _tainted_components(correctness_dir, rows_only, requires)
+    return sorted(
+        names,
+        key=lambda n: (0 if set(requires.get(n, ())) & tainted
+                       else counts.get(n, 0), n))
+
+
+def _is_green(name: str, row: dict, rows_only: dict) -> bool:
+    """The single definition of a GREEN driver correctness row, shared
+    by the rotation's green counter and the red-component taint scan."""
+    if name in rows_only:
+        return (row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None)
+    return bool(row.get("rows_match")) and bool(row.get("schema_match")) \
+        and bool(row.get("hash_match"))
+
+
+def _tainted_components(correctness_dir: str | None = None,
+                        rows_only: dict | None = None,
+                        requires: dict | None = None) -> set[str]:
+    """Components (registry ``requires`` names) with a RED query in the
+    LATEST CORRECTNESS_r*.json — only the newest round taints, so a
+    family self-heals the round after its component goes green again."""
+    import glob
+    import json
+    import os
+
+    if correctness_dir is None:
+        correctness_dir = os.path.dirname(os.path.abspath(__file__))
+    if rows_only is None:
+        rows_only = ROWS_ONLY
+    if requires is None:
+        requires = _plans.requires_map()
+    paths = sorted(glob.glob(
+        os.path.join(correctness_dir, "CORRECTNESS_r*.json")))
+    if not paths:
+        return set()
+    try:
+        with open(paths[-1]) as fh:
+            rows = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    tainted: set[str] = set()
+    for name, row in rows.items():
+        if not isinstance(row, dict) or name not in requires:
+            continue
+        if not _is_green(name, row, rows_only):
+            tainted.update(requires[name])
+    return tainted
 
 
 def _green_counts(correctness_dir: str | None = None,
@@ -89,14 +149,7 @@ def _green_counts(correctness_dir: str | None = None,
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if name in rows_only:
-                green = (row.get("err") == "no_oracle"
-                         and row.get("spark_rows") is not None)
-            else:
-                green = bool(row.get("rows_match")) \
-                    and bool(row.get("schema_match")) \
-                    and bool(row.get("hash_match"))
-            if green:
+            if _is_green(name, row, rows_only):
                 counts[name] = counts.get(name, 0) + 1
     return counts
 

@@ -117,7 +117,9 @@ def main(argv: list[str] | None = None) -> int:
                                      "delete", "update", "merge", "tag",
                                      "tags", "cluster", "fsck", "analyze"])
     sp.add_argument("table_dir")
-    sp.add_argument("--target-files", type=int, default=1)
+    sp.add_argument("--target-files", type=int, default=None,
+                    help="files per fold; unset = 1 (compact) or the "
+                         "clustered-fold shuffle default (compact-tail)")
     sp.add_argument("--keep-base", type=int, default=1)
     sp.add_argument("--keep-last", type=int, default=1)
     sp.add_argument("--staged-ttl", type=float, default=24 * 3600.0,
@@ -556,7 +558,9 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("mapreduce_4_spark-cli-table")
         if args.verb == "compact":
             v = vt.compact(spark, args.table_dir,
-                           target_files=args.target_files)
+                           target_files=(args.target_files
+                                         if args.target_files is not None
+                                         else 1))
             print(f"compacted -> v{v}")
         else:
             v = vt.compact_tail(spark, args.table_dir,

@@ -327,6 +327,7 @@ def order_streaks_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "versioned_datasource_orders",
+    requires=("mr4ver-read",),
     oracle="""
         WITH d AS (
             SELECT o_orderkey, o_orderstatus,
@@ -417,6 +418,7 @@ def versioned_datasource_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "versioned_pushdown_orders",
+    requires=("mr4ver-read",),
     oracle="""
         SELECT o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -497,6 +499,7 @@ def versioned_pushdown_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "versioned_bloom_lookup_datasource",
+    requires=("mr4ver-read",),
     oracle="""
         WITH probe AS (
             SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3
@@ -567,6 +570,7 @@ def versioned_bloom_lookup_datasource(spark: SparkSession,
 
 @register(
     "datasource_write_analyze_orders",
+    requires=("mr4ver-write",),
     oracle="""
         WITH m AS (SELECT MAX(o_orderkey) + 1 AS n FROM orders)
         SELECT o_orderstatus,

@@ -30,6 +30,13 @@ class QuerySpec:
     #: exported as __spark_entry__.ROWS_ONLY for the verdict to check in
     #: one glance).
     rows_only_reason: str | None = None
+    #: shared-component dependencies (e.g. "mr4ver-read"): when ANY
+    #: query requiring a component goes red in the LATEST driver
+    #: correctness round, every query requiring that component loses
+    #: its accumulated green priority and re-enters the head-50 sample
+    #: — the r12 stale-green blind spot (versioned_datasource_orders
+    #: broke after earning its green and the rotation hid it).
+    requires: tuple[str, ...] = field(default=())
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -37,7 +44,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
              description: str = "",
-             rows_only_reason: str | None = None) -> Callable[[Builder], Builder]:
+             rows_only_reason: str | None = None,
+             requires: tuple[str, ...] = ()) -> Callable[[Builder], Builder]:
     """Decorator: register ``builder(spark, sf_dir) -> DataFrame``."""
 
     def deco(builder: Builder) -> Builder:
@@ -53,10 +61,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
             description=description or (builder.__doc__ or "").strip().splitlines()[0]
             if (description or builder.__doc__) else "",
             rows_only_reason=rows_only_reason,
+            requires=requires,
         )
         return builder
 
     return deco
+
+
+def requires_map() -> dict[str, tuple[str, ...]]:
+    """name -> shared-component dependencies, for every query that
+    declares any (the rotation's red-component discount input)."""
+    return {name: spec.requires for name, spec in REGISTRY.items()
+            if spec.requires}
 
 
 def rows_only() -> dict[str, str]:

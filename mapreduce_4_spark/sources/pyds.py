@@ -291,6 +291,16 @@ class Mr4VersionedDataSource(DataSource):
 
     def reader(self, schema) -> "Mr4VersionedReader":
         path, manifest = self._resolved()
+        # pushFilters is opt-in STRUCTURALLY, not just behaviorally:
+        # Spark 4.1 refuses to initialize ANY reader whose class
+        # defines pushFilters() while spark.sql.python.filterPushdown
+        # .enabled is false (DATA_SOURCE_PUSHDOWN_DISABLED), so under
+        # a stock session the default reader must not even carry the
+        # method — the where/probe option surface never needed it.
+        if str(self.options.get("pruneonfilters", "false")).lower() \
+                == "true":
+            return Mr4VersionedPushdownReader(
+                path, manifest, schema, self.options)
         return Mr4VersionedReader(path, manifest, schema, self.options)
 
     def writer(self, schema, overwrite: bool) -> "Mr4VersionedWriter":
@@ -396,102 +406,39 @@ class Mr4VersionedReader(DataSourceReader):
                     f"with col one of {sorted(self.col_types)}")
             self._probes.setdefault(col, []).append(
                 [self._typed(col, v) for v in vals_s.split(",") if v])
-        #: opt-in for pushFilters-driven pruning — see that method's
-        #: docstring for why it is not the default
+        #: True iff this reader was constructed for a
+        #: pruneOnFilters=true load (then it is the
+        #: :class:`Mr4VersionedPushdownReader` subclass — the class
+        #: selection happens in ``Mr4VersionedDataSource.reader()``
+        #: because merely DEFINING pushFilters() breaks init under
+        #: stock sessions; kept for introspection/tests)
         self._prune_on_filters = str(
             options.get("pruneonfilters", "false")).lower() == "true"
 
     def _typed(self, col: str, s: str):
         """Parse an option-string bound/probe value by the column's
         schema type (ints for the integer family, floats for the
-        fractional family, the raw string otherwise)."""
+        float/double family, exact ``decimal.Decimal`` for decimal
+        columns — a float bound against a decimal128 Arrow column
+        either loses precision or hits a no-matching-kernel error in
+        the residual, so decimals stay decimals end-to-end — and the
+        raw string otherwise)."""
+        import decimal
+
         t = self.col_types[col]
         try:
             if t in ("tinyint", "smallint", "int", "integer", "bigint",
                      "long"):
                 return int(s)
-            if t in ("float", "double") or t.startswith("decimal"):
+            if t in ("float", "double"):
                 return float(s)
-        except ValueError as e:
+            if t.startswith("decimal"):
+                return decimal.Decimal(s)
+        except (ValueError, decimal.InvalidOperation) as e:
             raise ValueError(
                 f"mr4ver: value {s!r} does not parse as {t} "
                 f"(column {col})") from e
         return s
-
-    def pushFilters(self, filters):
-        """Planning-time DIR pruning, never row filtering: every filter
-        is returned to Spark (the exact residual always applies
-        post-scan, so correctness can never depend on this method), but
-        supported shapes additionally decide which chain dirs become
-        input partitions at all — the same manifest skipping
-        ``read_version_stats_pruned`` / ``read_version_bloom_pruned``
-        give the function API (r11 verdict: the format front door
-        silently lost it).
-
-        - ``=``, ``<``, ``<=``, ``>``, ``>=`` merge into per-column
-          CLOSED ranges (strict bounds widen to closed — conservative)
-          classified per dir by ``versioned._range_relation``;
-        - ``=`` / ``IN`` additionally probe each dir's recorded bloom
-          against the dir's OWN window survivors, hashed by the
-          JVM-parity-pinned pure-Python xxhash64 twin
-          (``sources/xxh64.py``) — no SparkSession exists in the
-          planning worker, which is why the twin exists. Unsupported
-          value types skip the bloom and keep the window pruning.
-
-        Requires ``spark.sql.python.filterPushdown.enabled`` (set by
-        ``session.get_spark``) AND ``option("pruneOnFilters", "true")``.
-        The per-load opt-in exists because of a measured JVM aliasing
-        hazard, NOT politeness: ``PythonDataSourceV2`` caches one
-        mutable ``readInfo`` per relation and the pushdown path
-        OVERWRITES it (``setReadInfo``), so after a filtered action on
-        a DataFrame derived from the same ``load()``, a subsequent
-        UNFILTERED action on the shared relation replays the pruned
-        partition list and silently loses rows (reproduced on 4.1.2:
-        100-row chain -> filtered count 11 -> unfiltered count 25).
-        With the opt-in, that caching caveat is the caller's contract:
-        one ``load()`` per query mix. The option-based ``where``/
-        ``probe`` surface has no such hazard (pruning state is part of
-        the relation identity) and is the default route.
-        """
-        if not self._prune_on_filters:
-            return filters
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        def _tighten(col, lo=None, hi=None):
-            cur_lo, cur_hi = self._where.get(col, (None, None))
-            if lo is not None and (cur_lo is None or lo > cur_lo):
-                cur_lo = lo
-            if hi is not None and (cur_hi is None or hi < cur_hi):
-                cur_hi = hi
-            self._where[col] = (cur_lo, cur_hi)
-
-        for f in filters:
-            if len(getattr(f, "attribute", ())) != 1:
-                continue
-            col = f.attribute[0]
-            if col not in self.col_types:
-                continue
-            if isinstance(f, EqualTo) and f.value is not None:
-                _tighten(col, lo=f.value, hi=f.value)
-                self._probes.setdefault(col, []).append([f.value])
-            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) \
-                    and f.value is not None:
-                _tighten(col, lo=f.value)
-            elif isinstance(f, (LessThan, LessThanOrEqual)) \
-                    and f.value is not None:
-                _tighten(col, hi=f.value)
-            elif isinstance(f, In):
-                vals = [v for v in f.value if v is not None]
-                if vals:
-                    self._probes.setdefault(col, []).append(vals)
-        return filters
 
     def _dir_pruned(self, d: str) -> bool:
         """True when the manifest PROVES dir ``d`` holds no matching
@@ -602,10 +549,15 @@ class Mr4VersionedReader(DataSourceReader):
         import pyarrow.compute as pc
 
         for col, (lo, hi) in self._where.items():
+            # bounds are cast to the column's Arrow type so decimal128
+            # comparisons get a matching kernel (a Decimal scalar's
+            # inferred precision/scale rarely equals the column's)
             if lo is not None:
-                t = t.filter(pc.greater_equal(t[col], pa.scalar(lo)))
+                t = t.filter(pc.greater_equal(
+                    t[col], pa.scalar(lo).cast(t[col].type)))
             if hi is not None:
-                t = t.filter(pc.less_equal(t[col], pa.scalar(hi)))
+                t = t.filter(pc.less_equal(
+                    t[col], pa.scalar(hi).cast(t[col].type)))
         for col, val_lists in self._probes.items():
             for vals in val_lists:
                 t = t.filter(pc.is_in(
@@ -614,13 +566,107 @@ class Mr4VersionedReader(DataSourceReader):
         return t
 
 
+class Mr4VersionedPushdownReader(Mr4VersionedReader):
+    """The pruneOnFilters=true reader: identical to
+    :class:`Mr4VersionedReader` plus the ``pushFilters`` hook. A
+    SEPARATE class because Spark 4.1 refuses to initialize any reader
+    whose class merely DEFINES pushFilters() when
+    ``spark.sql.python.filterPushdown.enabled`` is false
+    (DATA_SOURCE_PUSHDOWN_DISABLED raised in the planning worker) —
+    the r12 regression that broke every mr4ver batch read under a
+    stock session. ``Mr4VersionedDataSource.reader()`` selects this
+    subclass only on ``option("pruneOnFilters", "true")``, so the
+    default front door stays initializable everywhere.
+    """
+
+    def pushFilters(self, filters):
+        """Planning-time DIR pruning, never row filtering: every filter
+        is returned to Spark (the exact residual always applies
+        post-scan, so correctness can never depend on this method), but
+        supported shapes additionally decide which chain dirs become
+        input partitions at all — the same manifest skipping
+        ``read_version_stats_pruned`` / ``read_version_bloom_pruned``
+        give the function API (r11 verdict: the format front door
+        silently lost it).
+
+        - ``=``, ``<``, ``<=``, ``>``, ``>=`` merge into per-column
+          CLOSED ranges (strict bounds widen to closed — conservative)
+          classified per dir by ``versioned._range_relation``;
+        - ``=`` / ``IN`` additionally probe each dir's recorded bloom
+          against the dir's OWN window survivors, hashed by the
+          JVM-parity-pinned pure-Python xxhash64 twin
+          (``sources/xxh64.py``) — no SparkSession exists in the
+          planning worker, which is why the twin exists. Unsupported
+          value types skip the bloom and keep the window pruning.
+
+        Requires ``spark.sql.python.filterPushdown.enabled`` (set by
+        ``session.get_spark``) AND ``option("pruneOnFilters", "true")``.
+        The per-load opt-in exists because of a measured JVM aliasing
+        hazard, NOT politeness: ``PythonDataSourceV2`` caches one
+        mutable ``readInfo`` per relation and the pushdown path
+        OVERWRITES it (``setReadInfo``), so after a filtered action on
+        a DataFrame derived from the same ``load()``, a subsequent
+        UNFILTERED action on the shared relation replays the pruned
+        partition list and silently loses rows (reproduced on 4.1.2:
+        100-row chain -> filtered count 11 -> unfiltered count 25).
+        With the opt-in, that caching caveat is the caller's contract:
+        one ``load()`` per query mix. The option-based ``where``/
+        ``probe`` surface has no such hazard (pruning state is part of
+        the relation identity) and is the default route.
+        """
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def _tighten(col, lo=None, hi=None):
+            cur_lo, cur_hi = self._where.get(col, (None, None))
+            if lo is not None and (cur_lo is None or lo > cur_lo):
+                cur_lo = lo
+            if hi is not None and (cur_hi is None or hi < cur_hi):
+                cur_hi = hi
+            self._where[col] = (cur_lo, cur_hi)
+
+        for f in filters:
+            if len(getattr(f, "attribute", ())) != 1:
+                continue
+            col = f.attribute[0]
+            if col not in self.col_types:
+                continue
+            if isinstance(f, EqualTo) and f.value is not None:
+                _tighten(col, lo=f.value, hi=f.value)
+                self._probes.setdefault(col, []).append([f.value])
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) \
+                    and f.value is not None:
+                _tighten(col, lo=f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)) \
+                    and f.value is not None:
+                _tighten(col, hi=f.value)
+            elif isinstance(f, In):
+                vals = [v for v in f.value if v is not None]
+                if vals:
+                    self._probes.setdefault(col, []).append(vals)
+        return filters
+
+
 def _append_new_dir(table_dir: str, v: int, ignore_changes: bool):
     """The chain dir version ``v`` APPENDED, absolute — or None when
-    ``ignore_changes`` skips a non-append commit. Non-append commits
-    (compact, CoW delete/update/merge, DV delete, restore) FAIL the
-    stream loudly otherwise — shared by both stream readers so the
-    driver and executor paths can never disagree on the feed's
-    semantics."""
+    the commit delivers nothing: metadata-only commits (e.g. ANALYZE —
+    data_dirs AND dv unchanged from the parent, zero new rows) are an
+    empty batch and skip unconditionally, and ``ignore_changes`` skips
+    non-append commits. Non-append commits (compact, CoW delete/
+    update/merge, DV delete, restore) FAIL the stream loudly otherwise
+    — shared by both stream readers so the driver and executor paths
+    can never disagree on the feed's semantics. Appends are recognized
+    both by operation name (``append`` / ``append-concurrent`` /
+    ``append-datasource``, the write-front-door commit) and
+    structurally (parent data_dirs + exactly one new dir, dv
+    unchanged), so a future append-flavored operation string cannot
+    silently kill or drop the feed."""
     import os
 
     from mapreduce_4_spark.sources import versioned as vt
@@ -628,9 +674,25 @@ def _append_new_dir(table_dir: str, v: int, ignore_changes: bool):
     m = vt.read_manifest(table_dir, v)
     op = m.get("operation")
     dirs = m.get("data_dirs") or [f"v={v:06d}"]
+    parent = m.get("parent")
+    if parent is not None:
+        pm = vt.read_manifest(table_dir, parent)
+        pdirs = pm.get("data_dirs") or [f"v={parent:06d}"]
+        dv_unchanged = m.get("dv") == pm.get("dv")
+        if dirs == pdirs and dv_unchanged:
+            # metadata-only commit (analyze): nothing to represent —
+            # an empty batch, never a feed violation
+            return None
+        structural_append = (
+            dv_unchanged and len(dirs) == len(pdirs) + 1
+            and dirs[:-1] == pdirs
+        )
+    else:
+        structural_append = op is None  # initial snapshot
     is_append = (
-        op in ("append", "append-concurrent")
-        or (op is None and m.get("parent") is None)
+        op in ("append", "append-concurrent", "append-datasource")
+        or (op is None and parent is None)
+        or structural_append
     )
     if not is_append:
         if ignore_changes:
@@ -890,5 +952,15 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
 
 
 def register_versioned_source(spark) -> None:
-    """Idempotent registration of the mr4ver reader format."""
+    """Idempotent registration of the mr4ver reader format.
+
+    Also best-effort enables ``spark.sql.python.filterPushdown.
+    enabled`` so the opt-in ``option("pruneOnFilters", "true")`` route
+    works under stock sessions (the conf is runtime-settable on 4.1.2;
+    if a deployment locks it, only that opt-in route is affected — the
+    default reader never defines pushFilters and needs nothing)."""
     spark.dataSource.register(Mr4VersionedDataSource)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass

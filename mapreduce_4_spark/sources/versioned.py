@@ -3413,7 +3413,8 @@ def compact(spark: SparkSession, table_dir: str, target_files: int = 1) -> int:
 
 
 def compact_tail(spark: SparkSession, table_dir: str,
-                 keep_base: int = 1, target_files: int = 1) -> int | None:
+                 keep_base: int = 1,
+                 target_files: int | None = None) -> int | None:
     """Tiered (LSM-style) compaction for append chains: fold every
     chain dir AFTER the first ``keep_base`` into ONE new dir, leaving
     the base dirs — typically the bulk-seeded snapshot that dwarfs the
@@ -3436,6 +3437,11 @@ def compact_tail(spark: SparkSession, table_dir: str,
     Returns the new version, or None when there is nothing to fold
     (full snapshot, or fewer than two tail dirs — folding one dir
     would be pure write churn).
+
+    ``target_files=None`` (the default) means UNSPECIFIED: plain folds
+    land as one file, clustered folds (a recorded sort_by/zorder_by
+    discipline) as one file per shuffle partition. Any explicit value
+    — including 1 — is honored verbatim.
 
     Each fold re-reads the PREVIOUS folded dir (the tail accumulates),
     so over a month-long trickle the per-fold cost grows with total
@@ -3468,7 +3474,7 @@ def compact_tail(spark: SparkSession, table_dir: str,
         # maintenance pass that bounds the chain
         live = _scan_dirs(spark, manifest, tail_abs, table_dir)
         rows = (live.repartition(*part_by) if part_by
-                else live.coalesce(target_files))
+                else live.coalesce(target_files or 1))
     elif part_by:
         rows = _scan_partitioned_chain(spark, tail_abs, manifest)
         if rows is not None:
@@ -3484,17 +3490,18 @@ def compact_tail(spark: SparkSession, table_dir: str,
                 reader = reader.option("mergeSchema", "true")
                 rows = _conform_to_schema(
                     reader.parquet(*tail_paths), manifest
-                ).coalesce(target_files)
+                ).coalesce(target_files or 1)
             else:
-                rows = reader.parquet(*tail_paths).coalesce(target_files)
+                rows = reader.parquet(*tail_paths).coalesce(target_files or 1)
     # layout-preserving fold (round 12): when the chain RECORDS a
     # clustering discipline (a sort_by/zorder_by base that trickle
     # appends carried forward), re-apply it to the folded dir — the
     # tail's layout decay is bounded to the unfolded trickle instead of
     # accumulating until a whole-table `table cluster` rewrite. A
     # single-file fold would erase the discipline's skipping value, so
-    # a clustered fold defaults to the session's shuffle parallelism
-    # unless the caller asked for more files explicitly.
+    # a clustered fold with target_files UNSPECIFIED (None) defaults to
+    # the session's shuffle parallelism; any explicit value — including
+    # 1 — is honored.
     sort_disc = manifest.get("sort_by")
     z_disc = manifest.get("zorder_by")
     if rows is not None and (sort_disc or z_disc):
@@ -3503,8 +3510,18 @@ def compact_tail(spark: SparkSession, table_dir: str,
             rows = rows.sortWithinPartitions(*(sort_disc or []))\
                 if sort_disc else rows
         else:
-            n = (target_files if target_files and target_files > 1
-                 else int(spark.conf.get("spark.sql.shuffle.partitions")))
+            # None = unspecified: default to the session's shuffle
+            # parallelism (an explicit target_files — including 1 — is
+            # always honored); a non-integer conf value like 'auto'
+            # falls back to Spark's stock 200
+            if target_files is not None:
+                n = target_files
+            else:
+                try:
+                    n = int(spark.conf.get(
+                        "spark.sql.shuffle.partitions"))
+                except (TypeError, ValueError):
+                    n = 200
             if z_disc:
                 bits = manifest.get("zorder_bits") or 8
                 rows = (

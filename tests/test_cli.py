@@ -140,6 +140,54 @@ def test_coverage_rotation_counts_green_not_sampled(tmp_path):
                      "d_rows_only_green", "f_green_twice"]
 
 
+def test_coverage_rotation_red_component_discounts_siblings(tmp_path):
+    """Round-12 verdict ask #2: a red row on ANY query requiring a
+    shared component (registry `requires`) zeroes the accumulated green
+    priority of EVERY query requiring it — the whole family re-enters
+    the head of the rotation, so a break in shared plumbing can't hide
+    behind a sibling's stale green. Only the LATEST round taints: once
+    the family goes green again, the discount lifts."""
+    import json
+
+    from __spark_entry__ import _coverage_rotation, _tainted_components
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    red = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": "Traceback ..."}
+    requires = {"z_ds_plain": ("mr4ver-read",),
+                "z_ds_pushdown": ("mr4ver-read",),
+                "z_ds_write": ("mr4ver-write",)}
+    # r01: everything green (z_ds_plain earns 2 greens by r02)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a_plain_query": green, "z_ds_plain": green,
+        "z_ds_pushdown": green, "z_ds_write": green,
+    }))
+    # r02 (latest): z_ds_pushdown goes red -> mr4ver-read tainted
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "a_plain_query": green, "z_ds_plain": green,
+        "z_ds_pushdown": red, "z_ds_write": green,
+    }))
+
+    assert _tainted_components(str(tmp_path), rows_only={},
+                               requires=requires) == {"mr4ver-read"}
+    names = ["a_plain_query", "z_ds_plain", "z_ds_pushdown", "z_ds_write"]
+    order = _coverage_rotation(names, correctness_dir=str(tmp_path),
+                               rows_only={}, requires=requires)
+    # the whole mr4ver-read family (including the STILL-GREEN sibling
+    # z_ds_plain) sorts ahead of every query with accumulated greens
+    assert order[:2] == ["z_ds_plain", "z_ds_pushdown"]
+    # other components and plain queries keep their counts
+    assert order.index("z_ds_write") > order.index("a_plain_query") - 2
+
+    # r03: the family is green again -> the discount lifts
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "z_ds_plain": green, "z_ds_pushdown": green,
+    }))
+    assert _tainted_components(str(tmp_path), rows_only={},
+                               requires=requires) == set()
+
+
 def test_coverage_rotation_not_yet_green_names_fit_in_head_50():
     """Permanent rotation invariant against the LIVE registry and the
     repo's real CORRECTNESS history (round-10 verdict asks #1a/#8):

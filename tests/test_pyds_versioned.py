@@ -423,20 +423,28 @@ def test_mr4ver_pushfilters_opt_in_and_aliasing_guard(spark, tmp_path):
         latest_version,
     )
 
+    from mapreduce_4_spark.sources.pyds import Mr4VersionedPushdownReader
+
     m = read_manifest(tdir, latest_version(tdir))
     schema = _scan_schema(m)
     r_all = Mr4VersionedReader(tdir, m, schema, {})
-    r_pf = Mr4VersionedReader(tdir, m, schema, {"pruneonfilters": "true"})
+    r_pf = Mr4VersionedPushdownReader(tdir, m, schema,
+                                      {"pruneonfilters": "true"})
     flt = [GreaterThanOrEqual(("k",), 30), LessThanOrEqual(("k",), 40)]
     assert list(r_pf.pushFilters(flt)) == flt
     assert len(r_pf.partitions()) < len(r_all.partitions())
     survived = {p.path.split("/v=")[1].split("/")[0]
                 for p in r_pf.partitions()}
     assert survived == {"000002"}
-    # without the opt-in pushFilters is a no-op: nothing prunes
-    r_off = Mr4VersionedReader(tdir, m, schema, {})
-    assert list(r_off.pushFilters(flt)) == flt
-    assert len(r_off.partitions()) == len(r_all.partitions())
+    # without the opt-in the reader CLASS does not OVERRIDE
+    # pushFilters (Spark 4.1 refuses to initialize overriding readers
+    # under a stock session — DATA_SOURCE_PUSHDOWN_DISABLED, the r12
+    # regression); the base no-op stays inherited
+    from pyspark.sql.datasource import DataSourceReader
+
+    assert Mr4VersionedReader.pushFilters is DataSourceReader.pushFilters
+    assert Mr4VersionedPushdownReader.pushFilters \
+        is not DataSourceReader.pushFilters
 
 
 def test_mr4ver_executor_stream_matches_driver_semantics(spark, tmp_path):
@@ -643,3 +651,140 @@ def test_mr4ver_writer_roundtrip_and_commit_contract(spark, tmp_path):
     bad = spark.range(3).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(Exception, match="append schema"):
         bad.write.format("mr4ver").mode("append").save(tdir)
+
+
+def test_mr4ver_default_reader_survives_stock_pushdown_conf(
+        spark, tmp_path):
+    """The r12 regression, pinned: Spark 4.1 refuses to initialize any
+    Python DataSource reader whose CLASS defines pushFilters() while
+    spark.sql.python.filterPushdown.enabled is false — so the default
+    mr4ver reader must not even carry the method, and every batch read
+    (plain, where, probe) must work under a stock session where the
+    conf is off. register_versioned_source also best-effort flips the
+    conf on so the pruneOnFilters opt-in route works everywhere."""
+    from mapreduce_4_spark.sources.pyds import Mr4VersionedPushdownReader
+
+    tdir = str(tmp_path / "t")
+    _pruned_chain(spark, tdir)
+    register_versioned_source(spark)
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    assert spark.conf.get(conf_key) == "true"  # the best-effort set
+    spark.conf.set(conf_key, "false")  # the driver's stock state
+    try:
+        assert spark.read.format("mr4ver").load(tdir).count() == 100
+        sliced = (spark.read.format("mr4ver")
+                  .option("where", "k:30:40").load(tdir))
+        assert sorted(r["k"] for r in sliced.collect()) == \
+            list(range(30, 41))
+        probed = (spark.read.format("mr4ver")
+                  .option("probe", "k:5,55").load(tdir))
+        assert sorted(r["k"] for r in probed.collect()) == [5, 55]
+        # the class split is the structural guarantee behind the above
+        from pyspark.sql.datasource import DataSourceReader
+
+        assert Mr4VersionedReader.pushFilters \
+            is DataSourceReader.pushFilters
+        assert Mr4VersionedPushdownReader.pushFilters \
+            is not DataSourceReader.pushFilters
+    finally:
+        spark.conf.set(conf_key, "true")
+
+
+def test_mr4ver_pushfilters_pruning_matches_where_option(spark, tmp_path):
+    """Verdict r12 ask #5: with the opt-in conf + option, the
+    pushFilters route's planning-time dir pruning equals the
+    where-option route on the same chain — same surviving partition
+    list, same rows end-to-end."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from mapreduce_4_spark.sources.pyds import Mr4VersionedPushdownReader
+    from mapreduce_4_spark.sources.versioned import (
+        _scan_schema,
+        latest_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    _pruned_chain(spark, tdir)
+    register_versioned_source(spark)
+
+    m = read_manifest(tdir, latest_version(tdir))
+    schema = _scan_schema(m)
+    r_where = Mr4VersionedReader(tdir, m, schema, {"where": "k:30:40"})
+    r_pf = Mr4VersionedPushdownReader(tdir, m, schema,
+                                      {"pruneonfilters": "true"})
+    r_pf.pushFilters([GreaterThanOrEqual(("k",), 30),
+                      LessThanOrEqual(("k",), 40)])
+    assert [p.path for p in r_pf.partitions()] == \
+        [p.path for p in r_where.partitions()]
+
+    # end-to-end: one load per query mix (the documented readInfo
+    # caching contract), rows identical to the where-option route
+    pf = (spark.read.format("mr4ver")
+          .option("pruneOnFilters", "true").load(tdir)
+          .filter("k >= 30 and k <= 40"))
+    via_where = (spark.read.format("mr4ver")
+                 .option("where", "k:30:40").load(tdir))
+    assert sorted(r["k"] for r in pf.collect()) == \
+        sorted(r["k"] for r in via_where.collect())
+
+
+def test_mr4ver_stream_over_datasource_appends_and_analyze(
+        spark, tmp_path):
+    """ADVICE r12: commits made through the write front door
+    (operation 'append-datasource') are appends and must FEED an
+    append stream, not kill it; ANALYZE (metadata-only: data_dirs and
+    dv unchanged) is an empty batch and must be skipped even WITHOUT
+    ignoreChanges."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import analyze_table
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(20).select(F.col("id").alias("k"),
+                                (F.col("id") % 3).alias("v"))
+    register_versioned_source(spark)
+    df.filter("k < 10").write.format("mr4ver").mode("append").save(tdir)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("mr4ver").load(tdir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(r["k"] for r in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(10))
+    # v2: ANALYZE (metadata-only) — must contribute nothing, loudly-ok
+    assert analyze_table(spark, tdir, stats_for=["k"]) is not None
+    # v3: another front-door append — must flow
+    df.filter("k >= 10").write.format("mr4ver").mode("append").save(tdir)
+    assert drain() == list(range(20))
+
+
+def test_mr4ver_where_probe_on_decimal_column(spark, tmp_path):
+    """ADVICE r12: decimal-typed where/probe bounds parse as exact
+    Decimal and the Arrow residual casts the scalar to the column's
+    decimal128 type — no kernel error, no precision loss."""
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(1, 11).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("decimal(12,2)") * 2.5).alias("price"))
+    write_version(df.coalesce(1), tdir, append=True)
+    register_versioned_source(spark)
+
+    sliced = (spark.read.format("mr4ver")
+              .option("where", "price:5.00:10.00").load(tdir))
+    assert sorted(r["k"] for r in sliced.collect()) == [2, 3, 4]
+    probed = (spark.read.format("mr4ver")
+              .option("probe", "price:7.50,25.00").load(tdir))
+    assert sorted(r["k"] for r in probed.collect()) == [3, 10]
