@@ -155,3 +155,25 @@ def test_orc_roundtrip_with_pushdown(spark, sf_smoke, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "o_orderkey" in plan
+
+
+def test_avro_roundtrip_or_documented_env_skip(spark, sf_smoke, tmp_path):
+    """Avro round-trip — the remaining external-format row of the sink
+    matrix. spark-avro is an EXTERNAL module since Spark 2.4 (not in
+    spark-sql's jar): when this container ships without
+    org.apache.spark:spark-avro (no network to fetch it), the write
+    raises AnalysisException FAILED_TO_FIND_DATA_SOURCE and this test
+    documents the env skip; on an image that bundles the jar it runs
+    the full round-trip."""
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_avro")
+    try:
+        orders.write.format("avro").save(out)
+    except Exception as ex:
+        if "Failed to find data source: avro" in str(ex):
+            pytest.skip("spark-avro external module not in this image")
+        raise
+    back = spark.read.format("avro").load(out)
+    assert _rows(back) == _rows(orders)
