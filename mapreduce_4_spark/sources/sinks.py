@@ -42,6 +42,22 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              mode: str = "overwrite") -> None:
+    """XML sink — built into Spark 4 (the spark-xml package merged
+    upstream in 4.0), completing the row-interchange matrix
+    (csv/json/xml) alongside the columnar pair (parquet/orc)."""
+    df.write.mode(mode).option("rowTag", row_tag).xml(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema=None) -> DataFrame:
+    """XML source. Pass ``schema`` for round-trip fidelity — XML carries
+    no types, so inference (like csv's) widens/narrows by content."""
+    r = spark.read.option("rowTag", row_tag)
+    return r.schema(schema).xml(path) if schema is not None else r.xml(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     r = spark.read.option("header", True)
     return r.schema(schema).csv(path) if schema is not None else \

@@ -177,3 +177,19 @@ def test_avro_roundtrip_or_documented_env_skip(spark, sf_smoke, tmp_path):
         raise
     back = spark.read.format("avro").load(out)
     assert _rows(back) == _rows(orders)
+
+
+def test_xml_roundtrip(spark, sf_smoke, tmp_path):
+    """XML round-trips with an explicit read schema (XML is untyped on
+    disk, so inference — like csv's — is content-dependent; the schema
+    pins the contract). Built into Spark 4: no external package."""
+    from mapreduce_4_spark.sources.sinks import read_xml, write_xml
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_xml")
+    write_xml(orders, out, row_tag="order")
+    back = read_xml(spark, out, row_tag="order", schema=orders.schema)
+    assert back.schema == orders.schema
+    assert _rows(back) == _rows(orders)
