@@ -508,6 +508,36 @@ class Mr4VersionedReader(DataSourceReader):
             by_file[f].append(p)
         return {f: tuple(sorted(ps)) for f, ps in by_file.items()}
 
+    def _hive_pruned(self, values: dict[str, str]) -> bool:
+        """True when a file's hive partition-path values PROVE it holds
+        no matching row for the where/probe conjuncts on partition
+        columns — hive-level planning pruning inside surviving chain
+        dirs (dir-level manifest pruning can keep a dir whose OTHER
+        hive subdirs match). Values parse by the column's schema type
+        via ``_typed``; anything unparseable scans (conservative)."""
+        for col, (lo, hi) in self._where.items():
+            s = values.get(col)
+            if s is None:
+                continue
+            try:
+                v = self._typed(col, s)
+            except ValueError:
+                continue
+            if (lo is not None and v < lo) or \
+                    (hi is not None and v > hi):
+                return True
+        for col, val_lists in self._probes.items():
+            s = values.get(col)
+            if s is None:
+                continue
+            try:
+                v = self._typed(col, s)
+            except ValueError:
+                continue
+            if any(v not in vals for vals in val_lists):
+                return True  # AND of probe conjuncts: one miss proves
+        return False
+
     def partitions(self):
         import os
         from urllib.parse import unquote
@@ -525,6 +555,8 @@ class Mr4VersionedReader(DataSourceReader):
         for d in dirs:
             root = os.path.join(self.table_dir, d)
             for full, values in _walk_dir_files(root, part_cols):
+                if values and self._hive_pruned(values):
+                    continue
                 rel_file = os.path.relpath(full, self.table_dir)
                 out.append(_SnapshotFilePartition(
                     full, values, dv_by_file.get(rel_file, ())))

@@ -788,3 +788,47 @@ def test_mr4ver_where_probe_on_decimal_column(spark, tmp_path):
     probed = (spark.read.format("mr4ver")
               .option("probe", "price:7.50,25.00").load(tdir))
     assert sorted(r["k"] for r in probed.collect()) == [3, 10]
+
+
+def test_mr4ver_hive_partition_value_pruning(spark, tmp_path):
+    """where/probe conjuncts on PARTITION columns prune hive subdirs at
+    planning time, inside chain dirs the manifest could not prove out —
+    the front door's twin of Spark's own partition pruning. File-level
+    proof on the reader; row-level parity end-to-end."""
+    from mapreduce_4_spark.sources.versioned import (
+        _scan_schema,
+        latest_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("p"))
+    write_version(df, tdir, append=True, partition_by=["p"])
+    write_version(
+        spark.range(100, 140).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("p")),
+        tdir, append=True, partition_by=["p"])
+    register_versioned_source(spark)
+
+    m = read_manifest(tdir, latest_version(tdir))
+    schema = _scan_schema(m)
+    r_all = Mr4VersionedReader(tdir, m, schema, {})
+    r_eq = Mr4VersionedReader(tdir, m, schema, {"probe": "p:2"})
+    r_rng = Mr4VersionedReader(tdir, m, schema, {"where": "p:0:1"})
+    n_all = len(r_all.partitions())
+    assert len(r_eq.partitions()) <= n_all // 4 + 1
+    assert len(r_rng.partitions()) <= n_all // 2 + 1
+    assert all("/p=2/" in p.path for p in r_eq.partitions())
+    assert all("/p=0/" in p.path or "/p=1/" in p.path
+               for p in r_rng.partitions())
+
+    got = (spark.read.format("mr4ver").option("probe", "p:2").load(tdir))
+    want = sorted(r["k"] for r in df.union(
+        spark.range(100, 140).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("p"))
+    ).filter("p = 2").collect())
+    assert sorted(r["k"] for r in got.collect()) == want
+    rng = (spark.read.format("mr4ver").option("where", "p:0:1").load(tdir))
+    assert rng.count() == 40  # half of 80 rows
