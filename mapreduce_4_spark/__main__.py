@@ -592,6 +592,12 @@ def main(argv: list[str] | None = None) -> int:
                 if spec.rows_only_reason:
                     desc += (" — WHY rows-only: "
                              + " ".join(spec.rows_only_reason.split()))
+                if spec.requires:
+                    desc += (" — shared component: "
+                             + ", ".join(spec.requires)
+                             + " (a red on any query of this component "
+                             "re-prioritizes the whole family in the "
+                             "driver rotation)")
                 print(f"| `{name}` | {mark} | {', '.join(spec.tags)} "
                       f"| {desc} |")
         else:
