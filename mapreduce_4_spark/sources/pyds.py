@@ -364,9 +364,16 @@ class Mr4VersionedReader(DataSourceReader):
         self.table_dir = table_dir
         self.manifest = manifest
         self.arrow_schema = to_arrow_schema(schema)
-        #: column -> Spark simpleString type (bloom hashing dispatch)
+        #: column -> Spark simpleString type for where/probe typing and
+        #: bloom hashing dispatch — the FULL manifest schema, not the
+        #: (possibly `columns`-projected) relation schema, so pruning
+        #: predicates compose with projection: SELECT k,s WHERE b:2:3
+        #: is the normal lakehouse shape and b need not be projected
+        from mapreduce_4_spark.sources.versioned import _scan_schema
+
+        full_schema = _scan_schema(manifest)
         self.col_types = {f.name: f.dataType.simpleString()
-                          for f in schema.fields}
+                          for f in full_schema.fields}
         #: pruning conjuncts: merged closed ranges + IN/EQ probe sets
         self._where: dict = {}
         self._probes: dict = {}
@@ -414,6 +421,22 @@ class Mr4VersionedReader(DataSourceReader):
         #: stock sessions; kept for introspection/tests)
         self._prune_on_filters = str(
             options.get("pruneonfilters", "false")).lower() == "true"
+        # filter-only columns: needed by the residual but absent from
+        # the projected relation schema — read alongside, filtered on,
+        # then dropped before yielding (projection + pruning compose)
+        projected = set(self.arrow_schema.names)
+        extra = [f for f in full_schema.fields
+                 if f.name in (set(self._where) | set(self._probes))
+                 and f.name not in projected]
+        if extra:
+            from pyspark.sql.types import StructType
+
+            self._residual_drop = tuple(f.name for f in extra)
+            self.read_arrow_schema = to_arrow_schema(StructType(
+                list(schema.fields) + extra))
+        else:
+            self._residual_drop = ()
+            self.read_arrow_schema = self.arrow_schema
 
     def _typed(self, col: str, s: str):
         """Parse an option-string bound/probe value by the column's
@@ -566,8 +589,10 @@ class Mr4VersionedReader(DataSourceReader):
         if partition.path is None:
             return
         out = _read_file_conformed(partition.path, partition.part_values,
-                                   partition.drop, self.arrow_schema)
+                                   partition.drop, self.read_arrow_schema)
         out = self._apply_residual(out)
+        if self._residual_drop:
+            out = out.select(self.arrow_schema.names)
         yield from out.to_batches()
 
     def _apply_residual(self, t):

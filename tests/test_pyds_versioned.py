@@ -832,3 +832,33 @@ def test_mr4ver_hive_partition_value_pruning(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == want
     rng = (spark.read.format("mr4ver").option("where", "p:0:1").load(tdir))
     assert rng.count() == 40  # half of 80 rows
+
+
+def test_mr4ver_projection_composes_with_where_probe(spark, tmp_path):
+    """`columns` projection + where/probe on NON-projected columns —
+    the normal lakehouse shape (SELECT k,s WHERE b BETWEEN 2 AND 3).
+    Filter-only columns are read alongside for the exact residual and
+    dropped before rows are yielded; the relation schema stays the
+    projected subset."""
+    tdir = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("b"),
+        F.md5(F.col("id").cast("string")).alias("s"))
+    write_version(df.coalesce(1), tdir, append=True)
+    register_versioned_source(spark)
+
+    out = (spark.read.format("mr4ver")
+           .option("columns", "k,s").option("where", "b:2:3").load(tdir))
+    assert out.columns == ["k", "s"]
+    want = sorted(r["k"] for r in df.filter("b in (2,3)").collect())
+    assert sorted(r["k"] for r in out.collect()) == want
+
+    probed = (spark.read.format("mr4ver")
+              .option("columns", "s").option("probe", "k:5,9").load(tdir))
+    assert probed.columns == ["s"]
+    assert probed.count() == 2
+    # unknown filter column still refuses loudly (full-schema check)
+    with pytest.raises(Exception, match="nope"):
+        (spark.read.format("mr4ver")
+         .option("columns", "k").option("where", "nope:1:2")
+         .load(tdir).count())
