@@ -806,6 +806,7 @@ class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
         self.starting = options.get("startingversion", "1")
+        self.max_versions = _parse_max_versions(options)
 
     def initialOffset(self) -> dict:
         from mapreduce_4_spark.sources import versioned as vt
@@ -838,12 +839,37 @@ class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
 
         lo = int(start["v"])
         hi = vt.latest_version(self.table_dir) or lo
+        if self.max_versions is not None:
+            # admission control (Delta's maxFilesPerTrigger shape): a
+            # long backlog drains as bounded micro-batches instead of
+            # one giant one — EXACT here because read() knows its base
+            hi = min(hi, lo + self.max_versions)
         if hi <= lo:
             return iter([]), {"v": lo}
         return iter(self._window(lo, hi)), {"v": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._window(int(start["v"]), int(end["v"])))
+
+
+def _parse_max_versions(options) -> int | None:
+    """``maxVersionsPerTrigger`` (int >= 1) or None — the append
+    streams' admission control: how many chain VERSIONS one
+    micro-batch may deliver. Version granularity (not files/rows)
+    because the offset model is ``{"v": N}`` — a version is the
+    format's atomic replayable unit."""
+    raw = options.get("maxversionspertrigger")
+    if raw is None:
+        return None
+    try:
+        n = int(raw)
+    except ValueError:
+        n = 0
+    if n < 1:
+        raise ValueError(
+            f"mr4ver maxVersionsPerTrigger must be an integer >= 1, "
+            f"got {raw!r}")
+    return n
 
 
 class _Mr4WriteTaskResult(WriterCommitMessage):
@@ -968,6 +994,20 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
         self.starting = options.get("startingversion", "1")
+        # admission control needs the engine's base offset, which the
+        # Python DataSourceStreamReader API never hands latestOffset()
+        # (no ReadLimit hook, and the runner serves latestOffset on an
+        # instance that sees neither partitions() nor commit() — a
+        # stateful cap was MEASURED producing backward offsets and
+        # duplicate batches on 4.1.2). Refuse loudly: the Simple
+        # reader's read(start) knows its base, so its cap is exact.
+        if _parse_max_versions(options) is not None:
+            raise ValueError(
+                "mr4ver: maxVersionsPerTrigger requires the driver "
+                "prefetch reader — add option('streamMode', 'driver') "
+                "(the executor partition-planning reader has no "
+                "admission-control hook in the Python DataSource API)"
+            )
 
     def initialOffset(self) -> dict:
         from mapreduce_4_spark.sources import versioned as vt
@@ -983,6 +1023,10 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
         if v is None:
             return {"v": int(self.initialOffset()["v"])}
         return {"v": v}
+
+    def commit(self, end: dict) -> None:
+        # versions are immutable and replayable; nothing to release
+        pass
 
     def partitions(self, start: dict, end: dict):
         parts = []
@@ -1002,10 +1046,6 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
         return iter(_read_file_conformed(
             partition.path, partition.part_values, partition.drop,
             self.arrow_schema).to_batches())
-
-    def commit(self, end: dict) -> None:
-        # versions are immutable and replayable; nothing to release
-        pass
 
 
 def register_versioned_source(spark) -> None:

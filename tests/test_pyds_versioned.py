@@ -862,3 +862,68 @@ def test_mr4ver_projection_composes_with_where_probe(spark, tmp_path):
         (spark.read.format("mr4ver")
          .option("columns", "k").option("where", "nope:1:2")
          .load(tdir).count())
+
+
+def test_mr4ver_max_versions_per_trigger(spark, tmp_path):
+    """maxVersionsPerTrigger — admission control over append backlogs
+    (Delta's maxFilesPerTrigger shape, at the format's version
+    granularity). EXACT on the driver prefetch reader (read(start)
+    knows its base); the executor partition-planning reader REFUSES
+    the option loudly — the Python DataSource API gives latestOffset()
+    no base/ReadLimit hook, and a stateful cap measurably produced
+    backward offsets + duplicate batches on 4.1.2."""
+    from mapreduce_4_spark.sources.pyds import (
+        Mr4VersionedStreamPartReader,
+        Mr4VersionedStreamReader,
+    )
+    from mapreduce_4_spark.sources.versioned import (
+        _scan_schema,
+        latest_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    for i in range(5):  # a 5-version backlog before the stream starts
+        write_version(
+            spark.range(i * 10, (i + 1) * 10)
+            .select(F.col("id").alias("k")).coalesce(1),
+            tdir, append=True)
+    register_versioned_source(spark)
+
+    m = read_manifest(tdir, latest_version(tdir))
+    schema = _scan_schema(m)
+    # Simple (driver) reader: the cap is exact from any base
+    sr = Mr4VersionedStreamReader(tdir, m, schema,
+                                  {"maxversionspertrigger": "2"})
+    rows, end = sr.read({"v": 0})
+    assert end == {"v": 2} and len(list(rows)) == 20
+    rows, end = sr.read({"v": 2})
+    assert end == {"v": 4}
+    # executor reader: loud refusal (no admission-control hook)
+    with pytest.raises(ValueError, match="streamMode"):
+        Mr4VersionedStreamPartReader(
+            tdir, m, schema, {"maxversionspertrigger": "2"})
+    with pytest.raises(ValueError, match="maxVersionsPerTrigger"):
+        Mr4VersionedStreamReader(
+            tdir, m, schema, {"maxversionspertrigger": "zero"})
+
+    # end-to-end (driver mode): the drain takes ceil(5/2)=3 bounded
+    # batches and delivers all 50 rows exactly once
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("mr4ver")
+        .option("streamMode", "driver")
+        .option("maxVersionsPerTrigger", "2").load(tdir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress
+                         if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == \
+        list(range(50))
+    assert n_batches >= 3  # the backlog drained bounded, not whole
