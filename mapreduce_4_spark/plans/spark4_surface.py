@@ -657,3 +657,145 @@ def datasource_write_analyze_orders(spark: SparkSession,
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_rows bigint, min_key bigint, "
               "max_key bigint")
+
+
+@register(
+    "pipe_syntax_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_quantity < 10
+        GROUP BY l_returnflag
+        HAVING COUNT(*) > 10
+        ORDER BY l_returnflag
+    """,
+    tags=("sql", "spark4", "aggregate"),
+    description="SQL pipe syntax (Spark 4.0 |> operators): scan -> "
+                "WHERE -> AGGREGATE ... GROUP BY -> post-agg WHERE "
+                "(HAVING) -> ORDER BY, each stage a |> step — the "
+                "linear-dataflow SQL dialect; the oracle is the "
+                "equivalent classic ANSI text, so the pin is "
+                "cross-DIALECT as well as cross-engine",
+)
+def pipe_syntax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: pipe syntax is pure parser surface — the plan
+    below is identical to the classic GROUP BY/HAVING plan (partial
+    agg before the exchange, one shuffle on l_returnflag), so the
+    operator inherits the aggregate family's scale story."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice")
+    li.createOrReplaceTempView("li_pipe_v")
+    return spark.sql("""
+        FROM li_pipe_v
+        |> WHERE l_quantity < 10
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS sum_price
+           GROUP BY l_returnflag
+        |> WHERE n_items > 10
+        |> ORDER BY l_returnflag
+        |> SELECT l_returnflag, n_items, sum_price
+    """)
+
+
+@register(
+    "session_variable_orders",
+    oracle="""
+        WITH cut AS (
+            SELECT MAX(o_orderkey) // 2 AS v FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        FROM orders, cut
+        WHERE o_orderkey > cut.v
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("sql", "spark4"),
+    description="SQL session variables (Spark 4 DECLARE / SET "
+                "VARIABLE): a data-derived cutoff is computed once "
+                "into a session variable and parameterizes the main "
+                "query — the two-step parameterization pattern scripts "
+                "use instead of string interpolation; integer "
+                "arithmetic end-to-end so the cross-engine pin is "
+                "exact",
+)
+def session_variable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: the variable holds ONE scalar on the driver
+    (set by a metadata-cheap MAX aggregate); the main query plans with
+    it folded as a literal, so the filter pushes into the scan exactly
+    like a hand-written constant."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    orders.createOrReplaceTempView("ord_var_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE mr4s_cut BIGINT")
+    spark.sql("SET VARIABLE mr4s_cut = "
+              "(SELECT MAX(o_orderkey) DIV 2 FROM ord_var_v)")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_rows,
+               MIN(o_orderkey) AS min_key
+        FROM ord_var_v
+        WHERE o_orderkey > mr4s_cut
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)
+
+
+@register(
+    "sql_script_threshold_orders",
+    oracle="""
+        SELECT CAST(t AS DOUBLE) AS threshold,
+               CAST(n AS BIGINT) AS n_above
+        FROM (
+            SELECT POWER(2, g) AS t,
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_totalprice > POWER(2, g)) AS n
+            FROM generate_series(0, 40) s(g)
+        )
+        WHERE n < 100
+        ORDER BY t
+        LIMIT 1
+    """,
+    tags=("sql", "spark4", "iterative"),
+    description="SQL scripting (Spark 4 BEGIN/END + WHILE): a "
+                "data-dependent doubling loop finds the smallest "
+                "power-of-two price threshold with fewer than 100 "
+                "orders above it — control flow running INSIDE Spark's "
+                "SQL layer (DECLARE locals, SET from scalar "
+                "subqueries, WHILE); the oracle replays the same "
+                "search as a generate_series scan, so the loop's "
+                "fixed point is cross-engine-pinned",
+)
+def sql_script_threshold_orders(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Scale rationale: each loop iteration is one COUNT with a
+    pushed-down range predicate (metadata-cheap on a stats-carrying
+    layout) and the iteration count is log2(max price) <= ~40 — a
+    bounded driver-side loop, the same budget class as the unrolled
+    fixed-point queries (the 2^K-blowup trap does not apply: state is
+    one scalar, not a growing plan)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    orders.createOrReplaceTempView("ord_script_v")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql("""
+        BEGIN
+          DECLARE t DOUBLE DEFAULT 1.0;
+          -- DECLARE DEFAULT disallows subqueries (INVALID_DEFAULT_VALUE);
+          -- seed via SET, the scripting-idiomatic two-step
+          DECLARE n BIGINT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM ord_script_v
+                   WHERE o_totalprice > t);
+          WHILE n >= 100 DO
+            SET t = t * 2;
+            SET n = (SELECT COUNT(*) FROM ord_script_v
+                     WHERE o_totalprice > t);
+          END WHILE;
+          SELECT CAST(t AS DOUBLE) AS threshold,
+                 CAST(n AS BIGINT) AS n_above;
+        END
+    """)
