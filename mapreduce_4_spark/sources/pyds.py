@@ -140,7 +140,12 @@ def _walk_dir_files(root: str, part_cols: set):
             if "=" in seg:
                 c, val = seg.split("=", 1)
                 if c in part_cols:
-                    values[c] = unquote(val)
+                    # hive's NULL sentinel dir -> a true null partition
+                    # value (read_version handles these; the front
+                    # door must too)
+                    values[c] = (None
+                                 if val == "__HIVE_DEFAULT_PARTITION__"
+                                 else unquote(val))
         for f in sorted(files):
             if f.endswith(".parquet"):
                 yield os.path.join(cur, f), values

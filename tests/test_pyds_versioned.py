@@ -927,3 +927,42 @@ def test_mr4ver_max_versions_per_trigger(spark, tmp_path):
     assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == \
         list(range(50))
     assert n_batches >= 3  # the backlog drained bounded, not whole
+
+
+def test_mr4ver_null_partition_values(spark, tmp_path):
+    """NULL partition values (hive's __HIVE_DEFAULT_PARTITION__ dirs)
+    read back as true nulls through the front door AND the stream —
+    parity with read_version (which always handled them); a where on
+    the partition column EXCLUDES null partitions (SQL predicate
+    semantics: NULL fails every predicate)."""
+    tdir = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 3).cast("int").alias("p"))
+    write_version(df, tdir, append=True, partition_by=["p"])
+    register_versioned_source(spark)
+
+    fd = spark.read.format("mr4ver").load(tdir)
+    assert _rows(fd) == _rows(read_version(spark, tdir))
+    assert fd.filter("p is null").count() == 4
+    w = spark.read.format("mr4ver").option("where", "p:1:2").load(tdir)
+    assert w.filter("p is null").count() == 0
+    assert w.count() == 6
+
+    write_version(
+        spark.range(20, 25).select(F.col("id").alias("k"),
+                                   F.lit(None).cast("int").alias("p")),
+        tdir, append=True, partition_by=["p"])
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("mr4ver").load(tdir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 15 and got.filter("p is null").count() == 9
