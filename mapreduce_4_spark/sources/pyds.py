@@ -416,8 +416,13 @@ class Mr4VersionedReader(DataSourceReader):
                 raise ValueError(
                     f"mr4ver probe clause {clause!r}: want col:v1,v2 "
                     f"with col one of {sorted(self.col_types)}")
-            self._probes.setdefault(col, []).append(
-                [self._typed(col, v) for v in vals_s.split(",") if v])
+            vals = [self._typed(col, v) for v in vals_s.split(",") if v]
+            if not vals:
+                raise ValueError(
+                    f"mr4ver probe clause {clause!r} has no values — "
+                    "an empty IN list matches nothing; drop the option "
+                    "instead")
+            self._probes.setdefault(col, []).append(vals)
         #: True iff this reader was constructed for a
         #: pruneOnFilters=true load (then it is the
         #: :class:`Mr4VersionedPushdownReader` subclass — the class

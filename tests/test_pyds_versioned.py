@@ -966,3 +966,24 @@ def test_mr4ver_null_partition_values(spark, tmp_path):
         q.stop()
     got = spark.read.parquet(out)
     assert got.count() == 15 and got.filter("p is null").count() == 9
+
+
+def test_mr4ver_special_char_partitions_and_empty_probe(spark, tmp_path):
+    """URL-hostile string partition values (spaces, '=', '/') round-trip
+    through the hive path encoding with read_version parity, probe
+    matches the decoded value, and an EMPTY probe list refuses loudly
+    instead of silently matching nothing."""
+    tdir = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x=y"), (3, "c/d"), (4, "plain"), (5, "a b")],
+        "k int, p string")
+    write_version(df, tdir, append=True, partition_by=["p"])
+    register_versioned_source(spark)
+
+    fd = spark.read.format("mr4ver").load(tdir)
+    assert _rows(fd) == _rows(read_version(spark, tdir))
+    pr = spark.read.format("mr4ver").option("probe", "p:a b").load(tdir)
+    assert sorted(r["k"] for r in pr.collect()) == [1, 5]
+    with pytest.raises(Exception, match="no values"):
+        (spark.read.format("mr4ver").option("probe", "p:")
+         .load(tdir).count())
