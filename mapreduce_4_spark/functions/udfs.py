@@ -123,3 +123,38 @@ def arrow_wordcount_batches(batches):
                 {"word": list(counter.keys()),
                  "partial": list(counter.values())}
             )
+
+
+def register_leading_words_udtf(spark) -> None:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is computed at PLAN time from the constant ``n`` argument —
+    ``leading_words(text, 3)`` yields columns (w0, w1, w2), the
+    dynamic-pivot shape static UDTFs cannot express. Completes the O11
+    plugin family with the schema-computing mechanism (the reference's
+    plugins fix their schema at compile time; Spark's analyze() hook
+    moves that decision to query planning). Tokenization is the same
+    whitespace-run split everywhere (``str.split()``), so the DuckDB
+    oracle replays it with regexp_split_to_array(trim(s), '\\s+')."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadingWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument,
+                    n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError(
+                    "leading_words(text, n): n must be a constant "
+                    f"positive integer, got {n.value!r}")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str | None, n: int):
+            words = (text or "").split()
+            yield tuple((words + [None] * n)[:n])
+
+    spark.udtf.register("leading_words", LeadingWords)

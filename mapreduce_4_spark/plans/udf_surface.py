@@ -137,3 +137,49 @@ def map_in_arrow_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrow_wordcount_batches, "word string, partial long"
     )
     return partials.groupBy("word").agg(F.sum("partial").alias("cnt"))
+
+
+@register(
+    "udtf_dynamic_leading_words",
+    oracle="""
+        WITH parts AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS ws,
+                   len(trim(text)) AS nz
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN nz > 0 AND len(ws) >= 1 THEN ws[1] END AS w0,
+               CASE WHEN nz > 0 AND len(ws) >= 2 THEN ws[2] END AS w1,
+               CASE WHEN nz > 0 AND len(ws) >= 3 THEN ws[3] END AS w2
+        FROM parts
+        ORDER BY doc_id
+    """,
+    tags=("udf", "spark4"),
+    description="POLYMORPHIC Python UDTF (Spark 4 analyze()): "
+                "leading_words(text, 3) computes its (w0, w1, w2) "
+                "output schema at plan time from the constant argument "
+                "— the dynamic-pivot mechanism the static UDTF surface "
+                "cannot express, completing the O11 plugin family; the "
+                "oracle replays the whitespace-run split with "
+                "regexp_split_to_array",
+)
+def udtf_dynamic_leading_words(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Scale rationale: analyze() runs ONCE on the driver at planning;
+    eval streams row-at-a-time like any UDTF (the Arrow twin for bulk
+    shapes is map_in_arrow_wordcount) — the feature is the schema
+    contract, not the data path."""
+    from mapreduce_4_spark.functions.udfs import (
+        register_leading_words_udtf,
+    )
+
+    register_leading_words_udtf(spark)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_for_dyn_udtf")
+    return spark.sql("""
+        SELECT doc_id, t.w0, t.w1, t.w2
+        FROM docs_for_dyn_udtf, LATERAL leading_words(text, 3) t
+        ORDER BY doc_id
+    """)
