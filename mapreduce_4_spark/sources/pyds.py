@@ -126,26 +126,49 @@ class SynthRowsStreamReader(SimpleDataSourceStreamReader):
 # --- versioned-table DataSource (round-11) ---------------------------------
 
 
-def _walk_dir_files(root: str, part_cols: set):
-    """Yield (abs_path, hive_part_values) for every parquet file under
-    one chain dir — the shared enumeration of the batch reader, the
-    executor stream reader, and the driver stream reader."""
-    import os
+def _hive_seg_value(seg: str, part_cols: set):
+    """(col, value) when path segment ``seg`` encodes a hive partition
+    value for a known partition column, else None. Hive's NULL
+    sentinel dir decodes to a true null (read_version handles these;
+    the front door must too)."""
     from urllib.parse import unquote
 
-    for cur, _dirs, files in os.walk(root):
+    if "=" not in seg:
+        return None
+    c, val = seg.split("=", 1)
+    if c not in part_cols:
+        return None
+    return c, (None if val == "__HIVE_DEFAULT_PARTITION__"
+               else unquote(val))
+
+
+def _walk_dir_files(root: str, part_cols: set, prune_subdir=None):
+    """Yield (abs_path, hive_part_values) for every parquet file under
+    one chain dir — the shared enumeration of the batch reader, the
+    executor stream reader, and the driver stream reader.
+
+    ``prune_subdir(values) -> bool``: planning-time SUBTREE pruning —
+    when given and it proves a hive subdir's accumulated partition
+    values cannot match, the walk never DESCENDS into it (the
+    enumeration itself is the planning cost at 10^4+ hive partitions;
+    filtering files after a full walk pays it anyway)."""
+    import os
+
+    for cur, dirs, files in os.walk(root):
         values = {}
         rel = os.path.relpath(cur, root)
         for seg in () if rel == "." else rel.split(os.sep):
-            if "=" in seg:
-                c, val = seg.split("=", 1)
-                if c in part_cols:
-                    # hive's NULL sentinel dir -> a true null partition
-                    # value (read_version handles these; the front
-                    # door must too)
-                    values[c] = (None
-                                 if val == "__HIVE_DEFAULT_PARTITION__"
-                                 else unquote(val))
+            cv = _hive_seg_value(seg, part_cols)
+            if cv is not None:
+                values[cv[0]] = cv[1]
+        if prune_subdir is not None:
+            keep = []
+            for d in dirs:
+                cv = _hive_seg_value(d, part_cols)
+                if cv is not None and prune_subdir({**values, cv[0]: cv[1]}):
+                    continue  # provably excluded: never descend
+                keep.append(d)
+            dirs[:] = keep
         for f in sorted(files):
             if f.endswith(".parquet"):
                 yield os.path.join(cur, f), values
@@ -584,10 +607,17 @@ class Mr4VersionedReader(DataSourceReader):
             dirs = [d for d in dirs if not self._dir_pruned(d)]
         part_cols = set(self.manifest.get("partition_by") or [])
         dv_by_file = self._dv_positions()
+        prune = (self._hive_pruned if (self._where or self._probes)
+                 else None)
         out = []
         for d in dirs:
             root = os.path.join(self.table_dir, d)
-            for full, values in _walk_dir_files(root, part_cols):
+            # subtree-level hive pruning: excluded partition dirs are
+            # never even descended into (planning cost ~ matching
+            # files, not table files); the per-file check stays as the
+            # exactness backstop for mixed-depth layouts
+            for full, values in _walk_dir_files(root, part_cols,
+                                                prune_subdir=prune):
                 if values and self._hive_pruned(values):
                     continue
                 rel_file = os.path.relpath(full, self.table_dir)

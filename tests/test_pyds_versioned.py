@@ -987,3 +987,38 @@ def test_mr4ver_special_char_partitions_and_empty_probe(spark, tmp_path):
     with pytest.raises(Exception, match="no values"):
         (spark.read.format("mr4ver").option("probe", "p:")
          .load(tdir).count())
+
+
+def test_mr4ver_walk_prunes_subtrees_without_descending(spark, tmp_path):
+    """Subtree-level hive pruning: the dir walk never DESCENDS into a
+    provably-excluded partition dir — at 10^4+ hive partitions the
+    enumeration itself is the planning cost. Proven by recording every
+    prune callback: nested segments under pruned parents are never
+    probed (non-descent), and the yielded files are exactly the
+    matching subtree's."""
+    from mapreduce_4_spark.sources.pyds import _walk_dir_files
+
+    root = str(tmp_path / "v=000001")
+    import os
+
+    for p in range(4):
+        for q in range(3):
+            d = os.path.join(root, f"p={p}", f"q={q}")
+            os.makedirs(d)
+            with open(os.path.join(d, "part-0.parquet"), "wb") as fh:
+                fh.write(b"x")
+
+    seen = []
+
+    def prune(values):
+        seen.append(dict(values))
+        return values.get("p") not in (None, "3")
+
+    files = list(_walk_dir_files(root, {"p", "q"}, prune_subdir=prune))
+    assert len(files) == 3
+    assert all("/p=3/" in f for f, _ in files)
+    assert all(v == {"p": "3", "q": str(i)}
+               for i, (_, v) in enumerate(sorted(files)))
+    # non-descent: q-level values were only ever probed under p=3
+    q_probes = [v for v in seen if "q" in v]
+    assert q_probes and all(v["p"] == "3" for v in q_probes)
