@@ -219,6 +219,20 @@ class _SnapshotFilePartition(InputPartition):
         self.drop = drop
 
 
+class _SnapshotFileGroupPartition(InputPartition):
+    """A BIN-PACKED group of parquet files read by one task —
+    ``option("binPackBytes", N)``'s planning unit. ``items`` is a
+    tuple of (path, part_values, dv_drop) triples, grouped greedily in
+    enumeration order (hive locality preserved) up to ~N bytes per
+    group. This is the split-packing knob Delta/Iceberg readers have:
+    a trickle-built chain of thousands of small files otherwise pays
+    one task-scheduling floor PER FILE (SCALE.md's 4096-file probe:
+    wall-clock tracks file count, not bytes)."""
+
+    def __init__(self, items: tuple):
+        self.items = items
+
+
 class Mr4VersionedDataSource(DataSource):
     """``spark.read.format("mr4ver").option("version", N).load(dir)`` —
     the idiomatic reader front door over the repo's versioned table
@@ -470,6 +484,22 @@ class Mr4VersionedReader(DataSourceReader):
         else:
             self._residual_drop = ()
             self.read_arrow_schema = self.arrow_schema
+        #: bin-packing target bytes per input partition (None = one
+        #: partition per file, the historical default). The knob for
+        #: trickle-built chains of many small files, where per-task
+        #: scheduling floor x file count dominates (SCALE.md).
+        raw_bp = options.get("binpackbytes")
+        if raw_bp is None:
+            self._binpack_bytes = None
+        else:
+            try:
+                self._binpack_bytes = int(raw_bp)
+            except ValueError:
+                self._binpack_bytes = 0
+            if self._binpack_bytes < 1:
+                raise ValueError(
+                    f"mr4ver binPackBytes must be an integer >= 1, "
+                    f"got {raw_bp!r}")
 
     def _typed(self, col: str, s: str):
         """Parse an option-string bound/probe value by the column's
@@ -623,13 +653,42 @@ class Mr4VersionedReader(DataSourceReader):
                 rel_file = os.path.relpath(full, self.table_dir)
                 out.append(_SnapshotFilePartition(
                     full, values, dv_by_file.get(rel_file, ())))
+        if self._binpack_bytes is not None and out:
+            return self._bin_pack(out)
         return out or [_SnapshotFilePartition(None, {})]
 
-    def read(self, partition: _SnapshotFilePartition):
+    def _bin_pack(self, parts) -> list:
+        """Greedy sequential grouping of file partitions into
+        ~binPackBytes-sized groups (enumeration order, so hive
+        locality survives; every group holds >= 1 file however large
+        that file is). Planning reads only os.stat sizes — no footers."""
+        import os
+
+        groups, cur, cur_bytes = [], [], 0
+        for p in parts:
+            size = os.path.getsize(p.path)
+            if cur and cur_bytes + size > self._binpack_bytes:
+                groups.append(_SnapshotFileGroupPartition(tuple(cur)))
+                cur, cur_bytes = [], 0
+            cur.append((p.path, p.part_values, p.drop))
+            cur_bytes += size
+        if cur:
+            groups.append(_SnapshotFileGroupPartition(tuple(cur)))
+        return groups
+
+    def read(self, partition):
+        if isinstance(partition, _SnapshotFileGroupPartition):
+            for path, values, drop in partition.items:
+                yield from self._read_one(path, values, drop)
+            return
         if partition.path is None:
             return
-        out = _read_file_conformed(partition.path, partition.part_values,
-                                   partition.drop, self.read_arrow_schema)
+        yield from self._read_one(partition.path, partition.part_values,
+                                  partition.drop)
+
+    def _read_one(self, path, part_values, drop):
+        out = _read_file_conformed(path, part_values, drop,
+                                   self.read_arrow_schema)
         out = self._apply_residual(out)
         if self._residual_drop:
             out = out.select(self.arrow_schema.names)

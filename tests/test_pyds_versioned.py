@@ -1022,3 +1022,47 @@ def test_mr4ver_walk_prunes_subtrees_without_descending(spark, tmp_path):
     # non-descent: q-level values were only ever probed under p=3
     q_probes = [v for v in seen if "q" in v]
     assert q_probes and all(v["p"] == "3" for v in q_probes)
+
+
+def test_mr4ver_bin_pack_small_files(spark, tmp_path):
+    """option('binPackBytes', N): many small files group into ~N-byte
+    read partitions (the Delta/Iceberg split-packing knob) — same rows,
+    same DV masking, same where residual, ~#groups tasks instead of
+    #files tasks (SCALE.md measured 13.9x on a 2048-file chain)."""
+    from mapreduce_4_spark.sources.pyds import (
+        _SnapshotFileGroupPartition,
+    )
+    from mapreduce_4_spark.sources.versioned import (
+        _scan_schema,
+        delete_version_dv,
+        latest_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(400).select(F.col("id").alias("k"))
+    write_version(df.repartition(16), tdir, append=True)
+    delete_version_dv(spark, tdir, keys=[7, 8], key="k")
+    register_versioned_source(spark)
+
+    m = read_manifest(tdir, latest_version(tdir))
+    schema = _scan_schema(m)
+    r_files = Mr4VersionedReader(tdir, m, schema, {})
+    r_pack = Mr4VersionedReader(tdir, m, schema,
+                                {"binpackbytes": str(1 << 20)})
+    assert len(r_files.partitions()) == 16
+    packed = r_pack.partitions()
+    assert len(packed) < 16
+    assert all(isinstance(p, _SnapshotFileGroupPartition) for p in packed)
+    assert sum(len(p.items) for p in packed) == 16
+
+    got = (spark.read.format("mr4ver")
+           .option("binPackBytes", str(1 << 20)).load(tdir))
+    want = sorted(k for k in range(400) if k not in (7, 8))
+    assert sorted(r["k"] for r in got.collect()) == want  # DV masked
+    sliced = (spark.read.format("mr4ver")
+              .option("binPackBytes", str(1 << 20))
+              .option("where", "k:100:110").load(tdir))
+    assert sorted(r["k"] for r in sliced.collect()) == list(range(100, 111))
+    with pytest.raises(Exception, match="binPackBytes"):
+        (spark.read.format("mr4ver").option("binPackBytes", "-3")
+         .load(tdir).count())
