@@ -243,6 +243,14 @@ class Mr4VersionedDataSource(DataSource):
     time travel — epoch seconds or an ISO-8601 string, resolved by
     ``versioned.version_at`` with the same loud first-commit /
     vacuum-horizon errors); neither reads the latest snapshot.
+    ``columns`` projects at the source and COMPOSES with the pruning
+    options; ``where`` / ``probe`` prune chain dirs from manifest
+    stats/blooms AND hive partition subtrees during the walk, with an
+    exact Arrow residual (filter-only columns are read alongside and
+    dropped); ``binPackBytes`` groups small files into ~N-byte read
+    partitions (size toward total_bytes/cores); ``pruneOnFilters``
+    opts into the pushFilters subclass (see
+    :class:`Mr4VersionedPushdownReader`).
 
     Partition planning reflects the manifest: one input partition per
     parquet FILE per chain dir (enumerated once on the driver), so a
