@@ -1101,6 +1101,19 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
         self.starting = options.get("startingversion", "1")
+        raw_bp = options.get("binpackbytes")
+        if raw_bp is not None:
+            try:
+                bp = int(raw_bp)
+            except ValueError:
+                bp = 0
+            if bp < 1:
+                raise ValueError(
+                    f"mr4ver binPackBytes must be an integer >= 1, "
+                    f"got {raw_bp!r}")
+            self.binpack_bytes = bp
+        else:
+            self.binpack_bytes = None
         # admission control needs the engine's base offset, which the
         # Python DataSourceStreamReader API never hands latestOffset()
         # (no ReadLimit hook, and the runner serves latestOffset on an
@@ -1136,6 +1149,8 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
         pass
 
     def partitions(self, start: dict, end: dict):
+        import os
+
         parts = []
         for v in range(int(start["v"]) + 1, int(end["v"]) + 1):
             root = _append_new_dir(self.table_dir, v,
@@ -1144,10 +1159,34 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
                 continue
             for full, values in _walk_dir_files(root, self.part_cols):
                 parts.append(_SnapshotFilePartition(full, values, ()))
+        if self.binpack_bytes is not None and parts:
+            # a restarted stream over a long backlog plans its whole
+            # catch-up window in ONE batch — thousands of trickle files
+            # = thousands of tasks without packing (the batch reader's
+            # binPackBytes knob, same greedy enumeration-order fold)
+            groups, cur, cur_bytes = [], [], 0
+            for part in parts:
+                size = os.path.getsize(part.path)
+                if cur and cur_bytes + size > self.binpack_bytes:
+                    groups.append(
+                        _SnapshotFileGroupPartition(tuple(cur)))
+                    cur, cur_bytes = [], 0
+                cur.append((part.path, part.part_values, part.drop))
+                cur_bytes += size
+            if cur:
+                groups.append(_SnapshotFileGroupPartition(tuple(cur)))
+            return groups
         # Spark wants >= 1 partition per batch; the sentinel reads empty
         return parts or [_SnapshotFilePartition(None, {})]
 
-    def read(self, partition: _SnapshotFilePartition):
+    def read(self, partition):
+        if isinstance(partition, _SnapshotFileGroupPartition):
+            def _gen():
+                for path, values, drop in partition.items:
+                    yield from _read_file_conformed(
+                        path, values, drop,
+                        self.arrow_schema).to_batches()
+            return _gen()
         if partition.path is None:
             return iter([])
         return iter(_read_file_conformed(

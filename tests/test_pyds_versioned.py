@@ -1066,3 +1066,46 @@ def test_mr4ver_bin_pack_small_files(spark, tmp_path):
     with pytest.raises(Exception, match="binPackBytes"):
         (spark.read.format("mr4ver").option("binPackBytes", "-3")
          .load(tdir).count())
+
+
+def test_mr4ver_stream_bin_pack(spark, tmp_path):
+    """binPackBytes on the executor stream reader: a catch-up batch
+    over a many-file backlog plans ~bytes/N groups instead of one task
+    per file, same rows exactly-once."""
+    from mapreduce_4_spark.sources.pyds import (
+        Mr4VersionedStreamPartReader,
+        _SnapshotFileGroupPartition,
+    )
+    from mapreduce_4_spark.sources.versioned import (
+        _scan_schema,
+        latest_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    for i in range(3):
+        write_version(
+            spark.range(i * 100, (i + 1) * 100)
+            .select(F.col("id").alias("k")).repartition(8),
+            tdir, append=True)
+    register_versioned_source(spark)
+    m = read_manifest(tdir, latest_version(tdir))
+    schema = _scan_schema(m)
+    pr = Mr4VersionedStreamPartReader(
+        tdir, m, schema, {"binpackbytes": str(1 << 20)})
+    parts = pr.partitions({"v": 0}, {"v": 3})
+    assert all(isinstance(p, _SnapshotFileGroupPartition) for p in parts)
+    assert len(parts) < 24 and sum(len(p.items) for p in parts) == 24
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("mr4ver")
+        .option("binPackBytes", str(1 << 20)).load(tdir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == \
+        list(range(300))
