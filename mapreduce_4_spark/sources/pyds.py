@@ -204,6 +204,42 @@ def _read_file_conformed(path: str, part_values: dict, drop: tuple,
         dict(zip(arrow_schema.names, cols))).cast(arrow_schema)
 
 
+def _parse_binpack(options) -> int | None:
+    """``binPackBytes`` (int >= 1) or None — shared by the batch
+    reader and the executor stream reader."""
+    raw = options.get("binpackbytes")
+    if raw is None:
+        return None
+    try:
+        n = int(raw)
+    except ValueError:
+        n = 0
+    if n < 1:
+        raise ValueError(
+            f"mr4ver binPackBytes must be an integer >= 1, got {raw!r}")
+    return n
+
+
+def _bin_pack_files(items, target_bytes: int) -> list:
+    """Greedy sequential grouping of (path, part_values, drop) triples
+    into ~target_bytes groups (enumeration order, so hive locality
+    survives; every group holds >= 1 file however large that file is).
+    Planning reads only os.stat sizes — no footers."""
+    import os
+
+    groups, cur, cur_bytes = [], [], 0
+    for path, values, drop in items:
+        size = os.path.getsize(path)
+        if cur and cur_bytes + size > target_bytes:
+            groups.append(_SnapshotFileGroupPartition(tuple(cur)))
+            cur, cur_bytes = [], 0
+        cur.append((path, values, drop))
+        cur_bytes += size
+    if cur:
+        groups.append(_SnapshotFileGroupPartition(tuple(cur)))
+    return groups
+
+
 class _SnapshotFilePartition(InputPartition):
     """One parquet file of one chain dir, plus the hive partition
     values its path encodes (empty for unpartitioned dirs). ``path``
@@ -468,14 +504,6 @@ class Mr4VersionedReader(DataSourceReader):
                     "an empty IN list matches nothing; drop the option "
                     "instead")
             self._probes.setdefault(col, []).append(vals)
-        #: True iff this reader was constructed for a
-        #: pruneOnFilters=true load (then it is the
-        #: :class:`Mr4VersionedPushdownReader` subclass — the class
-        #: selection happens in ``Mr4VersionedDataSource.reader()``
-        #: because merely DEFINING pushFilters() breaks init under
-        #: stock sessions; kept for introspection/tests)
-        self._prune_on_filters = str(
-            options.get("pruneonfilters", "false")).lower() == "true"
         # filter-only columns: needed by the residual but absent from
         # the projected relation schema — read alongside, filtered on,
         # then dropped before yielding (projection + pruning compose)
@@ -496,18 +524,7 @@ class Mr4VersionedReader(DataSourceReader):
         #: partition per file, the historical default). The knob for
         #: trickle-built chains of many small files, where per-task
         #: scheduling floor x file count dominates (SCALE.md).
-        raw_bp = options.get("binpackbytes")
-        if raw_bp is None:
-            self._binpack_bytes = None
-        else:
-            try:
-                self._binpack_bytes = int(raw_bp)
-            except ValueError:
-                self._binpack_bytes = 0
-            if self._binpack_bytes < 1:
-                raise ValueError(
-                    f"mr4ver binPackBytes must be an integer >= 1, "
-                    f"got {raw_bp!r}")
+        self._binpack_bytes = _parse_binpack(options)
 
     def _typed(self, col: str, s: str):
         """Parse an option-string bound/probe value by the column's
@@ -608,33 +625,53 @@ class Mr4VersionedReader(DataSourceReader):
         columns — hive-level planning pruning inside surviving chain
         dirs (dir-level manifest pruning can keep a dir whose OTHER
         hive subdirs match). Values parse by the column's schema type
-        via ``_typed``; anything unparseable scans (conservative)."""
+        via ``_typed``; anything unparseable OR incomparable scans
+        (conservative — the versioned.py rule). Incomparability is a
+        REAL hazard on the pushFilters route: pushed values arrive as
+        native Python types (datetime.date, bool, Decimal) while
+        ``_typed`` yields the path STRING for non-numeric columns, and
+        ``'2024-01-01' != date(2024, 1, 1)`` would silently prune a
+        matching partition — so cross-type comparisons never prune."""
+        import decimal
+
+        def _comparable(a, b) -> bool:
+            num = (int, float)
+            if isinstance(a, num) and isinstance(b, num) \
+                    and not isinstance(a, bool) \
+                    and not isinstance(b, bool):
+                return True
+            return type(a) is type(b)
+
         for col, (lo, hi) in self._where.items():
             s = values.get(col)
             if s is None:
                 continue
             try:
                 v = self._typed(col, s)
-            except ValueError:
-                continue
-            if (lo is not None and v < lo) or \
-                    (hi is not None and v > hi):
-                return True
+                if (lo is not None and _comparable(v, lo) and v < lo) \
+                        or (hi is not None and _comparable(v, hi)
+                            and v > hi):
+                    return True
+            except (ValueError, TypeError, decimal.InvalidOperation):
+                continue  # unparseable/incomparable: scan
         for col, val_lists in self._probes.items():
             s = values.get(col)
             if s is None:
                 continue
             try:
                 v = self._typed(col, s)
-            except ValueError:
+            except (ValueError, decimal.InvalidOperation):
                 continue
-            if any(v not in vals for vals in val_lists):
-                return True  # AND of probe conjuncts: one miss proves
+            for vals in val_lists:
+                # prune only on a PROVEN miss: every candidate value
+                # same-type-comparable to the path value, none equal
+                if all(_comparable(v, x) for x in vals) \
+                        and v not in vals:
+                    return True  # AND of conjuncts: one miss proves
         return False
 
     def partitions(self):
         import os
-        from urllib.parse import unquote
 
         v = self.manifest["version"]
         dirs = self.manifest.get("data_dirs") or [f"v={v:06d}"]
@@ -662,27 +699,11 @@ class Mr4VersionedReader(DataSourceReader):
                 out.append(_SnapshotFilePartition(
                     full, values, dv_by_file.get(rel_file, ())))
         if self._binpack_bytes is not None and out:
-            return self._bin_pack(out)
+            return _bin_pack_files(
+                [(p.path, p.part_values, p.drop) for p in out],
+                self._binpack_bytes)
         return out or [_SnapshotFilePartition(None, {})]
 
-    def _bin_pack(self, parts) -> list:
-        """Greedy sequential grouping of file partitions into
-        ~binPackBytes-sized groups (enumeration order, so hive
-        locality survives; every group holds >= 1 file however large
-        that file is). Planning reads only os.stat sizes — no footers."""
-        import os
-
-        groups, cur, cur_bytes = [], [], 0
-        for p in parts:
-            size = os.path.getsize(p.path)
-            if cur and cur_bytes + size > self._binpack_bytes:
-                groups.append(_SnapshotFileGroupPartition(tuple(cur)))
-                cur, cur_bytes = [], 0
-            cur.append((p.path, p.part_values, p.drop))
-            cur_bytes += size
-        if cur:
-            groups.append(_SnapshotFileGroupPartition(tuple(cur)))
-        return groups
 
     def read(self, partition):
         if isinstance(partition, _SnapshotFileGroupPartition):
@@ -826,11 +847,14 @@ def _append_new_dir(table_dir: str, v: int, ignore_changes: bool):
     update/merge, DV delete, restore) FAIL the stream loudly otherwise
     — shared by both stream readers so the driver and executor paths
     can never disagree on the feed's semantics. Appends are recognized
-    both by operation name (``append`` / ``append-concurrent`` /
-    ``append-datasource``, the write-front-door commit) and
-    structurally (parent data_dirs + exactly one new dir, dv
-    unchanged), so a future append-flavored operation string cannot
-    silently kill or drop the feed."""
+    first by operation name (``append`` / ``append-concurrent`` /
+    ``append-datasource``, the write-front-door commit — the FAST path:
+    no parent manifest read, which also keeps a stream alive when the
+    parent manifest is past the vacuum horizon), then structurally
+    (parent data_dirs + exactly one new dir, dv unchanged), so a future
+    append-flavored operation string cannot silently kill or drop the
+    feed; an unreadable parent degrades the structural check to the
+    loud/skip path, never to a crash."""
     import os
 
     from mapreduce_4_spark.sources import versioned as vt
@@ -839,26 +863,32 @@ def _append_new_dir(table_dir: str, v: int, ignore_changes: bool):
     op = m.get("operation")
     dirs = m.get("data_dirs") or [f"v={v:06d}"]
     parent = m.get("parent")
+    if op in ("append", "append-concurrent", "append-datasource") \
+            or (op is None and parent is None):
+        return os.path.join(table_dir, dirs[-1])
+    if op == "analyze":
+        # metadata-only commit: nothing to represent — an empty
+        # batch, never a feed violation (and no parent read needed)
+        return None
+    structural_append = metadata_only = False
     if parent is not None:
-        pm = vt.read_manifest(table_dir, parent)
-        pdirs = pm.get("data_dirs") or [f"v={parent:06d}"]
-        dv_unchanged = m.get("dv") == pm.get("dv")
-        if dirs == pdirs and dv_unchanged:
-            # metadata-only commit (analyze): nothing to represent —
-            # an empty batch, never a feed violation
-            return None
-        structural_append = (
-            dv_unchanged and len(dirs) == len(pdirs) + 1
-            and dirs[:-1] == pdirs
-        )
+        try:
+            pm = vt.read_manifest(table_dir, parent)
+        except FileNotFoundError:
+            pm = None  # vacuumed past the horizon: cannot prove shape
+        if pm is not None:
+            pdirs = pm.get("data_dirs") or [f"v={parent:06d}"]
+            dv_unchanged = m.get("dv") == pm.get("dv")
+            metadata_only = dirs == pdirs and dv_unchanged
+            structural_append = (
+                dv_unchanged and len(dirs) == len(pdirs) + 1
+                and dirs[:-1] == pdirs
+            )
     else:
         structural_append = op is None  # initial snapshot
-    is_append = (
-        op in ("append", "append-concurrent", "append-datasource")
-        or (op is None and parent is None)
-        or structural_append
-    )
-    if not is_append:
+    if metadata_only:
+        return None
+    if not structural_append:
         if ignore_changes:
             return None
         raise ValueError(
@@ -914,6 +944,13 @@ class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
             options.get("ignorechanges", "false")).lower() == "true"
         self.starting = options.get("startingversion", "1")
         self.max_versions = _parse_max_versions(options)
+        if options.get("binpackbytes") is not None:
+            raise ValueError(
+                "mr4ver: binPackBytes applies to the executor "
+                "partition-planning reader — drop "
+                "option('streamMode', 'driver') (the prefetch reader "
+                "ships rows through the driver; there are no file "
+                "partitions to pack)")
 
     def initialOffset(self) -> dict:
         from mapreduce_4_spark.sources import versioned as vt
@@ -1101,19 +1138,7 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
         self.starting = options.get("startingversion", "1")
-        raw_bp = options.get("binpackbytes")
-        if raw_bp is not None:
-            try:
-                bp = int(raw_bp)
-            except ValueError:
-                bp = 0
-            if bp < 1:
-                raise ValueError(
-                    f"mr4ver binPackBytes must be an integer >= 1, "
-                    f"got {raw_bp!r}")
-            self.binpack_bytes = bp
-        else:
-            self.binpack_bytes = None
+        self.binpack_bytes = _parse_binpack(options)
         # admission control needs the engine's base offset, which the
         # Python DataSourceStreamReader API never hands latestOffset()
         # (no ReadLimit hook, and the runner serves latestOffset on an
@@ -1149,8 +1174,6 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
         pass
 
     def partitions(self, start: dict, end: dict):
-        import os
-
         parts = []
         for v in range(int(start["v"]) + 1, int(end["v"]) + 1):
             root = _append_new_dir(self.table_dir, v,
@@ -1164,18 +1187,9 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
             # catch-up window in ONE batch — thousands of trickle files
             # = thousands of tasks without packing (the batch reader's
             # binPackBytes knob, same greedy enumeration-order fold)
-            groups, cur, cur_bytes = [], [], 0
-            for part in parts:
-                size = os.path.getsize(part.path)
-                if cur and cur_bytes + size > self.binpack_bytes:
-                    groups.append(
-                        _SnapshotFileGroupPartition(tuple(cur)))
-                    cur, cur_bytes = [], 0
-                cur.append((part.path, part.part_values, part.drop))
-                cur_bytes += size
-            if cur:
-                groups.append(_SnapshotFileGroupPartition(tuple(cur)))
-            return groups
+            return _bin_pack_files(
+                [(p.path, p.part_values, p.drop) for p in parts],
+                self.binpack_bytes)
         # Spark wants >= 1 partition per batch; the sentinel reads empty
         return parts or [_SnapshotFilePartition(None, {})]
 
@@ -1201,7 +1215,12 @@ def register_versioned_source(spark) -> None:
     enabled`` so the opt-in ``option("pruneOnFilters", "true")`` route
     works under stock sessions (the conf is runtime-settable on 4.1.2;
     if a deployment locks it, only that opt-in route is affected — the
-    default reader never defines pushFilters and needs nothing)."""
+    default reader never defines pushFilters and needs nothing).
+    Caveat, deliberate trade-off (r12 verdict ask #1): the conf is
+    SESSION-GLOBAL, so any OTHER registered Python DataSource whose
+    reader overrides pushFilters() also gets its pushdown path
+    activated instead of failing loudly — a session mixing mr4ver with
+    third-party pushdown sources should review their opt-in story."""
     spark.dataSource.register(Mr4VersionedDataSource)
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

@@ -63,7 +63,13 @@ def main() -> int:
     spark = stock_session(args.cpus)
     names = sorted(REGISTRY)
     if args.only:
-        names = [n for n in args.only.split(",") if n in REGISTRY]
+        names = [n for n in args.only.split(",") if n]
+        unknown = [n for n in names if n not in REGISTRY]
+        if unknown:
+            # a typo must not produce a vacuous 0-query green artifact
+            print(f"unknown query names in --only: {unknown}",
+                  file=sys.stderr)
+            return 2
 
     results: dict[str, dict] = {}
     n_match = n_rows_only = n_fail = 0

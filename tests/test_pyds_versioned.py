@@ -1109,3 +1109,86 @@ def test_mr4ver_stream_bin_pack(spark, tmp_path):
         q.stop()
     assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == \
         list(range(300))
+
+
+def test_mr4ver_stream_survives_vacuum_horizon(spark, tmp_path):
+    """Known-append commits stream WITHOUT reading the parent manifest
+    (code-review r13 finding): a stream starting past the vacuum
+    horizon — the parent manifest of its first version is GONE — must
+    deliver plain appends instead of crashing on FileNotFoundError."""
+    import os
+
+    from mapreduce_4_spark.sources.pyds import _append_new_dir
+    from mapreduce_4_spark.sources.versioned import _manifest_path
+
+    tdir = str(tmp_path / "t")
+    for i in range(4):
+        write_version(
+            spark.range(i * 10, (i + 1) * 10)
+            .select(F.col("id").alias("k")).coalesce(1),
+            tdir, append=True)
+    # simulate the vacuum horizon: manifests 1-2 are gone
+    for v in (1, 2):
+        os.remove(_manifest_path(tdir, v))
+    # v4's parent (v3) exists; v3's parent (v2) does NOT — both must
+    # resolve as appends from the operation name alone
+    assert _append_new_dir(tdir, 3, False).endswith("v=000003")
+    assert _append_new_dir(tdir, 4, False).endswith("v=000004")
+    register_versioned_source(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("mr4ver")
+        .option("startingVersion", "3").load(tdir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == \
+        list(range(20, 40))
+
+
+def test_mr4ver_hive_pruning_type_safety(spark, tmp_path):
+    """Cross-type hive-value comparisons NEVER prune (code-review r13
+    finding): pushFilters delivers native Python types (date, bool)
+    while path values parse as strings for non-numeric columns —
+    '2024-01-01' != date(2024,1,1) must scan, not silently drop the
+    matching partition; range bounds of an incomparable type must not
+    crash planning."""
+    import datetime
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from mapreduce_4_spark.sources.pyds import Mr4VersionedPushdownReader
+    from mapreduce_4_spark.sources.versioned import (
+        _scan_schema,
+        latest_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2024, 1, 2)),
+         (3, datetime.date(2024, 1, 1))], "k int, d date")
+    write_version(df, tdir, append=True, partition_by=["d"])
+    register_versioned_source(spark)
+
+    m = read_manifest(tdir, latest_version(tdir))
+    schema = _scan_schema(m)
+    r = Mr4VersionedPushdownReader(tdir, m, schema,
+                                   {"pruneonfilters": "true"})
+    n_all = len(Mr4VersionedReader(tdir, m, schema, {}).partitions())
+    r.pushFilters([EqualTo(("d",), datetime.date(2024, 1, 1))])
+    # incomparable (str path value vs date probe): scan, never prune
+    assert len(r.partitions()) == n_all
+    r2 = Mr4VersionedPushdownReader(tdir, m, schema,
+                                    {"pruneonfilters": "true"})
+    r2.pushFilters([GreaterThanOrEqual(("d",),
+                                       datetime.date(2024, 1, 2))])
+    assert len(r2.partitions()) == n_all  # no TypeError, no prune
+    # end-to-end rows stay correct (Spark applies the exact residual)
+    out = (spark.read.format("mr4ver")
+           .option("pruneOnFilters", "true").load(tdir)
+           .filter(F.col("d") == datetime.date(2024, 1, 1)))
+    assert sorted(rw["k"] for rw in out.collect()) == [1, 3]
