@@ -942,7 +942,7 @@ class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
         self.part_cols = set(manifest.get("partition_by") or [])
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
-        self.starting = options.get("startingversion", "1")
+        self.stream_options = options
         self.max_versions = _parse_max_versions(options)
         if options.get("binpackbytes") is not None:
             raise ValueError(
@@ -953,11 +953,8 @@ class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
                 "partitions to pack)")
 
     def initialOffset(self) -> dict:
-        from mapreduce_4_spark.sources import versioned as vt
-
-        if str(self.starting).lower() == "latest":
-            return {"v": vt.latest_version(self.table_dir) or 0}
-        return {"v": int(self.starting) - 1}
+        return {"v": _starting_offset(self.table_dir,
+                                      self.stream_options)}
 
     def _appended_rows(self, v: int):
         new_root = _append_new_dir(self.table_dir, v, self.ignore_changes)
@@ -994,6 +991,47 @@ class Mr4VersionedStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._window(int(start["v"]), int(end["v"])))
+
+
+def _starting_offset(table_dir: str, options) -> int:
+    """Initial stream offset from ``startingVersion`` (int / "latest")
+    or ``startingTimestamp`` (epoch seconds or ISO-8601, Delta's
+    startingTimestamp shape) — shared by both stream readers. The
+    timestamp resolves through ``versioned.version_at`` (monotonic
+    clock-skew adjustment included): delivery starts with the first
+    commit strictly AFTER the resolved snapshot, except a commit
+    stamped exactly at the timestamp, which is included (Delta's
+    at-or-after contract). A timestamp before the table's first commit
+    streams EVERYTHING (offset 0); past the vacuum horizon stays loud
+    — that history is undeliverable, not empty."""
+    from mapreduce_4_spark.sources import versioned as vt
+
+    sv = options.get("startingversion")
+    st = options.get("startingtimestamp")
+    if st is not None and sv is not None:
+        raise ValueError(
+            "mr4ver stream: pass startingVersion OR startingTimestamp, "
+            "not both")
+    if st is None:
+        if sv is None:
+            return 0  # default: deliver the whole chain
+        if str(sv).lower() == "latest":
+            return vt.latest_version(table_dir) or 0
+        return int(sv) - 1
+    try:
+        st = float(st)
+    except ValueError:
+        pass  # ISO-8601 string — version_at parses it
+    try:
+        v = vt.version_at(table_dir, st)
+    except ValueError as e:
+        if "predates the first commit" in str(e):
+            return 0  # older than the table: stream everything
+        raise  # vacuum horizon (or unparseable): loud
+    if vt.read_manifest(table_dir, v).get("committed_at") \
+            == vt._as_of_epoch(st):
+        return v - 1  # commit exactly AT the timestamp is included
+    return v
 
 
 def _parse_max_versions(options) -> int | None:
@@ -1137,7 +1175,7 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
         self.part_cols = set(manifest.get("partition_by") or [])
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
-        self.starting = options.get("startingversion", "1")
+        self.stream_options = options
         self.binpack_bytes = _parse_binpack(options)
         # admission control needs the engine's base offset, which the
         # Python DataSourceStreamReader API never hands latestOffset()
@@ -1155,11 +1193,8 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
             )
 
     def initialOffset(self) -> dict:
-        from mapreduce_4_spark.sources import versioned as vt
-
-        if str(self.starting).lower() == "latest":
-            return {"v": vt.latest_version(self.table_dir) or 0}
-        return {"v": int(self.starting) - 1}
+        return {"v": _starting_offset(self.table_dir,
+                                      self.stream_options)}
 
     def latestOffset(self) -> dict:
         from mapreduce_4_spark.sources import versioned as vt

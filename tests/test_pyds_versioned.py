@@ -1192,3 +1192,49 @@ def test_mr4ver_hive_pruning_type_safety(spark, tmp_path):
            .option("pruneOnFilters", "true").load(tdir)
            .filter(F.col("d") == datetime.date(2024, 1, 1)))
     assert sorted(rw["k"] for rw in out.collect()) == [1, 3]
+
+
+def test_mr4ver_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp (Delta's shape) on the mr4ver stream: a
+    timestamp between commits starts delivery at the NEXT commit, a
+    timestamp exactly at a commit's stamp INCLUDES that commit, one
+    before the first commit streams everything, and passing both
+    starting options refuses loudly."""
+    from mapreduce_4_spark.sources.pyds import _starting_offset
+    from mapreduce_4_spark.sources.versioned import read_manifest as _rm
+
+    tdir = str(tmp_path / "t")
+    for i in range(3):
+        write_version(
+            spark.range(i * 10, (i + 1) * 10)
+            .select(F.col("id").alias("k")).coalesce(1),
+            tdir, append=True)
+    t1 = _rm(tdir, 1)["committed_at"]
+    t2 = _rm(tdir, 2)["committed_at"]
+
+    # between v2 and v3 (epsilon past v2): deliver v3 only
+    assert _starting_offset(tdir, {"startingtimestamp":
+                                   str(t2 + 1e-4)}) == 2
+    # exactly at v2's stamp: v2 is included (at-or-after)
+    assert _starting_offset(tdir, {"startingtimestamp": str(t2)}) == 1
+    # before the first commit: stream everything
+    assert _starting_offset(tdir, {"startingtimestamp":
+                                   str(t1 - 100)}) == 0
+    with pytest.raises(ValueError, match="not both"):
+        _starting_offset(tdir, {"startingtimestamp": str(t2),
+                                "startingversion": "1"})
+
+    register_versioned_source(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("mr4ver")
+        .option("startingTimestamp", str(t2 + 1e-4)).load(tdir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == \
+        list(range(20, 30))
