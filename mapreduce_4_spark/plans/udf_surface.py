@@ -142,11 +142,18 @@ def map_in_arrow_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udtf_dynamic_leading_words",
     oracle="""
-        WITH parts AS (
+        WITH stripped AS (
+            -- NOT trim(): DuckDB trim strips only ' ' while the UDTF
+            -- uses str.split() (ALL whitespace) — a doc with leading/
+            -- trailing tabs or newlines would yield phantom ''-tokens
             SELECT doc_id,
-                   regexp_split_to_array(trim(text), '\\s+') AS ws,
-                   len(trim(text)) AS nz
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tx
             FROM documents
+        ), parts AS (
+            SELECT doc_id,
+                   regexp_split_to_array(tx, '\\s+') AS ws,
+                   len(tx) AS nz
+            FROM stripped
         )
         SELECT doc_id,
                CASE WHEN nz > 0 AND len(ws) >= 1 THEN ws[1] END AS w0,

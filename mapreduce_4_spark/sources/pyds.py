@@ -350,11 +350,22 @@ class Mr4VersionedDataSource(DataSource):
         self._cache = (path, manifest)
         return self._cache
 
+    def _cdc(self) -> bool:
+        return str(self.options.get("readchangefeed", "false")).lower() \
+            == "true"
+
     def schema(self):
         from pyspark.sql.types import StructType
 
         from mapreduce_4_spark.sources.versioned import _scan_schema
 
+        if self._cdc():
+            key = self.options.get("key")
+            if not key:
+                raise ValueError(
+                    "mr4ver readChangeFeed needs option('key', <column>)"
+                    " — the change feed is a keyed diff")
+            return _cdc_schema(self._resolved()[1], key)
         full = _scan_schema(self._resolved()[1])
         cols = self.options.get("columns")
         if not cols:
@@ -376,6 +387,12 @@ class Mr4VersionedDataSource(DataSource):
         return StructType([f for f in full.fields if f.name in wset])
 
     def reader(self, schema) -> "Mr4VersionedReader":
+        if self._cdc():
+            raise ValueError(
+                "mr4ver readChangeFeed is a STREAM surface "
+                "(spark.readStream); for batch change reads use "
+                "sources.versioned.table_changes or "
+                "streaming.cdc.version_changes")
         path, manifest = self._resolved()
         # pushFilters is opt-in STRUCTURALLY, not just behaviorally:
         # Spark 4.1 refuses to initialize ANY reader whose class
@@ -408,8 +425,11 @@ class Mr4VersionedDataSource(DataSource):
             )
         return Mr4VersionedWriter(path, schema, overwrite)
 
-    def simpleStreamReader(self, schema) -> "Mr4VersionedStreamReader":
+    def simpleStreamReader(self, schema):
         path, manifest = self._resolved()
+        if self._cdc():
+            return Mr4VersionedCdcReader(path, manifest, schema,
+                                         self.options)
         return Mr4VersionedStreamReader(path, manifest, schema,
                                         self.options)
 
@@ -429,6 +449,24 @@ class Mr4VersionedDataSource(DataSource):
         reader reachable (raising NOT_IMPLEMENTED here is the
         documented fallback route) for environments where driver-side
         prefetch is genuinely preferable."""
+        if self._cdc():
+            if str(self.options.get("streammode", "")).lower() \
+                    == "executor":
+                raise ValueError(
+                    "mr4ver readChangeFeed requires the driver prefetch "
+                    "reader (drop option('streamMode', 'executor')): "
+                    "each version's keyed diff needs both delta sides "
+                    "in one place, and the Python DataSource API gives "
+                    "executor partitions no shuffle/exchange hook — "
+                    "rows would have to be co-partitioned by key, "
+                    "which partitions() cannot express")
+            from pyspark.errors import PySparkNotImplementedError
+
+            # documented fallback: Spark resolves to simpleStreamReader
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
         if str(self.options.get("streammode", "executor")).lower() \
                 == "driver":
             from pyspark.errors import PySparkNotImplementedError
@@ -597,27 +635,8 @@ class Mr4VersionedReader(DataSourceReader):
         """Deletion-vector positions per table-relative file path,
         loaded once on the driver from the manifest's sidecar (local
         pyarrow read — this source is local-only by contract)."""
-        import os
-        from collections import defaultdict
-
-        import pyarrow.parquet as pq
-
-        dv = self.manifest.get("dv")
-        if not dv:
-            return {}
-        if dv["count"] > self.DV_INLINE_MAX:
-            raise ValueError(
-                f"mr4ver: the deletion vector holds {dv['count']} "
-                "positions — compact() the table to fold it, or read "
-                "via sources.versioned.read_version"
-            )
-        t = pq.read_table(os.path.join(self.table_dir, dv["path"]),
-                          columns=["file", "pos"])
-        by_file = defaultdict(list)
-        for f, p in zip(t.column("file").to_pylist(),
-                        t.column("pos").to_pylist()):
-            by_file[f].append(p)
-        return {f: tuple(sorted(ps)) for f, ps in by_file.items()}
+        return _dv_positions_by_file(self.table_dir, self.manifest,
+                                     self.DV_INLINE_MAX)
 
     def _hive_pruned(self, values: dict[str, str]) -> bool:
         """True when a file's hive partition-path values PROVE it holds
@@ -838,6 +857,23 @@ class Mr4VersionedPushdownReader(Mr4VersionedReader):
         return filters
 
 
+#: operation names KNOWN to not be appends (sources/versioned.py and
+#: the write front door stamp these). The structural append fallback in
+#: ``_append_new_dir`` is gated on the op NOT being one of them: a
+#: restore (or CoW rewrite) whose manifest happens to extend the
+#: parent's data_dirs by exactly one must keep the loud/skip contract —
+#: its "new" dir is re-surfaced OLD data, and streaming it would
+#' re-deliver rows the feed already emitted. Only op=None (legacy
+#: manifests) or a future append-flavored name takes the structural
+#: path.
+_NON_APPEND_OPS = frozenset({
+    "replace", "replace-datasource", "compact", "compact-tail",
+    "cluster", "restore", "delete-dv", "delete-cow", "update-cow",
+    "merge-cow", "delete-cow-joined", "update-cow-joined",
+    "merge-cow-joined",
+})
+
+
 def _append_new_dir(table_dir: str, v: int, ignore_changes: bool):
     """The chain dir version ``v`` APPENDED, absolute — or None when
     the commit delivers nothing: metadata-only commits (e.g. ANALYZE —
@@ -851,9 +887,13 @@ def _append_new_dir(table_dir: str, v: int, ignore_changes: bool):
     ``append-datasource``, the write-front-door commit — the FAST path:
     no parent manifest read, which also keeps a stream alive when the
     parent manifest is past the vacuum horizon), then structurally
-    (parent data_dirs + exactly one new dir, dv unchanged), so a future
-    append-flavored operation string cannot silently kill or drop the
-    feed; an unreadable parent degrades the structural check to the
+    (parent data_dirs + exactly one new dir, dv unchanged) — the
+    structural path GATED on the op not being a known non-append
+    (``_NON_APPEND_OPS``): a restore that happens to extend the
+    parent's dirs by one is re-surfaced old data, never an append. So
+    a future append-flavored operation string cannot silently kill or
+    drop the feed, while known mutations keep the loud/skip contract;
+    an unreadable parent degrades the structural check to the
     loud/skip path, never to a crash."""
     import os
 
@@ -879,9 +919,13 @@ def _append_new_dir(table_dir: str, v: int, ignore_changes: bool):
         if pm is not None:
             pdirs = pm.get("data_dirs") or [f"v={parent:06d}"]
             dv_unchanged = m.get("dv") == pm.get("dv")
+            # identical dirs+dv == identical data: safe to skip
+            # regardless of op (a restore to the parent's own state
+            # delivers nothing by construction)
             metadata_only = dirs == pdirs and dv_unchanged
             structural_append = (
-                dv_unchanged and len(dirs) == len(pdirs) + 1
+                op not in _NON_APPEND_OPS  # None / future append names
+                and dv_unchanged and len(dirs) == len(pdirs) + 1
                 and dirs[:-1] == pdirs
             )
     else:
@@ -1052,6 +1096,302 @@ def _parse_max_versions(options) -> int | None:
             f"mr4ver maxVersionsPerTrigger must be an integer >= 1, "
             f"got {raw!r}")
     return n
+
+
+def _dv_positions_by_file(table_dir: str, manifest: dict,
+                          cap: int = 5_000_000) -> dict:
+    """Deletion-vector positions per table-relative file path from one
+    manifest's sidecar ({} when the table carries no DV) — shared by
+    the batch reader's partition planning and the CDC reader's dv-delta
+    computation. ``cap`` bounds driver-side inlining (fold the DV with
+    compact() past it)."""
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    dv = manifest.get("dv") if manifest else None
+    if not dv:
+        return {}
+    if dv["count"] > cap:
+        raise ValueError(
+            f"mr4ver: the deletion vector holds {dv['count']} "
+            "positions — compact() the table to fold it, or read "
+            "via sources.versioned.read_version"
+        )
+    t = pq.read_table(os.path.join(table_dir, dv["path"]),
+                      columns=["file", "pos"])
+    by_file = defaultdict(list)
+    for f, p in zip(t.column("file").to_pylist(),
+                    t.column("pos").to_pylist()):
+        by_file[f].append(p)
+    return {f: tuple(sorted(ps)) for f, ps in by_file.items()}
+
+
+#: operations whose commit provably preserves table CONTENT (layout /
+#: metadata only) — the CDC feed skips them without reading a byte,
+#: where the module feed (streaming/cdc.py) pays a full-snapshot join
+#: to compute the same zero rows. Delta CDF's dataChange=false analogue.
+_CONTENT_PRESERVING_OPS = frozenset({
+    "analyze", "compact", "compact-tail", "cluster",
+})
+
+
+def _cdc_schema(manifest: dict, key: str):
+    """The change-feed relation schema for a table manifest: ``op``
+    ('I'/'U'/'D'), the key, ``old_c``/``new_c`` for every non-key
+    column (both sides nullable — I has no old, D has no new), and
+    ``_change_version`` (the commit that produced the row — Delta CDF's
+    _commit_version). Column meaning matches
+    ``operators.maintenance.snapshot_diff`` exactly, so the front-door
+    feed and the module feed (streaming/cdc.py) agree by construction."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mapreduce_4_spark.sources.versioned import _scan_schema
+
+    full = _scan_schema(manifest)
+    names = [f.name for f in full.fields]
+    if key not in names:
+        raise ValueError(
+            f"mr4ver readChangeFeed: key column {key!r} not in the "
+            f"table schema {names}")
+    by_name = {f.name: f for f in full.fields}
+    compare = [n for n in names if n != key]
+    fields = [StructField("op", StringType(), False),
+              StructField(key, by_name[key].dataType, True)]
+    fields += [StructField(f"old_{c}", by_name[c].dataType, True)
+               for c in compare]
+    fields += [StructField(f"new_{c}", by_name[c].dataType, True)
+               for c in compare]
+    fields.append(StructField("_change_version", LongType(), False))
+    return StructType(fields)
+
+
+class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("mr4ver")
+    .option("readChangeFeed", "true").option("key", k).load(dir)`` —
+    the change-data-feed front door (Delta's readChangeFeed shape over
+    this format), round-13 verdict ask #3. Each micro-batch delivers
+    the I/U/D rows of the versions in its offset window, one
+    ``snapshot_diff``-shaped row set per version tagged with
+    ``_change_version``; the module feed (streaming/cdc.py
+    ``version_changes``) is the batch twin and the parity oracle
+    (pinned in tests/test_pyds_versioned.py).
+
+    HOW it computes each version's diff is what makes it scale: not
+    the module feed's full-outer join of two whole snapshots, but a
+    DELTA diff derived from the manifests — only rows in dirs the
+    commit added/removed plus rows whose deletion-vector entries
+    changed are read, then keyed-diffed driver-side. Under the feed's
+    upsert discipline (key unique per snapshot — enforced loudly) the
+    delta diff equals the full diff by construction: a key outside the
+    changed dirs is bit-identical on both sides and contributes no
+    row. Cost per version is O(changed rows), Delta CDF's asymptotics,
+    instead of O(table); content-preserving commits (compact/cluster/
+    analyze) are skipped without reading a byte. A full 'replace'
+    still pays O(table) — its delta IS the table.
+
+    Initial load: the first retained version (or a vacuumed-parent
+    gap) surfaces as an all-'I' load of that snapshot, exactly
+    ``version_changes``'s parent-unavailable contract.
+
+    Driver-prefetch by design: the keyed diff needs both sides of a
+    version in one place, and the Python DataSource API gives
+    executors no shuffle hook — option("streamMode", "executor") is
+    refused loudly (the maxVersionsPerTrigger precedent), the default
+    resolution falls back here automatically. ignoreChanges is
+    meaningless on a feed that REPRESENTS changes and is refused;
+    where/probe/columns/binPackBytes are append/batch-reader surface.
+    ``startingVersion``/``startingTimestamp``/``maxVersionsPerTrigger``
+    work as on the append stream."""
+
+    def __init__(self, table_dir: str, manifest: dict, schema, options):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from mapreduce_4_spark.sources.versioned import _scan_schema
+
+        self.table_dir = table_dir
+        key = options.get("key")
+        if not key:
+            raise ValueError(
+                "mr4ver readChangeFeed needs option('key', <column>) — "
+                "the change feed is a keyed diff (snapshot_diff's "
+                "contract); there is no keyless I/U/D semantics")
+        for bad, why in (
+            ("ignorechanges", "the change feed REPRESENTS changes"),
+            ("where", "filter the feed downstream"),
+            ("probe", "filter the feed downstream"),
+            ("columns", "the feed schema is op/key/old_*/new_*"),
+            ("binpackbytes", "CDC reads are delta-sized, not file-packed"),
+        ):
+            if options.get(bad) is not None:
+                raise ValueError(
+                    f"mr4ver readChangeFeed does not take {bad} — {why}")
+        self.key = key
+        table_schema = _scan_schema(manifest)
+        self.table_arrow = to_arrow_schema(table_schema)
+        self.names = list(self.table_arrow.names)
+        if key not in self.names:
+            raise ValueError(
+                f"mr4ver readChangeFeed: key column {key!r} not in the "
+                f"table schema {self.names}")
+        self.key_i = self.names.index(key)
+        self.compare_i = [i for i, n in enumerate(self.names) if n != key]
+        self.part_cols = set(manifest.get("partition_by") or [])
+        self.stream_options = options
+        self.max_versions = _parse_max_versions(options)
+
+    def initialOffset(self) -> dict:
+        return {"v": _starting_offset(self.table_dir,
+                                      self.stream_options)}
+
+    # -- delta-side row collection -----------------------------------
+    def _file_rows(self, rel_dir: str, keep=None, drop=()):
+        """Rows of one chain dir's files conformed to the table schema:
+        ``drop`` masks DV positions (live-rows read); ``keep`` instead
+        SELECTS positions per relative file (dv-delta read). Yields
+        python tuples in schema order."""
+        import os
+
+        root = os.path.join(self.table_dir, rel_dir)
+        if not os.path.isdir(root):
+            return
+        for full, values in _walk_dir_files(root, self.part_cols):
+            rel = os.path.relpath(full, self.table_dir)
+            if keep is not None:
+                pos = keep.get(rel)
+                if not pos:
+                    continue
+                t = _read_file_conformed(full, values, (),
+                                         self.table_arrow)
+                t = t.take(sorted(pos))
+            else:
+                t = _read_file_conformed(full, values, drop.get(rel, ()),
+                                         self.table_arrow)
+            cols = [t.column(n).to_pylist() for n in self.names]
+            yield from zip(*cols)
+
+    def _delta_sides(self, v: int, m: dict):
+        """(old_rows, new_rows) for version ``v``: rows live at the
+        parent but not at v, and rows live at v but not at the parent —
+        from manifest arithmetic (dir-set delta + DV delta), reading
+        only the changed dirs/positions."""
+        from mapreduce_4_spark.sources import versioned as vt
+
+        parent = m.get("parent")
+        pm = None
+        if parent is not None:
+            try:
+                pm = vt.read_manifest(self.table_dir, parent)
+            except FileNotFoundError:
+                pm = None  # vacuumed: initial-load semantics
+        dirs_v = m.get("data_dirs") or [f"v={v:06d}"]
+        dirs_p = ((pm.get("data_dirs") or [f"v={parent:06d}"])
+                  if pm is not None else [])
+        dv_v = _dv_positions_by_file(self.table_dir, m)
+        dv_p = _dv_positions_by_file(self.table_dir, pm) if pm else {}
+        sv, sp = set(dirs_v), set(dirs_p)
+        old_rows: list = []
+        new_rows: list = []
+        for d in dirs_p:
+            if d not in sv:  # dir dropped whole: its live rows deleted
+                old_rows.extend(self._file_rows(d, drop=dv_p))
+        for d in dirs_v:
+            if d not in sp:  # dir added: its live rows inserted
+                new_rows.extend(self._file_rows(d, drop=dv_v))
+        common = sv & sp
+        if common and (dv_v or dv_p):
+            # DV delta on carried dirs: newly-deleted positions are the
+            # old side, un-deleted positions (restore) the new side
+            import os
+
+            for d in common:
+                prefix = d + os.sep
+                newly_del: dict = {}
+                undel: dict = {}
+                rels = {r for r in (set(dv_v) | set(dv_p))
+                        if r.startswith(prefix)}
+                for r in rels:
+                    a = set(dv_p.get(r, ()))
+                    b = set(dv_v.get(r, ()))
+                    if b - a:
+                        newly_del[r] = b - a
+                    if a - b:
+                        undel[r] = a - b
+                if newly_del:
+                    old_rows.extend(self._file_rows(d, keep=newly_del))
+                if undel:
+                    new_rows.extend(self._file_rows(d, keep=undel))
+        return old_rows, new_rows
+
+    def _changes_for_version(self, v: int):
+        """The version's I/U/D rows in CDC-schema order — the keyed
+        diff of the two delta sides (null-safe equality, NaN equal to
+        NaN, snapshot_diff's semantics)."""
+        from mapreduce_4_spark.sources import versioned as vt
+
+        m = vt.read_manifest(self.table_dir, v)
+        if m.get("operation") in _CONTENT_PRESERVING_OPS:
+            return
+        old_rows, new_rows = self._delta_sides(v, m)
+
+        def _index(rows, side):
+            out = {}
+            for r in rows:
+                k = r[self.key_i]
+                if k in out:
+                    raise ValueError(
+                        f"mr4ver readChangeFeed: key {k!r} appears more "
+                        f"than once on the {side} side of version {v} — "
+                        "the change feed requires upsert discipline "
+                        "(key unique per snapshot); for non-keyed "
+                        "append tails use the plain mr4ver stream")
+                out[k] = r
+            return out
+
+        old_m, new_m = _index(old_rows, "old"), _index(new_rows, "new")
+
+        def _eq(a, b):
+            if a is None or b is None:
+                return a is None and b is None
+            if a == b:
+                return True
+            return a != a and b != b  # NaN <=> NaN (Spark eqNullSafe)
+
+        nones = [None] * len(self.compare_i)
+        for k in old_m.keys() | new_m.keys():
+            o, n = old_m.get(k), new_m.get(k)
+            if o is None:
+                yield ("I", k, *nones,
+                       *[n[i] for i in self.compare_i], v)
+            elif n is None:
+                yield ("D", k, *[o[i] for i in self.compare_i],
+                       *nones, v)
+            elif not all(_eq(o[i], n[i]) for i in self.compare_i):
+                yield ("U", k, *[o[i] for i in self.compare_i],
+                       *[n[i] for i in self.compare_i], v)
+            # equal on every compared column: not a change (a key that
+            # merely moved dirs in a CoW rewrite emits nothing)
+
+    def _window(self, lo: int, hi: int) -> list:
+        out: list = []
+        for v in range(lo + 1, hi + 1):
+            out.extend(self._changes_for_version(v))
+        return out
+
+    def read(self, start: dict):
+        from mapreduce_4_spark.sources import versioned as vt
+
+        lo = int(start["v"])
+        hi = vt.latest_version(self.table_dir) or lo
+        if self.max_versions is not None:
+            hi = min(hi, lo + self.max_versions)
+        if hi <= lo:
+            return iter([]), {"v": lo}
+        return iter(self._window(lo, hi)), {"v": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._window(int(start["v"]), int(end["v"])))
 
 
 class _Mr4WriteTaskResult(WriterCommitMessage):
@@ -1244,20 +1584,22 @@ class Mr4VersionedStreamPartReader(DataSourceStreamReader):
 
 
 def register_versioned_source(spark) -> None:
-    """Idempotent registration of the mr4ver reader format.
+    """Idempotent registration of the mr4ver reader format — and
+    NOTHING else: no session conf is touched (r13 advice). The opt-in
+    ``option("pruneOnFilters", "true")`` route additionally requires
+    ``spark.sql.python.filterPushdown.enabled=true`` — a SESSION-GLOBAL
+    conf that also activates the pushdown path of every OTHER
+    registered Python DataSource, which is exactly why registering one
+    format must not flip it as a side effect (it would silently expose
+    third-party sources to the readInfo-aliasing hazard this repo
+    documents for its own pushFilters route). ``session.get_spark``
+    sets the conf at session build; a stock session wanting the opt-in
+    route sets it explicitly:
 
-    Also best-effort enables ``spark.sql.python.filterPushdown.
-    enabled`` so the opt-in ``option("pruneOnFilters", "true")`` route
-    works under stock sessions (the conf is runtime-settable on 4.1.2;
-    if a deployment locks it, only that opt-in route is affected — the
-    default reader never defines pushFilters and needs nothing).
-    Caveat, deliberate trade-off (r12 verdict ask #1): the conf is
-    SESSION-GLOBAL, so any OTHER registered Python DataSource whose
-    reader overrides pushFilters() also gets its pushdown path
-    activated instead of failing loudly — a session mixing mr4ver with
-    third-party pushdown sources should review their opt-in story."""
+        spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                       "true")  # runtime-settable on 4.1.2
+
+    The default reader never defines pushFilters and needs nothing —
+    every load-option route (``version``/``where``/``probe``/
+    ``binPackBytes``) works with the conf off."""
     spark.dataSource.register(Mr4VersionedDataSource)
-    try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    except Exception:
-        pass

@@ -83,7 +83,7 @@ def bands_table_dir(index_dir: str) -> str:
 
 
 def _maybe_compact(spark, table_dir: str, every: int,
-                   target_files: int, mode: str = "full") -> None:
+                   target_files: int | None, mode: str = "full") -> None:
     """Fold ``table_dir``'s append chain once its data-dir list reaches
     ``every`` entries — a full-snapshot rewrite (``mode="full"``) or an
     LSM-style tail fold that leaves the base dir in place
@@ -101,9 +101,15 @@ def _maybe_compact(spark, table_dir: str, every: int,
     dirs = read_manifest(table_dir, v).get("data_dirs")
     if dirs is not None and len(dirs) >= every:
         if mode == "tail":
+            # None passes through: compact_tail treats it as UNSPECIFIED
+            # (plain folds -> 1 file, clustered folds -> shuffle
+            # parallelism), so a chain that records a sort_by/zorder_by
+            # discipline keeps its layout-preserving fold
             compact_tail(spark, table_dir, target_files=target_files)
         else:
-            compact(spark, table_dir, target_files=target_files)
+            compact(spark, table_dir,
+                    target_files=1 if target_files is None
+                    else target_files)
 
 
 def dedup_ingest_sink(corpus_dir: str, index_dir: str,
@@ -111,7 +117,7 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
                       index_layout: str = "plain",
                       nparts: int = _INGEST_NPARTS,
                       compact_every: int | None = None,
-                      compact_target_files: int = 1,
+                      compact_target_files: int | None = None,
                       compact_mode: str = "full",
                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: near-dup-gated append into a versioned corpus
@@ -139,6 +145,13 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
     mid-compaction crash). ``compact_target_files`` sizes the folded
     snapshot for unpartitioned tables (partitioned chains keep their
     directory scheme); at real scale set it ~ corpus_bytes / 1 GB.
+    ``None`` (the default) means UNSPECIFIED — full compacts fold to 1
+    file, and tail folds inherit ``compact_tail``'s layout-aware
+    default (1 file for plain chains, one file per shuffle partition
+    for chains recording a sort_by/zorder_by discipline, so the
+    maintenance cadence never silently erases a clustered layout's
+    skipping value). Any explicit value — including 1 — is honored
+    verbatim on both paths.
 
     ``compact_mode`` picks the fold: ``"full"`` rewrites the whole
     snapshot (re-establishing a global layout, but corpus-proportional

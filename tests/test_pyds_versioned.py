@@ -660,17 +660,21 @@ def test_mr4ver_default_reader_survives_stock_pushdown_conf(
     spark.sql.python.filterPushdown.enabled is false — so the default
     mr4ver reader must not even carry the method, and every batch read
     (plain, where, probe) must work under a stock session where the
-    conf is off. register_versioned_source also best-effort flips the
-    conf on so the pruneOnFilters opt-in route works everywhere."""
+    conf is off. r13 advice: registration must NOT flip the
+    session-global conf as a side effect (it would activate the
+    pushdown path of every other registered Python source) — the
+    pruneOnFilters opt-in route requires the caller (or
+    session.get_spark) to set the conf explicitly."""
     from mapreduce_4_spark.sources.pyds import Mr4VersionedPushdownReader
 
     tdir = str(tmp_path / "t")
     _pruned_chain(spark, tdir)
-    register_versioned_source(spark)
     conf_key = "spark.sql.python.filterPushdown.enabled"
-    assert spark.conf.get(conf_key) == "true"  # the best-effort set
     spark.conf.set(conf_key, "false")  # the driver's stock state
     try:
+        register_versioned_source(spark)
+        # registration is conf-neutral: the stock state survives it
+        assert spark.conf.get(conf_key) == "false"
         assert spark.read.format("mr4ver").load(tdir).count() == 100
         sliced = (spark.read.format("mr4ver")
                   .option("where", "k:30:40").load(tdir))
@@ -1238,3 +1242,220 @@ def test_mr4ver_stream_starting_timestamp(spark, tmp_path):
         q.stop()
     assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == \
         list(range(20, 30))
+
+
+def test_mr4ver_stream_restore_is_not_a_structural_append(spark, tmp_path):
+    """r13 advice: a restore whose manifest happens to extend the
+    parent's data_dirs by exactly one (here: undoing a whole-dir CoW
+    range drop) is re-surfaced OLD data, not an append — the
+    structural fallback is gated on the op not being a known
+    non-append. Loud by default; NOTHING under ignoreChanges (a
+    running stream already emitted those rows at their append, so
+    delivering the restore would duplicate them)."""
+    from mapreduce_4_spark.sources.pyds import _append_new_dir
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_pruned,
+        restore_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(20).withColumnRenamed("id", "k")
+    write_version(df.filter("k < 10").coalesce(1), tdir, append=True,
+                  stats_for=["k"])
+    write_version(df.filter("k >= 10").coalesce(1), tdir, append=True,
+                  stats_for=["k"])
+    # v3: range CoW delete that DROPS the v2 dir whole (no rewrite)
+    v3, info = delete_version_pruned(spark, tdir, where={"k": (10, 19)},
+                                     detail=True)
+    assert info == {"dropped": 1, "untouched": 1, "rewritten": 0}
+    m3 = read_manifest(tdir, v3)
+    # v4: restore to v2 — parent's dirs + exactly ONE re-surfaced dir,
+    # dv unchanged: byte-identical to the structural-append shape
+    v4 = restore_version(tdir, 2)
+    m4 = read_manifest(tdir, v4)
+    assert m4["operation"] == "restore"
+    assert m4["data_dirs"][:-1] == m3["data_dirs"]
+    assert len(m4["data_dirs"]) == len(m3["data_dirs"]) + 1
+    assert m4.get("dv") == m3.get("dv")
+    with pytest.raises(ValueError, match="append feed cannot"):
+        _append_new_dir(tdir, v4, ignore_changes=False)
+    assert _append_new_dir(tdir, v4, ignore_changes=True) is None
+
+    # end-to-end: an ignoreChanges stream sees each row exactly once
+    register_versioned_source(spark)
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("mr4ver")
+         .option("ignoreChanges", "true").load(tdir)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(20))  # no v2 re-delivery via the restore
+
+
+def test_mr4ver_stream_future_append_op_takes_structural_path(
+        spark, tmp_path):
+    """The other half of the gate's contract: an UNKNOWN
+    append-flavored operation name with the structural shape (parent
+    dirs + one new dir, dv unchanged) still streams — a future
+    append variant cannot silently kill or drop the feed."""
+    import json
+
+    from mapreduce_4_spark.sources.pyds import _append_new_dir
+    from mapreduce_4_spark.sources.versioned import _manifest_path
+
+    tdir = str(tmp_path / "t")
+    write_version(spark.range(5).withColumnRenamed("id", "k"),
+                  tdir, append=True)
+    write_version(spark.range(5, 9).withColumnRenamed("id", "k"),
+                  tdir, append=True)
+    # rewrite v2's op to a name this code has never seen
+    mp = _manifest_path(tdir, 2)
+    m = json.load(open(mp))
+    m["operation"] = "append-shiny-new-variant"
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    new_dir = _append_new_dir(tdir, 2, ignore_changes=False)
+    assert new_dir is not None
+    assert new_dir.endswith(m["data_dirs"][-1])
+
+
+def _drain_cdc(spark, tdir, tmp_path, sub: str, **opts):
+    """Drain the CDC front door to parquet; returns rows as a list of
+    tuples in the CDC schema's column order."""
+    out = str(tmp_path / f"{sub}_out")
+    reader = (spark.readStream.format("mr4ver")
+              .option("readChangeFeed", "true").option("key", "k"))
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (reader.load(tdir)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / f"{sub}_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    cols = got.columns
+    return cols, [tuple(r[c] for c in cols) for r in got.collect()]
+
+
+def test_mr4ver_readchangefeed_parity_with_module_feed(spark, tmp_path):
+    """r13 verdict ask #3: the format front door serves CDC —
+    readStream.format('mr4ver').option('readChangeFeed','true') — and
+    its per-version I/U/D rows equal the module feed
+    (streaming/cdc.py version_changes == snapshot_diff vs parent) on a
+    chain exercising every mutation class: appends (I), CoW update
+    (U), DV delete (D), whole-dir CoW range drop (D), restore (I), and
+    a content-preserving compact (zero rows on both feeds)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        compact,
+        delete_version_dv,
+        delete_version_pruned,
+        restore_version,
+        update_version_pruned,
+    )
+    from mapreduce_4_spark.streaming.cdc import version_changes
+
+    tdir = str(tmp_path / "t")
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("val"))
+
+    write_version(rows(0, 10).coalesce(1), tdir, append=True,
+                  stats_for=["k"])                       # v1: I x10
+    write_version(rows(10, 15).coalesce(1), tdir, append=True,
+                  stats_for=["k"])                       # v2: I x5
+    update_version_pruned(spark, tdir, {"val": F.col("val") + 1},
+                          keys=[3, 12], key="k")         # v3: U x2
+    delete_version_dv(spark, tdir, keys=[5], key="k")    # v4: D x1 (DV)
+    delete_version_pruned(spark, tdir, where={"k": (10, 14)})  # v5: D x5
+    v6 = restore_version(tdir, 4)                        # v6: I x5
+    assert v6 == 6
+    compact(spark, tdir)                                 # v7: nothing
+
+    register_versioned_source(spark)
+    cols, got = _drain_cdc(spark, tdir, tmp_path, "full")
+    assert cols[-1] == "_change_version"
+    by_v = {}
+    for r in got:
+        by_v.setdefault(r[-1], []).append(r[:-1])
+
+    # content-preserving commit: zero rows on BOTH feeds
+    assert 7 not in by_v
+    assert version_changes(spark, tdir, "k", 7).count() == 0
+
+    for v in range(1, 7):
+        want_df = version_changes(spark, tdir, "k", v)
+        assert want_df.columns == list(cols[:-1])  # op,k,old_val,new_val
+        want = sorted(tuple(r) for r in want_df.collect())
+        assert sorted(by_v.get(v, [])) == want, f"version {v}"
+
+    # headline shape: the mutation classes actually showed up
+    ops = sorted((r[-1], r[0]) for r in got)
+    assert {o for _, o in ops} == {"I", "U", "D"}
+    assert [o for vv, o in ops if vv == 3] == ["U", "U"]
+    assert [o for vv, o in ops if vv == 4] == ["D"]
+    assert [o for vv, o in ops if vv == 5] == ["D"] * 5
+    assert [o for vv, o in ops if vv == 6] == ["I"] * 5
+
+    # startingVersion works on the CDC feed too
+    _, tail = _drain_cdc(spark, tdir, tmp_path, "sv",
+                         startingVersion="5")
+    assert sorted((r[-1], r[0]) for r in tail) == \
+        [(5, "D")] * 5 + [(6, "I")] * 5
+
+
+def test_mr4ver_readchangefeed_refusals(spark, tmp_path):
+    """The CDC front door's loud-refusal contract: batch reads, the
+    executor stream mode (no shuffle hook in the Python DataSource
+    API), ignoreChanges, and the append/batch-only options are all
+    rejected with pointed errors; a missing key option fails at
+    planning."""
+    tdir = str(tmp_path / "t")
+    write_version(spark.range(5).withColumnRenamed("id", "k"), tdir,
+                  append=True)
+    register_versioned_source(spark)
+
+    def _cdc_reader(**opts):
+        # a FRESH builder per case: DataStreamReader.option() mutates
+        # the shared builder, so reusing one would leak options
+        r = (spark.readStream.format("mr4ver")
+             .option("readChangeFeed", "true"))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r
+
+    with pytest.raises(Exception, match="key"):
+        _cdc_reader().load(tdir).writeStream.format("noop").start()
+
+    def _expect_stream_error(df, sub, pattern):
+        # reader construction is lazy and start() is async: the
+        # refusal surfaces when the first micro-batch plans
+        q = (df.writeStream.format("noop")
+             .option("checkpointLocation", str(tmp_path / sub)).start())
+        try:
+            with pytest.raises(Exception, match=pattern):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _expect_stream_error(
+        _cdc_reader(key="k", streamMode="executor").load(tdir),
+        "ck1", "driver prefetch")
+    _expect_stream_error(
+        _cdc_reader(key="k", ignoreChanges="true").load(tdir),
+        "ck2", "REPRESENTS changes")
+    with pytest.raises(Exception, match="STREAM surface"):
+        (spark.read.format("mr4ver").option("readChangeFeed", "true")
+         .option("key", "k").load(tdir).count())
+    _expect_stream_error(
+        _cdc_reader(key="k", where="k:0:2").load(tdir),
+        "ck3", "filter the feed")

@@ -398,3 +398,65 @@ def test_dedup_ingest_sink_rejects_unknown_compact_mode(tmp_path):
     with pytest.raises(ValueError, match="compact_mode"):
         dedup_ingest_sink(str(tmp_path / "c"), str(tmp_path / "i"),
                           compact_mode="sideways")
+
+
+def test_maybe_compact_default_keeps_clustered_tail_layout(spark, tmp_path):
+    """r13 advice: the ingest cadence's UNSPECIFIED target_files (None,
+    the new default) must pass through to compact_tail so a chain
+    recording a sort_by discipline folds layout-preservingly (one file
+    per shuffle partition, range-clustered) instead of silently erasing
+    the discipline into ONE file; explicit 1 stays honored verbatim."""
+    import inspect
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        read_manifest,
+        write_version,
+    )
+    from mapreduce_4_spark.streaming.ingest import (
+        _maybe_compact,
+        dedup_ingest_sink,
+    )
+
+    # the public default is None == unspecified
+    sig = inspect.signature(dedup_ingest_sink)
+    assert sig.parameters["compact_target_files"].default is None
+
+    def grid(n0, n1):
+        return spark.range(n0, n1).select(
+            F.col("id").alias("payload"))
+
+    def build(tdir):
+        write_version(grid(0, 1024), tdir, sort_by=["payload"],
+                      n_files=4, stats_for=["payload"])
+        for i in range(2):
+            write_version(grid(1024 + i * 64, 1024 + (i + 1) * 64),
+                          tdir, append=True)
+
+    def folded_files(tdir):
+        v = latest_version(tdir)
+        assert read_manifest(tdir, v).get("operation") == "compact-tail"
+        folded = os.path.join(tdir, f"v={v:06d}")
+        return [os.path.join(folded, f) for f in sorted(os.listdir(folded))
+                if f.endswith(".parquet")]
+
+    # unspecified (None): multi-file, range-clustered fold
+    t_none = str(tmp_path / "tn")
+    build(t_none)
+    _maybe_compact(spark, t_none, every=3, target_files=None, mode="tail")
+    files = folded_files(t_none)
+    assert len(files) > 1
+    ranges = sorted(
+        (min(vs), max(vs)) for vs in
+        (pq.read_table(f, columns=["payload"]).column("payload").to_pylist()
+         for f in files) if vs)
+    assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:])), ranges
+
+    # explicit 1: honored verbatim (the caller asked for one file)
+    t_one = str(tmp_path / "t1")
+    build(t_one)
+    _maybe_compact(spark, t_one, every=3, target_files=1, mode="tail")
+    assert len(folded_files(t_one)) == 1

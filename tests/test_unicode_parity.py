@@ -124,3 +124,43 @@ def test_fuzz_oracle_parity_on_random_corpora(spark, sf_smoke, texts):
             compare(spec.builder(spark, sf), spec.oracle, sf)
     finally:
         shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_udtf_dynamic_leading_words_whitespace_edges(spark, sf_smoke):
+    """r13 advice: the UDTF splits with str.split() (ALL whitespace,
+    no empty tokens), so the oracle must strip leading/trailing \\t and
+    \\n too — DuckDB trim() strips only spaces, which yielded phantom
+    ''-tokens on e.g. 'foo\\n'. Pinned here on a corpus the sf fixtures
+    don't cover: tabs, newlines, CRs, and whitespace-only docs."""
+    import glob
+    import tempfile
+
+    _EDGE_TEXTS = [
+        "plain space separated words",
+        "leading\tand trailing tabs\t",
+        "\nnewline led doc\n",
+        "\r\n crlf mix \t inner\truns \r\n",
+        "   ",        # whitespace-only: zero tokens
+        "",           # empty: zero tokens
+        "\tone\t",    # single token fenced by tabs
+        "two\n\nwords",
+    ]
+    sf = tempfile.mkdtemp(prefix="ws_sf_")
+    try:
+        for t in TABLES:
+            shutil.copy(f"{sf_smoke}/{t}.parquet", f"{sf}/{t}.parquet")
+        os.remove(f"{sf}/documents.parquet")
+        docs = spark.createDataFrame(
+            [(i, t, "en", f"src{i % 2}", len(t))
+             for i, t in enumerate(_EDGE_TEXTS)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        docs.coalesce(1).write.parquet(f"{sf}/tmp_docs")
+        part = glob.glob(f"{sf}/tmp_docs/part-*.parquet")[0]
+        shutil.move(part, f"{sf}/documents.parquet")
+        shutil.rmtree(f"{sf}/tmp_docs")
+        spec = REGISTRY["udtf_dynamic_leading_words"]
+        compare(spec.builder(spark, sf), spec.oracle, sf)
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
