@@ -26,6 +26,86 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 #: per-run raw timings, reported alongside the min
 _RAW: dict[str, list[float]] = {}
 
+#: 1-minute loadavg sampled right BEFORE each timed run, parallel to
+#: _RAW — the per-query contention record (full record only). When a
+#: query's raws scatter 1.3x, this column says whether the host was
+#: busy during exactly those samples.
+_LOAD1: dict[str, list[float]] = {}
+
+#: sub-second queries get extra timed runs (min-of-5): at <1 s a single
+#: scheduler hiccup is a 20-40% swing, and two more samples sharpen the
+#: min estimate where the noise floor is proportionally largest
+#: (round-13 verdict ask #1 — q1 read 1.29x normalized in the driver
+#: artifact while three builder runs of identical code read 0.89-0.99).
+FAST_FLOOR_SEC = 1.0
+FAST_EXTRA_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_FAST_EXTRA", "2"))
+
+
+def _proc_stat_cpu() -> list[int] | None:
+    """The aggregate 'cpu' jiffies line from /proc/stat (user nice
+    system idle iowait irq softirq steal guest guest_nice), or None
+    off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu "):
+                    return [int(x) for x in line.split()[1:]]
+    except OSError:
+        pass
+    return None
+
+
+def host_snapshot() -> dict:
+    """One host-telemetry sample: 1/5/15-min loadavg, the cumulative
+    /proc/stat cpu jiffies, and CPU pressure (PSI avg10) when the
+    kernel exposes it."""
+    snap: dict = {"t": time.time()}
+    try:
+        snap["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        snap["loadavg"] = None
+    snap["cpu_jiffies"] = _proc_stat_cpu()
+    try:
+        with open("/proc/pressure/cpu") as f:
+            first = f.readline()  # "some avg10=X avg60=Y ..."
+        snap["psi_cpu_avg10"] = float(first.split("avg10=")[1].split()[0])
+    except (OSError, IndexError, ValueError):
+        snap["psi_cpu_avg10"] = None
+    return snap
+
+
+def host_telemetry(start: dict, end: dict,
+                   calib_runs: list[float] | None) -> dict:
+    """The bench artifact's host-evidence record (round-13 verdict ask
+    #1): whether THIS run was measured on a quiet or a contended host,
+    carried inside BENCH_r{N} itself so a driver-vs-builder normalized
+    delta is explained by data, not narrative. busy/steal percentages
+    are computed over the /proc/stat jiffies delta spanning the whole
+    bench run; calib_scatter is [min, median, max] of the
+    data-independent JVM calibration arm — scatter there is pure host
+    noise (the plan cannot drift)."""
+    out: dict = {
+        "ncpu": os.cpu_count(),
+        "load_start": start.get("loadavg"),
+        "load_end": end.get("loadavg"),
+        "psi_cpu_avg10_start": start.get("psi_cpu_avg10"),
+        "psi_cpu_avg10_end": end.get("psi_cpu_avg10"),
+        "span_sec": round(end["t"] - start["t"], 1),
+    }
+    s, e = start.get("cpu_jiffies"), end.get("cpu_jiffies")
+    if s and e and len(e) >= 8 and len(s) >= 8:
+        d = [b - a for a, b in zip(s, e)]
+        total = sum(d)
+        if total > 0:
+            idle = d[3] + d[4]  # idle + iowait
+            out["cpu_busy_pct"] = round(100.0 * (total - idle) / total, 1)
+            out["steal_pct"] = round(100.0 * d[7] / total, 2)
+    if calib_runs:
+        r = sorted(calib_runs)
+        out["calib_scatter"] = [r[0], r[len(r) // 2], r[-1]]
+        out["calib_runs"] = len(r)
+    return out
+
 #: known-good per-query reference times (best confirmed round, min-of-3
 #: on a quiet sandbox). A headline query whose min-of-N lands above
 #: RETRY_FACTOR x its reference gets ONE more timed pass at the END of
@@ -67,16 +147,28 @@ HEADLINE = [
 ]
 
 
-def _timed(timings: dict[str, float], name: str, df) -> None:
+def _timed(timings: dict[str, float], name: str, df,
+           fast_extra: int = 0) -> None:
     """Warm-up + N_RUNS timed noop-sink materializations; records the
-    min (see N_RUNS note) and keeps the raws in _RAW."""
+    min (see N_RUNS note) and keeps the raws in _RAW. ``fast_extra``:
+    up to that many EXTRA runs when the min is under FAST_FLOOR_SEC —
+    min-of-5 where the relative noise floor is worst (headline + calib
+    arms pass FAST_EXTRA_RUNS; ab_* arms stay min-of-3)."""
     df.write.format("noop").mode("overwrite").save()
-    runs = []
-    for _ in range(N_RUNS):
+    runs: list[float] = []
+    loads: list[float] = []
+    while len(runs) < N_RUNS or (
+            fast_extra and len(runs) < N_RUNS + fast_extra
+            and min(runs) < FAST_FLOOR_SEC):
+        try:
+            loads.append(round(os.getloadavg()[0], 2))
+        except OSError:
+            loads.append(-1.0)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         runs.append(round(time.perf_counter() - t0, 3))
     _RAW[name] = runs
+    _LOAD1[name] = loads
     timings[name] = min(runs)
     print(f"# {name}: {timings[name]:.3f}s (runs: {runs})", file=sys.stderr)
 
@@ -474,13 +566,15 @@ def _calibration(spark, timings: dict[str, float]) -> None:
     _timed(timings, "calib_jvm_hash",
            spark.range(2_000_000_000).select(
                F.xxhash64("id").alias("h")
-           ).agg(F.expr("bit_xor(h)").alias("s")))
+           ).agg(F.expr("bit_xor(h)").alias("s")),
+           fast_extra=FAST_EXTRA_RUNS)
     # parquet scan + decode of the biggest fixture table, trivial agg
     from mapreduce_4_spark.sources import load_table
 
     _timed(timings, "calib_scan_lineitem",
            load_table(spark, SF_DIR, "lineitem").agg(
-               F.sum("l_quantity").alias("s")))
+               F.sum("l_quantity").alias("s")),
+           fast_extra=FAST_EXTRA_RUNS)
 
 
 def main() -> None:
@@ -491,6 +585,7 @@ def main() -> None:
     # warm the JVM + file index once with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    snap0 = host_snapshot()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = REGISTRY[name].builder
@@ -498,7 +593,8 @@ def main() -> None:
         # codegen + file-index costs, which a long-lived cluster session
         # amortizes across thousands of queries; the timed run is the
         # steady-state cost of the physical plan itself.
-        _timed(timings, name, builder(spark, SF_DIR))
+        _timed(timings, name, builder(spark, SF_DIR),
+               fast_extra=FAST_EXTRA_RUNS)
     _calibration(spark, timings)
     _ab_experiments(spark, timings)
 
@@ -538,7 +634,8 @@ def main() -> None:
             print(f"# reference retry: {name} {why}", file=sys.stderr)
             first_raw = _RAW[name]
             retry: dict[str, float] = {}
-            _timed(retry, name, REGISTRY[name].builder(spark, SF_DIR))
+            _timed(retry, name, REGISTRY[name].builder(spark, SF_DIR),
+                   fast_extra=FAST_EXTRA_RUNS)
             # retry raws live under their own `<name>:retry` key so
             # value_median (and any raw-run consumer) keeps the same
             # N-sample first-pass shape for every query, retried or not.
@@ -548,7 +645,8 @@ def main() -> None:
             timings[name] = min(timings[name], retry[name])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    full, summary = build_records(timings, first_pass, sf, _RAW)
+    host = host_telemetry(snap0, host_snapshot(), _RAW.get(CALIB))
+    full, summary = build_records(timings, first_pass, sf, _RAW, host=host)
     # stdout layout contract (round-10 verdict ask #2): the driver keeps
     # only a ~2 KB stdout TAIL, and BENCH_r09/r10 both came back
     # `parsed: null` because the single output line — raw_runs included —
@@ -572,7 +670,8 @@ def main() -> None:
 
 
 def build_records(timings: dict[str, float], first_pass: dict[str, float],
-                  sf: str, raw: dict[str, list[float]]) -> tuple[dict, dict]:
+                  sf: str, raw: dict[str, list[float]],
+                  host: dict | None = None) -> tuple[dict, dict]:
     """(full, summary) bench records. ``full`` carries every timed arm
     plus raw_runs; ``summary`` is the driver-facing compact record —
     headline + calib queries only, no raw_runs — sized to survive a
@@ -588,7 +687,15 @@ def build_records(timings: dict[str, float], first_pass: dict[str, float],
     normalized view is per-query min / calib_jvm_hash min: the
     calibration arm is data-independent pure-JVM compute, so that
     column is comparable across rounds even when the host speed moves
-    (the round-9 drift lesson — BASELINE.md reads this column)."""
+    (the round-9 drift lesson — BASELINE.md reads this column).
+
+    ``host`` (host_telemetry): the run's own contention evidence —
+    loadavg/busy%/steal%/PSI spanning the run plus the calibration
+    arm's min/median/max scatter — rides BOTH records so the driver
+    artifact itself says whether its numbers were taken on a quiet
+    host (round-13 verdict ask #1). The full record additionally
+    carries load1_runs: the 1-min loadavg sampled before every timed
+    run, keyed like raw_runs."""
     calib = min(raw[CALIB]) if CALIB in raw else None
 
     def _total(pick) -> float:
@@ -615,9 +722,12 @@ def build_records(timings: dict[str, float], first_pass: dict[str, float],
         "normalized": normalized,
         "first_pass": first_pass,
         "runs": N_RUNS,
+        "fast_extra": FAST_EXTRA_RUNS,
+        "host": host,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    full = dict(summary, queries=timings, raw_runs=raw)
+    full = dict(summary, queries=timings, raw_runs=raw,
+                load1_runs=dict(_LOAD1))
     return full, summary
 
 

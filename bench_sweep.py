@@ -78,6 +78,7 @@ def main() -> None:
     spark = get_spark("mapreduce_4_spark-sweep")
     spark.read.parquet(f"{bench.SF_DIR}/region.parquet").count()
 
+    snap0 = bench.host_snapshot()
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         bench._timed(timings, name, spec.builder(spark, bench.SF_DIR))
@@ -114,6 +115,11 @@ def main() -> None:
                 "first_pass": first_pass,
                 "raw_runs": bench._RAW,
                 "runs": bench.N_RUNS,
+                # same host-evidence record as bench.py (r13 ask #1):
+                # a sweep riser on a busy host carries its own alibi
+                "host": bench.host_telemetry(
+                    snap0, bench.host_snapshot(),
+                    bench._RAW.get(bench.CALIB)),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -66,10 +66,22 @@ def test_bench_stdout_summary_survives_driver_tail_capture():
     raw[bench.HEADLINE[0] + ":retry"] = [1.0, 1.1, 1.2]
     first_pass = {bench.HEADLINE[0]: 9.999}
 
-    full, summary = bench.build_records(timings, first_pass, "0.1", raw)
+    host = bench.host_telemetry(bench.host_snapshot(),
+                                bench.host_snapshot(),
+                                [0.31, 0.274, 0.29, 0.3, 0.28])
+    full, summary = bench.build_records(timings, first_pass, "0.1", raw,
+                                        host=host)
 
     line = json.dumps(summary, separators=(",", ":"))
     assert len(line) < 1900, f"summary line {len(line)}B outgrows the tail"
+    # r13 ask #1: the artifact carries its own host evidence — the
+    # contention fields and the calibration arm's scatter — so a
+    # driver-vs-builder normalized delta is explained by data
+    assert summary["host"]["calib_scatter"] == [0.274, 0.29, 0.31]
+    assert summary["host"]["ncpu"] == bench.os.cpu_count()
+    assert "load_start" in summary["host"]
+    assert "span_sec" in summary["host"]
+    assert summary["fast_extra"] == bench.FAST_EXTRA_RUNS
     assert "raw_runs" not in summary
     assert set(summary["queries"]) == set(
         bench.HEADLINE + [bench.CALIB, "calib_scan_lineitem"])
@@ -83,3 +95,51 @@ def test_bench_stdout_summary_survives_driver_tail_capture():
     # both lines parse back as JSON
     assert json.loads(line)["sf"] == 0.1
     assert json.loads(json.dumps(full, separators=(",", ":")))
+
+
+def test_bench_fast_queries_get_extra_runs():
+    """r13 verdict ask #1 (timing de-noise): a headline arm whose min
+    is under FAST_FLOOR_SEC collects N_RUNS + FAST_EXTRA_RUNS samples
+    (min-of-5 by default); a slow arm stays at N_RUNS; arms that don't
+    opt in (ab_*) are untouched. Per-run loadavg rides _LOAD1."""
+    import bench
+
+    class _FakeWrite:
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def save(self):
+            pass
+
+    class _FakeDF:
+        write = _FakeWrite()
+
+    timings = {}
+    bench._RAW.clear()
+    bench._LOAD1.clear()
+    try:
+        # sub-second (~0s fake): opts in -> N_RUNS + extra samples
+        bench._timed(timings, "fast_arm", _FakeDF(),
+                     fast_extra=bench.FAST_EXTRA_RUNS)
+        assert len(bench._RAW["fast_arm"]) == \
+            bench.N_RUNS + bench.FAST_EXTRA_RUNS
+        assert len(bench._LOAD1["fast_arm"]) == \
+            len(bench._RAW["fast_arm"])
+        # no opt-in (the ab_* path): plain min-of-N
+        bench._timed(timings, "ab_arm", _FakeDF())
+        assert len(bench._RAW["ab_arm"]) == bench.N_RUNS
+        # a slow arm (floor forced below any sample): no extra runs
+        prev = bench.FAST_FLOOR_SEC
+        bench.FAST_FLOOR_SEC = -1.0
+        try:
+            bench._timed(timings, "slow_arm", _FakeDF(),
+                         fast_extra=bench.FAST_EXTRA_RUNS)
+        finally:
+            bench.FAST_FLOOR_SEC = prev
+        assert len(bench._RAW["slow_arm"]) == bench.N_RUNS
+    finally:
+        bench._RAW.clear()
+        bench._LOAD1.clear()
