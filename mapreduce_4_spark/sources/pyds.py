@@ -311,11 +311,18 @@ class Mr4VersionedDataSource(DataSource):
 
         if getattr(self, "_cache", None) is not None:
             return self._cache
-        path = self.options.get("path")
+        path = _local_path(self.options.get("path"))
         if not path:
             raise ValueError(
                 "mr4ver needs a table dir: spark.read.format('mr4ver')"
-                ".load(table_dir)"
+                ".load(table_dir). If this read came through a CATALOG "
+                "table (CREATE TABLE ... USING mr4ver / saveAsTable), "
+                "note that Spark 4.1.2 constructs the read-side Python "
+                "DataSource with EMPTY options — schema() sees the "
+                "catalog's stored path, reader() does not (pinned in "
+                "tests/test_pyds_versioned.py) — so catalog SELECTs "
+                "cannot reach the table dir; read with "
+                ".format('mr4ver').load(<dir>) instead"
             )
         if "://" in path:
             raise ValueError(
@@ -411,11 +418,17 @@ class Mr4VersionedDataSource(DataSource):
         Unlike the readers this must work on a NOT-YET-EXISTING table
         (first write creates version 1), so only the path contract is
         validated here."""
-        path = self.options.get("path")
+        path = _local_path(self.options.get("path"))
         if not path:
             raise ValueError(
                 "mr4ver needs a table dir: df.write.format('mr4ver')"
-                ".save(table_dir)"
+                ".save(table_dir). If this write came through a "
+                "CATALOG table (INSERT INTO ... a CREATE TABLE USING "
+                "mr4ver table), note that Spark 4.1.2 constructs the "
+                "write-side Python DataSource with EMPTY options (same "
+                "constraint as the read side, pinned in "
+                "tests/test_pyds_versioned.py) — write with "
+                ".format('mr4ver').save(<dir>) instead"
             )
         if "://" in path:
             raise ValueError(
@@ -1096,6 +1109,22 @@ def _parse_max_versions(options) -> int | None:
             f"mr4ver maxVersionsPerTrigger must be an integer >= 1, "
             f"got {raw!r}")
     return n
+
+
+def _local_path(path):
+    """Normalize a ``file:`` URI to a plain local path — the shape the
+    SQL catalog hands the DataSource (``CREATE TABLE ... USING mr4ver
+    OPTIONS (path '/x')`` stores and forwards ``file:/x``) and a shape
+    users paste from Spark logs. Non-file schemes pass through for the
+    local-only contract check to refuse; None stays None."""
+    if not path or not path.startswith("file:"):
+        return path
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(path)
+    if p.netloc and p.netloc != "localhost":
+        return path  # a REMOTE file URI is not a local path: refuse
+    return unquote(p.path)
 
 
 def _dv_positions_by_file(table_dir: str, manifest: dict,

@@ -1459,3 +1459,69 @@ def test_mr4ver_readchangefeed_refusals(spark, tmp_path):
     _expect_stream_error(
         _cdc_reader(key="k", where="k:0:2").load(tdir),
         "ck3", "filter the feed")
+
+
+def test_mr4ver_sql_catalog_front_door_contract(spark, tmp_path):
+    """r13 verdict ask #4, resolved as a documented loud refusal with
+    the working half pinned: Spark 4.1.2's Python DataSource catalog
+    integration forwards the stored options to DataSource.schema()
+    ONLY — reader() and writer() are constructed with EMPTY options
+    (verified here), so a catalog SELECT / INSERT can never learn the
+    table dir. What WORKS: CREATE TABLE ... USING mr4ver registers and
+    describes (schema() resolves the stored file:-URI path, which
+    _local_path normalizes), and df.write.saveAsTable publishes a real
+    chain readable via .load(dir). What REFUSES, loudly and pointing
+    at this constraint: SELECT from the catalog table."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.pyds import _local_path
+
+    # the URI normalization the catalog path depends on
+    assert _local_path("file:/tmp/x y") == "/tmp/x y"
+    assert _local_path("file:///tmp/x") == "/tmp/x"
+    assert _local_path("/tmp/x") == "/tmp/x"
+    assert _local_path(None) is None
+    assert _local_path("file://otherhost/x") == "file://otherhost/x"
+    assert _local_path("s3://b/x") == "s3://b/x"
+
+    tdir = str(tmp_path / "t")
+    write_version(
+        spark.range(10).select(F.col("id").alias("k"),
+                               (F.col("id") * 2).alias("v")),
+        tdir, append=True)
+    register_versioned_source(spark)
+
+    spark.sql(f"CREATE TABLE mr4cat_t USING mr4ver "
+              f"OPTIONS (path '{tdir}')")
+    try:
+        # DDL works: the catalog knows the table and its schema
+        described = {r["col_name"]: r["data_type"]
+                     for r in spark.sql("DESCRIBE mr4cat_t").collect()}
+        assert described.get("k") == "bigint"
+        assert described.get("v") == "bigint"
+        # SELECT refuses with the pointed message (reader gets {})
+        with pytest.raises(Exception, match="EMPTY options"):
+            spark.sql("SELECT * FROM mr4cat_t").count()
+        # INSERT refuses the same way (writer gets {})
+        with pytest.raises(Exception, match="EMPTY options"):
+            spark.sql("INSERT INTO mr4cat_t VALUES (99, 198)")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mr4cat_t")
+
+    # saveAsTable: the WRITE side works (options ride the writer) and
+    # publishes a normal chain; the catalog read-back hits the same
+    # documented refusal, while load(dir) serves the data
+    wdir = str(tmp_path / "w")
+    spark.range(5).withColumnRenamed("id", "k") \
+        .write.format("mr4ver").option("path", wdir).saveAsTable("mr4cat_w")
+    try:
+        got = spark.read.format("mr4ver").load(wdir)
+        assert sorted(r["k"] for r in got.collect()) == list(range(5))
+        with pytest.raises(Exception, match="EMPTY options"):
+            spark.table("mr4cat_w").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mr4cat_w")
+
+    # file:-URI paths work through the plain DataFrame front door too
+    uri = spark.read.format("mr4ver").load("file:" + tdir)
+    assert uri.count() == 10
