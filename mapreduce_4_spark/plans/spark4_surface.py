@@ -799,3 +799,129 @@ def sql_script_threshold_orders(spark: SparkSession,
                  CAST(n AS BIGINT) AS n_above;
         END
     """)
+
+
+@register(
+    "cdc_change_feed_orders",
+    requires=("mr4ver-read", "mr4ver-cdc"),
+    oracle="""
+        WITH m AS (SELECT MAX(o_orderkey) + 1 AS n FROM orders),
+        v1 AS (
+            SELECT o_orderkey, o_totalprice FROM orders, m
+            WHERE o_orderkey < m.n // 3
+        ),
+        v2 AS (
+            SELECT o_orderkey, o_totalprice FROM orders, m
+            WHERE o_orderkey >= m.n // 3 AND o_orderkey < 2 * m.n // 3
+        ),
+        dk AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3),
+        uk AS (SELECT o_orderkey FROM orders
+               ORDER BY o_orderkey LIMIT 2 OFFSET 3),
+        changes AS (
+            SELECT 1 AS cv, 'I' AS op, o_orderkey AS k,
+                   CAST(NULL AS DOUBLE) AS old_p, o_totalprice AS new_p
+            FROM v1
+            UNION ALL
+            SELECT 2, 'I', o_orderkey, NULL, o_totalprice FROM v2
+            UNION ALL
+            SELECT 3, 'D', v1.o_orderkey, v1.o_totalprice, NULL
+            FROM v1 JOIN dk ON v1.o_orderkey = dk.o_orderkey
+            UNION ALL
+            SELECT 4, 'U', v1.o_orderkey, v1.o_totalprice,
+                   v1.o_totalprice * 2
+            FROM v1 JOIN uk ON v1.o_orderkey = uk.o_orderkey
+        )
+        SELECT CAST(cv AS BIGINT) AS change_version, op,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(old_p AS DECIMAL(38, 2))) AS DOUBLE)
+                   AS sum_old_price,
+               CAST(SUM(CAST(new_p AS DECIMAL(38, 2))) AS DOUBLE)
+                   AS sum_new_price
+        FROM changes GROUP BY cv, op
+    """,
+    tags=("source", "python-datasource", "streaming", "cdc",
+          "maintenance"),
+    description="the CDC front door end-to-end (round 14): orders is "
+                "published as a 2-append chain, 3 keys are DV-deleted "
+                "and 2 CoW-updated (price doubled), then readStream"
+                ".format('mr4ver').option('readChangeFeed','true') "
+                "drains the whole history and the per-(version, op) "
+                "I/U/D row counts and key/price sums must match DuckDB "
+                "constructing the same change set from raw parquet — "
+                "the streamed feed is the module feed's delta-diff "
+                "twin (parity test-pinned), here under the driver's "
+                "own oracle gate",
+)
+def cdc_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: each streamed version's change rows are a
+    manifest-derived DELTA (added/removed dirs + DV-delta positions
+    only, keyed-diffed driver-side) — O(changed rows) per version, the
+    Delta CDF asymptotics, vs the module feed's full-snapshot join;
+    content-preserving commits ship zero bytes. SCALE.md round 14.
+
+    Timing caveat (the metadata_agg_orders shape): the chain publish +
+    mutations run at BUILD time; timings measure the stream drain +
+    aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_dv,
+        update_version_pruned,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    n = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
+    b1, b2 = n // 3, 2 * n // 3
+    low_keys = [r[0] for r in
+                orders.select("o_orderkey").orderBy("o_orderkey")
+                .limit(5).collect()]
+    del_keys, upd_keys = low_keys[:3], low_keys[3:]
+    td = tempfile.mkdtemp(prefix="mr4s_cdc_")
+    try:
+        tdir = f"{td}/orders_chain"
+        write_version(orders.filter(F.col("o_orderkey") < b1)
+                      .coalesce(1), tdir, append=True,
+                      stats_for=["o_orderkey"])
+        write_version(orders.filter((F.col("o_orderkey") >= b1)
+                                    & (F.col("o_orderkey") < b2))
+                      .coalesce(1), tdir, append=True,
+                      stats_for=["o_orderkey"])
+        delete_version_dv(spark, tdir, keys=del_keys, key="o_orderkey")
+        update_version_pruned(
+            spark, tdir, {"o_totalprice": F.col("o_totalprice") * 2},
+            keys=upd_keys, key="o_orderkey")
+        register_versioned_source(spark)
+        out_dir = f"{td}/changes"
+        q = (spark.readStream.format("mr4ver")
+             .option("readChangeFeed", "true")
+             .option("key", "o_orderkey").load(tdir)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", f"{td}/ck").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        agg = (
+            spark.read.parquet(out_dir)
+            .groupBy(F.col("_change_version").alias("change_version"),
+                     "op")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("o_orderkey").alias("sum_key"),
+                 dsum("old_o_totalprice").alias("sum_old_price"),
+                 dsum("new_o_totalprice").alias("sum_new_price"))
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "change_version bigint, op string, n_rows bigint, "
+              "sum_key bigint, sum_old_price double, "
+              "sum_new_price double")
