@@ -372,6 +372,13 @@ class Mr4VersionedDataSource(DataSource):
                 raise ValueError(
                     "mr4ver readChangeFeed needs option('key', <column>)"
                     " — the change feed is a keyed diff")
+            if self.options.get("version") is not None \
+                    or self.options.get("asof") is not None:
+                raise ValueError(
+                    "mr4ver readChangeFeed does not take version/asOf "
+                    "— use startingVersion/endingVersion (batch) or "
+                    "startingVersion/startingTimestamp (stream) to "
+                    "window the feed")
             return _cdc_schema(self._resolved()[1], key)
         full = _scan_schema(self._resolved()[1])
         cols = self.options.get("columns")
@@ -393,13 +400,14 @@ class Mr4VersionedDataSource(DataSource):
         wset = set(want)
         return StructType([f for f in full.fields if f.name in wset])
 
-    def reader(self, schema) -> "Mr4VersionedReader":
+    def reader(self, schema):
         if self._cdc():
-            raise ValueError(
-                "mr4ver readChangeFeed is a STREAM surface "
-                "(spark.readStream); for batch change reads use "
-                "sources.versioned.table_changes or "
-                "streaming.cdc.version_changes")
+            # batch CDF (round 14): one executor task per version in
+            # the [startingVersion, endingVersion] window — see
+            # :class:`Mr4VersionedCdcBatchReader`
+            path, manifest = self._resolved()
+            return Mr4VersionedCdcBatchReader(
+                path, manifest, schema, self.options)
         path, manifest = self._resolved()
         # pushFilters is opt-in STRUCTURALLY, not just behaviorally:
         # Spark 4.1 refuses to initialize ANY reader whose class
@@ -1196,69 +1204,43 @@ def _cdc_schema(manifest: dict, key: str):
     return StructType(fields)
 
 
-class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
-    """``spark.readStream.format("mr4ver")
-    .option("readChangeFeed", "true").option("key", k).load(dir)`` —
-    the change-data-feed front door (Delta's readChangeFeed shape over
-    this format), round-13 verdict ask #3. Each micro-batch delivers
-    the I/U/D rows of the versions in its offset window, one
-    ``snapshot_diff``-shaped row set per version tagged with
-    ``_change_version``; the module feed (streaming/cdc.py
-    ``version_changes``) is the batch twin and the parity oracle
-    (pinned in tests/test_pyds_versioned.py).
+def _cdc_validate_options(options) -> str:
+    """Shared option contract for both CDC readers (stream + batch):
+    returns the required key column; refuses the options whose
+    semantics belong to the append/plain readers."""
+    key = options.get("key")
+    if not key:
+        raise ValueError(
+            "mr4ver readChangeFeed needs option('key', <column>) — "
+            "the change feed is a keyed diff (snapshot_diff's "
+            "contract); there is no keyless I/U/D semantics")
+    for bad, why in (
+        ("ignorechanges", "the change feed REPRESENTS changes"),
+        ("where", "filter the feed downstream"),
+        ("probe", "filter the feed downstream"),
+        ("columns", "the feed schema is op/key/old_*/new_*"),
+        ("binpackbytes", "CDC reads are delta-sized, not file-packed"),
+    ):
+        if options.get(bad) is not None:
+            raise ValueError(
+                f"mr4ver readChangeFeed does not take {bad} — {why}")
+    return key
 
-    HOW it computes each version's diff is what makes it scale: not
-    the module feed's full-outer join of two whole snapshots, but a
-    DELTA diff derived from the manifests — only rows in dirs the
-    commit added/removed plus rows whose deletion-vector entries
-    changed are read, then keyed-diffed driver-side. Under the feed's
-    upsert discipline (key unique per snapshot — enforced loudly) the
-    delta diff equals the full diff by construction: a key outside the
-    changed dirs is bit-identical on both sides and contributes no
-    row. Cost per version is O(changed rows), Delta CDF's asymptotics,
-    instead of O(table); content-preserving commits (compact/cluster/
-    analyze) are skipped without reading a byte. A full 'replace'
-    still pays O(table) — its delta IS the table.
 
-    Initial load: the first retained version (or a vacuumed-parent
-    gap) surfaces as an all-'I' load of that snapshot, exactly
-    ``version_changes``'s parent-unavailable contract.
+class _CdcDiffer:
+    """The per-version DELTA diff both CDC front doors share — a plain
+    picklable object, so the STREAM reader runs it driver-side (the
+    prefetch contract) and the BATCH reader ships it to executors (one
+    task per version). Holds only the table dir, the pinned Arrow
+    schema, the key/compare indices, and the partition columns."""
 
-    Driver-prefetch by design: the keyed diff needs both sides of a
-    version in one place, and the Python DataSource API gives
-    executors no shuffle hook — option("streamMode", "executor") is
-    refused loudly (the maxVersionsPerTrigger precedent), the default
-    resolution falls back here automatically. ignoreChanges is
-    meaningless on a feed that REPRESENTS changes and is refused;
-    where/probe/columns/binPackBytes are append/batch-reader surface.
-    ``startingVersion``/``startingTimestamp``/``maxVersionsPerTrigger``
-    work as on the append stream."""
-
-    def __init__(self, table_dir: str, manifest: dict, schema, options):
+    def __init__(self, table_dir: str, manifest: dict, key: str):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from mapreduce_4_spark.sources.versioned import _scan_schema
 
         self.table_dir = table_dir
-        key = options.get("key")
-        if not key:
-            raise ValueError(
-                "mr4ver readChangeFeed needs option('key', <column>) — "
-                "the change feed is a keyed diff (snapshot_diff's "
-                "contract); there is no keyless I/U/D semantics")
-        for bad, why in (
-            ("ignorechanges", "the change feed REPRESENTS changes"),
-            ("where", "filter the feed downstream"),
-            ("probe", "filter the feed downstream"),
-            ("columns", "the feed schema is op/key/old_*/new_*"),
-            ("binpackbytes", "CDC reads are delta-sized, not file-packed"),
-        ):
-            if options.get(bad) is not None:
-                raise ValueError(
-                    f"mr4ver readChangeFeed does not take {bad} — {why}")
-        self.key = key
-        table_schema = _scan_schema(manifest)
-        self.table_arrow = to_arrow_schema(table_schema)
+        self.table_arrow = to_arrow_schema(_scan_schema(manifest))
         self.names = list(self.table_arrow.names)
         if key not in self.names:
             raise ValueError(
@@ -1267,12 +1249,6 @@ class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
         self.key_i = self.names.index(key)
         self.compare_i = [i for i, n in enumerate(self.names) if n != key]
         self.part_cols = set(manifest.get("partition_by") or [])
-        self.stream_options = options
-        self.max_versions = _parse_max_versions(options)
-
-    def initialOffset(self) -> dict:
-        return {"v": _starting_offset(self.table_dir,
-                                      self.stream_options)}
 
     # -- delta-side row collection -----------------------------------
     def _file_rows(self, rel_dir: str, keep=None, drop=()):
@@ -1353,7 +1329,7 @@ class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
                     new_rows.extend(self._file_rows(d, keep=undel))
         return old_rows, new_rows
 
-    def _changes_for_version(self, v: int):
+    def changes_for_version(self, v: int):
         """The version's I/U/D rows in CDC-schema order — the keyed
         diff of the two delta sides (null-safe equality, NaN equal to
         NaN, snapshot_diff's semantics)."""
@@ -1402,10 +1378,131 @@ class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
             # equal on every compared column: not a change (a key that
             # merely moved dirs in a CoW rewrite emits nothing)
 
+
+class _CdcVersionPartition(InputPartition):
+    """One chain version per batch-CDC input partition (``v`` None is
+    the empty-window sentinel)."""
+
+    def __init__(self, v: int | None):
+        self.v = v
+
+
+class Mr4VersionedCdcBatchReader(DataSourceReader):
+    """``spark.read.format("mr4ver").option("readChangeFeed", "true")
+    .option("key", k).option("startingVersion", a)
+    .option("endingVersion", b).load(dir)`` — BATCH change-data-feed
+    (Delta's batch CDF shape): every I/U/D row of versions [a, b]
+    (defaults: 1, latest), same schema and same per-version delta-diff
+    semantics as the streaming reader (shared ``_CdcDiffer``). The
+    batch plan is where Spark's execution model pays off: partitions()
+    plans ONE input partition PER VERSION (content-preserving commits
+    dropped at planning from the manifest op alone), so a 10^3-commit
+    history diffs as 10^3 independent executor tasks, each reading
+    only its version's changed dirs/DV-delta — the driver never
+    touches a row. A vacuumed version inside the window fails loudly
+    (that history is undeliverable, not empty); time-travel
+    ``version``/``asOf`` options are refused (the window IS the
+    time-travel surface here)."""
+
+    def __init__(self, table_dir: str, manifest: dict, schema, options):
+        from mapreduce_4_spark.sources import versioned as vt
+
+        key = _cdc_validate_options(options)
+        if _parse_max_versions(options) is not None:
+            raise ValueError(
+                "mr4ver readChangeFeed (batch) does not take "
+                "maxVersionsPerTrigger — bound the window with "
+                "startingVersion/endingVersion")
+        for bad in ("version", "asof", "startingtimestamp"):
+            if options.get(bad) is not None:
+                raise ValueError(
+                    f"mr4ver readChangeFeed (batch) does not take "
+                    f"{bad} — the [startingVersion, endingVersion] "
+                    "window is the time-travel surface of a change "
+                    "read")
+        self.table_dir = table_dir
+        self.differ = _CdcDiffer(table_dir, manifest, key)
+        latest = vt.latest_version(table_dir)
+        self.start = int(options.get("startingversion", 1))
+        self.end = int(options.get("endingversion", latest))
+        if self.start < 1 or self.end > latest or self.start > self.end:
+            raise ValueError(
+                f"mr4ver readChangeFeed: version window "
+                f"[{self.start}, {self.end}] outside the published "
+                f"history [1, {latest}]")
+
+    def partitions(self):
+        from mapreduce_4_spark.sources import versioned as vt
+
+        out = []
+        for v in range(self.start, self.end + 1):
+            # planning-time skip from the manifest op alone — raises
+            # FileNotFoundError on a vacuumed version (loud, never an
+            # empty batch pretending the history was change-free)
+            m = vt.read_manifest(self.table_dir, v)
+            if m.get("operation") not in _CONTENT_PRESERVING_OPS:
+                out.append(_CdcVersionPartition(v))
+        return out or [_CdcVersionPartition(None)]
+
+    def read(self, partition: _CdcVersionPartition):
+        if partition.v is None:
+            return
+        yield from self.differ.changes_for_version(partition.v)
+
+
+class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("mr4ver")
+    .option("readChangeFeed", "true").option("key", k).load(dir)`` —
+    the change-data-feed front door (Delta's readChangeFeed shape over
+    this format), round-13 verdict ask #3. Each micro-batch delivers
+    the I/U/D rows of the versions in its offset window, one
+    ``snapshot_diff``-shaped row set per version tagged with
+    ``_change_version``; the module feed (streaming/cdc.py
+    ``version_changes``) is the batch twin and the parity oracle
+    (pinned in tests/test_pyds_versioned.py).
+
+    HOW it computes each version's diff is what makes it scale: not
+    the module feed's full-outer join of two whole snapshots, but a
+    DELTA diff derived from the manifests — only rows in dirs the
+    commit added/removed plus rows whose deletion-vector entries
+    changed are read, then keyed-diffed driver-side. Under the feed's
+    upsert discipline (key unique per snapshot — enforced loudly) the
+    delta diff equals the full diff by construction: a key outside the
+    changed dirs is bit-identical on both sides and contributes no
+    row. Cost per version is O(changed rows), Delta CDF's asymptotics,
+    instead of O(table); content-preserving commits (compact/cluster/
+    analyze) are skipped without reading a byte. A full 'replace'
+    still pays O(table) — its delta IS the table.
+
+    Initial load: the first retained version (or a vacuumed-parent
+    gap) surfaces as an all-'I' load of that snapshot, exactly
+    ``version_changes``'s parent-unavailable contract.
+
+    Driver-prefetch by design: the keyed diff needs both sides of a
+    version in one place, and the Python DataSource API gives
+    executors no shuffle hook — option("streamMode", "executor") is
+    refused loudly (the maxVersionsPerTrigger precedent), the default
+    resolution falls back here automatically. ignoreChanges is
+    meaningless on a feed that REPRESENTS changes and is refused;
+    where/probe/columns/binPackBytes are append/batch-reader surface.
+    ``startingVersion``/``startingTimestamp``/``maxVersionsPerTrigger``
+    work as on the append stream."""
+
+    def __init__(self, table_dir: str, manifest: dict, schema, options):
+        self.table_dir = table_dir
+        self.differ = _CdcDiffer(table_dir, manifest,
+                                 _cdc_validate_options(options))
+        self.stream_options = options
+        self.max_versions = _parse_max_versions(options)
+
+    def initialOffset(self) -> dict:
+        return {"v": _starting_offset(self.table_dir,
+                                      self.stream_options)}
+
     def _window(self, lo: int, hi: int) -> list:
         out: list = []
         for v in range(lo + 1, hi + 1):
-            out.extend(self._changes_for_version(v))
+            out.extend(self.differ.changes_for_version(v))
         return out
 
     def read(self, start: dict):

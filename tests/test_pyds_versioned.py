@@ -107,9 +107,17 @@ def test_mr4ver_option_and_path_errors(spark, tmp_path):
         ).schema()
     with pytest.raises(ValueError, match="needs a table dir"):
         Mr4VersionedDataSource(options={}).schema()
+    # r14: LOCAL file: URIs resolve (the shape the SQL catalog stores
+    # and forwards — _local_path normalizes); remote schemes and
+    # remote-host file URIs still refuse as non-local
+    assert Mr4VersionedDataSource(
+        options={"path": f"file://{tdir}"}).schema() is not None
     with pytest.raises(ValueError, match="local table dirs"):
         Mr4VersionedDataSource(
-            options={"path": f"file://{tdir}"}).schema()
+            options={"path": f"s3://bucket{tdir}"}).schema()
+    with pytest.raises(ValueError, match="local table dirs"):
+        Mr4VersionedDataSource(
+            options={"path": f"file://otherhost{tdir}"}).schema()
     with pytest.raises(ValueError, match="predates the first commit"):
         Mr4VersionedDataSource(
             options={"path": tdir, "asof": "1.0"}).schema()
@@ -1412,6 +1420,33 @@ def test_mr4ver_readchangefeed_parity_with_module_feed(spark, tmp_path):
     assert sorted((r[-1], r[0]) for r in tail) == \
         [(5, "D")] * 5 + [(6, "I")] * 5
 
+    # BATCH CDF (round 14): spark.read + the version window plans one
+    # partition per version and returns exactly the streamed rows
+    batch = (spark.read.format("mr4ver")
+             .option("readChangeFeed", "true").option("key", "k")
+             .load(tdir))
+    assert batch.columns == list(cols)
+    assert sorted(tuple(r[c] for c in cols) for r in batch.collect()) \
+        == sorted(got)
+    windowed = (spark.read.format("mr4ver")
+                .option("readChangeFeed", "true").option("key", "k")
+                .option("startingVersion", "5")
+                .option("endingVersion", "6").load(tdir))
+    assert sorted((r["_change_version"], r["op"])
+                  for r in windowed.collect()) == \
+        [(5, "D")] * 5 + [(6, "I")] * 5
+    # planning: one input partition per non-content-preserving version
+    from mapreduce_4_spark.sources.pyds import Mr4VersionedCdcBatchReader
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest as _rm14,
+    )
+
+    m = _rm14(tdir, latest_version(tdir))
+    r = Mr4VersionedCdcBatchReader(tdir, m, None, {"key": "k"})
+    parts = r.partitions()
+    assert sorted(p.v for p in parts) == [1, 2, 3, 4, 5, 6]  # v7 = compact
+
 
 def test_mr4ver_readchangefeed_refusals(spark, tmp_path):
     """The CDC front door's loud-refusal contract: batch reads, the
@@ -1453,9 +1488,13 @@ def test_mr4ver_readchangefeed_refusals(spark, tmp_path):
     _expect_stream_error(
         _cdc_reader(key="k", ignoreChanges="true").load(tdir),
         "ck2", "REPRESENTS changes")
-    with pytest.raises(Exception, match="STREAM surface"):
+    with pytest.raises(Exception, match="version window"):
         (spark.read.format("mr4ver").option("readChangeFeed", "true")
-         .option("key", "k").load(tdir).count())
+         .option("key", "k").option("startingVersion", "5")
+         .load(tdir).count())
+    with pytest.raises(Exception, match="does not take version/asOf"):
+        (spark.read.format("mr4ver").option("readChangeFeed", "true")
+         .option("key", "k").option("version", "1").load(tdir).count())
     _expect_stream_error(
         _cdc_reader(key="k", where="k:0:2").load(tdir),
         "ck3", "filter the feed")
