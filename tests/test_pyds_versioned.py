@@ -1564,3 +1564,36 @@ def test_mr4ver_sql_catalog_front_door_contract(spark, tmp_path):
     # file:-URI paths work through the plain DataFrame front door too
     uri = spark.read.format("mr4ver").load("file:" + tdir)
     assert uri.count() == 10
+
+
+def test_mr4ver_batch_cdf_vacuumed_window_is_loud(spark, tmp_path):
+    """A batch-CDF window that includes a vacuumed version must fail
+    loudly at planning (that history is undeliverable, not empty) —
+    while a window starting after the horizon serves normally, with
+    the oldest retained version as an all-'I' initial load
+    (version_changes' parent-unavailable contract)."""
+    from mapreduce_4_spark.sources.versioned import vacuum
+
+    tdir = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        # replace (not append): each version's manifest references only
+        # its own dir, so vacuum can actually drop old versions' data
+        write_version(spark.range(lo, lo + 10).withColumnRenamed(
+            "id", "k").coalesce(1), tdir)
+    removed = vacuum(tdir, keep_last=2)
+    assert removed == [1]
+    register_versioned_source(spark)
+
+    base = (spark.read.format("mr4ver")
+            .option("readChangeFeed", "true").option("key", "k"))
+    with pytest.raises(Exception, match="(?i)not published|no such file"):
+        base.option("startingVersion", "1").load(tdir).count()
+    # post-horizon window works; v2 surfaces as an initial 'I' load
+    got = (base.option("startingVersion", "2").load(tdir).collect())
+    by_v = {}
+    for r in got:
+        by_v.setdefault(r["_change_version"], []).append(r)
+    assert sorted(r["op"] for r in by_v[2]) == ["I"] * 10
+    # v3 is a replace: delta == old snapshot out, new snapshot in
+    assert sorted((r["op"], r["k"]) for r in by_v[3]) == \
+        [("D", k) for k in range(10, 20)] + [("I", k) for k in range(20, 30)]
