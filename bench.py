@@ -632,15 +632,22 @@ def main() -> None:
                    f"{timings[name] / calib:.2f}norm > {NORM_RETRY_FACTOR} "
                    f"x {ncap:.2f}norm")
             print(f"# reference retry: {name} {why}", file=sys.stderr)
-            first_raw = _RAW[name]
+            first_raw, first_load = _RAW[name], _LOAD1[name]
             retry: dict[str, float] = {}
             _timed(retry, name, REGISTRY[name].builder(spark, SF_DIR),
                    fast_extra=FAST_EXTRA_RUNS)
             # retry raws live under their own `<name>:retry` key so
             # value_median (and any raw-run consumer) keeps the same
             # N-sample first-pass shape for every query, retried or not.
+            # _LOAD1 moves IN LOCKSTEP: the per-run loadavg column must
+            # keep pairing with the raw timings it was sampled before —
+            # especially for retried (i.e. suspect) queries, whose
+            # first-pass contention evidence is the whole point
+            # (r14 review finding).
             _RAW[name + ":retry"] = _RAW[name]
+            _LOAD1[name + ":retry"] = _LOAD1[name]
             _RAW[name] = first_raw
+            _LOAD1[name] = first_load
             first_pass[name] = timings[name]
             timings[name] = min(timings[name], retry[name])
 

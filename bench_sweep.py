@@ -82,6 +82,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         bench._timed(timings, name, spec.builder(spark, bench.SF_DIR))
+    # calibration arms into a SEPARATE dict: they ride raw_runs and
+    # host.calib_scatter (the data-independent noise-floor ruler) but
+    # must not enter the budget gate (r14 review finding: without
+    # this, every sweep artifact shipped with calib_scatter missing)
+    calib_timings: dict[str, float] = {}
+    bench._calibration(spark, calib_timings)
 
     # Breach retry, inside the same run: the sandbox has noisy
     # neighbors, and a contention spike lasting longer than one

@@ -132,9 +132,14 @@ def register_leading_words_udtf(spark) -> None:
     dynamic-pivot shape static UDTFs cannot express. Completes the O11
     plugin family with the schema-computing mechanism (the reference's
     plugins fix their schema at compile time; Spark's analyze() hook
-    moves that decision to query planning). Tokenization is the same
-    whitespace-run split everywhere (``str.split()``), so the DuckDB
-    oracle replays it with regexp_split_to_array(trim(s), '\\s+')."""
+    moves that decision to query planning). Tokenization is an ASCII
+    whitespace-run split (``re.split(r'\\s+', ..., flags=re.ASCII)``,
+    empties dropped) — NOT ``str.split()``, whose Unicode whitespace
+    (NBSP, em-space, ...) DuckDB's RE2 ``\\s`` cannot see, which would
+    break the oracle on non-ASCII corpora (r14 review finding). The
+    oracle replays it exactly with regexp_split_to_array + an ASCII
+    ``\\s`` strip; parity on tab/newline/NBSP edges is pinned in
+    tests/test_unicode_parity.py."""
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import StringType, StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
@@ -154,7 +159,12 @@ def register_leading_words_udtf(spark) -> None:
             return AnalyzeResult(schema=schema)
 
         def eval(self, text: str | None, n: int):
-            words = (text or "").split()
+            import re
+
+            # ASCII \s only — RE2-parity (see class docstring); the
+            # empty-string filter is the strip+split equivalence
+            words = [w for w in re.split(r"\s+", text or "",
+                                         flags=re.ASCII) if w]
             yield tuple((words + [None] * n)[:n])
 
     spark.udtf.register("leading_words", LeadingWords)

@@ -1341,6 +1341,15 @@ class _CdcDiffer:
         old_rows, new_rows = self._delta_sides(v, m)
 
         def _index(rows, side):
+            # upsert-discipline enforcement is DELTA-SCOPED: a
+            # duplicate key WITHIN one version's changed rows raises
+            # here, but a duplicate spanning a changed and an
+            # UNTOUCHED dir is undetectable at O(changed rows) cost —
+            # proving global uniqueness needs the full key set, the
+            # exact O(table) read this path exists to avoid. Same
+            # trust model as Delta CDF (the writer owns uniqueness);
+            # the module feed's full-snapshot join is the audit tool.
+            # Divergence pinned in tests/test_pyds_versioned.py.
             out = {}
             for r in rows:
                 k = r[self.key_i]
@@ -1466,10 +1475,13 @@ class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
     DELTA diff derived from the manifests — only rows in dirs the
     commit added/removed plus rows whose deletion-vector entries
     changed are read, then keyed-diffed driver-side. Under the feed's
-    upsert discipline (key unique per snapshot — enforced loudly) the
-    delta diff equals the full diff by construction: a key outside the
-    changed dirs is bit-identical on both sides and contributes no
-    row. Cost per version is O(changed rows), Delta CDF's asymptotics,
+    upsert discipline (key unique per snapshot) the delta diff equals
+    the full diff by construction: a key outside the changed dirs is
+    bit-identical on both sides and contributes no row. Enforcement is
+    delta-scoped (duplicates WITHIN a version's changed rows raise;
+    a duplicate spanning an untouched dir is the writer's contract
+    violation and undetectable at delta cost — Delta CDF's trust
+    model; the module feed is the audit tool). Cost per version is O(changed rows), Delta CDF's asymptotics,
     instead of O(table); content-preserving commits (compact/cluster/
     analyze) are skipped without reading a byte. A full 'replace'
     still pays O(table) — its delta IS the table.
@@ -1492,6 +1504,13 @@ class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
         self.table_dir = table_dir
         self.differ = _CdcDiffer(table_dir, manifest,
                                  _cdc_validate_options(options))
+        if options.get("endingversion") is not None:
+            raise ValueError(
+                "mr4ver readChangeFeed (stream) does not take "
+                "endingVersion — a stream has no end; use the BATCH "
+                "window (spark.read + startingVersion/endingVersion) "
+                "for a bounded change read, or maxVersionsPerTrigger "
+                "to bound each micro-batch")
         self.stream_options = options
         self.max_versions = _parse_max_versions(options)
 

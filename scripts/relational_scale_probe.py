@@ -85,6 +85,8 @@ def main() -> None:
     out: dict = {"factor": factor, "runs": runs, "sf_dir": SF_DIR,
                  "queries": {}}
     t0 = time.time()
+    snap0 = bench.host_snapshot()  # BEFORE the builds + timed runs —
+    # telemetry must span the measurement, not a post-run instant
     try:
         arms = {1: _build_arm(spark, td, 1),
                 factor: _build_arm(spark, td, factor)}
@@ -102,7 +104,7 @@ def main() -> None:
             slope = round(times[str(factor)] / times["1"], 2)
             out["queries"][name] = {**times, "slope": slope}
         out["host"] = bench.host_telemetry(
-            bench.host_snapshot(), bench.host_snapshot(), None)
+            snap0, bench.host_snapshot(), None)
         out["wall_sec"] = round(time.time() - t0, 1)
     finally:
         shutil.rmtree(td, ignore_errors=True)

@@ -1597,3 +1597,67 @@ def test_mr4ver_batch_cdf_vacuumed_window_is_loud(spark, tmp_path):
     # v3 is a replace: delta == old snapshot out, new snapshot in
     assert sorted((r["op"], r["k"]) for r in by_v[3]) == \
         [("D", k) for k in range(10, 20)] + [("I", k) for k in range(20, 30)]
+
+
+def test_mr4ver_cdc_upsert_discipline_scope(spark, tmp_path):
+    """The CDC feed's duplicate-key enforcement is DELTA-scoped (r14
+    review): a duplicate WITHIN one version's changed rows raises; a
+    duplicate spanning a changed and an UNTOUCHED dir is the writer's
+    upsert-contract violation, undetectable at O(changed rows) cost —
+    the feed emits the delta's 'I' (Delta CDF's trust model) and the
+    module feed's full-snapshot join remains the audit tool. Both
+    behaviors pinned here so the divergence is a documented contract,
+    not a surprise."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.pyds import (
+        Mr4VersionedCdcBatchReader,
+    )
+    from mapreduce_4_spark.sources.versioned import read_manifest
+
+    def rows(ks):
+        return spark.createDataFrame(
+            [(k, k * 100) for k in ks], "k long, val long")
+
+    # in-delta duplicate: one version whose dir holds k=1 twice
+    t1 = str(tmp_path / "t1")
+    write_version(rows([0, 1, 1]).coalesce(1), t1, append=True)
+    m = read_manifest(t1, 1)
+    r = Mr4VersionedCdcBatchReader(t1, m, None, {"key": "k"})
+    with pytest.raises(ValueError, match="upsert discipline"):
+        for p in r.partitions():
+            list(r.read(p))
+
+    # cross-dir duplicate: v1 holds k=1, v2 appends k=1 again — the
+    # delta feed emits v2's I(1) without error (documented trust model)
+    t2 = str(tmp_path / "t2")
+    write_version(rows([0, 1]).coalesce(1), t2, append=True)
+    write_version(
+        rows([1]).withColumn("val", F.lit(999).cast("long")).coalesce(1),
+        t2, append=True)
+    m2 = read_manifest(t2, 2)
+    r2 = Mr4VersionedCdcBatchReader(t2, m2, None, {"key": "k"})
+    got = [row for p in r2.partitions() for row in r2.read(p)]
+    assert sorted((op, k, v) for op, k, _, nv, v in [
+        (r[0], r[1], r[2], r[3], r[4]) for r in got]) == [
+        ("I", 0, 1), ("I", 1, 1), ("I", 1, 2)]
+
+
+def test_mr4ver_cdc_stream_refuses_endingversion(spark, tmp_path):
+    """r14 review: the STREAM CDC reader must refuse endingVersion
+    loudly (a stream has no end) instead of silently ignoring the
+    bound a user ported from the batch window."""
+    tdir = str(tmp_path / "t")
+    write_version(spark.range(5).withColumnRenamed("id", "k"), tdir,
+                  append=True)
+    register_versioned_source(spark)
+    q = (spark.readStream.format("mr4ver")
+         .option("readChangeFeed", "true").option("key", "k")
+         .option("endingVersion", "1").load(tdir)
+         .writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        with pytest.raises(Exception, match="stream has no end"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

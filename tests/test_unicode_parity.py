@@ -82,7 +82,8 @@ _fuzz_corpora = st.lists(
 )
 
 _FUZZ_QUERIES = ["winnow_fingerprints_docs", "block_dedup_docs",
-                 "source_token_drift", "bpe_top_pairs"]
+                 "source_token_drift", "bpe_top_pairs",
+                 "udtf_dynamic_leading_words"]
 
 
 @settings(
@@ -144,6 +145,9 @@ def test_udtf_dynamic_leading_words_whitespace_edges(spark, sf_smoke):
         "",           # empty: zero tokens
         "\tone\t",    # single token fenced by tabs
         "two\n\nwords",
+        "nbsp\u00a0is not a separator",   # NBSP: ONE token each side
+        "\u00a0leading nbsp stays",        # ASCII contract: not stripped
+        "em\u2003space also glues",        # U+2003 EM SPACE
     ]
     sf = tempfile.mkdtemp(prefix="ws_sf_")
     try:
