@@ -1402,7 +1402,10 @@ class Mr4VersionedCdcBatchReader(DataSourceReader):
     .option("endingVersion", b).load(dir)`` — BATCH change-data-feed
     (Delta's batch CDF shape): every I/U/D row of versions [a, b]
     (defaults: 1, latest), same schema and same per-version delta-diff
-    semantics as the streaming reader (shared ``_CdcDiffer``). The
+    semantics as the streaming reader (shared ``_CdcDiffer``).
+    Timestamp windows work too — ``startingTimestamp`` (the shared
+    at-or-after resolution) and ``endingTimestamp`` (latest commit
+    at-or-before, via ``version_at``) — Delta's batch-CDF surface. The
     batch plan is where Spark's execution model pays off: partitions()
     plans ONE input partition PER VERSION (content-preserving commits
     dropped at planning from the manifest op alone), so a 10^3-commit
@@ -1422,18 +1425,36 @@ class Mr4VersionedCdcBatchReader(DataSourceReader):
                 "mr4ver readChangeFeed (batch) does not take "
                 "maxVersionsPerTrigger — bound the window with "
                 "startingVersion/endingVersion")
-        for bad in ("version", "asof", "startingtimestamp"):
+        for bad in ("version", "asof"):
             if options.get(bad) is not None:
                 raise ValueError(
                     f"mr4ver readChangeFeed (batch) does not take "
                     f"{bad} — the [startingVersion, endingVersion] "
-                    "window is the time-travel surface of a change "
-                    "read")
+                    "(or *Timestamp) window is the time-travel "
+                    "surface of a change read")
         self.table_dir = table_dir
         self.differ = _CdcDiffer(table_dir, manifest, key)
         latest = vt.latest_version(table_dir)
-        self.start = int(options.get("startingversion", 1))
-        self.end = int(options.get("endingversion", latest))
+        # the window, by version OR by timestamp (Delta batch-CDF
+        # shape). _starting_offset returns "last delivered", so the
+        # first window version is offset+1; endingTimestamp resolves
+        # to the latest commit at-or-before it (version_at — loud
+        # before the first commit and past the vacuum horizon).
+        self.start = _starting_offset(table_dir, options) + 1
+        et = options.get("endingtimestamp")
+        ev = options.get("endingversion")
+        if et is not None and ev is not None:
+            raise ValueError(
+                "mr4ver readChangeFeed: pass endingVersion OR "
+                "endingTimestamp, not both")
+        if et is not None:
+            try:
+                et = float(et)
+            except ValueError:
+                pass  # ISO-8601 string — version_at parses it
+            self.end = vt.version_at(table_dir, et)
+        else:
+            self.end = int(ev) if ev is not None else latest
         if self.start < 1 or self.end > latest or self.start > self.end:
             raise ValueError(
                 f"mr4ver readChangeFeed: version window "

@@ -1661,3 +1661,42 @@ def test_mr4ver_cdc_stream_refuses_endingversion(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_mr4ver_batch_cdf_timestamp_windows(spark, tmp_path):
+    """Batch CDF takes timestamp windows (Delta's shape):
+    startingTimestamp resolves at-or-after (the shared stream rule),
+    endingTimestamp resolves to the latest commit at-or-before
+    (version_at); version+timestamp mixes on the same bound refuse."""
+    from mapreduce_4_spark.sources.versioned import read_manifest as _rm
+
+    tdir = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        write_version(spark.range(lo, lo + 5).withColumnRenamed(
+            "id", "k").coalesce(1), tdir, append=True)
+    t2 = _rm(tdir, 2)["committed_at"]
+    register_versioned_source(spark)
+
+    def cdc(**opts):
+        r = (spark.read.format("mr4ver")
+             .option("readChangeFeed", "true").option("key", "k"))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(tdir)
+
+    # starting at v2's exact stamp includes v2 (at-or-after)
+    got = cdc(startingTimestamp=str(t2)).collect()
+    assert sorted(set(r["_change_version"] for r in got)) == [2, 3]
+    # epsilon past v2: v3 only
+    got = cdc(startingTimestamp=str(t2 + 1e-4)).collect()
+    assert sorted(set(r["_change_version"] for r in got)) == [3]
+    # ending at v2's stamp: window [1, 2]
+    got = cdc(endingTimestamp=str(t2)).collect()
+    assert sorted(set(r["_change_version"] for r in got)) == [1, 2]
+    # both timestamps
+    got = cdc(startingTimestamp=str(t2), endingTimestamp=str(t2)).collect()
+    assert sorted(set(r["_change_version"] for r in got)) == [2]
+    with pytest.raises(Exception, match="not both"):
+        cdc(endingVersion="2", endingTimestamp=str(t2)).count()
+    with pytest.raises(Exception, match="not both"):
+        cdc(startingVersion="1", startingTimestamp=str(t2)).count()
