@@ -176,14 +176,21 @@ def _timed(timings: dict[str, float], name: str, df,
 def _timed_fn(timings: dict[str, float], name: str, fn) -> None:
     """_timed for a driver-side callable (e.g. a metadata-only
     aggregate with no DataFrame to noop-sink): one warm-up call, then
-    N_RUNS timed calls, min recorded, raws kept — same discipline."""
+    N_RUNS timed calls, min recorded, raws + per-run loadavg kept —
+    same discipline (load1_runs stays keyed like raw_runs)."""
     fn()
     runs = []
+    loads = []
     for _ in range(N_RUNS):
+        try:
+            loads.append(round(os.getloadavg()[0], 2))
+        except OSError:
+            loads.append(-1.0)
         t0 = time.perf_counter()
         fn()
         runs.append(round(time.perf_counter() - t0, 6))
     _RAW[name] = runs
+    _LOAD1[name] = loads
     timings[name] = min(runs)
     print(f"# {name}: {timings[name]:.3f}s (runs: {runs})", file=sys.stderr)
 

@@ -140,6 +140,10 @@ def test_bench_fast_queries_get_extra_runs():
         finally:
             bench.FAST_FLOOR_SEC = prev
         assert len(bench._RAW["slow_arm"]) == bench.N_RUNS
+        # _timed_fn (driver-callable arms) keeps the same invariant —
+        # load1_runs must stay keyed like raw_runs across BOTH timers
+        bench._timed_fn(timings, "fn_arm", lambda: None)
+        assert set(bench._LOAD1) == set(bench._RAW)
     finally:
         bench._RAW.clear()
         bench._LOAD1.clear()
