@@ -925,3 +925,116 @@ def cdc_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "change_version bigint, op string, n_rows bigint, "
               "sum_key bigint, sum_old_price double, "
               "sum_new_price double")
+
+
+@register(
+    "cdc_batch_window_orders",
+    requires=("mr4ver-read", "mr4ver-cdc"),
+    oracle="""
+        WITH m AS (SELECT MAX(o_orderkey) + 1 AS n FROM orders),
+        v1 AS (
+            SELECT o_orderkey, o_totalprice FROM orders, m
+            WHERE o_orderkey < m.n // 3
+        ),
+        dk AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3),
+        uk AS (SELECT o_orderkey FROM orders
+               ORDER BY o_orderkey LIMIT 2 OFFSET 3),
+        changes AS (
+            SELECT 3 AS cv, 'D' AS op, v1.o_orderkey AS k,
+                   v1.o_totalprice AS old_p, CAST(NULL AS DOUBLE) AS new_p
+            FROM v1 JOIN dk ON v1.o_orderkey = dk.o_orderkey
+            UNION ALL
+            SELECT 4, 'U', v1.o_orderkey, v1.o_totalprice,
+                   v1.o_totalprice * 2
+            FROM v1 JOIN uk ON v1.o_orderkey = uk.o_orderkey
+        )
+        SELECT CAST(cv AS BIGINT) AS change_version, op,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(old_p AS DECIMAL(38, 2))) AS DOUBLE)
+                   AS sum_old_price,
+               CAST(SUM(CAST(new_p AS DECIMAL(38, 2))) AS DOUBLE)
+                   AS sum_new_price
+        FROM changes GROUP BY cv, op
+    """,
+    tags=("source", "python-datasource", "cdc", "maintenance",
+          "pushdown"),
+    description="the BATCH change-feed window (round 14, Delta batch "
+                "CDF): the same append/DV-delete/CoW-update chain as "
+                "cdc_change_feed_orders, read through spark.read"
+                ".format('mr4ver').option('readChangeFeed','true') "
+                "with startingVersion=3/endingVersion=4 — only the "
+                "mutation versions' D and U rows arrive (the appends "
+                "are outside the window), planned as one executor "
+                "task per version; per-(version, op) counts and "
+                "key/price sums must match DuckDB constructing the "
+                "same windowed change set from raw parquet",
+)
+def cdc_batch_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: the window bounds WHICH versions are diffed,
+    and each version's cost stays O(its changed rows) — a bounded
+    audit ('what changed between yesterday's and today's publishes')
+    on a 100 TB chain reads the mutation deltas only, one executor
+    task per version, driver never touching a row (PLANS.md round-14).
+
+    Timing caveat (the metadata_agg_orders shape): the chain publish +
+    mutations run at BUILD time; timings measure the windowed batch
+    read + aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_dv,
+        update_version_pruned,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    n = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
+    b1, b2 = n // 3, 2 * n // 3
+    low_keys = [r[0] for r in
+                orders.select("o_orderkey").orderBy("o_orderkey")
+                .limit(5).collect()]
+    del_keys, upd_keys = low_keys[:3], low_keys[3:]
+    td = tempfile.mkdtemp(prefix="mr4s_cdcw_")
+    try:
+        tdir = f"{td}/orders_chain"
+        write_version(orders.filter(F.col("o_orderkey") < b1)
+                      .coalesce(1), tdir, append=True,
+                      stats_for=["o_orderkey"])
+        write_version(orders.filter((F.col("o_orderkey") >= b1)
+                                    & (F.col("o_orderkey") < b2))
+                      .coalesce(1), tdir, append=True,
+                      stats_for=["o_orderkey"])
+        delete_version_dv(spark, tdir, keys=del_keys, key="o_orderkey")
+        update_version_pruned(
+            spark, tdir, {"o_totalprice": F.col("o_totalprice") * 2},
+            keys=upd_keys, key="o_orderkey")
+        register_versioned_source(spark)
+        changes = (
+            spark.read.format("mr4ver")
+            .option("readChangeFeed", "true").option("key", "o_orderkey")
+            .option("startingVersion", "3").option("endingVersion", "4")
+            .load(tdir)
+        )
+        agg = (
+            changes
+            .groupBy(F.col("_change_version").alias("change_version"),
+                     "op")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("o_orderkey").alias("sum_key"),
+                 dsum("old_o_totalprice").alias("sum_old_price"),
+                 dsum("new_o_totalprice").alias("sum_new_price"))
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "change_version bigint, op string, n_rows bigint, "
+              "sum_key bigint, sum_old_price double, "
+              "sum_new_price double")
