@@ -1519,7 +1519,12 @@ class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
     meaningless on a feed that REPRESENTS changes and is refused;
     where/probe/columns/binPackBytes are append/batch-reader surface.
     ``startingVersion``/``startingTimestamp``/``maxVersionsPerTrigger``
-    work as on the append stream."""
+    work as on the append stream. Schema is pinned at stream start
+    (the append stream's contract): an additive evolution landing
+    mid-stream delivers its rows projected to the pinned columns, and
+    the new column's old_/new_ pair surfaces after a restart — the
+    BATCH reader always serves the latest superset
+    (tests/test_pyds_versioned.py pins both)."""
 
     def __init__(self, table_dir: str, manifest: dict, schema, options):
         self.table_dir = table_dir

@@ -1700,3 +1700,105 @@ def test_mr4ver_batch_cdf_timestamp_windows(spark, tmp_path):
         cdc(endingVersion="2", endingTimestamp=str(t2)).count()
     with pytest.raises(Exception, match="not both"):
         cdc(startingVersion="1", startingTimestamp=str(t2)).count()
+
+
+def test_mr4ver_cdc_merge_commit_mixed_iu(spark, tmp_path):
+    """A MERGE (upsert) commit through the CDC front door: ONE version
+    carrying both U rows (matched keys whose values changed) and I
+    rows (unmatched inserts), while a matched-but-EQUAL update row —
+    whose base row moved from the rewritten dir into the merge's new
+    dir with identical values — emits nothing. Merge is the one
+    mutation class the original parity chain (append/CoW update/DV
+    delete/range drop/restore/compact) did not exercise; the delta
+    diff needs no merge-specific code (old side = replaced dirs, new
+    side = rewritten dirs + the merge dir), pinned here against the
+    module feed."""
+    from mapreduce_4_spark.sources.versioned import merge_version_pruned
+    from mapreduce_4_spark.streaming.cdc import version_changes
+
+    tdir = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, k * 100) for k in range(10)], "k long, val long")
+    write_version(base.coalesce(1), tdir, append=True, stats_for=["k"])
+    # k=3 changes, k=7's update EQUALS its base row (700), 20/21 insert
+    updates = spark.createDataFrame(
+        [(3, 999), (7, 700), (20, 2000), (21, 2100)], "k long, val long")
+    assert merge_version_pruned(spark, tdir, updates, key="k") == 2
+
+    register_versioned_source(spark)
+    feed = (spark.read.format("mr4ver")
+            .option("readChangeFeed", "true").option("key", "k")
+            .option("startingVersion", "2").load(tdir))
+
+    def shape(rows):
+        return sorted((r["op"], r["k"], r["old_val"], r["new_val"])
+                      for r in rows)
+
+    got = shape(feed.collect())
+    assert got == [("I", 20, None, 2000), ("I", 21, None, 2100),
+                   ("U", 3, 300, 999)]
+    assert got == shape(version_changes(spark, tdir, "k", 2).collect())
+
+
+def test_mr4ver_cdc_schema_evolution_superset(spark, tmp_path):
+    """Schema evolution through the CDF, both front doors:
+
+    BATCH reads in the LATEST (superset) schema — Delta batch-CDF's
+    contract — so pre-evolution versions null-pad old_/new_ for the
+    late column, the evolution append itself is plain I rows carrying
+    it, and a post-evolution CoW update diffs on the full superset.
+
+    A RUNNING STREAM keeps the schema pinned at stream start (the
+    append stream's documented contract): an evolution append landing
+    mid-stream delivers its I rows projected to the pinned columns;
+    the new column surfaces after a restart."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import update_version_pruned
+
+    tdir = str(tmp_path / "t")
+    write_version(spark.createDataFrame(
+        [(k, k * 100) for k in range(3)], "k long, val long")
+        .coalesce(1), tdir, append=True, stats_for=["k"])     # v1
+    register_versioned_source(spark)
+
+    # stream starts BEFORE the evolution: schema pinned at (k, val)
+    out = str(tmp_path / "cdc_out")
+    q = (spark.readStream.format("mr4ver")
+         .option("readChangeFeed", "true").option("key", "k").load(tdir)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "cdc_ck"))
+         .start())
+    try:
+        q.processAllAvailable()                               # drains v1
+        write_version(spark.createDataFrame(
+            [(10, 1000, "a"), (11, 1100, "b")],
+            "k long, val long, tag string").coalesce(1),
+            tdir, append=True)                                # v2: evolves
+        update_version_pruned(spark, tdir,
+                              {"val": F.col("val") + 5},
+                              keys=[1], key="k")              # v3: U
+        q.processAllAvailable()                               # mid-stream
+    finally:
+        q.stop()
+    streamed = spark.read.parquet(out)
+    assert "old_tag" not in streamed.columns                  # pinned
+    assert sorted((r["_change_version"], r["op"], r["k"], r["new_val"])
+                  for r in streamed.collect()) == [
+        (1, "I", 0, 0), (1, "I", 1, 100), (1, "I", 2, 200),
+        (2, "I", 10, 1000), (2, "I", 11, 1100),
+        (3, "U", 1, 105)]
+
+    # batch CDF after the evolution: superset schema
+    feed = (spark.read.format("mr4ver")
+            .option("readChangeFeed", "true").option("key", "k")
+            .load(tdir))
+    assert feed.columns == ["op", "k", "old_val", "old_tag",
+                            "new_val", "new_tag", "_change_version"]
+    rows = {(r["_change_version"], r["op"], r["k"]):
+            (r["old_val"], r["old_tag"], r["new_val"], r["new_tag"])
+            for r in feed.collect()}
+    assert len(rows) == 6
+    assert rows[(1, "I", 1)] == (None, None, 100, None)   # pre-evolution
+    assert rows[(2, "I", 10)] == (None, None, 1000, "a")  # evolved I
+    assert rows[(3, "U", 1)] == (100, None, 105, None)    # superset diff
