@@ -1038,3 +1038,124 @@ def cdc_batch_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "change_version bigint, op string, n_rows bigint, "
               "sum_key bigint, sum_old_price double, "
               "sum_new_price double")
+
+
+@register(
+    "cdc_delta_shape_orders",
+    requires=("mr4ver-read", "mr4ver-cdc"),
+    oracle="""
+        WITH m AS (SELECT MAX(o_orderkey) + 1 AS n FROM orders),
+        v1 AS (
+            SELECT o_orderkey, o_totalprice FROM orders, m
+            WHERE o_orderkey < m.n // 3
+        ),
+        v2 AS (
+            SELECT o_orderkey, o_totalprice FROM orders, m
+            WHERE o_orderkey >= m.n // 3 AND o_orderkey < 2 * m.n // 3
+        ),
+        dk AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3),
+        uk AS (SELECT o_orderkey FROM orders
+               ORDER BY o_orderkey LIMIT 2 OFFSET 3),
+        changes AS (
+            SELECT 1 AS cv, 'insert' AS ct, o_orderkey AS k,
+                   o_totalprice AS p FROM v1
+            UNION ALL
+            SELECT 2, 'insert', o_orderkey, o_totalprice FROM v2
+            UNION ALL
+            SELECT 3, 'delete', v1.o_orderkey, v1.o_totalprice
+            FROM v1 JOIN dk ON v1.o_orderkey = dk.o_orderkey
+            UNION ALL
+            SELECT 4, 'update_preimage', v1.o_orderkey, v1.o_totalprice
+            FROM v1 JOIN uk ON v1.o_orderkey = uk.o_orderkey
+            UNION ALL
+            SELECT 4, 'update_postimage', v1.o_orderkey,
+                   v1.o_totalprice * 2
+            FROM v1 JOIN uk ON v1.o_orderkey = uk.o_orderkey
+        )
+        SELECT CAST(cv AS BIGINT) AS commit_version, ct AS change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(p AS DECIMAL(38, 2))) AS DOUBLE)
+                   AS sum_price
+        FROM changes GROUP BY cv, ct
+    """,
+    tags=("source", "python-datasource", "cdc", "maintenance"),
+    description="Delta CDF row-shape interop (round 14): the same "
+                "append/DV-delete/CoW-update chain as "
+                "cdc_batch_window_orders, read through spark.read"
+                ".format('mr4ver').option('readChangeFeed','true')"
+                ".option('cdcFormat','delta') — rows arrive in Delta "
+                "Lake's CDF surface (the table's own columns as the "
+                "row image + _change_type/_commit_version/"
+                "_commit_timestamp, updates as preimage+postimage "
+                "PAIRS), so a consumer written against Delta's "
+                "table_changes ports without renaming a column; "
+                "per-(version, change_type) counts and key/price sums "
+                "must match DuckDB constructing the same Delta-shaped "
+                "change set from raw parquet",
+)
+def cdc_delta_shape_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: cdcFormat=delta is a pure per-row re-shaping
+    of the same manifest-derived delta diff — one executor task per
+    version, each O(its changed rows); the update pair doubles only
+    the UPDATE rows, never the scan (PLANS.md round-14).
+
+    Timing caveat (the metadata_agg_orders shape): the chain publish +
+    mutations run at BUILD time; timings measure the whole-history
+    delta-shaped read + aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_dv,
+        update_version_pruned,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    n = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
+    b1, b2 = n // 3, 2 * n // 3
+    low_keys = [r[0] for r in
+                orders.select("o_orderkey").orderBy("o_orderkey")
+                .limit(5).collect()]
+    del_keys, upd_keys = low_keys[:3], low_keys[3:]
+    td = tempfile.mkdtemp(prefix="mr4s_cdcd_")
+    try:
+        tdir = f"{td}/orders_chain"
+        write_version(orders.filter(F.col("o_orderkey") < b1)
+                      .coalesce(1), tdir, append=True,
+                      stats_for=["o_orderkey"])
+        write_version(orders.filter((F.col("o_orderkey") >= b1)
+                                    & (F.col("o_orderkey") < b2))
+                      .coalesce(1), tdir, append=True,
+                      stats_for=["o_orderkey"])
+        delete_version_dv(spark, tdir, keys=del_keys, key="o_orderkey")
+        update_version_pruned(
+            spark, tdir, {"o_totalprice": F.col("o_totalprice") * 2},
+            keys=upd_keys, key="o_orderkey")
+        register_versioned_source(spark)
+        changes = (
+            spark.read.format("mr4ver")
+            .option("readChangeFeed", "true").option("key", "o_orderkey")
+            .option("cdcFormat", "delta")
+            .load(tdir)
+        )
+        agg = (
+            changes
+            .groupBy(F.col("_commit_version").alias("commit_version"),
+                     F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("o_orderkey").alias("sum_key"),
+                 dsum("o_totalprice").alias("sum_price"))
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "commit_version bigint, change_type string, n_rows bigint, "
+              "sum_key bigint, sum_price double")

@@ -1637,9 +1637,11 @@ def test_mr4ver_cdc_upsert_discipline_scope(spark, tmp_path):
         t2, append=True)
     m2 = read_manifest(t2, 2)
     r2 = Mr4VersionedCdcBatchReader(t2, m2, None, {"key": "k"})
-    got = [row for p in r2.partitions() for row in r2.read(p)]
-    assert sorted((op, k, v) for op, k, _, nv, v in [
-        (r[0], r[1], r[2], r[3], r[4]) for r in got]) == [
+    # the batch reader yields Arrow RecordBatches (round-14 fast path)
+    got = [row for p in r2.partitions() for b in r2.read(p)
+           for row in b.to_pylist()]
+    assert sorted((r["op"], r["k"], r["_change_version"])
+                  for r in got) == [
         ("I", 0, 1), ("I", 1, 1), ("I", 1, 2)]
 
 
@@ -1802,3 +1804,78 @@ def test_mr4ver_cdc_schema_evolution_superset(spark, tmp_path):
     assert rows[(1, "I", 1)] == (None, None, 100, None)   # pre-evolution
     assert rows[(2, "I", 10)] == (None, None, 1000, "a")  # evolved I
     assert rows[(3, "U", 1)] == (100, None, 105, None)    # superset diff
+
+
+def test_mr4ver_cdc_delta_shape(spark, tmp_path):
+    """option('cdcFormat','delta') re-shapes the feed to Delta CDF's
+    rows — the table's own columns as the row image plus _change_type
+    / _commit_version / _commit_timestamp, updates emitting a
+    preimage+postimage PAIR — on both front doors (batch window and
+    stream), equal row sets; the default 'pairs' shape is untouched.
+    cdcFormat refuses unknown values and refuses to apply outside
+    readChangeFeed."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_dv,
+        read_manifest,
+        update_version_pruned,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(spark.createDataFrame(
+        [(k, k * 100) for k in range(5)], "k long, val long")
+        .coalesce(1), tdir, append=True, stats_for=["k"])     # v1: I x5
+    delete_version_dv(spark, tdir, keys=[2], key="k")         # v2: D x1
+    update_version_pruned(spark, tdir, {"val": F.col("val") + 1},
+                          keys=[4], key="k")                  # v3: U x1
+    register_versioned_source(spark)
+
+    feed = (spark.read.format("mr4ver")
+            .option("readChangeFeed", "true").option("key", "k")
+            .option("cdcFormat", "delta").load(tdir))
+    assert feed.columns == ["k", "val", "_change_type",
+                            "_commit_version", "_commit_timestamp"]
+    batch = sorted((r["_commit_version"], r["_change_type"], r["k"],
+                    r["val"]) for r in feed.collect())
+    assert batch == [
+        (1, "insert", 0, 0), (1, "insert", 1, 100),
+        (1, "insert", 2, 200), (1, "insert", 3, 300),
+        (1, "insert", 4, 400),
+        (2, "delete", 2, 200),
+        (3, "update_postimage", 4, 401), (3, "update_preimage", 4, 400),
+    ]
+    # _commit_timestamp is the manifest's commit stamp (UTC session)
+    stamps = {r["_commit_version"]: r["_commit_timestamp"]
+              for r in feed.collect()}
+    for v, ts in stamps.items():
+        want = datetime.datetime.fromtimestamp(
+            read_manifest(tdir, v)["committed_at"],
+            tz=datetime.timezone.utc).replace(tzinfo=None)
+        assert abs((ts - want).total_seconds()) < 1e-3, v
+
+    # stream twin: same row set
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("mr4ver")
+         .option("readChangeFeed", "true").option("key", "k")
+         .option("cdcFormat", "delta").load(tdir)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.read.parquet(out)
+    assert sorted((r["_commit_version"], r["_change_type"], r["k"],
+                   r["val"]) for r in streamed.collect()) == batch
+
+    # refusals
+    with pytest.raises(Exception, match="expected 'pairs'"):
+        (spark.read.format("mr4ver").option("readChangeFeed", "true")
+         .option("key", "k").option("cdcFormat", "iceberg")
+         .load(tdir).count())
+    with pytest.raises(Exception, match="needs option..readChangeFeed"):
+        (spark.read.format("mr4ver").option("cdcFormat", "delta")
+         .load(tdir).count())
