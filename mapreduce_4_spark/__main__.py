@@ -110,12 +110,13 @@ def main(argv: list[str] | None = None) -> int:
         "table", help="versioned-table maintenance (history/compact/"
                       "compact-tail/vacuum/stats/count/minmax/sum/agg/"
                       "lookup/restore/delete/update/merge/tag/tags/"
-                      "cluster)")
+                      "cluster/changes)")
     sp.add_argument("verb", choices=["history", "compact", "compact-tail",
                                      "vacuum", "stats", "count", "minmax",
                                      "sum", "agg", "lookup", "restore",
                                      "delete", "update", "merge", "tag",
-                                     "tags", "cluster", "fsck", "analyze"])
+                                     "tags", "cluster", "fsck", "analyze",
+                                     "changes"])
     sp.add_argument("table_dir")
     sp.add_argument("--target-files", type=int, default=None,
                     help="files per fold; unset = 1 (compact) or the "
@@ -170,6 +171,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="delete: merge-on-read (deletion-vector "
                          "sidecar, zero rewrites) instead of the "
                          "copy-on-write default")
+    sp.add_argument("--key", default=None,
+                    help="changes: the diff key column (required — the "
+                         "change feed is a keyed diff)")
+    sp.add_argument("--from", dest="from_version", default=None,
+                    help="changes: first version of the window "
+                         "(startingVersion; default 1)")
+    sp.add_argument("--to", dest="to_version", default=None,
+                    help="changes: last version of the window "
+                         "(endingVersion; default latest)")
+    sp.add_argument("--cdc-format", dest="cdc_format", default=None,
+                    choices=["pairs", "delta"],
+                    help="changes: row shape — 'pairs' (op/key/old_*/"
+                         "new_*, default) or 'delta' (Delta CDF's "
+                         "_change_type row images)")
+    sp.add_argument("-n", "--rows", type=int, default=20,
+                    help="changes: rows to show")
 
     args = p.parse_args(argv)
 
@@ -552,6 +569,34 @@ def main(argv: list[str] | None = None) -> int:
 
             vt.history(get_spark("mapreduce_4_spark-cli-table"),
                        args.table_dir).show(truncate=False)
+            return 0
+        if args.verb == "changes":
+            # the batch CDF front door, CLI shape: the audit question
+            # "what changed between version A and B" answered from the
+            # mutation deltas only (one executor task per version)
+            if not args.key:
+                p.error("table changes requires --key <column> — the "
+                        "change feed is a keyed diff")
+            from mapreduce_4_spark.session import get_spark
+            from mapreduce_4_spark.sources.pyds import (
+                register_versioned_source,
+            )
+
+            spark = get_spark("mapreduce_4_spark-cli-table")
+            register_versioned_source(spark)
+            r = (spark.read.format("mr4ver")
+                 .option("readChangeFeed", "true")
+                 .option("key", args.key))
+            if args.from_version is not None:
+                r = r.option("startingVersion", args.from_version)
+            if args.to_version is not None:
+                r = r.option("endingVersion", args.to_version)
+            if args.cdc_format is not None:
+                r = r.option("cdcFormat", args.cdc_format)
+            df = r.load(args.table_dir)
+            df.orderBy(df.columns[-1] if args.cdc_format != "delta"
+                       else "_commit_version").show(args.rows,
+                                                    truncate=False)
             return 0
         from mapreduce_4_spark.session import get_spark
 

@@ -652,3 +652,33 @@ def test_cli_table_analyze_verb(spark, tmp_path, capsys):
     assert len(m["col_stats"]) == 2 and len(m["bloom"]) == 2
     assert main(["table", "analyze", tdir]) == 0
     assert "nothing to analyze" in capsys.readouterr().out
+
+
+def test_cli_table_changes_verb(spark, tmp_path, capsys):
+    """table changes drives the batch CDF front door from the shell:
+    default pairs shape, a version window, and the Delta row shape via
+    --cdc-format; a missing --key errors loudly (argparse exit)."""
+    import pytest
+
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_dv,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_version(spark.range(4).withColumnRenamed("id", "k"), tdir,
+                  append=True)
+    delete_version_dv(spark, tdir, keys=[2], key="k")
+
+    assert main(["table", "changes", tdir, "--key", "k"]) == 0
+    out = capsys.readouterr().out
+    assert "_change_version" in out and "|D  |2" in out
+
+    assert main(["table", "changes", tdir, "--key", "k",
+                 "--from", "2", "--cdc-format", "delta"]) == 0
+    out = capsys.readouterr().out
+    assert "_change_type" in out and "delete" in out
+    assert "insert" not in out  # v1 outside the window
+
+    with pytest.raises(SystemExit):
+        main(["table", "changes", tdir])
