@@ -1159,3 +1159,87 @@ def cdc_delta_shape_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "commit_version bigint, change_type string, n_rows bigint, "
               "sum_key bigint, sum_price double")
+
+
+@register(
+    "stream_write_orders",
+    requires=("mr4ver-read", "mr4ver-write"),
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("source", "python-datasource", "streaming", "sink"),
+    description="the STREAMING write front door (round 14): orders is "
+                "fed through a file-stream source into df.writeStream"
+                ".format('mr4ver') as two micro-batches "
+                "(maxFilesPerTrigger=1) — each "
+                "micro-batch CAS-publishes ONE append commit "
+                "(operation append-datasource-stream) with the "
+                "manifest batch_id as the exactly-once replay key, "
+                "the same staged-dir protocol as the batch writer — "
+                "then the chain is read back through the format and "
+                "aggregated per status; counts and key/price sums "
+                "must match DuckDB aggregating the original parquet "
+                "directly (the write+read round trip loses nothing)",
+)
+def stream_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rationale: each micro-batch costs O(batch) — executor
+    tasks stage Arrow straight to parquet, the commit is one manifest
+    CAS — and the replay key makes crash-replay idempotent without
+    scanning history (published_batch_ids is one listing + O(new
+    versions) manifest reads). The 100 TB ingest posture is the
+    foreachBatch sinks'; this is the same contract behind the
+    standard writeStream API surface.
+
+    Timing caveat (the metadata_agg_orders shape): the stream feeding
+    + publishes run at BUILD time; timings measure the read-back
+    aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.sources.pyds import register_versioned_source
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    n = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
+    td = tempfile.mkdtemp(prefix="mr4s_swr_")
+    try:
+        src, tbl, ck = f"{td}/src", f"{td}/tbl", f"{td}/ck"
+        register_versioned_source(spark)
+        schema = "o_orderkey bigint, o_orderstatus string, " \
+                 "o_totalprice double"
+        for i, pred in enumerate(
+                [F.col("o_orderkey") < n // 2,
+                 F.col("o_orderkey") >= n // 2]):
+            orders.filter(pred).coalesce(1).write.parquet(
+                f"{src}/slice{i}")
+        # one availableNow run, one file per trigger: each slice is
+        # its own micro-batch, so the chain still gets one append
+        # commit per batch without a second stream startup
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1")
+             .parquet(f"{src}/slice*/*.parquet")
+             .writeStream.format("mr4ver")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start(tbl))
+        q.awaitTermination(300)
+        agg = (
+            spark.read.format("mr4ver").load(tbl)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_key"),
+                 dsum("o_totalprice").alias("sum_price"))
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, sum_key bigint, "
+              "sum_price double")

@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -450,6 +451,26 @@ class Mr4VersionedDataSource(DataSource):
                 "mapreduce_4_spark.sources.versioned.write_version"
             )
         return Mr4VersionedWriter(path, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        """The STREAMING write front door (see
+        :class:`Mr4VersionedStreamWriter`): one chain commit per
+        micro-batch, exactly-once via the manifest batch_id replay
+        key. Same path contract as the batch writer — the sink may be
+        a not-yet-existing table (batch 0 creates version 1)."""
+        path = _local_path(self.options.get("path"))
+        if not path:
+            raise ValueError(
+                "mr4ver needs a table dir: df.writeStream"
+                ".format('mr4ver').option('checkpointLocation', ck)"
+                ".start(table_dir)")
+        if "://" in path:
+            raise ValueError(
+                "mr4ver writes local table dirs (executors stage via "
+                "pyarrow); for scheme'd stores use the foreachBatch "
+                "sinks (streaming/foreach_batch.py)")
+        return Mr4VersionedStreamWriter(path, schema, overwrite,
+                                        self.options)
 
     def simpleStreamReader(self, schema):
         path, manifest = self._resolved()
@@ -893,7 +914,8 @@ class Mr4VersionedPushdownReader(Mr4VersionedReader):
 #: manifests) or a future append-flavored name takes the structural
 #: path.
 _NON_APPEND_OPS = frozenset({
-    "replace", "replace-datasource", "compact", "compact-tail",
+    "replace", "replace-datasource", "replace-datasource-stream",
+    "compact", "compact-tail",
     "cluster", "restore", "delete-dv", "delete-cow", "update-cow",
     "merge-cow", "delete-cow-joined", "update-cow-joined",
     "merge-cow-joined",
@@ -929,7 +951,8 @@ def _append_new_dir(table_dir: str, v: int, ignore_changes: bool):
     op = m.get("operation")
     dirs = m.get("data_dirs") or [f"v={v:06d}"]
     parent = m.get("parent")
-    if op in ("append", "append-concurrent", "append-datasource") \
+    if op in ("append", "append-concurrent", "append-datasource",
+              "append-datasource-stream") \
             or (op is None and parent is None):
         return os.path.join(table_dir, dirs[-1])
     if op == "analyze":
@@ -1783,6 +1806,138 @@ class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
 class _Mr4WriteTaskResult(WriterCommitMessage):
     def __init__(self, rows: int):
         self.rows = rows
+
+
+class _Mr4StreamTaskResult(WriterCommitMessage):
+    """Per-task result of a STREAMING write: the staged file's
+    table-relative path rides the commit message because the commit
+    hook runs on a FRESH writer instance (the sink-commit worker calls
+    ``streamWriter`` anew per micro-batch, verified against pyspark
+    4.1.2's python_streaming_sink_runner) — no instance nonce can link
+    write-side and commit-side state, so the messages ARE the link."""
+
+    def __init__(self, rows: int, rel_file: str | None):
+        self.rows = rows
+        self.rel_file = rel_file
+
+
+class Mr4VersionedStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("mr4ver").option("checkpointLocation",
+    ck).start(dir)`` — the STREAMING write front door, completing the
+    format's DataSource story (batch read, streaming read, batch
+    write, streaming write). Each micro-batch publishes ONE commit of
+    the chain through the same staged-dir + CAS protocol as the batch
+    writer:
+
+    - executor tasks stream their Arrow batches into one parquet file
+      each under a nonce'd ``_staged/t-<uuid>/`` dir (a crash leaves
+      orphan dirs for vacuum's staged-TTL sweep — the standing
+      torn-write story);
+    - the driver-side ``commit(messages, batchId)`` hook gathers the
+      task files named in the commit messages into one batch dir and
+      CAS-publishes it via ``versioned.commit_staged_dir`` —
+      operation ``append-datasource-stream`` (or
+      ``replace-datasource-stream`` under ``outputMode("complete")``,
+      which truncates per batch), interleaving safely with every
+      other writer on the table.
+
+    EXACTLY-ONCE is the replay-key contract every sink in this repo
+    uses: the manifest records ``batch_id =
+    "mr4ver-stream-<streamId>-<batchId>"`` and ``commit`` consults
+    ``published_batch_ids`` first — a replayed micro-batch (crash
+    between sink commit and checkpoint advance) finds its key already
+    published, drops its staged files, and never double-appends.
+    ``option("streamId", ...)`` namespaces the key: REQUIRED discipline
+    when distinct stream queries append to one table (Delta's txnAppId
+    shape), since two streams both at batchId N would otherwise
+    collide. An empty micro-batch publishes nothing (no empty commits
+    on an idle trigger). Downstream consumers see each batch as a
+    plain append: the mr4ver append stream and both CDC front doors
+    deliver it like any other commit."""
+
+    def __init__(self, table_dir: str, schema, overwrite: bool,
+                 options):
+        self.table_dir = table_dir
+        self.schema = schema
+        self.overwrite = overwrite
+        self.stream_id = options.get("streamid") or "stream"
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        u = uuid.uuid4().hex
+        rel = os.path.join("_staged", f"t-{u}", f"part-{u}.parquet")
+        path = os.path.join(self.table_dir, rel)
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                t = pa.Table.from_batches([batch]).cast(target)
+                if writer is None:
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    writer = pq.ParquetWriter(path, target)
+                writer.write_table(t)
+                rows += t.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        # empty task: no file staged, nothing for commit to gather
+        return _Mr4StreamTaskResult(
+            rows, rel if writer is not None else None)
+
+    def _drop_staged(self, messages):
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None and getattr(m, "rel_file", None):
+                shutil.rmtree(
+                    os.path.dirname(
+                        os.path.join(self.table_dir, m.rel_file)),
+                    ignore_errors=True)
+
+    def commit(self, messages, batchId: int):
+        import os
+        import shutil
+        import uuid
+
+        from mapreduce_4_spark.sources import versioned as vt
+
+        bid = f"mr4ver-stream-{self.stream_id}-{batchId}"
+        files = [m.rel_file for m in messages
+                 if m is not None and getattr(m, "rel_file", None)]
+        if bid in vt.published_batch_ids(self.table_dir):
+            # replayed micro-batch: its rows are already published —
+            # drop the replay's staged files, never double-append
+            self._drop_staged(messages)
+            return
+        rows = sum(m.rows for m in messages if m is not None)
+        if not files and not self.overwrite:
+            return  # empty append batch: no empty commits
+        dest_rel = os.path.join(
+            "_staged", f"b{batchId}-{uuid.uuid4().hex[:8]}")
+        dest = os.path.join(self.table_dir, dest_rel)
+        os.makedirs(dest, exist_ok=True)
+        for rel in files:
+            src = os.path.join(self.table_dir, rel)
+            os.replace(src, os.path.join(dest, os.path.basename(src)))
+            shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+        vt.commit_staged_dir(
+            self.table_dir, dest_rel, self.schema, rows,
+            append=not self.overwrite,
+            operation=("replace-datasource-stream" if self.overwrite
+                       else "append-datasource-stream"),
+            batch_id=bid,
+        )
+
+    def abort(self, messages, batchId: int):
+        self._drop_staged(messages)
 
 
 class Mr4VersionedWriter(DataSourceArrowWriter):

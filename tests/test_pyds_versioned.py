@@ -1879,3 +1879,159 @@ def test_mr4ver_cdc_delta_shape(spark, tmp_path):
     with pytest.raises(Exception, match="needs option..readChangeFeed"):
         (spark.read.format("mr4ver").option("cdcFormat", "delta")
          .load(tdir).count())
+
+
+def _arrow_batches(rows, schema="k long, val long"):
+    import pyarrow as pa
+    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(_parse_datatype_string(schema))
+    cols = list(zip(*rows)) or [[] for _ in target.names]
+    arrays = [pa.array(list(c), type=f.type)
+              for c, f in zip(cols, target)]
+    return [pa.record_batch(arrays, schema=target)]
+
+
+def test_mr4ver_stream_writer_end_to_end(spark, tmp_path):
+    """df.writeStream.format('mr4ver') — the streaming WRITE front
+    door: each micro-batch publishes one append commit (operation
+    append-datasource-stream, manifest batch_id = the replay key),
+    the chain equals the fed data, and downstream consumers (the
+    append stream, the CDC feed) see plain appends."""
+    import os
+
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+        read_version,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(src)
+    register_versioned_source(spark)
+
+    def feed(lo, hi, name):
+        spark.range(lo, hi).withColumnRenamed("id", "k").coalesce(1) \
+            .write.parquet(f"{src}/{name}")
+        q = (spark.readStream.schema("k long").parquet(f"{src}/*")
+             .writeStream.format("mr4ver")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start(tbl))
+        q.awaitTermination(120)
+
+    feed(0, 10, "f1")
+    feed(10, 15, "f2")
+    assert latest_version(tbl) == 2
+    assert sorted(r["k"] for r in read_version(spark, tbl).collect()) \
+        == list(range(15))
+    m = read_manifest(tbl, 2)
+    assert m["operation"] == "append-datasource-stream"
+    assert m["batch_id"] == "mr4ver-stream-stream-1"
+
+    # downstream: the append stream tails stream-written commits...
+    out = str(tmp_path / "tail")
+    q = (spark.readStream.format("mr4ver").load(tbl)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "tailck"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 15
+    # ...and the CDC batch feed diffs them as plain inserts
+    feed2 = (spark.read.format("mr4ver")
+             .option("readChangeFeed", "true").option("key", "k")
+             .load(tbl))
+    assert sorted((r["_change_version"], r["op"])
+                  for r in feed2.collect()) == \
+        [(1, "I")] * 10 + [(2, "I")] * 5
+
+
+def test_mr4ver_stream_writer_exactly_once_and_modes(spark, tmp_path):
+    """The stream writer's commit contract, driven on the writer
+    object directly (the sink-commit worker shape — a FRESH writer
+    instance per commit):
+
+    - a replayed batchId (crash between sink commit and checkpoint
+      advance) drops its staged files and publishes nothing;
+    - distinct streamIds namespace the replay key (two streams at the
+      same batchId both land);
+    - overwrite=True (outputMode complete) publishes a replace commit
+      that truncates per batch and is refused by the append stream's
+      non-append contract;
+    - abort removes staged task dirs."""
+    import glob
+    import os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from mapreduce_4_spark.sources.pyds import Mr4VersionedStreamWriter
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+        read_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    schema = _parse_datatype_string("k long, val long")
+
+    def writer(overwrite=False, **opts):
+        return Mr4VersionedStreamWriter(tbl, schema, overwrite, opts)
+
+    def run_batch(w, rows, batch_id):
+        msg = w.write(iter(_arrow_batches(rows)))
+        # commit on a FRESH instance, the runner's actual lifecycle
+        w2 = Mr4VersionedStreamWriter(tbl, schema, w.overwrite,
+                                      {"streamid": w.stream_id})
+        w2.commit([msg], batch_id)
+
+    run_batch(writer(), [(0, 0), (1, 10)], 0)
+    assert latest_version(tbl) == 1
+    # replay of batch 0: staged files dropped, no new version
+    w = writer()
+    msg = w.write(iter(_arrow_batches([(0, 0), (1, 10)])))
+    writer().commit([msg], 0)
+    assert latest_version(tbl) == 1
+    assert glob.glob(os.path.join(tbl, "_staged", "t-*")) == []
+    assert read_version(spark, tbl).count() == 2
+
+    # a DIFFERENT streamId at the same batchId is not a replay
+    w = writer(streamid="other")
+    msg = w.write(iter(_arrow_batches([(2, 20)])))
+    writer(streamid="other").commit([msg], 0)
+    assert latest_version(tbl) == 2
+    assert read_manifest(tbl, 2)["batch_id"] == "mr4ver-stream-other-0"
+    assert read_version(spark, tbl).count() == 3
+
+    # complete mode: replace commit truncates
+    w = writer(overwrite=True)
+    msg = w.write(iter(_arrow_batches([(9, 90)])))
+    writer(overwrite=True).commit([msg], 1)
+    assert read_manifest(tbl, 3)["operation"] == \
+        "replace-datasource-stream"
+    assert [r["k"] for r in read_version(spark, tbl).collect()] == [9]
+    # the append stream refuses the replace (non-append contract)
+    register_versioned_source(spark)
+    q = (spark.readStream.format("mr4ver").load(tbl)
+         .writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    try:
+        with pytest.raises(Exception):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # abort drops staged task dirs
+    w = writer()
+    msg = w.write(iter(_arrow_batches([(5, 50)])))
+    assert glob.glob(os.path.join(tbl, "_staged", "t-*"))
+    writer().abort([msg], 2)
+    assert glob.glob(os.path.join(tbl, "_staged", "t-*")) == []
+    assert latest_version(tbl) == 3
+
+    # empty append batch publishes nothing
+    w = writer()
+    msg = w.write(iter([]))
+    writer().commit([msg], 3)
+    assert latest_version(tbl) == 3
