@@ -1229,7 +1229,12 @@ def stream_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              .writeStream.format("mr4ver")
              .option("checkpointLocation", ck)
              .trigger(availableNow=True).start(tbl))
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_write_orders: availableNow feed did not "
+                "finish in 300s — failing loudly instead of "
+                "aggregating a half-written chain")
         agg = (
             spark.read.format("mr4ver").load(tbl)
             .groupBy("o_orderstatus")

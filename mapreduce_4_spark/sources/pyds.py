@@ -463,7 +463,11 @@ class Mr4VersionedDataSource(DataSource):
             raise ValueError(
                 "mr4ver needs a table dir: df.writeStream"
                 ".format('mr4ver').option('checkpointLocation', ck)"
-                ".start(table_dir)")
+                ".start(table_dir). If this write came through "
+                "toTable()/a catalog table, note that Spark 4.1.2 "
+                "constructs the write-side Python DataSource with "
+                "EMPTY options (pinned in tests/test_pyds_versioned"
+                ".py) — use .start(<dir>) instead")
         if "://" in path:
             raise ValueError(
                 "mr4ver writes local table dirs (executors stage via "
@@ -1417,13 +1421,16 @@ class _CdcDiffer:
             new_rows.extend(self._file_rows(d, **kw))
         return old_rows, new_rows
 
-    def changes_for_version(self, v: int):
+    def changes_for_version(self, v: int, m: dict | None = None):
         """The version's I/U/D rows in CDC-schema order — the keyed
         diff of the two delta sides (null-safe equality, NaN equal to
-        NaN, snapshot_diff's semantics)."""
+        NaN, snapshot_diff's semantics). ``m`` lets a caller that
+        already holds version ``v``'s manifest skip the re-read (one
+        JSON/FS round trip per version on the batch path)."""
         from mapreduce_4_spark.sources import versioned as vt
 
-        m = vt.read_manifest(self.table_dir, v)
+        if m is None:
+            m = vt.read_manifest(self.table_dir, v)
         if m.get("operation") in _CONTENT_PRESERVING_OPS:
             return
         old_rows, new_rows = self._delta_sides(v, m)
@@ -1475,21 +1482,28 @@ class _CdcDiffer:
             # equal on every compared column: not a change (a key that
             # merely moved dirs in a CoW rewrite emits nothing)
 
-    def delta_changes_for_version(self, v: int):
+    def delta_changes_for_version(self, v: int,
+                                  m: dict | None = None):
         """``changes_for_version`` re-shaped to Delta CDF's rows: the
         table's own columns carry the row image, 'U' pair rows split
         into update_preimage / update_postimage, and every row is
         stamped (_change_type, _commit_version, _commit_timestamp) —
         the timestamp is the manifest's commit stamp, Delta's
-        _commit_timestamp semantics. Pure re-shaping: the delta-diff
-        cost model and the upsert-discipline contract are unchanged."""
+        _commit_timestamp semantics. The datetime stays tz-AWARE (UTC):
+        pyspark's row-to-Arrow conversion on the STREAM path
+        re-interprets naive datetimes as host-local time
+        (value.astimezone), which would shift the stamp by the host's
+        UTC offset; an aware value is a no-op on every path. Pure
+        re-shaping otherwise: the delta-diff cost model and the
+        upsert-discipline contract are unchanged."""
         import datetime
 
         from mapreduce_4_spark.sources import versioned as vt
 
+        if m is None:
+            m = vt.read_manifest(self.table_dir, v)
         ts = datetime.datetime.fromtimestamp(
-            vt.read_manifest(self.table_dir, v)["committed_at"],
-            tz=datetime.timezone.utc).replace(tzinfo=None)
+            m["committed_at"], tz=datetime.timezone.utc)
         n_cmp = len(self.compare_i)
 
         def image(k, vals):
@@ -1499,7 +1513,7 @@ class _CdcDiffer:
                 row[i] = vals[j]
             return tuple(row)
 
-        for r in self.changes_for_version(v):
+        for r in self.changes_for_version(v, m):
             op, k = r[0], r[1]
             old, new = r[2:2 + n_cmp], r[2 + n_cmp:2 + 2 * n_cmp]
             if op == "I":
@@ -1519,7 +1533,7 @@ class _CdcDiffer:
         re-shaped COLUMNAR with zero per-row Python: at scale the bulk
         of a change feed is append versions plus the initial load, and
         those now ship at the plain reader's Arrow throughput
-        (measured ~9x over the tuple path on a 100k-row append,
+        (measured 9.7x over the tuple path on a 600k-row append,
         SCALE.md round 14). Genuine mutations — both sides non-empty —
         take the keyed tuple diff at O(changed rows), then ship as one
         RecordBatch. A duplicate key detected on a fast path re-runs
@@ -1536,7 +1550,7 @@ class _CdcDiffer:
         side = ("I" if not old_parts else
                 "D" if not new_parts else None)
         if side is None:
-            yield from self._tuple_batch(v, fmt, cdc_arrow)
+            yield from self._tuple_batch(v, fmt, cdc_arrow, m)
             return
         parts = new_parts if side == "I" else old_parts
         tables = [t for d, kw in parts
@@ -1548,7 +1562,7 @@ class _CdcDiffer:
         if pc.count_distinct(key_col, mode="all").as_py() != t.num_rows:
             # upsert-discipline violation: the tuple path names the
             # offending key in its loud error
-            yield from self._tuple_batch(v, fmt, cdc_arrow)
+            yield from self._tuple_batch(v, fmt, cdc_arrow, m)
             return
         yield from self._one_sided_batches(t, side, v, m, fmt,
                                            cdc_arrow)
@@ -1576,8 +1590,7 @@ class _CdcDiffer:
                 "insert" if side == "I" else "delete", pa.string())
             cols["_commit_version"] = const(v, pa.int64())
             ts = datetime.datetime.fromtimestamp(
-                m["committed_at"], tz=datetime.timezone.utc
-            ).replace(tzinfo=None)
+                m["committed_at"], tz=datetime.timezone.utc)
             cols["_commit_timestamp"] = const(
                 ts, cdc_arrow.field("_commit_timestamp").type)
         else:
@@ -1596,15 +1609,17 @@ class _CdcDiffer:
             {f.name: cols[f.name] for f in cdc_arrow}).cast(cdc_arrow)
         yield from out.to_batches()
 
-    def _tuple_batch(self, v: int, fmt: str, cdc_arrow):
+    def _tuple_batch(self, v: int, fmt: str, cdc_arrow,
+                     m: dict | None = None):
         """The keyed tuple diff materialized as one RecordBatch — the
         batch reader's mutation-version path (a commit's mutation set
         is bounded, so one batch per version task is the right
         granularity)."""
         import pyarrow as pa
 
-        rows = list(self.delta_changes_for_version(v) if fmt == "delta"
-                    else self.changes_for_version(v))
+        rows = list(self.delta_changes_for_version(v, m)
+                    if fmt == "delta"
+                    else self.changes_for_version(v, m))
         if not rows:
             return
         arrays = [pa.array([r[i] for r in rows], type=f.type)
@@ -1803,6 +1818,38 @@ class Mr4VersionedCdcReader(SimpleDataSourceStreamReader):
         return iter(self._window(int(start["v"]), int(end["v"])))
 
 
+def _stage_arrow_to_parquet(table_dir: str, rel: str, schema,
+                            iterator) -> int | None:
+    """The one Arrow-batches-to-staged-parquet loop both write front
+    doors share (batch and streaming writers): cast each batch to the
+    target schema, lazily create the file on the first non-empty
+    batch (empty tasks stage nothing, keeping dirs schema-clean), and
+    return the row count — or None when the iterator produced no
+    batches and NO file was written."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    path = os.path.join(table_dir, rel)
+    writer = None
+    rows = 0
+    try:
+        for batch in iterator:
+            t = pa.Table.from_batches([batch]).cast(target)
+            if writer is None:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                writer = pq.ParquetWriter(path, target)
+            writer.write_table(t)
+            rows += t.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    return rows if writer is not None else None
+
+
 class _Mr4WriteTaskResult(WriterCommitMessage):
     def __init__(self, rows: int):
         self.rows = rows
@@ -1866,30 +1913,13 @@ class Mr4VersionedStreamWriter(DataSourceStreamArrowWriter):
         import os
         import uuid
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(self.schema)
         u = uuid.uuid4().hex
         rel = os.path.join("_staged", f"t-{u}", f"part-{u}.parquet")
-        path = os.path.join(self.table_dir, rel)
-        writer = None
-        rows = 0
-        try:
-            for batch in iterator:
-                t = pa.Table.from_batches([batch]).cast(target)
-                if writer is None:
-                    os.makedirs(os.path.dirname(path), exist_ok=True)
-                    writer = pq.ParquetWriter(path, target)
-                writer.write_table(t)
-                rows += t.num_rows
-        finally:
-            if writer is not None:
-                writer.close()
+        rows = _stage_arrow_to_parquet(self.table_dir, rel,
+                                       self.schema, iterator)
         # empty task: no file staged, nothing for commit to gather
-        return _Mr4StreamTaskResult(
-            rows, rel if writer is not None else None)
+        return _Mr4StreamTaskResult(rows or 0,
+                                    rel if rows is not None else None)
 
     def _drop_staged(self, messages):
         import os
@@ -1920,8 +1950,13 @@ class Mr4VersionedStreamWriter(DataSourceStreamArrowWriter):
         rows = sum(m.rows for m in messages if m is not None)
         if not files and not self.overwrite:
             return  # empty append batch: no empty commits
-        dest_rel = os.path.join(
-            "_staged", f"b{batchId}-{uuid.uuid4().hex[:8]}")
+        # hex-only nonce, the batch writer's dir shape: the DV path
+        # grammar (_DV_REL_RE/_DV_DIR_RE, sources/versioned.py) admits
+        # exactly v=NNNNNN and _staged/<hex> as published data dirs —
+        # any other name would silently break deletion-vector
+        # bookkeeping on this table. The batchId lives in the
+        # manifest's batch_id, not the path.
+        dest_rel = os.path.join("_staged", uuid.uuid4().hex[:12])
         dest = os.path.join(self.table_dir, dest_rel)
         os.makedirs(dest, exist_ok=True)
         for rel in files:
@@ -1982,28 +2017,12 @@ class Mr4VersionedWriter(DataSourceArrowWriter):
         import os
         import uuid
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(self.schema)
-        writer = None
-        rows = 0
-        path = os.path.join(self.table_dir, self.staged_rel,
-                            f"part-{uuid.uuid4().hex}.parquet")
-        try:
-            for batch in iterator:
-                t = pa.Table.from_batches([batch]).cast(target)
-                if writer is None:
-                    os.makedirs(os.path.dirname(path), exist_ok=True)
-                    writer = pq.ParquetWriter(path, target)
-                writer.write_table(t)
-                rows += t.num_rows
-        finally:
-            if writer is not None:
-                writer.close()
+        rel = os.path.join(self.staged_rel,
+                           f"part-{uuid.uuid4().hex}.parquet")
+        rows = _stage_arrow_to_parquet(self.table_dir, rel,
+                                       self.schema, iterator)
         # empty task: no file written (empty dirs stay schema-clean)
-        return _Mr4WriteTaskResult(rows)
+        return _Mr4WriteTaskResult(rows or 0)
 
     def commit(self, messages):
         import os

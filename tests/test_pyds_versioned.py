@@ -2035,3 +2035,43 @@ def test_mr4ver_stream_writer_exactly_once_and_modes(spark, tmp_path):
     msg = w.write(iter([]))
     writer().commit([msg], 3)
     assert latest_version(tbl) == 3
+
+
+def test_mr4ver_stream_written_dirs_support_dv_deletes(spark, tmp_path):
+    """Regression (round-14 review): stream-written data dirs must fit
+    the DV path grammar (_DV_REL_RE admits v=NNNNNN and
+    _staged/<hex> only) — an earlier draft named batch dirs
+    _staged/b<batchId>-<hex>, whose '-' made regexp_extract return ''
+    for every file, corrupting deletion-vector bookkeeping. Pin:
+    a DV delete on a stream-written chain drops exactly the requested
+    keys, COUNT stays metadata-exact, and the manifest's dir names
+    match the grammar."""
+    import re
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from mapreduce_4_spark.sources.pyds import Mr4VersionedStreamWriter
+    from mapreduce_4_spark.sources.versioned import (
+        _DV_DIR_RE,
+        count_version,
+        delete_version_dv,
+        latest_version,
+        read_manifest,
+        read_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    schema = _parse_datatype_string("k long, val long")
+    w = Mr4VersionedStreamWriter(tbl, schema, False, {})
+    msg = w.write(iter(_arrow_batches([(i, i * 10) for i in range(8)])))
+    Mr4VersionedStreamWriter(tbl, schema, False, {}).commit([msg], 0)
+
+    m = read_manifest(tbl, 1)
+    for d in m["data_dirs"]:
+        assert re.match(_DV_DIR_RE, d), d
+
+    delete_version_dv(spark, tbl, keys=[2, 5], key="k")
+    assert latest_version(tbl) == 2
+    assert count_version(None, tbl) == 6  # metadata-exact through DV
+    assert sorted(r["k"] for r in read_version(spark, tbl).collect()) \
+        == [0, 1, 3, 4, 6, 7]
