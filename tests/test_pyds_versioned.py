@@ -2075,3 +2075,36 @@ def test_mr4ver_stream_written_dirs_support_dv_deletes(spark, tmp_path):
     assert count_version(None, tbl) == 6  # metadata-exact through DV
     assert sorted(r["k"] for r in read_version(spark, tbl).collect()) \
         == [0, 1, 3, 4, 6, 7]
+
+
+def test_mr4ver_stream_writer_orphans_swept_by_vacuum(spark, tmp_path):
+    """A crash between a stream task's write() and the batch commit
+    leaves an orphan _staged/t-* dir; vacuum's staged-TTL sweep (name-
+    agnostic over _staged/* entries) reclaims it, while the PUBLISHED
+    stream batch dir stays live — the torn-write story the writer's
+    docstring promises."""
+    import glob
+    import os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from mapreduce_4_spark.sources.pyds import Mr4VersionedStreamWriter
+    from mapreduce_4_spark.sources.versioned import (
+        read_version,
+        vacuum,
+    )
+
+    tbl = str(tmp_path / "t")
+    schema = _parse_datatype_string("k long, val long")
+    w = Mr4VersionedStreamWriter(tbl, schema, False, {})
+    msg = w.write(iter(_arrow_batches([(0, 0), (1, 10)])))
+    Mr4VersionedStreamWriter(tbl, schema, False, {}).commit([msg], 0)
+    # simulate a crashed task of the NEXT batch: staged, never committed
+    w2 = Mr4VersionedStreamWriter(tbl, schema, False, {})
+    w2.write(iter(_arrow_batches([(9, 90)])))
+    assert len(glob.glob(os.path.join(tbl, "_staged", "t-*"))) == 1
+
+    vacuum(tbl, keep_last=1, staged_ttl_s=0.0)
+    assert glob.glob(os.path.join(tbl, "_staged", "t-*")) == []
+    assert sorted(r["k"] for r in read_version(spark, tbl).collect()) \
+        == [0, 1]  # the published batch dir survived the sweep
