@@ -2108,3 +2108,58 @@ def test_mr4ver_stream_writer_orphans_swept_by_vacuum(spark, tmp_path):
     assert glob.glob(os.path.join(tbl, "_staged", "t-*")) == []
     assert sorted(r["k"] for r in read_version(spark, tbl).collect()) \
         == [0, 1]  # the published batch dir survived the sweep
+
+
+def test_mr4ver_round14_composition_stream_write_cdc_mv(spark, tmp_path):
+    """Capstone: the round-14 pieces compose. A chain is built through
+    the STREAMING write front door (real writeStream, two
+    micro-batches), mutated (DV delete + CoW update), and then a
+    materialized aggregate is reconstructed purely from the batch CDF
+    — fold I.new + U.new - U.old - D.old per group across the whole
+    feed — and must equal the direct aggregate of the final snapshot.
+    This is the 'CDC feed is complete and consistent' invariant over
+    the round's own writers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_4_spark.sources.versioned import (
+        delete_version_dv,
+        read_version,
+        update_version_pruned,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(src)
+    register_versioned_source(spark)
+    for i, (lo, hi) in enumerate([(0, 12), (12, 20)]):
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7).alias("val")).coalesce(1) \
+            .write.parquet(f"{src}/s{i}")
+    q = (spark.readStream.schema("k long, val long")
+         .option("maxFilesPerTrigger", "1").parquet(f"{src}/s*/*.parquet")
+         .writeStream.format("mr4ver")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start(tbl))
+    assert q.awaitTermination(120)
+    delete_version_dv(spark, tbl, keys=[3, 15], key="k")       # v3
+    update_version_pruned(spark, tbl, {"val": F.col("val") + 1000},
+                          keys=[4, 13], key="k")               # v4
+
+    feed = (spark.read.format("mr4ver")
+            .option("readChangeFeed", "true").option("key", "k")
+            .load(tbl))
+    mv = (feed
+          .withColumn("grp", F.col("k") % 2)
+          .withColumn("delta",
+                      F.coalesce("new_val", F.lit(0))
+                      - F.coalesce("old_val", F.lit(0)))
+          .groupBy("grp").agg(F.sum("delta").alias("total"))
+          .filter(F.col("total") != 0))
+    direct = (read_version(spark, tbl)
+              .withColumn("grp", F.col("k") % 2)
+              .groupBy("grp").agg(F.sum("val").alias("total")))
+    assert sorted(tuple(r) for r in mv.collect()) == \
+        sorted(tuple(r) for r in direct.collect())
