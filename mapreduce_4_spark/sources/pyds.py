@@ -450,7 +450,8 @@ class Mr4VersionedDataSource(DataSource):
                 "pyarrow); for scheme'd stores use "
                 "mapreduce_4_spark.sources.versioned.write_version"
             )
-        return Mr4VersionedWriter(path, schema, overwrite)
+        return Mr4VersionedWriter(path, schema, overwrite,
+                                  self.options)
 
     def streamWriter(self, schema, overwrite: bool):
         """The STREAMING write front door (see
@@ -2003,15 +2004,37 @@ class Mr4VersionedWriter(DataSourceArrowWriter):
     ``analyze_table`` / ``table analyze`` backfills the skipping
     metadata as a later metadata-only commit. Bucketed and
     hive-partitioned layouts stay on ``write_version`` (the writer
-    stages flat files)."""
+    stages flat files).
 
-    def __init__(self, table_dir: str, schema, overwrite: bool):
+    IDEMPOTENT RETRIES (Delta's txnAppId/txnVersion shape):
+    ``option("txnAppId", app).option("txnVersion", n)`` makes the
+    commit a no-op when a manifest already records the same
+    ``mr4ver-txn-<app>-<n>`` replay key — the foreachBatch retry
+    story for callers driving this front door from their own
+    at-least-once loop (pass batchId as txnVersion). The check is
+    membership over RETAINED manifests (``published_batch_ids``), so
+    the guard shares vacuum's retention caveat — Delta's own
+    constraint. The options come as a pair; one without the other
+    refuses loudly."""
+
+    def __init__(self, table_dir: str, schema, overwrite: bool,
+                 options=None):
         import uuid
 
         self.table_dir = table_dir
         self.schema = schema
         self.overwrite = overwrite
         self.staged_rel = f"_staged/{uuid.uuid4().hex[:12]}"
+        opts = options or {}
+        app = opts.get("txnappid")
+        ver = opts.get("txnversion")
+        if (app is None) != (ver is None):
+            raise ValueError(
+                "mr4ver: txnAppId and txnVersion come as a PAIR "
+                "(Delta's idempotent-write shape) — got only "
+                f"{'txnAppId' if ver is None else 'txnVersion'}")
+        self.txn_id = (f"mr4ver-txn-{app}-{ver}"
+                       if app is not None else None)
 
     def write(self, iterator):
         import os
@@ -2026,9 +2049,17 @@ class Mr4VersionedWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         import os
+        import shutil
 
         from mapreduce_4_spark.sources import versioned as vt
 
+        if self.txn_id is not None and \
+                self.txn_id in vt.published_batch_ids(self.table_dir):
+            # idempotent retry: this txn already committed — drop the
+            # retry's staged files, publish nothing
+            shutil.rmtree(os.path.join(self.table_dir, self.staged_rel),
+                          ignore_errors=True)
+            return
         new_rows = sum(m.rows for m in messages if m is not None)
         # an all-empty write stages no files: materialize the dir so
         # the manifest never references a missing path (fsck contract)
@@ -2039,6 +2070,7 @@ class Mr4VersionedWriter(DataSourceArrowWriter):
             append=not self.overwrite,
             operation=("replace-datasource" if self.overwrite
                        else "append-datasource"),
+            batch_id=self.txn_id,
         )
 
     def abort(self, messages):

@@ -2163,3 +2163,47 @@ def test_mr4ver_round14_composition_stream_write_cdc_mv(spark, tmp_path):
               .groupBy("grp").agg(F.sum("val").alias("total")))
     assert sorted(tuple(r) for r in mv.collect()) == \
         sorted(tuple(r) for r in direct.collect())
+
+
+def test_mr4ver_batch_writer_txn_idempotent(spark, tmp_path):
+    """option('txnAppId', a).option('txnVersion', n) on the batch
+    write front door (Delta's idempotent-write shape): replaying the
+    same (app, version) pair is a published no-op — the foreachBatch
+    retry story — while a bumped txnVersion, a different appId, or no
+    txn options at all append normally; one option without its pair
+    refuses loudly."""
+    import glob
+    import os
+
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+        read_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    register_versioned_source(spark)
+
+    def wr(lo, hi, **opts):
+        w = (spark.range(lo, hi).withColumnRenamed("id", "k")
+             .write.format("mr4ver").mode("append"))
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.save(tbl)
+
+    wr(0, 5, txnAppId="job", txnVersion="0")
+    wr(0, 5, txnAppId="job", txnVersion="0")     # retry: no-op
+    assert latest_version(tbl) == 1
+    assert read_manifest(tbl, 1)["batch_id"] == "mr4ver-txn-job-0"
+    # the retry's own staged dir was dropped: only v1's live data dir
+    # remains under _staged/
+    assert len(glob.glob(os.path.join(tbl, "_staged", "*"))) == 1
+    wr(5, 8, txnAppId="job", txnVersion="1")     # next txn: appends
+    wr(8, 9, txnAppId="other", txnVersion="0")   # other app: appends
+    wr(9, 10)                                    # no txn: appends
+    assert latest_version(tbl) == 4
+    assert sorted(r["k"] for r in read_version(spark, tbl).collect()) \
+        == list(range(10))
+
+    with pytest.raises(Exception, match="PAIR"):
+        wr(10, 11, txnAppId="job")
