@@ -2335,12 +2335,16 @@ def published_batch_ids(table_dir: str) -> set:
 
 def history(spark: SparkSession, table_dir: str) -> DataFrame:
     """One row per published snapshot (version, parent, row_count,
-    committed_at, operation) — committed_at as an ISO-8601 UTC string
-    (the manifest's publish stamp; null for pre-stamping manifests),
-    the anchor a user copies back into ``read_version(as_of=...)``;
-    operation is what produced the commit (append/replace/compact/
-    delete-cow/update-cow/merge-cow/delete-dv/restore/..., the
-    DESCRIBE HISTORY column; null for pre-recording manifests)."""
+    committed_at, operation, batch_id) — committed_at as an ISO-8601
+    UTC string (the manifest's publish stamp; null for pre-stamping
+    manifests), the anchor a user copies back into
+    ``read_version(as_of=...)``; operation is what produced the commit
+    (append/replace/compact/delete-cow/update-cow/merge-cow/delete-dv/
+    restore/..., the DESCRIBE HISTORY column; null for pre-recording
+    manifests); batch_id is the exactly-once replay key when a sink
+    recorded one (foreachBatch sinks, the streaming write front door's
+    mr4ver-stream-* keys, the batch writer's mr4ver-txn-* keys) —
+    the forensic column for "did my retry double-commit"."""
     from datetime import datetime, timezone
 
     def _iso(epoch):
@@ -2351,12 +2355,13 @@ def history(spark: SparkSession, table_dir: str) -> DataFrame:
 
     rows = [
         (m["version"], m["parent"], m["row_count"],
-         _iso(m.get("committed_at")), m.get("operation"))
+         _iso(m.get("committed_at")), m.get("operation"),
+         None if m.get("batch_id") is None else str(m["batch_id"]))
         for m in (read_manifest(table_dir, v) for v in list_versions(table_dir))
     ]
     return spark.createDataFrame(
         rows, "version long, parent long, row_count long, "
-              "committed_at string, operation string"
+              "committed_at string, operation string, batch_id string"
     )
 
 
