@@ -180,6 +180,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--to", dest="to_version", default=None,
                     help="changes: last version of the window "
                          "(endingVersion; default latest)")
+    sp.add_argument("--from-ts", dest="from_ts", default=None,
+                    help="changes: startingTimestamp (epoch seconds or "
+                         "ISO-8601, at-or-after resolution) — instead "
+                         "of --from")
+    sp.add_argument("--to-ts", dest="to_ts", default=None,
+                    help="changes: endingTimestamp (latest commit "
+                         "at-or-before) — instead of --to")
     sp.add_argument("--cdc-format", dest="cdc_format", default=None,
                     choices=["pairs", "delta"],
                     help="changes: row shape — 'pairs' (op/key/old_*/"
@@ -591,6 +598,10 @@ def main(argv: list[str] | None = None) -> int:
                 r = r.option("startingVersion", args.from_version)
             if args.to_version is not None:
                 r = r.option("endingVersion", args.to_version)
+            if args.from_ts is not None:
+                r = r.option("startingTimestamp", args.from_ts)
+            if args.to_ts is not None:
+                r = r.option("endingTimestamp", args.to_ts)
             if args.cdc_format is not None:
                 r = r.option("cdcFormat", args.cdc_format)
             df = r.load(args.table_dir)

@@ -680,5 +680,18 @@ def test_cli_table_changes_verb(spark, tmp_path, capsys):
     assert "_change_type" in out and "delete" in out
     assert "insert" not in out  # v1 outside the window
 
+    # timestamp windows route to startingTimestamp/endingTimestamp
+    from mapreduce_4_spark.sources.versioned import read_manifest
+
+    t2 = str(read_manifest(tdir, 2)["committed_at"])
+    assert main(["table", "changes", tdir, "--key", "k",
+                 "--from-ts", t2]) == 0
+    out = capsys.readouterr().out
+    assert "|D  |2" in out and "|I  |0" not in out  # v2 only
+    assert main(["table", "changes", tdir, "--key", "k",
+                 "--to-ts", t2]) == 0
+    out = capsys.readouterr().out
+    assert "|I  |0" in out and "|D  |2" in out      # whole history
+
     with pytest.raises(SystemExit):
         main(["table", "changes", tdir])
