@@ -1964,13 +1964,18 @@ class Mr4VersionedStreamWriter(DataSourceStreamArrowWriter):
             src = os.path.join(self.table_dir, rel)
             os.replace(src, os.path.join(dest, os.path.basename(src)))
             shutil.rmtree(os.path.dirname(src), ignore_errors=True)
-        vt.commit_staged_dir(
+        v = vt.commit_staged_dir(
             self.table_dir, dest_rel, self.schema, rows,
             append=not self.overwrite,
             operation=("replace-datasource-stream" if self.overwrite
                        else "append-datasource-stream"),
             batch_id=bid,
+            skip_if_batch_id_published=True,
         )
+        if v is None:
+            # raced replay (two engines driving the same checkpoint):
+            # the winner's commit carries this batch — drop our copy
+            shutil.rmtree(dest, ignore_errors=True)
 
     def abort(self, messages, batchId: int):
         self._drop_staged(messages)
@@ -2033,13 +2038,36 @@ class Mr4VersionedWriter(DataSourceArrowWriter):
                 "mr4ver: txnAppId and txnVersion come as a PAIR "
                 "(Delta's idempotent-write shape) — got only "
                 f"{'txnAppId' if ver is None else 'txnVersion'}")
+        if ver is not None:
+            try:
+                ver = int(ver)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "mr4ver: txnVersion must be an integer (Delta's "
+                    f"long txnVersion) — got {ver!r}; a free-form "
+                    "version would make the replay key "
+                    "mr4ver-txn-<app>-<ver> ambiguous across apps")
         self.txn_id = (f"mr4ver-txn-{app}-{ver}"
                        if app is not None else None)
+        # driver-side pre-check (writer is built in the planning
+        # worker with the table dir in hand): a CLEAN replay skips the
+        # whole cluster write — every task no-ops instead of staging
+        # the full dataset just for commit() to delete it. Best-effort
+        # only; the in-CAS re-check in commit_staged_dir remains the
+        # authority under concurrency.
+        self.already_published = False
+        if self.txn_id is not None:
+            from mapreduce_4_spark.sources import versioned as vt
+
+            self.already_published = (
+                self.txn_id in vt.published_batch_ids(table_dir))
 
     def write(self, iterator):
         import os
         import uuid
 
+        if self.already_published:
+            return _Mr4WriteTaskResult(0)  # clean txn replay: no-op
         rel = os.path.join(self.staged_rel,
                            f"part-{uuid.uuid4().hex}.parquet")
         rows = _stage_arrow_to_parquet(self.table_dir, rel,
@@ -2053,25 +2081,26 @@ class Mr4VersionedWriter(DataSourceArrowWriter):
 
         from mapreduce_4_spark.sources import versioned as vt
 
-        if self.txn_id is not None and \
-                self.txn_id in vt.published_batch_ids(self.table_dir):
-            # idempotent retry: this txn already committed — drop the
-            # retry's staged files, publish nothing
-            shutil.rmtree(os.path.join(self.table_dir, self.staged_rel),
-                          ignore_errors=True)
-            return
+        if self.already_published:
+            return  # clean txn replay detected at plan time: no-op
         new_rows = sum(m.rows for m in messages if m is not None)
         # an all-empty write stages no files: materialize the dir so
         # the manifest never references a missing path (fsck contract)
         os.makedirs(os.path.join(self.table_dir, self.staged_rel),
                     exist_ok=True)
-        vt.commit_staged_dir(
+        v = vt.commit_staged_dir(
             self.table_dir, self.staged_rel, self.schema, new_rows,
             append=not self.overwrite,
             operation=("replace-datasource" if self.overwrite
                        else "append-datasource"),
             batch_id=self.txn_id,
+            skip_if_batch_id_published=self.txn_id is not None,
         )
+        if v is None:
+            # a concurrent racer published this txn between planning
+            # and our CAS attempt — drop our staged copy
+            shutil.rmtree(os.path.join(self.table_dir, self.staged_rel),
+                          ignore_errors=True)
 
     def abort(self, messages):
         import os

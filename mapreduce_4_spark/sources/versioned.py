@@ -846,8 +846,9 @@ def write_version_concurrent(df: DataFrame, table_dir: str,
 
 def commit_staged_dir(table_dir: str, staged_rel: str, schema,
                       new_rows: int, append: bool,
-                      operation: str, batch_id: int | None = None,
-                      max_retries: int = 20) -> int:
+                      operation: str, batch_id=None,
+                      max_retries: int = 20,
+                      skip_if_batch_id_published: bool = False):
     """CAS-publish a manifest referencing an ALREADY-STAGED data dir —
     the commit tail of ``write_version_concurrent`` factored out for
     callers whose data landed outside a Spark write, chiefly the
@@ -865,9 +866,25 @@ def commit_staged_dir(table_dir: str, staged_rel: str, schema,
     chain's stats/bloom columns, parent entries, deletion vector, and
     recorded clustering discipline exactly like ``write_version``;
     bucketed and hive-partitioned parents refuse (the writer stages
-    flat files)."""
+    flat files).
+
+    ``skip_if_batch_id_published``: re-check ``batch_id`` membership
+    INSIDE every CAS attempt and return None (publishing nothing, the
+    caller owns the staged-dir cleanup) when a retained manifest
+    already records it. This is what makes the idempotent-write
+    guarantee hold under CONCURRENT replays (a zombie original racing
+    its retry): a pre-commit check alone is check-then-act — both
+    racers can pass it — but with the in-attempt ordering
+    (read head, check membership, CAS head+1) a racer that loses the
+    CAS re-enters the loop and finds the winner's key, and one that
+    read a pre-winner head has its CAS refused by the winner's
+    manifest. Delta re-validates txn versions inside its commit
+    conflict loop for the same reason."""
     for _attempt in range(max_retries + 1):
         parent = latest_version(table_dir)
+        if skip_if_batch_id_published and batch_id is not None \
+                and batch_id in published_batch_ids(table_dir):
+            return None
         version = (parent or 0) + 1
         parent_dirs: list[str] = []
         parent_rows = 0
@@ -2350,8 +2367,20 @@ def history(spark: SparkSession, table_dir: str) -> DataFrame:
     def _iso(epoch):
         if epoch is None:
             return None
-        return datetime.fromtimestamp(epoch, tz=timezone.utc).isoformat(
-            timespec="seconds")
+        # microsecond precision, rounded NEVER-EARLY: the displayed
+        # stamp is the documented AS-OF anchor, and any stamp below
+        # committed_at — a seconds truncation, or fromtimestamp's
+        # round-half-even landing half a microsecond short — resolves
+        # to the PARENT version (version_at's at-or-before rule), so
+        # the user would copy it back and silently read the previous
+        # snapshot. The bump is self-verifying: dt.timestamp() is the
+        # exact float the parsed ISO resolves back to.
+        from datetime import timedelta
+
+        dt = datetime.fromtimestamp(epoch, tz=timezone.utc)
+        if dt.timestamp() < epoch:
+            dt += timedelta(microseconds=1)
+        return dt.isoformat(timespec="microseconds")
 
     rows = [
         (m["version"], m["parent"], m["row_count"],

@@ -2207,3 +2207,76 @@ def test_mr4ver_batch_writer_txn_idempotent(spark, tmp_path):
 
     with pytest.raises(Exception, match="PAIR"):
         wr(10, 11, txnAppId="job")
+
+
+def test_mr4ver_txn_replay_race_closed_in_cas_loop(spark, tmp_path):
+    """r14 review: the idempotency guarantee must hold under
+    CONCURRENT replays — a zombie original racing its retry. Both
+    writers are constructed BEFORE either publishes (so both plan-time
+    pre-checks pass, the check-then-act shape), both stage, then both
+    commit: exactly one version lands, the loser's staged copy is
+    swept, and rows are never doubled. The closure lives INSIDE
+    commit_staged_dir's CAS loop (skip_if_batch_id_published), not in
+    the pre-check."""
+    import glob
+    import os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from mapreduce_4_spark.sources.pyds import Mr4VersionedWriter
+    from mapreduce_4_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    schema = _parse_datatype_string("k long, val long")
+    opts = {"txnappid": "job", "txnversion": "7", "path": tbl}
+    a = Mr4VersionedWriter(tbl, schema, False, opts)
+    b = Mr4VersionedWriter(tbl, schema, False, opts)
+    assert not a.already_published and not b.already_published
+    ma = a.write(iter(_arrow_batches([(0, 0), (1, 10)])))
+    mb = b.write(iter(_arrow_batches([(0, 0), (1, 10)])))
+    a.commit([ma])
+    b.commit([mb])  # raced replay: must publish nothing
+    assert latest_version(tbl) == 1
+    assert sorted(r["k"] for r in read_version(spark, tbl).collect()) \
+        == [0, 1]
+    # exactly one staged dir remains: the winner's (now a live data
+    # dir); the loser's copy was swept
+    assert len(glob.glob(os.path.join(tbl, "_staged", "*"))) == 1
+
+    # clean replay on a FRESH writer: plan-time pre-check fires and
+    # write() no-ops (no staged files at all)
+    c = Mr4VersionedWriter(tbl, schema, False, opts)
+    assert c.already_published
+    mc = c.write(iter(_arrow_batches([(0, 0), (1, 10)])))
+    c.commit([mc])
+    assert latest_version(tbl) == 1
+    assert len(glob.glob(os.path.join(tbl, "_staged", "*"))) == 1
+
+    # txnVersion must be an integer (key-ambiguity guard)
+    with pytest.raises(ValueError, match="txnVersion must be an int"):
+        Mr4VersionedWriter(tbl, schema, False,
+                           {"txnappid": "job", "txnversion": "1-0"})
+
+
+def test_mr4ver_history_stamp_round_trips_as_of(spark, tmp_path):
+    """r14 review: history()'s committed_at is the documented AS-OF
+    anchor — copying the DISPLAYED stamp back into read_version(as_of)
+    must resolve to that very version, not its parent (a truncated or
+    rounded-early stamp silently serves the previous snapshot)."""
+    from mapreduce_4_spark.sources.versioned import (
+        history,
+        read_version,
+        version_at,
+    )
+
+    tdir = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        write_version(spark.range(lo, lo + 5).withColumnRenamed(
+            "id", "k").coalesce(1), tdir, append=True)
+    for row in history(spark, tdir).collect():
+        v, stamp = row["version"], row["committed_at"]
+        assert version_at(tdir, stamp) == v, (v, stamp)
+        assert read_version(spark, tdir, as_of=stamp).count() == 5 * v
