@@ -26,14 +26,32 @@ ASCII_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
 #: What the reference removes per char: '\n' plus ispunct chars.
 CLEAN_CLASS = r"[\n!-/:-@\[-`{-~]"
 
+#: The same character set, spelled out for ``translate`` — newline plus
+#: the four contiguous ASCII ranges ``!-/  :-@  [-`  {-~`` (string
+#: equality with C ispunct is pinned by tests/test_wordcount_golden.py).
+CLEAN_CHARS = "\n" + "".join(
+    chr(c) for r in ((0x21, 0x2F), (0x3A, 0x40), (0x5B, 0x60), (0x7B, 0x7E))
+    for c in range(r[0], r[1] + 1)
+)
+
 
 def clean_text(col: Column | str) -> Column:
     """lower(strip ispunct + newline) — reference ``lowerRemovePunc``.
 
     The reference strips before lowercasing; over ASCII the two operations
     commute, so a single pass each is equivalent.
+
+    Implemented with ``translate`` (a per-code-unit char map, no regex
+    engine) rather than ``regexp_replace`` over ``CLEAN_CLASS``: the two
+    are semantically identical for a single-char class (each listed char
+    deleted, everything else untouched, non-ASCII unaffected either way)
+    and translate measured ~1.3x faster on the explode-heavy wordcount
+    shape (round-14 optimization, guide §1.2 "per-task work"). The
+    DuckDB oracle keeps the regex spelling (CLEAN_CLASS) — the
+    cross-engine contract is unchanged and every text query stays
+    hash-green against it.
     """
-    return F.lower(F.regexp_replace(col, CLEAN_CLASS, ""))
+    return F.lower(F.translate(col, CLEAN_CHARS, ""))
 
 
 def tokens(col: Column | str) -> Column:
@@ -49,6 +67,28 @@ def tokens(col: Column | str) -> Column:
 def words(col: Column | str) -> Column:
     """Token array with empties removed — convenience for array-level use."""
     return F.filter(tokens(col), lambda w: F.length(w) > 0)
+
+
+def ngrams_join(w: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array, one pass.
+
+    ``n-1`` chained ``zip_with``s over the n shifted views of ``w``
+    instead of ``transform(sequence(1, size-n+1), i -> concat_ws(' ',
+    slice(w, i, n)))``: no per-position index array and no per-gram
+    n-slot slice allocation (round-14 optimization, guide §1.2 per-task
+    work; ~1.2x measured on the sf0.1 3-gram explode). Identical
+    output: element i is ``w[i] .. w[i+n-1]`` space-joined either way.
+
+    ``greatest(.., 0)`` keeps the slice length legal for rows shorter
+    than n (yielding an empty gram array, exactly like the sequence
+    form under its callers' ``size >= n`` guards).
+    """
+    cnt = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    out = F.slice(w, 1, cnt)
+    for j in range(2, n + 1):
+        out = F.zip_with(out, F.slice(w, j, cnt),
+                         lambda acc, x: F.concat(acc, F.lit(" "), x))
+    return out
 
 
 def sql_words(text_expr: str = "text") -> str:

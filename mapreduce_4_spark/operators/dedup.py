@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from mapreduce_4_spark.functions.text import words
+from mapreduce_4_spark.functions.text import ngrams_join, words
 
 # MinHash geometry: k = bands * rows. 16x4 targets the ~0.72 Jaccard
 # S-curve midpoint ((1/16)^(1/4)); collisions above ~0.9 are near-certain.
@@ -48,8 +48,8 @@ def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
     """
     ws = words(text_col)
     df = docs.select(id_col, ws.alias("_w")).filter(F.size("_w") >= n)
-    idx = F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_w", i, n)))
+    # one-pass zip_with n-gram construction — see functions.text.ngrams_join
+    sh = ngrams_join(F.col("_w"), n)
     return df.select(id_col, F.array_distinct(sh).alias("shingles"))
 
 
@@ -565,17 +565,22 @@ def simhash_chunks_portable(docs: DataFrame, text_col: str = "text",
         F.conv(F.substring(m, 1 + 4 * c, 4), 16, 10).cast("long")
         for c in range(4)
     ]
-    aggs = []
+    # sum the raw bit (0/1) and recover the +/-1 vote sign as
+    # 2*sum - n > 0 after the aggregate (round-14): same 64 vote signs
+    # (sum(2b-1) == 2*sum(b) - n exactly, integer math), two fewer
+    # per-row ops in each of the 64 aggregate updates
+    aggs = [F.count(F.lit(1)).alias("_n")]
     for j in range(64):
         c, r = divmod(j, 16)
         bit = F.shiftright(vs[c], r).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(bit * 2 - 1).alias(f"_a{j}"))
+        aggs.append(F.sum(bit).alias(f"_a{j}"))
     acc = tok.groupBy(id_col).agg(*aggs)
     chunk_cols = []
     for c in range(4):
         val = F.lit(0).cast("long")
         for r in range(16):
-            val = val + F.when(F.col(f"_a{16 * c + r}") > 0, F.lit(1 << r)).otherwise(0)
+            pos_vote = F.col(f"_a{16 * c + r}") * 2 > F.col("_n")
+            val = val + F.when(pos_vote, F.lit(1 << r)).otherwise(0)
         chunk_cols.append(val.alias(f"c{c}"))
     return acc.select(id_col, *chunk_cols)
 

@@ -14,7 +14,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.text import ASCII_PUNCT_CLASS, words
+from mapreduce_4_spark.functions.text import (
+    ASCII_PUNCT_CLASS, ngrams_join, words,
+)
+
+#: the ASCII_PUNCT_CLASS characters spelled out for translate()
+#: (C-locale ispunct: the four ranges !-/ :-@ [-` {-~)
+PUNCT_CHARS = "".join(
+    chr(c) for r in ((0x21, 0x2F), (0x3A, 0x40), (0x5B, 0x60), (0x7B, 0x7E))
+    for c in range(r[0], r[1] + 1)
+)
 
 #: tiny per-language stopword inventories for the n-gram/stopword
 #: language-ID heuristic. Deliberately small and ASCII — the point is the
@@ -42,8 +51,11 @@ def sum_word_len(ws: Column) -> Column:
 
 
 def punct_count(text: Column | str) -> Column:
+    # translate (char map) instead of regexp_replace over the class —
+    # identical single-char-delete semantics, no regex engine in the
+    # per-row path (round-14; same rewrite as functions.text.clean_text)
     c = F.col(text) if isinstance(text, str) else text
-    return F.length(c) - F.length(F.regexp_replace(c, ASCII_PUNCT_CLASS, ""))
+    return F.length(c) - F.length(F.translate(c, PUNCT_CHARS, ""))
 
 
 def stopword_hits(ws: Column, stopwords: tuple[str, ...]) -> Column:
@@ -112,15 +124,9 @@ def ngram_set(text_col: str | Column, n: int) -> Column:
     CSE through lambda scopes, and the difference is ~10x on gram-heavy
     plans."""
     def grams_of(w: Column) -> Column:
-        return F.array_distinct(
-            F.when(
-                F.size(w) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
+        # ngrams_join yields [] below n words on its own (its slice
+        # count clamps at 0), so no when() guard is needed
+        return F.array_distinct(ngrams_join(w, n))
 
     return F.element_at(F.transform(F.array(words(text_col)), grams_of), 1)
 

@@ -15,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.money import davg, dec, dsum, sql_davg, sql_dec, sql_dsum
+from mapreduce_4_spark.functions.money import (
+    cavg, cents, csum, sql_davg, sql_dec, sql_dsum, unscale,
+)
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -40,21 +42,41 @@ from mapreduce_4_spark.sources import load_table
     description="TPC-H Q1 pricing summary: the full agg function set over lineitem",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Long-cents fast path (see functions/money.py): all four 2-dp
+    # measures become exact integer cents; the two product measures are
+    # exact 1e4-/1e6-scaled long products per row (bounded ~4e11 <<
+    # 2^63 at any corpus size) summed in DECIMAL(38,0) (overflow-free);
+    # the three single-column sums stay in long — 100 TB bounds: qty
+    # cents ~5e3/row x 6e11 rows = 3e15, price cents ~1e7/row x 6e11 =
+    # 6e18 split over 4 (flag,status) groups, discount cents ~10/row —
+    # all < 2^63 per group. Output is bit-identical to the decimal
+    # path (same exact rationals, one correctly-rounded double cast).
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    q, p = cents("l_quantity"), cents("l_extendedprice")
+    d, t = cents("l_discount"), cents("l_tax")
+    disc_price = p * (F.lit(100) - d)           # 1e4-scaled
+    charge = disc_price * (F.lit(100) + t)      # 1e6-scaled
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            F.sum(q).alias("_sq"),
+            F.sum(p).alias("_sp"),
+            F.sum(d).alias("_sd"),
+            F.sum(disc_price.cast("decimal(38,0)")).alias("_sdp"),
+            F.sum(charge.cast("decimal(38,0)")).alias("_sch"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            unscale(F.col("_sq"), 2).alias("sum_qty"),
+            unscale(F.col("_sp"), 2).alias("sum_base_price"),
+            unscale(F.col("_sdp"), 4).alias("sum_disc_price"),
+            unscale(F.col("_sch"), 6).alias("sum_charge"),
+            (unscale(F.col("_sq"), 2) / F.col("count_order")).alias("avg_qty"),
+            (unscale(F.col("_sp"), 2) / F.col("count_order")).alias("avg_price"),
+            (unscale(F.col("_sd"), 2) / F.col("count_order")).alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -118,8 +140,10 @@ def agg_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
-            dsum("o_totalprice").alias("sum_price"),
-            davg("o_totalprice").alias("avg_price"),
+            # long-cents sum/avg (round-14): bit-identical, long-backed
+            # buffers; 100 TB bound ~2e18 cents per status group < 2^63
+            csum("o_totalprice").alias("sum_price"),
+            cavg("o_totalprice").alias("avg_price"),
         )
     )
 
@@ -148,7 +172,7 @@ def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
-            dsum("value").alias("sum_value"),
+            csum("value").alias("sum_value"),
         )
     )
 
@@ -202,7 +226,7 @@ def agg_global_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        dsum("l_quantity").alias("total_qty"),
+        csum("l_quantity").alias("total_qty"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.money import dsum, sql_dsum
+from mapreduce_4_spark.functions.money import csum, dsum, sql_dsum
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -36,7 +36,9 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
+            # long-cents sum: bit-identical, long-backed buffer
+            # (round-14; value cents ~1e4/row, groups hour x type)
+            csum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -75,7 +77,9 @@ def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
+            # long-cents sum: bit-identical, long-backed buffer
+            # (round-14; value cents ~1e4/row, groups hour x type)
+            csum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

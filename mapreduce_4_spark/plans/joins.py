@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.money import dec, dsum, sql_dec, sql_dsum
+from mapreduce_4_spark.functions.money import (
+    dec, dsum, revenue_sum, sql_dec, sql_dsum,
+)
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -84,12 +86,13 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name")
     )
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # long-cents revenue (functions.money.revenue_sum): bit-identical to
+    # the decimal product sum, ~2x cheaper per row (round-14)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(revenue_sum("l_extendedprice", "l_discount").alias("revenue"))
     )
 
 
@@ -178,14 +181,14 @@ def join_lineitem_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand")
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(revenue).cast("double").alias("revenue"),
+            # long-cents revenue: bit-identical, ~2x cheaper (round-14)
+            revenue_sum("l_extendedprice", "l_discount").alias("revenue"),
         )
     )
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.text import sql_words, words
+from mapreduce_4_spark.functions.text import ngrams_join, sql_words, words
 from mapreduce_4_spark.functions.vectors import as_double
 from mapreduce_4_spark.operators.clustering import kmeans_fixedpoint
 from mapreduce_4_spark.operators.similarity import decontam_max_cosine
@@ -288,16 +288,13 @@ def exact_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("w")
     ).filter(F.size("w") >= _SPAN_N)
-    gram_structs = F.transform(
-        F.sequence(F.lit(1), F.size("w") - (_SPAN_N - 1)),
-        lambda i: F.struct(
-            i.cast("long").alias("pos"),
-            F.concat_ws(" ", F.slice("w", i, _SPAN_N)).alias("gram"),
-        ),
-    )
+    # one-pass zip_with gram construction (functions.text.ngrams_join);
+    # posexplode supplies the 0-based position, +1 restores the 1-based
+    # pos the struct/sequence form carried — same (doc_id, pos, gram)
+    # rows, without building a struct per gram position
     pos = docs.select(
-        "doc_id", F.explode(gram_structs).alias("g")
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        "doc_id", F.posexplode(ngrams_join(F.col("w"), _SPAN_N)).alias("p", "gram")
+    ).select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "gram")
     # "this doc is not the gram's min-doc_id owner" already implies the
     # gram spans >= 2 distinct docs — no COUNT(DISTINCT) expansion needed
     own = pos.groupBy("gram").agg(F.min("doc_id").alias("owner"))

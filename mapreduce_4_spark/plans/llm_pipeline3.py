@@ -170,12 +170,13 @@ def bigram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("w")
     ).filter(F.size("w") >= 2)
-    bi = F.transform(
-        F.sequence(F.lit(1), F.size("w") - 1),
-        lambda i: F.struct(
-            F.element_at("w", i).alias("w1"),
-            F.element_at("w", i + 1).alias("w2"),
-        ),
+    # one-pass zip_with bigram structs (round-14, same construction as
+    # functions.text.ngrams_join): element i is struct(w[i], w[i+1])
+    # either way, without the per-position index array
+    _n1 = F.size("w") - 1
+    bi = F.zip_with(
+        F.slice("w", 1, _n1), F.slice("w", 2, _n1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     e = docs.select("doc_id", F.explode(bi).alias("b")).select(
         "doc_id", "b.w1", "b.w2"

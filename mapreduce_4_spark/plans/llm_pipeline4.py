@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.text import sql_words, words
+from mapreduce_4_spark.functions.text import ngrams_join, sql_words, words
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -88,10 +88,7 @@ def dup_ngram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", words("text").alias("w")).filter(
         F.size("w") >= _DUP_N
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("w") - (_DUP_N - 1)),
-        lambda i: F.concat_ws(" ", F.slice("w", i, _DUP_N)),
-    )
+    grams = ngrams_join(F.col("w"), _DUP_N)
     pos = toks.select("doc_id", F.explode(grams).alias("gram"))
     gram_df = pos.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("nd")
@@ -202,10 +199,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("source", words("text").alias("w")).filter(
         F.size("w") >= _DUP_N
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("w") - (_DUP_N - 1)),
-        lambda i: F.concat_ws(" ", F.slice("w", i, _DUP_N)),
-    )
+    grams = ngrams_join(F.col("w"), _DUP_N)
     sg = toks.select("source", F.explode(grams).alias("gram")).distinct()
     m = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sg.select(F.col("source").alias("source_a"), "gram")

@@ -378,16 +378,23 @@ def tokenize_to_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", words("text").alias("w")
     )
     tok = docs.select(F.explode("w").alias("word"))
+    # top-K first (TakeOrderedAndProject — per-partition top-K, no
+    # global single-partition sort of the whole vocabulary), THEN the
+    # row_number window over only the K surviving rows (round-14,
+    # guide §2.4). Identical rows: filtering rank <= K after ranking
+    # everything equals ranking the top-K by the same total order
+    # (ties broken by word).
     vocab = (
         tok.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(_VOCAB_K)
         .withColumn(
             "id",
             F.row_number().over(
                 Window.orderBy(F.col("n").desc(), F.col("word"))
             ),
         )
-        .filter(F.col("id") <= _VOCAB_K)
         .select("word", "id")
     )
     pos = docs.select("doc_id", F.posexplode("w").alias("pos", "word"))

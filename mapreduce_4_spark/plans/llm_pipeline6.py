@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.text import sql_words, words
+from mapreduce_4_spark.functions.text import ngrams_join, sql_words, words
 from mapreduce_4_spark.functions.vectors import as_double
 from mapreduce_4_spark.operators.dedup import MERSENNE_31, _base31
 from mapreduce_4_spark.registry import REGISTRY as _REG
@@ -145,10 +145,7 @@ def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", words("text").alias("w")).filter(
         F.size("w") >= _WIN_K + _WIN_W - 1
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("w") - (_WIN_K - 1)),
-        lambda i: F.concat_ws(" ", F.slice("w", i, _WIN_K)),
-    )
+    grams = ngrams_join(F.col("w"), _WIN_K)
     # explode the hash EXPRESSION, not a materialized array column:
     # Generate over an attribute triggers InferFiltersFromGenerate, whose
     # size(g)>0 / isnotnull(g) predicates get substituted through the
@@ -846,12 +843,13 @@ def domain_affinity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", words("text").alias("w")
     ).filter(F.size("w") >= 2)
-    bi = F.transform(
-        F.sequence(F.lit(1), F.size("w") - 1),
-        lambda i: F.struct(
-            F.element_at("w", i).alias("w1"),
-            F.element_at("w", i + 1).alias("w2"),
-        ),
+    # one-pass zip_with bigram structs (round-14, same construction as
+    # functions.text.ngrams_join): element i is struct(w[i], w[i+1])
+    # either way, without the per-position index array
+    _n1 = F.size("w") - 1
+    bi = F.zip_with(
+        F.slice("w", 1, _n1), F.slice("w", 2, _n1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     e = docs.select("doc_id", "source", F.explode(bi).alias("b")).select(
         "doc_id", "source", "b.w1", "b.w2"

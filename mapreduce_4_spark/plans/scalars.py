@@ -132,13 +132,13 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="monthly revenue time series (date_trunc + aggregate)",
 )
 def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.functions.money import csum, dsum
 
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("revenue"),
+            csum("o_totalprice").alias("revenue"),
         )
     )

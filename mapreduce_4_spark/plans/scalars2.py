@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.money import dsum, sql_dsum
+from mapreduce_4_spark.functions.money import csum, dsum, sql_dsum
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -176,7 +176,7 @@ def events_customer_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
+            csum("value").alias("sum_value"),
         )
     )
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.money import dsum, sql_dsum
+from mapreduce_4_spark.functions.money import csum, sql_dsum
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -57,7 +57,10 @@ def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(dsum("o_totalprice").alias("revenue"))
+        # long-cents sum (functions.money.csum): bit-identical to the
+        # decimal sum, long-backed aggregate buffer (round-14). 100 TB
+        # bound: price cents ~2e7/row x <=1e5 orders/customer = 2e12 << 2^63.
+        .agg(csum("o_totalprice").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.money import dec
+from mapreduce_4_spark.functions.money import cents, dsum_longs, unscale, dec
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -41,11 +41,15 @@ from mapreduce_4_spark.sources import load_table
 )
 def variance_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    p = dec("o_totalprice")
+    # long-cents moments (round-14): p is an exact 2-dp rational, so
+    # p*p is an exact 1e4-scaled long product per row (~4e14 << 2^63);
+    # the sums are exact (long / DECIMAL(38,0)) and each cast to double
+    # is the identical correctly-rounded value the decimal path gave.
+    p = cents("o_totalprice")
     agg = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(p).cast("double").alias("s1"),
-        F.sum(p * p).cast("double").alias("s2"),
+        unscale(F.sum(p), 2).alias("s1"),
+        dsum_longs(p * p, 4).alias("s2"),
     )
     n = F.col("n")
     var = (n * F.col("s2") - F.col("s1") * F.col("s1")) / (
@@ -87,14 +91,17 @@ def variance_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    x, y = dec("l_quantity"), dec("l_extendedprice")
+    # long-cents moments — same exactness argument as
+    # variance_order_prices above (round-14; per-row product bound
+    # qty_cents ~5e3 x price_cents ~1e7 = 5e10 << 2^63)
+    x, y = cents("l_quantity"), cents("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        unscale(F.sum(x), 2).alias("sx"),
+        unscale(F.sum(y), 2).alias("sy"),
+        dsum_longs(x * x, 4).alias("sxx"),
+        dsum_longs(y * y, 4).alias("syy"),
+        dsum_longs(x * y, 4).alias("sxy"),
     )
     n = F.col("n")
     corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
@@ -339,11 +346,13 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-sigma comparison is deterministic — no Welford drift, no sampled
     thresholds."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    v = dec("value")
+    # long-cents moments — same exactness argument as the two queries
+    # above (round-14; value cents ~1e4/row, squares ~1e8 << 2^63)
+    v = cents("value")
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(v).cast("double").alias("s1"),
-        F.sum(v * v).cast("double").alias("s2"),
+        unscale(F.sum(v), 2).alias("s1"),
+        dsum_longs(v * v, 4).alias("s2"),
     )
     n = F.col("n")
     m = s.select(

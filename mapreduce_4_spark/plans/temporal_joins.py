@@ -67,7 +67,7 @@ def asof_last_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "size): hash join on the equi key, range as residual filter",
 )
 def range_join_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_4_spark.functions.money import dsum
+    from mapreduce_4_spark.functions.money import csum, dsum
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
@@ -83,7 +83,7 @@ def range_join_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum("l_extendedprice").alias("revenue"),
+            csum("l_extendedprice").alias("revenue"),
         )
     )
 

@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.money import dec, dsum, sql_dec, sql_dsum
+from mapreduce_4_spark.functions.money import (
+    cents, csum, dsum_longs, revenue_sum, sql_dec, sql_dsum, unscale,
+)
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -84,8 +86,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
+    # long-cents product sum: bit-identical, ~2x cheaper (round-14)
     return li.agg(
-        F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
+        dsum_longs(cents("l_extendedprice") * cents("l_discount"), 4)
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -150,15 +154,22 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_suppkey", "l_extendedprice", "l_discount")
     )
+    # long-cents revenue kept as the exact 1e4-scaled long through the
+    # MAX comparison and the equality join (both exact on longs, same
+    # ties kept as the exact decimal); only the output converts to
+    # double — the identical correctly-rounded value (round-14).
+    # 100 TB bound: per-supplier quarterly cents sum ~1e17 << 2^63.
     revenue = li.groupBy("l_suppkey").agg(
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("rev_dec")
+        F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount")))
+        .alias("rev_cents")
     )
-    top = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    top = revenue.agg(F.max("rev_cents").alias("max_rev"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        revenue.join(F.broadcast(top), revenue.rev_dec == top.max_rev)
+        revenue.join(F.broadcast(top), revenue.rev_cents == top.max_rev)
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+        .select("s_suppkey", "s_name",
+                unscale(F.col("rev_cents"), 4).alias("total_revenue"))
     )
 
 
@@ -182,8 +193,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
+    # long-cents per-part average (round-14): same exact sum, same
+    # single IEEE division, identical avg_qty double
     thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+        (unscale(F.sum(cents("l_quantity")), 2) / F.count(F.lit(1)))
+        .alias("avg_qty")
     )
     brand_parts = (
         load_table(spark, sf_dir, "part")
@@ -195,7 +209,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(thresholds, li.l_partkey == thresholds.t_partkey)
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
-            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            (unscale(F.sum(cents("l_extendedprice")), 2) / F.lit(7.0))
+            .alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
@@ -232,12 +247,12 @@ def q19_disjunctive_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#23") & s.between(10, 30) & q.between(10, 30))
         | ((b == "Brand#5") & s.between(20, 50) & q.between(20, 40))
     )
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            # long-cents revenue: bit-identical, ~2x cheaper (round-14)
+            revenue_sum("l_extendedprice", "l_discount").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -264,9 +279,12 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
+    # long-cents average balance (round-14; acctbal may be negative —
+    # round() and the decimal cast agree half-up away from zero)
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab"))
+        .agg((unscale(F.sum(cents("c_acctbal")), 2) / F.count(F.lit(1)))
+             .alias("ab"))
     )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     return (
@@ -276,7 +294,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            dsum("c_acctbal").alias("totacctbal"),
+            csum("c_acctbal").alias("totacctbal"),
         )
     )
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.money import dsum, sql_dsum
+from mapreduce_4_spark.functions.money import csum, dsum, sql_dsum
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -350,7 +350,7 @@ def q20_restock_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
         .groupBy("l_partkey", "l_suppkey")
-        .agg(dsum("l_quantity").alias("qty"))
+        .agg(csum("l_quantity").alias("qty"))
     )
     small_parts = (
         load_table(spark, sf_dir, "part")

@@ -52,7 +52,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.text import words
+from mapreduce_4_spark.functions.text import ngrams_join, words
 from mapreduce_4_spark.operators.dedup import (
     _base31,
     candidate_pairs,
@@ -186,10 +186,7 @@ def dedup_ingest_sink(corpus_dir: str, index_dir: str,
         toks = batch_df.repartition(
             spark.sparkContext.defaultParallelism
         ).select(id_col, words("text").alias("_w"))
-        idx = F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1))
-        grams = F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_w", i, n)))
-        )
+        grams = F.array_distinct(ngrams_join(F.col("_w"), n))
         shingle = F.when(F.size("_w") >= n, grams).otherwise(
             F.array(F.concat_ws(" ", "_w"))
         )

@@ -290,7 +290,11 @@ def test_winnowing_explodes_expression_not_inferred_filters(spark, sf_oracle):
     projection, and the scan node's DataFilters rendering of that same
     filter — anything beyond 3 means inferred generate guards are back."""
     plan = _plan(spark, sf_oracle, "winnow_fingerprints_docs")
-    assert plan.count("regexp_replace") <= 3, plan
+    # the tokenizer's cleaning pass is translate() since round 14
+    # (regexp_replace before) — count both spellings so the pin tracks
+    # the tokenizer wherever it appears
+    n_tokenizer = plan.count("translate") + plan.count("regexp_replace")
+    assert n_tokenizer <= 3, plan
     assert "CartesianProduct" not in plan
 
 
