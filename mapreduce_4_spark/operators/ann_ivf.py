@@ -57,21 +57,25 @@ def centroid_array(centroids: DataFrame) -> DataFrame:
     )
 
 
+def _sim_structs(vec: F.Column, vnorm: F.Column) -> F.Column:
+    """(-cosine, cid) struct per centroid for one row — the shared
+    payload of the argmin (array_min) and ranked (array_sort) views.
+    sim = dot/(|v|*|c|), the exact arithmetic of the window variant and
+    of DuckDB's list_cosine_similarity (functions/vectors.py)."""
+    return F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            (-(dot(vec, s["_c"]) / (vnorm * s["_cn"]))).alias("_negsim"),
+            s["_cid"].alias("_cid"),
+        ),
+    )
+
+
 def _ranked_by_sim(vec: F.Column, vnorm: F.Column) -> F.Column:
     """Sorted (ascending by -cosine, ties to lowest cid) struct array of
     all centroids for one row: element 0 is the nearest centroid, the
-    first ``nprobe`` are the probe set. Pure per-row expression —
-    sim = dot/(|v|*|c|), the exact arithmetic of the window variant and
-    of DuckDB's list_cosine_similarity (functions/vectors.py)."""
-    return F.array_sort(
-        F.transform(
-            F.col("_cents"),
-            lambda s: F.struct(
-                (-(dot(vec, s["_c"]) / (vnorm * s["_cn"]))).alias("_negsim"),
-                s["_cid"].alias("_cid"),
-            ),
-        )
-    )
+    first ``nprobe`` are the probe set."""
+    return F.array_sort(_sim_structs(vec, vnorm))
 
 
 def _assign(df: DataFrame, centroids: DataFrame, vec: str, id_col: str,
@@ -83,7 +87,9 @@ def _assign(df: DataFrame, centroids: DataFrame, vec: str, id_col: str,
         df.withColumn("_v", as_double(F.col(vec)))
         .withColumn("_vn", norm(F.col("_v")))
         .crossJoin(F.broadcast(centroid_array(centroids)))
-        .withColumn(out, _ranked_by_sim(F.col("_v"), F.col("_vn"))[0]["_cid"])
+        # array_min of the same struct array == ranked[0] (round-14)
+        .withColumn(out, F.array_min(
+            _sim_structs(F.col("_v"), F.col("_vn")))["_cid"])
         .drop("_v", "_vn", "_cents")
     )
 

@@ -176,8 +176,11 @@ def kmeans_assign_fixedpoint(points: DataFrame, centroids: DataFrame,
     cents_arr = centroids.agg(
         F.array_sort(F.collect_list(F.struct("k", "c"))).alias("cents")
     )
-    best = (f"array_sort(transform(cents, s -> "
-            f"struct({_KM_DIST2.format(v=vec_col)} AS dist2, s.k AS k)))[0]")
+    # array_min == array_sort(...)[0] for the (dist2, k) struct order
+    # (lexicographic struct comparison), without materializing and
+    # sorting a K-struct array per row (round-14, guide §1.2)
+    best = (f"array_min(transform(cents, s -> "
+            f"struct({_KM_DIST2.format(v=vec_col)} AS dist2, s.k AS k)))")
     return points.crossJoin(F.broadcast(cents_arr)).select(
         F.col(id_col), F.col(vec_col), F.expr(best).alias("best")
     ).select(

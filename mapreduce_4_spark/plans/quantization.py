@@ -77,7 +77,9 @@ def _pq_recon_col(e: Column) -> Column:
     parts = []
     for m in range(_PQ_M):
         sub = F.slice(e, m * _PQ_SUB + 1, _PQ_SUB)
-        best = F.array_sort(
+        # array_min == array_sort(...)[0] under the (score, cid, cw)
+        # struct order — (score, cid) is already unique (round-14)
+        best = F.array_min(
             F.transform(
                 F.filter(F.col("_cb"), lambda b: b["m"] == F.lit(m)),
                 lambda b: F.struct(
@@ -87,7 +89,7 @@ def _pq_recon_col(e: Column) -> Column:
                     b["cw"].alias("_cw"),
                 ),
             )
-        )[0]
+        )
         parts.append(best["_cw"])
     return F.flatten(F.array(*parts))
 
@@ -230,20 +232,24 @@ def _coarse_array(emb: DataFrame) -> DataFrame:
     )
 
 
+def _coarse_structs(e: Column) -> Column:
+    """(-cosine, ccid) struct per coarse centroid for one row — shared
+    by the argmin (array_min) and ranked (array_sort) views. Same
+    cosine arithmetic as the oracle's list_cosine_similarity."""
+    return F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            (-cosine(e, s["c"])).alias("_negsim"),
+            s["ccid"].alias("_ccid"),
+        ),
+    )
+
+
 def _ranked_coarse(e: Column) -> Column:
     """Centroids sorted nearest-first for one row (ascending by
     -cosine, ties to lowest ccid): element 0 routes the row, the first
-    nprobe elements are a query's probe set. Pure per-row expression —
-    same cosine arithmetic as the oracle's list_cosine_similarity."""
-    return F.array_sort(
-        F.transform(
-            F.col("_cents"),
-            lambda s: F.struct(
-                (-cosine(e, s["c"])).alias("_negsim"),
-                s["ccid"].alias("_ccid"),
-            ),
-        )
-    )
+    nprobe elements are a query's probe set."""
+    return F.array_sort(_coarse_structs(e))
 
 
 def coarse_assigned(emb: DataFrame) -> DataFrame:
@@ -252,7 +258,10 @@ def coarse_assigned(emb: DataFrame) -> DataFrame:
     array; zero corpus-keyed Exchange (plan-asserted)."""
     return (
         emb.crossJoin(F.broadcast(_coarse_array(emb)))
-        .select("vec_id", _ranked_coarse(F.col("e"))[0]["_ccid"].alias("cluster"))
+        # array_min == ranked[0] without the per-row sort (round-14)
+        .select("vec_id",
+                F.array_min(_coarse_structs(F.col("e")))["_ccid"]
+                .alias("cluster"))
     )
 
 

@@ -132,7 +132,7 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="monthly revenue time series (date_trunc + aggregate)",
 )
 def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_4_spark.functions.money import csum, dsum
+    from mapreduce_4_spark.functions.money import csum
 
     return (
         load_table(spark, sf_dir, "orders")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.money import cents, dsum_longs, unscale, dec
+from mapreduce_4_spark.functions.money import cents, dsum_longs, unscale
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 

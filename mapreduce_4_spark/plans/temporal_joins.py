@@ -67,7 +67,7 @@ def asof_last_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "size): hash join on the equi key, range as residual filter",
 )
 def range_join_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_4_spark.functions.money import csum, dsum
+    from mapreduce_4_spark.functions.money import csum
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_4_spark.functions.money import (
-    cents, csum, dsum_longs, revenue_sum, sql_dec, unscale,
+    cents, csum, dsum_longs, revenue_sum, sql_dec,
 )
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
