@@ -13,9 +13,16 @@ exactness, not tolerance (SURVEY.md §7.4 "oracle mismatch traps"):
 Averages divide the exact decimal sum by the count *in double*, the same
 single IEEE operation both sides.
 
-The same discipline applies at 100 TB on a real cluster: decimal partial
-aggregation is Tungsten-native and order-independent, so results are
-reproducible run-to-run — floats would not be.
+The same discipline applies at 100 TB on a real cluster: exact partial
+aggregation is order-independent, so results are reproducible
+run-to-run — floats would not be.
+
+Since round 14 the HOT aggregate paths use the long-cents twin below
+(``cents``/``csum``/``cavg``/``revenue_sum``/``dsum_longs``/``unscale``)
+— same exact rationals, same correctly-rounded doubles, ~2x cheaper per
+row; ``dec``/``dsum``/``davg`` remain for derived-double measures where
+the decimal cast defines the rounding contract (see the fast-path block
+comment for the full argument).
 """
 
 from __future__ import annotations
