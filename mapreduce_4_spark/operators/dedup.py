@@ -548,8 +548,9 @@ def simhash_chunks_portable(docs: DataFrame, text_col: str = "text",
 
     Per token, one md5; its first 16 hex chars are read as four 16-bit
     ints (hex->int via conv, bit-identical in DuckDB via '0x' casts).
-    Bit j's +/-1 votes are 64 conditional sums in ONE hash aggregate
-    (map-side partial, single shuffle on doc_id); the chunk values are
+    Bit j's votes are accumulated as 32 packed two-lane long sums in
+    ONE hash aggregate (map-side partial, single shuffle on doc_id —
+    see the packed-lane block comment below); the chunk values are
     then assembled from the vote signs. No Python anywhere — unlike the
     blake2b pandas-UDF family (:func:`simhash64`, kept as the engine's
     vectorized-UDF showcase), this variant is whole-stage-codegen'd AND
@@ -565,22 +566,49 @@ def simhash_chunks_portable(docs: DataFrame, text_col: str = "text",
         F.conv(F.substring(m, 1 + 4 * c, 4), 16, 10).cast("long")
         for c in range(4)
     ]
-    # sum the raw bit (0/1) and recover the +/-1 vote sign as
-    # 2*sum - n > 0 after the aggregate (round-14): same 64 vote signs
-    # (sum(2b-1) == 2*sum(b) - n exactly, integer math), two fewer
-    # per-row ops in each of the 64 aggregate updates
+    # Packed-lane vote accumulation (round-15, guide §1.2 per-task
+    # work): bits r and r+8 of each 16-bit chunk share ONE long sum in
+    # two 32-bit lanes, so the aggregate runs 32 packed sums + 1 count
+    # instead of 64 bit sums + 1 count (buffer 65 -> 33 longs, half the
+    # update slots; measured 1.21x on the sig build, 1.16-1.2x on the
+    # banded near-pair queries). Per row the two bits spread into their
+    # lanes with one multiply: w = (v >> r) & 0x101 has the bits at
+    # positions 0 and 8; w * (1 + 2^24) lands copies at 0/24/8/32 (no
+    # two terms collide, so no carries) and masking 1 | 2^32 keeps
+    # exactly bit r in lane 0 and bit r+8 in lane 1.
+    #
+    # Lane-overflow safety at ANY document size: a lane sum is at most
+    # the doc's token count n, and n < 2^30 (tokens are >= 2 chars of a
+    # < 2^31-byte string), so lane 0 can never bleed into lane 1
+    # (needs n >= 2^32) and the long SUM is bounded by
+    # n * (1 + 2^32) < 2^30 * 2^33 = 2^63 — no overflow, and under ANSI
+    # a violated bound would fail loud, never wrap silently.
+    #
+    # Vote recovery: sign = 2*sum(bit) - n > 0 (round-14 identity —
+    # sum(2b-1) == 2*sum(b) - n, exact integer math). The md5-derived
+    # bit expressions are never null (md5 of a non-null token), so the
+    # shared count(1) denominator counts exactly the rows every lane
+    # sum saw — the invariant this restructure relies on.
+    _SEL = (1 << 8) | 1            # bit r and bit r+8 of the chunk
+    _MUL = (1 << 24) | 1           # spread 8-apart -> 32-apart
+    _KEEP = (1 << 32) | 1          # lane positions 0 and 32
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for j in range(64):
-        c, r = divmod(j, 16)
-        bit = F.shiftright(vs[c], r).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(bit).alias(f"_a{j}"))
+    for c in range(4):
+        for r in range(8):
+            packed = (
+                F.shiftright(vs[c], r).bitwiseAND(F.lit(_SEL)) * F.lit(_MUL)
+            ).bitwiseAND(F.lit(_KEEP))
+            aggs.append(F.sum(packed).alias(f"_p{c}_{r}"))
     acc = tok.groupBy(id_col).agg(*aggs)
     chunk_cols = []
     for c in range(4):
         val = F.lit(0).cast("long")
         for r in range(16):
-            pos_vote = F.col(f"_a{16 * c + r}") * 2 > F.col("_n")
-            val = val + F.when(pos_vote, F.lit(1 << r)).otherwise(0)
+            lane = r // 8
+            s = F.shiftrightunsigned(
+                F.col(f"_p{c}_{r % 8}"), 32 * lane
+            ).bitwiseAND(F.lit(0xFFFFFFFF))
+            val = val + F.when(s * 2 > F.col("_n"), F.lit(1 << r)).otherwise(0)
         chunk_cols.append(val.alias(f"c{c}"))
     return acc.select(id_col, *chunk_cols)
 

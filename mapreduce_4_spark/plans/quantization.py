@@ -47,33 +47,50 @@ _K = 10
 
 
 def _codebook_array(emb: DataFrame) -> DataFrame:
-    """The seeded PQ codebook collapsed to ONE row: an (m, cid)-sorted
-    array of 64 (m, cid, cw) structs — the broadcast payload the
-    map-only encoder consumes."""
+    """The seeded PQ codebook collapsed to ONE row: a cid-sorted array
+    of (cid, cw) structs PER SUBSPACE (columns ``_cb0.._cb3``) — the
+    broadcast payload the map-only encoder consumes.
+
+    Round-15 (guide §2.4 duplicated subtrees / §1.2 per-task work): the
+    old build unioned 4 per-subspace projections of the seed, so the
+    corpus-wide TakeOrdered seed scan ran ONCE PER SUBSPACE (4 parquet
+    scans of the corpus in the plan, 8 in ivf_pq); now one seed pass
+    explodes its 4 subspace slices row-side. And splitting the codebook
+    into per-subspace array columns removes the per-row
+    ``filter(_cb, m == k)`` scan of all 64 structs from the encoder —
+    each subspace reads its own 16-entry array directly."""
     seed = (
         emb.orderBy("vec_id").limit(_PQ_K)
         .select(F.row_number().over(Window.orderBy("vec_id")).alias("cid"), "e")
     )
-    cb = None
-    for m in range(_PQ_M):
-        part = seed.select(
-            "cid", F.lit(m).alias("m"),
-            F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("cw"),
-        )
-        cb = part if cb is None else cb.unionByName(part)
-    return cb.agg(
-        F.array_sort(F.collect_list(F.struct("m", "cid", "cw"))).alias("_cb")
-    )
+    cb = seed.select(
+        "cid",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("e", m * _PQ_SUB + 1, _PQ_SUB).alias("cw"),
+            )
+            for m in range(_PQ_M)
+        ])).alias("s"),
+    ).select("cid", "s.m", "s.cw")
+    return cb.agg(*[
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("m") == m, F.struct("cid", "cw"))
+            )
+        ).alias(f"_cb{m}")
+        for m in range(_PQ_M)
+    ])
 
 
 def _pq_recon_col(e: Column) -> Column:
     """Per-row PQ encode + reconstruct as ONE expression over the
-    broadcast ``_cb`` array: for each subspace the nearest codeword by
-    ``-2<sub,cw> + |cw|^2`` (ascending, ties to the lowest cid — equal
-    ordering to L2; dot products only, the fold with cross-engine
-    parity), reconstruction = chosen codewords concatenated in subspace
-    order. No subspace explode, no (vec_id, m) window, no groupBy —
-    the encode stage moves zero rows."""
+    broadcast per-subspace ``_cb{m}`` arrays: for each subspace the
+    nearest codeword by ``-2<sub,cw> + |cw|^2`` (ascending, ties to the
+    lowest cid — equal ordering to L2; dot products only, the fold with
+    cross-engine parity), reconstruction = chosen codewords
+    concatenated in subspace order. No subspace explode, no (vec_id, m)
+    window, no groupBy — the encode stage moves zero rows."""
     parts = []
     for m in range(_PQ_M):
         sub = F.slice(e, m * _PQ_SUB + 1, _PQ_SUB)
@@ -81,7 +98,7 @@ def _pq_recon_col(e: Column) -> Column:
         # struct order — (score, cid) is already unique (round-14)
         best = F.array_min(
             F.transform(
-                F.filter(F.col("_cb"), lambda b: b["m"] == F.lit(m)),
+                F.col(f"_cb{m}"),
                 lambda b: F.struct(
                     (F.lit(-2.0) * dot(sub, b["cw"]) + dot(b["cw"], b["cw"]))
                     .alias("_score"),
