@@ -582,6 +582,35 @@ def _calibration(spark, timings: dict[str, float]) -> None:
            load_table(spark, SF_DIR, "lineitem").agg(
                F.sum("l_quantity").alias("s")),
            fast_extra=FAST_EXTRA_RUNS)
+    # DATA-HEAVY scaling arm (round-15, r14 verdict ask #2): the
+    # registered headline queries are sub-second at sf0.1 and dominated
+    # by fixed per-query overhead, so their 8-vs-32-core ratios read ~1
+    # and the driver's scaling probe misdiagnosed the harness as
+    # core-blind (the env IS honored — session.py wires
+    # $SPARK_GRAFT_CPUS into master and shuffle partitions). This arm
+    # is the data-sized witness: 32 independent scan legs of lineitem
+    # (one task each), 4x row replication per leg, a q1-shaped
+    # long-cents product aggregate — ~32 parallel compute-bound tasks,
+    # so wall clock MUST scale with cores (expected t8/t32 ~ 3-4x,
+    # like calib_jvm_hash's 2.1x). Deterministic, data-derived, no
+    # temp writes. Sum bound: |hv| <= 1e9/row x 2.4M rows x 32 legs
+    # ~ 7.7e16 << 2^63 (ANSI-loud anyway).
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_extendedprice", "l_discount")
+    leg = li.select(
+        "l_extendedprice", "l_discount",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("_r"),
+    )
+    fact = None
+    for _ in range(32):
+        fact = leg if fact is None else fact.unionAll(leg)
+    hv = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    _timed(timings, "calib_fact_scaleup",
+           fact.agg(F.sum(hv).alias("s")),
+           fast_extra=FAST_EXTRA_RUNS)
 
 
 def main() -> None:
@@ -660,7 +689,21 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     host = host_telemetry(snap0, host_snapshot(), _RAW.get(CALIB))
-    full, summary = build_records(timings, first_pass, sf, _RAW, host=host)
+    # the session's EFFECTIVE execution shape, carried inside the
+    # artifact (round-15, r14 verdict ask #2): host.ncpu is the
+    # machine's core count regardless of $SPARK_GRAFT_CPUS, so a
+    # local[8] run used to look like a 32-core artifact and the
+    # driver's scaling heuristic false-positived. master +
+    # defaultParallelism + shuffle partitions make each record
+    # self-describing.
+    engine = {
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")),
+    }
+    full, summary = build_records(timings, first_pass, sf, _RAW, host=host,
+                                  engine=engine)
     # stdout layout contract (round-10 verdict ask #2): the driver keeps
     # only a ~2 KB stdout TAIL, and BENCH_r09/r10 both came back
     # `parsed: null` because the single output line — raw_runs included —
@@ -685,7 +728,8 @@ def main() -> None:
 
 def build_records(timings: dict[str, float], first_pass: dict[str, float],
                   sf: str, raw: dict[str, list[float]],
-                  host: dict | None = None) -> tuple[dict, dict]:
+                  host: dict | None = None,
+                  engine: dict | None = None) -> tuple[dict, dict]:
     """(full, summary) bench records. ``full`` carries every timed arm
     plus raw_runs; ``summary`` is the driver-facing compact record —
     headline + calib queries only, no raw_runs — sized to survive a
@@ -702,6 +746,11 @@ def build_records(timings: dict[str, float], first_pass: dict[str, float],
     calibration arm is data-independent pure-JVM compute, so that
     column is comparable across rounds even when the host speed moves
     (the round-9 drift lesson — BASELINE.md reads this column).
+
+    ``engine``: the session's effective master / defaultParallelism /
+    shuffle partitions (round-15) — rides both records so a
+    reduced-core run ($SPARK_GRAFT_CPUS) is self-describing even
+    though host.ncpu keeps reporting the machine's core count.
 
     ``host`` (host_telemetry): the run's own contention evidence —
     loadavg/busy%/steal%/PSI spanning the run plus the calibration
@@ -729,15 +778,19 @@ def build_records(timings: dict[str, float], first_pass: dict[str, float],
         "unit": "sec",
         # headline + calib arms only (~1 KB): the ~25 ab_* arms would
         # push this line past the driver's 2 KB stdout tail — they ride
-        # the full record below instead
+        # the full record below instead. calib_fact_scaleup is the
+        # data-heavy scaling witness (see _calibration) and must reach
+        # the driver's cross-core comparison, so it rides the summary.
         "queries": {n: timings[n]
-                    for n in HEADLINE + [CALIB, "calib_scan_lineitem"]
+                    for n in HEADLINE + [CALIB, "calib_scan_lineitem",
+                                         "calib_fact_scaleup"]
                     if n in timings},
         "normalized": normalized,
         "first_pass": first_pass,
         "runs": N_RUNS,
         "fast_extra": FAST_EXTRA_RUNS,
         "host": host,
+        "engine": engine,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     full = dict(summary, queries=timings, raw_runs=raw,

@@ -84,7 +84,17 @@ def davg(col: Column | str, scale: int = 2) -> Column:
 
 
 def cents(col: Column | str, pow10: int = 2) -> Column:
-    """Exact integer (value * 10^pow10) of a pow10-dp double measure."""
+    """Exact integer (value * 10^pow10) of a pow10-dp double measure.
+
+    Premise obligation: round(x * 10^pow10) recovers the unscaled
+    integer only when the column truly holds pow10-dp values (for an
+    arbitrary double the IEEE product can land on the other side of a
+    .5 boundary and differ from ``dec``'s decimal-expansion HALF_UP by
+    one cent). Every column routed through here must be pinned in
+    MEASURES of tests/test_money_fastpath.py — add any new call-site
+    column there, or prove the 2-dp provenance in a comment the way
+    q9/q11's derived ps_supplycost analysis does (OPTIMIZATION_r15.md).
+    """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * (10 ** pow10)).cast("long")
 
@@ -92,8 +102,10 @@ def cents(col: Column | str, pow10: int = 2) -> Column:
 def csum(col: Column | str, pow10: int = 2) -> Column:
     """Exact long-cents sum surfaced as double.
 
-    Caller obligation: sum(|col|) * 10^pow10 < 2^63 at target scale —
-    document the bound at each call site.
+    Caller obligations: the column is a true pow10-dp measure (see
+    ``cents`` — pin new columns in tests/test_money_fastpath.py), and
+    sum(|col|) * 10^pow10 < 2^63 at target scale — document the bound
+    at each call site.
     """
     return unscale(F.sum(cents(col, pow10)), pow10)
 

@@ -78,7 +78,8 @@ def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             # long-cents sum: bit-identical, long-backed buffer
-            # (round-14; value cents ~1e4/row, groups hour x type)
+            # (round-14; value cents ~1e4/row, grouped by the sliding
+            # 1h/30m window alone — each event lands in 2 windows)
             csum("value").alias("sum_value"),
         )
         .select(

@@ -179,11 +179,19 @@ def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "greatest(w[i], w[i+1]) AS b))"
     )).alias("p")).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
     und = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
-    edges0 = und.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
-    ).unionAll(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
-    )
+    # undirect by exploding each aggregated pair into its two directed
+    # rows instead of unioning two projections of `und` (round-15,
+    # guide §2.4 duplicated subtrees): the union form plans the whole
+    # corpus-pass aggregate subtree TWICE (AQE stage reuse recovers the
+    # exchange at runtime, but every iteration's plan still carries
+    # both branches through 6 unrolled joins — 1.84 -> 1.53 s at sf0.1
+    # measured, identical rows; the oracle keeps the UNION ALL spelling)
+    edges0 = und.select(F.explode(F.array(
+        F.struct(F.col("a").alias("src"), F.col("b").alias("dst"),
+                 F.col("w")),
+        F.struct(F.col("b").alias("src"), F.col("a").alias("dst"),
+                 F.col("w")),
+    )).alias("e")).select("e.src", "e.dst", "e.w")
     deg = edges0.groupBy("src").agg(F.sum("w").alias("wdeg"))
     edges = edges0.join(deg, "src")
     nodes = edges0.select(F.col("src").alias("node")).distinct()

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_4_spark.functions.money import cents, dec, sql_dec
+from mapreduce_4_spark.functions.money import cents, dec, sql_dec, unscale
 from mapreduce_4_spark.registry import register
 from mapreduce_4_spark.sources import load_table
 
@@ -70,13 +70,13 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        # long-cents window sum (round-14): frame sums are per-customer
-        # revenue cents (~1e12 << 2^53 at any realistic scale), so the
-        # exact long -> double -> /100.0 rescale is the same
-        # correctly-rounded value the decimal cast produced
+        # long-cents window sum (round-14) rescaled through unscale()'s
+        # exact DECIMAL division (round-15): unconditionally correctly
+        # rounded at ANY frame magnitude — the same guarantee every
+        # aggregate path carries — where the old double/100.0 form was
+        # exact only while the frame's cents sum stayed below 2^53
         .withColumn("running_revenue",
-                    F.sum(cents("o_totalprice")).over(w).cast("double")
-                    / F.lit(100.0))
+                    unscale(F.sum(cents("o_totalprice")).over(w), 2))
         .withColumn("prev_price", F.lag("o_totalprice").over(wo))
         .withColumn("next_price", F.lead("o_totalprice").over(wo))
         .drop("o_totalprice")
@@ -140,9 +140,10 @@ def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "value")
         .withColumn(
             "moving_avg",
-            # long-cents 3-row frame sum (round-14; same rescale
-            # argument as window_running_revenue)
-            (F.sum(cents("value")).over(w).cast("double") / F.lit(100.0))
+            # long-cents 3-row frame sum (round-14), rescaled through
+            # unscale()'s exact DECIMAL division (round-15; same
+            # unconditional-exactness argument as window_running_revenue)
+            unscale(F.sum(cents("value")).over(w), 2)
             / F.count(F.lit(1)).over(w),
         )
         .drop("ts", "value")

@@ -58,7 +58,8 @@ def test_bench_stdout_summary_survives_driver_tail_capture():
     # a worst-case round: every headline + calib + 40 ab_* arms, all
     # with long names and retry entries
     timings = {n: 1.234 for n in bench.HEADLINE}
-    timings.update({bench.CALIB: 0.274, "calib_scan_lineitem": 0.301})
+    timings.update({bench.CALIB: 0.274, "calib_scan_lineitem": 0.301,
+                    "calib_fact_scaleup": 0.412})
     timings.update({f"ab_some_experiment_arm_with_long_name_{i:02d}": 12.345
                     for i in range(40)})
     raw = {n: [round(v + 0.1 * k, 3) for k in range(3)]
@@ -69,8 +70,10 @@ def test_bench_stdout_summary_survives_driver_tail_capture():
     host = bench.host_telemetry(bench.host_snapshot(),
                                 bench.host_snapshot(),
                                 [0.31, 0.274, 0.29, 0.3, 0.28])
+    engine = {"master": "local[32]", "default_parallelism": 32,
+              "shuffle_partitions": 32}
     full, summary = bench.build_records(timings, first_pass, "0.1", raw,
-                                        host=host)
+                                        host=host, engine=engine)
 
     line = json.dumps(summary, separators=(",", ":"))
     assert len(line) < 1900, f"summary line {len(line)}B outgrows the tail"
@@ -84,7 +87,11 @@ def test_bench_stdout_summary_survives_driver_tail_capture():
     assert summary["fast_extra"] == bench.FAST_EXTRA_RUNS
     assert "raw_runs" not in summary
     assert set(summary["queries"]) == set(
-        bench.HEADLINE + [bench.CALIB, "calib_scan_lineitem"])
+        bench.HEADLINE + [bench.CALIB, "calib_scan_lineitem",
+                          "calib_fact_scaleup"])
+    # round-15: the artifact is self-describing about its execution
+    # shape — a local[8] run must not masquerade as a 32-core one
+    assert summary["engine"] == engine
     assert set(summary["normalized"]) == set(bench.HEADLINE)
     assert summary["value"] == round(1.234 * len(bench.HEADLINE), 3)
     assert summary["calib_sec"] == 0.274
