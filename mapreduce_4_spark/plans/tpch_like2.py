@@ -329,11 +329,20 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    order_stats = li.groupBy(F.col("l_orderkey").alias("o_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supps"),
+    # two COUNT(DISTINCT ...) in one aggregate plan as an Expand that
+    # duplicates every fact row per distinct group (x2 hash-agg work on
+    # the whole scan); the same two numbers fall out of a plain
+    # (order, supplier) pre-aggregate — n_supps = pair count,
+    # n_ret_supps = pairs with any returning line — with no Expand
+    # (round-15, guide §2.3 aggregate-before-shuffle; 1.49 -> 0.89 s
+    # at sf0.1, result equality pinned by the oracle hash)
+    per_supp = li.groupBy(F.col("l_orderkey").alias("o_key"), "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .alias("ret")
+    )
+    order_stats = per_supp.groupBy("o_key").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("ret").alias("n_ret_supps"),
     )
     # EXISTS other-supplier  <=> n_supps > 1
     # NOT EXISTS other returning supplier (given this line returns)
