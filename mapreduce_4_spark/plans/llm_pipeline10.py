@@ -279,16 +279,24 @@ _SPAN_N = 4
                 "input a span-trimming rewrite pass consumes",
 )
 def exact_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the same two gram-keyed shuffles as
-    dup_ngram_fraction_docs (gram -> min-doc_id owner agg; positions
-    join back on gram — both key on high-cardinality grams, map-side
-    combine applies, no broadcast of a corpus-sized side), then the
-    interval merge is one doc_id-partitioned window over ONLY the
-    duplicated positions (sf0.01: 1.5k rows from 31k gram positions) —
-    islands via running MAX(end) over preceding rows, so overlapping
-    AND adjacent removal intervals fuse into maximal spans. Nothing is
-    all-pairs; the suffix-array machinery of the paper collapses to
-    hash aggregation because gram anchoring fixes the match length.
+    """Scale shape: ONE gram-keyed shuffle (round-15): ownership is
+    ``min(doc_id) OVER (PARTITION BY gram)`` computed in place on the
+    position stream, replacing the old owner-aggregate + join-back —
+    which exchanged the positions by gram anyway PLUS a second
+    exchange for the owner table and a sort-merge join between them
+    (measured 1.7 -> 0.9 s at sf0.1, identical rows; the oracle keeps
+    the aggregate+join spelling). Trade recorded: a window partition
+    key cannot be skew-split by AQE the way the SMJ's probe side could,
+    so one task sorts df(gram)·positions rows for the hottest gram —
+    bounded by max document frequency, the same df-shaped bound the
+    SimHash banding tier documents, and a spilling sort rather than an
+    OOM if a boilerplate gram goes hot. Then the interval merge is one
+    doc_id-partitioned window over ONLY the duplicated positions
+    (sf0.01: 1.5k rows from 31k gram positions) — islands via running
+    MAX(end) over preceding rows, so overlapping AND adjacent removal
+    intervals fuse into maximal spans. Nothing is all-pairs; the
+    suffix-array machinery of the paper collapses to hash-partitioned
+    window arithmetic because gram anchoring fixes the match length.
 
     Reference anchor: Map (gram positions) -> Shuffle (gram key) ->
     Reduce (ownership + merge), asio_deep/main.cpp:216-516 generalized.
@@ -305,9 +313,9 @@ def exact_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "gram")
     # "this doc is not the gram's min-doc_id owner" already implies the
     # gram spans >= 2 distinct docs — no COUNT(DISTINCT) expansion needed
-    own = pos.groupBy("gram").agg(F.min("doc_id").alias("owner"))
+    owner = F.min("doc_id").over(Window.partitionBy("gram"))
     dup = (
-        pos.join(own, "gram")
+        pos.withColumn("owner", owner)
         .filter(F.col("doc_id") != F.col("owner"))
         .select("doc_id", "pos", (F.col("pos") + _SPAN_N - 1).alias("e"))
     )

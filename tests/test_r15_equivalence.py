@@ -96,6 +96,51 @@ def test_dup_ngram_no_joinback_equals_joinback(spark):
     assert new == old
 
 
+def test_exact_span_window_owner_equals_join_back(spark):
+    """exact_span_dedup_docs' in-place window ownership must produce
+    the same duplicated-span set as the old owner-aggregate + join-back
+    shape, row for row."""
+    from mapreduce_4_spark.functions.text import ngrams_join, words
+    from mapreduce_4_spark.plans import REGISTRY
+    from mapreduce_4_spark.plans.llm_pipeline10 import _SPAN_N
+
+    new = sorted(tuple(r) for r in
+                 REGISTRY["exact_span_dedup_docs"].builder(spark, SF).collect())
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", words("text").alias("w")).filter(F.size("w") >= _SPAN_N)
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(ngrams_join(F.col("w"), _SPAN_N)).alias("p", "gram"),
+    ).select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "gram")
+    own = pos.groupBy("gram").agg(F.min("doc_id").alias("owner"))
+    dup = (
+        pos.join(own, "gram")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos", (F.col("pos") + _SPAN_N - 1).alias("e"))
+    )
+    prev_end = F.max("e").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1, 1)
+        .otherwise(0))
+    span_id = F.sum("new_span").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    old_df = (
+        flagged.withColumn("span_id", span_id)
+        .groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("span_start"),
+             F.max("e").alias("span_end"),
+             (F.max("e") - F.min("pos") + 1).alias("span_tokens"))
+        .drop("span_id")
+    )
+    old = sorted(tuple(r) for r in old_df.collect())
+    assert new == old
+
+
 def test_pq_codebook_split_arrays_equal_union_build(spark):
     """The exploded per-subspace codebook (_cb0.._cb3) must carry the
     same (cid, cw) entries in the same order as the old 4-way-union
