@@ -639,17 +639,27 @@ def _simhash_sig4(docs: DataFrame, hash_family: str) -> DataFrame:
 
 
 def _simhash_verify(banded_pairs: DataFrame, max_hamming: int) -> DataFrame:
-    """Shared verify tail: exact hamming from the carried chunk columns,
-    dedup the multi-band candidates, apply the distance bound."""
-    hamming = sum(
-        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))) for j in range(4)
-    ).cast("long")
+    """Shared verify tail: exact hamming from the carried 64-bit
+    signatures, dedup the multi-band candidates, apply the distance
+    bound. One xor + one bit_count per candidate (round-15): the chunks
+    concatenate exactly into sig64, so bit_count(sig_a ^ sig_b) equals
+    the old per-chunk bit_count sum."""
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     return (
         banded_pairs.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _sig64(sig: DataFrame) -> DataFrame:
+    """(doc_id, sig): the four 16-bit chunk columns reassembled into one
+    long — exact bit concatenation (c3's high bit stays unsigned via the
+    shift, never sign-pollutes)."""
+    s = sum(F.shiftleft(F.col(f"c{c}").cast("long"), 16 * c) for c in range(4))
+    return sig.select("doc_id", s.alias("sig"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
@@ -662,94 +672,71 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     (pinned by test):
 
     - ``"chunk4"``: pigeonhole over 4 disjoint 16-bit chunks — distance
-      <= 3 forces at least one identical chunk; join on
-      (chunk_idx, chunk_value). 4 band rows/doc, 16-bit bucket keys.
-      Candidate volume is sum(df^2) over 2^16-value buckets — fine to
-      ~10^8 docs, the documented caveat beyond (SCALE.md).
+      <= 3 forces at least one identical chunk; join on the packed
+      ``chunk_idx * 2^16 + chunk_value`` long key. 4 band rows/doc,
+      16-bit bucket keys. Candidate volume is sum(df^2) over
+      2^16-value buckets — fine to ~10^8 docs, the documented caveat
+      beyond (SCALE.md).
     - ``"blocks6"``: Manku et al. (WWW'07) tighter tier — 6 blocks,
-      any 3 must match; join on each C(6,3)=20 3-block (~32-bit) key.
-      5x the band rows, but bucket keys carry twice the bits, so
-      bucket df collapses and sum(df^2) survives 10^9+ docs. The
-      ``ab_simhash_*`` bench arms measure the crossover at 10x docs;
-      ``simhash_bucket_skew_report`` is the pre-flight diagnostic.
+      any 3 must match; join on each C(6,3)=20 packed 3-block (~33-bit
+      + combo tag) long key. 5x the band rows, but bucket keys carry
+      twice the bits, so bucket df collapses and sum(df^2) survives
+      10^9+ docs. The ``ab_simhash_*`` bench arms measure the
+      crossover at 10x docs; ``simhash_bucket_skew_report`` is the
+      pre-flight diagnostic.
 
     Verify is identical either way: exact bit_count(xor) on the carried
-    chunks, DISTINCT across bands, filter to the bound.
+    64-bit signatures, DISTINCT across bands, filter to the bound.
 
     ``hash_family``: "portable" (md5-derived bits, DuckDB-reproducible,
     all-JVM) or "udf" (blake2b pandas-UDF fingerprint).
     """
-    sig = _simhash_sig4(docs, hash_family)
+    # Round-15 (§2.3 shuffle fewer bytes): each banded row carries ONE
+    # packed long band key (a BIJECTION of the old multi-column key —
+    # not a hash, so join semantics are untouched) and ONE 64-bit
+    # signature long instead of the four chunk columns; the verify tail
+    # is one xor + bit_count. Banded-row width 9 cols -> 3 on both
+    # self-join sides.
+    sig = _sig64(_simhash_sig4(docs, hash_family))
     if banding == "chunk4":
-        chunks = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("chunk"), F.col(f"c{j}").alias("chunk_val")
-                    )
-                    for j in range(4)
-                ]
-            )
-        )
-        banded = sig.select(
-            "doc_id", "c0", "c1", "c2", "c3", chunks.alias("c")
-        ).select("doc_id", "c0", "c1", "c2", "c3", "c.chunk", "c.chunk_val")
+        # key = chunk_index * 2^16 + chunk_value (chunk_value < 2^16)
+        keys = F.explode(F.array(*[
+            (F.lit(j << 16)
+             + F.shiftrightunsigned("sig", 16 * j).bitwiseAND(F.lit(0xFFFF)))
+            for j in range(4)
+        ]))
+        banded = sig.select("doc_id", "sig", keys.alias("key"))
         left = banded.select(
-            F.col("doc_id").alias("id_a"),
-            *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
-            "chunk", "chunk_val",
+            F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "key"
         )
         right = banded.select(
-            F.col("doc_id").alias("id_b"),
-            *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
-            "chunk", "chunk_val",
+            F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "key"
         )
-        return _simhash_verify(left.join(right, ["chunk", "chunk_val"]),
-                               max_hamming)
+        return _simhash_verify(left.join(right, "key"), max_hamming)
     if banding == "blocks6":
         import itertools
 
-        # 64-bit signature reassembled once; blocks extracted by
-        # unsigned shifts so c3's high bit never sign-pollutes.
-        sig64 = sum(
-            F.shiftleft(F.col(f"c{c}").cast("long"), 16 * c) for c in range(4)
-        )
+        # blocks extracted by unsigned shifts so c3's high bit never
+        # sign-pollutes; key = combo*2^33 + k0*2^22 + k1*2^11 + k2
+        # (block values < 2^11, combo < 20 — 38 bits, exact bijection)
         blocks = [
-            F.shiftrightunsigned(sig64, start).bitwiseAND(F.lit((1 << ln) - 1))
+            F.shiftrightunsigned("sig", start).bitwiseAND(F.lit((1 << ln) - 1))
             for start, ln in _BLOCKS6
         ]
         combos = list(itertools.combinations(range(6), 3))
-        bands = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ci).alias("combo"),
-                        blocks[i].alias("k0"),
-                        blocks[j].alias("k1"),
-                        blocks[k].alias("k2"),
-                    )
-                    for ci, (i, j, k) in enumerate(combos)
-                ]
-            )
-        )
-        banded = sig.select(
-            "doc_id", "c0", "c1", "c2", "c3", bands.alias("b")
-        ).select(
-            "doc_id", "c0", "c1", "c2", "c3", "b.combo", "b.k0", "b.k1", "b.k2"
-        )
+        keys = F.explode(F.array(*[
+            (F.lit(ci << 33) + F.shiftleft(blocks[i], 22)
+             + F.shiftleft(blocks[j], 11) + blocks[k])
+            for ci, (i, j, k) in enumerate(combos)
+        ]))
+        banded = sig.select("doc_id", "sig", keys.alias("key"))
         left = banded.select(
-            F.col("doc_id").alias("id_a"),
-            *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
-            "combo", "k0", "k1", "k2",
+            F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "key"
         )
         right = banded.select(
-            F.col("doc_id").alias("id_b"),
-            *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
-            "combo", "k0", "k1", "k2",
+            F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "key"
         )
-        return _simhash_verify(
-            left.join(right, ["combo", "k0", "k1", "k2"]), max_hamming
-        )
+        return _simhash_verify(left.join(right, "key"), max_hamming)
     raise ValueError(f"unknown banding: {banding!r}")
 
 

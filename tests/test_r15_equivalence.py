@@ -65,6 +65,32 @@ def test_simhash_packed_lane_spread_is_carry_free():
             assert packed >> 32 == (v >> (r + 8)) & 1
 
 
+def test_simhash_packed_band_keys_are_bijective():
+    """The single-long band keys are bijections of the old multi-column
+    keys (NOT hashes): chunk4 packs (chunk_idx, 16-bit value) into
+    idx*2^16+value; blocks6 packs (combo<20, three <=11-bit blocks) into
+    combo*2^33 + k0*2^22 + k1*2^11 + k2. Injectivity checked by
+    round-tripping the packing over exhaustive index/boundary grids."""
+    seen = set()
+    for j in range(4):
+        for v in (0, 1, 0x7FFF, 0xFFFE, 0xFFFF):
+            key = (j << 16) + v
+            assert key not in seen
+            seen.add(key)
+            assert key >> 16 == j and key & 0xFFFF == v
+    seen = set()
+    for combo in range(20):
+        for k0 in (0, 1, 0x7FF):
+            for k1 in (0, 2, 0x7FF):
+                for k2 in (0, 3, 0x7FF):
+                    key = (combo << 33) + (k0 << 22) + (k1 << 11) + k2
+                    assert key not in seen
+                    seen.add(key)
+                    assert (key >> 33, (key >> 22) & 0x7FF,
+                            (key >> 11) & 0x7FF, key & 0x7FF) == \
+                        (combo, k0, k1, k2)
+
+
 def test_dup_ngram_no_joinback_equals_joinback(spark):
     """dup_ngram_fraction_docs' ownership-routed shape must equal the
     old position-join-back shape row for row (all-integer arithmetic +
